@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Per-query protocol: one untimed warmup (parquet footer + JIT + plan
+caches), then the median of 3 timed runs with a full ``collect`` —
+matching BASELINE.md's warm-time methodology.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import sparkgraft
+
+# Headline set: one representative per major operator family.
+HEADLINE = [
+    "agg_groupby_hash",      # q1: scan+filter+7-agg+sort
+    "agg_global",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = sparkgraft.get_session("sparkgraft-bench")
+
+    keys = [k for k in HEADLINE if k in sparkgraft.QUERIES]
+    timings: dict[str, float] = {}
+    for key in keys:
+        fn = sparkgraft.QUERIES[key]
+        fn(spark, sf_dir).collect()  # warmup
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).collect()
+            runs.append(time.monotonic() - t0)
+        timings[key] = round(statistics.median(runs), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total_warm",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,20 @@
+"""sparkgraft — a PySpark-native analytics engine.
+
+Re-expresses the classic Hadoop batch-utility canon (filter/grep, count,
+sort, join, distinct, top-k, sampling, sessionization, format conversion,
+compaction) as Catalyst-optimized DataFrame programs, plus the
+LLM-data-pipeline extensions (dedup, similarity search, multimodal columns,
+text analysis). Blueprint: SURVEY.md; driver contract: __spark_entry__.py.
+
+Importing this package imports every operator module, which registers all
+queries/oracles into ``sparkgraft.registry``.
+"""
+
+from __future__ import annotations
+
+from . import aggregates  # noqa: F401  (registers §2.4)
+from .catalog import TABLES, load, register_tables  # noqa: F401
+from .registry import ORACLE, QUERIES  # noqa: F401
+from .session import get_session  # noqa: F401
+
+__version__ = "0.1.0"
