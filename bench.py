@@ -23,7 +23,11 @@ import sparkgraft
 # Headline set: one representative per major operator family.
 HEADLINE = [
     "agg_groupby_hash",      # q1: scan+filter+7-agg+sort
-    "agg_global",
+    "join_multiway_star",    # q5-shape star join (BASELINE q3 class)
+    "topk_limit",            # TakeOrderedAndProject
+    "agg_count_distinct",    # expand + two-phase distinct
+    "sort_global",           # distributed total sort + rank
+    "join_asof",             # equi-join + window argmax
 ]
 
 

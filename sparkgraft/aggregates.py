@@ -89,3 +89,255 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
     )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct per group. Catalyst plans this as expand + two-phase
+    aggregate (partial distinct before the shuffle), the scalable form."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("agg_approx_count_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — THE 100 TB cardinality tool (one pass, no
+    expand, fixed-size sketch). Estimates differ per engine, so no oracle;
+    the invariant test pins the estimate within rsd of exact."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_distinct_rows",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def agg_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT == groupBy(all cols) — the exact-dedup utility on rows."""
+    return load(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INT  AS g_flag,
+           grouping(l_linestatus)::INT  AS g_status,
+           round(sum(l_quantity), 2)    AS sum_qty,
+           count(*)                     AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals: (flag,status) → (flag) → (). grouping()
+    columns disambiguate real NULLs from subtotal rows."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INT  AS g_flag,
+           grouping(l_linestatus)::INT  AS g_status,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag)::INT AS g_flag,
+           grouping(l_linestatus)::INT AS g_status,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via the SQL path (the DataFrame API has no
+    direct grouping-sets builder; spark.sql IS the idiomatic route)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_discount), 6)              AS sd_disc,
+           round(var_samp(l_discount), 6)                 AS var_disc,
+           round(corr(l_quantity, l_discount), 6)         AS corr_qty_disc,
+           round(covar_samp(l_quantity, l_discount), 6)   AS cov_qty_disc,
+           round(avg(l_quantity), 6)                      AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family. Small-magnitude columns on purpose:
+    rounding big variances is ulp-fragile across engines (SURVEY.md §5.3);
+    skewness/kurtosis are excluded from the oracle because Spark uses the
+    population formula and DuckDB the sample-adjusted one."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+            F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group sorted list. collect_list order is nondeterministic under
+    parallelism — sort_array AFTER collection restores determinism."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, o_totalprice) AS best_order,
+           min_by(o_orderkey, o_totalprice) AS worst_order,
+           round(max(o_totalprice), 2)      AS best_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin. Determinism note: verified zero per-custkey
+    o_totalprice ties in the corpus; with ties max_by picks arbitrarily in
+    both engines and the key would need a struct-valued ordering."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("best_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("worst_order"),
+            F.round(F.max("o_totalprice"), 2).alias("best_price"),
+        )
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_open,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_finished,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END)                          AS n_discounted
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot via sum(CASE WHEN) — fixed output columns, unlike
+    .pivot() whose column set is data-dependent (SURVEY.md §2.4 note)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_open"),
+            F.round(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_finished"),
+            F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           count(*)                            AS n,
+           round(avg(value), 6)                AS avg_value
+    FROM events
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via floor-divide (DuckDB 1.0 lacks
+    width_bucket, so the portable construction is arithmetic)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("bucket")
+    )

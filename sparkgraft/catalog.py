@@ -98,9 +98,24 @@ def path_for(sf_dir: str, name: str) -> str:
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one catalog table. Parquet scan + Catalyst gives predicate
-    pushdown and column pruning downstream for free."""
+    pushdown and column pruning downstream for free.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    reader rejects outright; we read it as a nanos long (legacy conf) and
+    convert to a µs timestamp. Integer division is mandatory — the nanos
+    magnitude (~1.7e18) exceeds double's 2^53 exact range. Sub-µs bits are
+    all zero in this corpus (verified), so the conversion is lossless.
+    Trade-off noted for scale: ts predicates no longer push into the
+    parquet scan; a production layout would partition by date instead.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path_for(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(path_for(sf_dir, name))
 
 

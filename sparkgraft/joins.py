@@ -1,0 +1,342 @@
+"""Join operators (SURVEY.md §2.3).
+
+Strategy notes (the 100 TB posture, SURVEY.md §4):
+
+- Equi-joins are declared and left to Catalyst/AQE: sort-merge or
+  shuffled-hash on the join key, skew-split by AQE. The hand-wired
+  "reduce-side join" of the MapReduce canon is exactly this, for free.
+- Map-side joins are ``F.broadcast(dim)`` — correct whenever the small
+  side is bounded by the domain (region/nation) rather than data volume.
+- Non-equi joins are only written against a BOUNDED small side (the band
+  table) so the broadcast-nested-loop product stays linear in the fact
+  table; unbounded theta self-joins are banned by design.
+- The as-of join composes equi-join + window argmax with an explicit,
+  deterministic tie-break — Spark has no native ASOF (as of 4.x), and the
+  tie-break makes the result hash-stable against any oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, round(o.o_totalprice, 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 300000
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reduce-side equi-join; Catalyst picks SMJ/SHJ (or broadcast when the
+    filtered side fits under the threshold — AQE decides at runtime)."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join: supplier and nation are broadcast, so the fact table
+    never shuffles for the join — only the 25-group aggregate shuffles."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_ORDER_LINE_AGG = """
+    (SELECT l_orderkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+     FROM lineitem GROUP BY l_orderkey)
+"""
+
+
+@query(
+    "join_left_outer",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderstatus, la.n_lines, la.qty
+    FROM orders o LEFT JOIN {_ORDER_LINE_AGG} la ON o.o_orderkey = la.l_orderkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: line-less orders (FIXTURES.md: they exist by
+    construction) surface with NULL aggregates."""
+    o = load(spark, sf_dir, "orders")
+    la = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    return o.join(la, o.o_orderkey == la.l_orderkey, "left").select(
+        "o_orderkey", "o_orderstatus", "n_lines", "qty"
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle=f"""
+    SELECT o.o_orderkey, o.o_orderstatus, la.n_lines, la.qty
+    FROM {_ORDER_LINE_AGG} la RIGHT JOIN orders o ON o.o_orderkey = la.l_orderkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    la = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    o = load(spark, sf_dir, "orders")
+    return la.join(o, o.o_orderkey == la.l_orderkey, "right").select(
+        "o_orderkey", "o_orderstatus", "n_lines", "qty"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT coalesce(big.o_custkey, c.c_custkey) AS custkey,
+           big.n_big, round(c.c_acctbal, 2) AS acctbal
+    FROM (SELECT o_custkey, count(*) AS n_big FROM orders
+          WHERE o_totalprice > 250000 GROUP BY o_custkey) big
+    FULL JOIN (SELECT * FROM customer WHERE c_acctbal < 0) c
+      ON big.o_custkey = c.c_custkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with genuinely unmatched rows on BOTH sides (big spenders
+    that aren't negative-balance customers, and vice versa)."""
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    return big.join(c, big.o_custkey == c.c_custkey, "full").select(
+        F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+        "n_big",
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a semi join: no row multiplication, build side only
+    carries the key — the cheapest of the join family at scale."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT b.r_regionkey AS band, count(*) AS n_events,
+           round(sum(e.value), 2) AS band_value
+    FROM events e
+    JOIN region b
+      ON e.value >= b.r_regionkey * 100.0 AND e.value < (b.r_regionkey + 1) * 100.0
+    GROUP BY b.r_regionkey
+    ORDER BY band
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (theta) join: events banded by value against a 5-row
+    bound table derived from region. Spark plans broadcast-nested-loop —
+    correct here ONLY because the small side is domain-bounded, so the
+    product is 5×|events|, linear at any scale."""
+    e = load(spark, sf_dir, "events")
+    b = load(spark, sf_dir, "region").select("r_regionkey")
+    cond = (e.value >= b.r_regionkey * 100.0) & (e.value < (b.r_regionkey + 1) * 100.0)
+    return (
+        e.join(F.broadcast(b), cond)
+        .groupBy(F.col("r_regionkey").alias("band"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("band_value"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star chain. Dims are broadcast (bounded),
+    the customer→orders→lineitem chain shuffles on its keys; AQE is free
+    to reorder. Filter on region prunes before any fact-table work."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at-or-before each event, per user).
+
+    Spark has no native ASOF JOIN; the scalable construction is equi-join
+    on the key + window argmax, so the pair blow-up is bounded by
+    orders-per-key, and the shuffle is the same one the equi-join already
+    pays. Tie-break (o_orderdate, o_orderkey) is explicit — hash-stable
+    regardless of physical row order (SURVEY.md §7.3 risk 4).
+    """
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("o_orderkey").alias("asof_orderkey"),
+            F.col("o_orderdate").alias("asof_orderdate"),
+        )
+    )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_shipped_30d
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: equi key bounds the pair space, the range
+    predicate filters within each key group — never a cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_shipped_30d"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_self_pairs",
+    oracle="""
+    SELECT a.label AS label_a, b.label AS label_b, count(*) AS n_pairs
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+    """,
+)
+def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered self-pair enumeration (a.vec_id < b.vec_id) — the pair basis
+    for sim_* (§2.11). NOTE: O(n²) by definition; at scale the sim_ path
+    prunes through LSH buckets first (vectorops.py) — this operator exists
+    to pin the pair semantics, grouped down to a label×label matrix."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("label_a", "label_b")
+    )

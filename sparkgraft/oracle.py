@@ -21,7 +21,11 @@ import pandas as pd
 
 from .catalog import TABLES, path_for
 
-_FLOAT_DECIMALS = 6
+# 9 decimals ≈ exact for money-magnitude doubles (ulp > 1e-9 there) while
+# forgiving sub-nano noise on small values; queries are designed so both
+# engines produce bit-identical doubles (raw IEEE arithmetic per-row,
+# in-query rounding for aggregates).
+_FLOAT_DECIMALS = 9
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -1,0 +1,106 @@
+"""Distributed global ranking — the terasort pattern (SURVEY.md §2.6).
+
+A naive ``row_number() OVER (ORDER BY ...)`` collapses the whole dataset
+into ONE partition — fine at sf0.01, fatal at 100 TB. And Spark's own
+``repartitionByRange`` cannot anchor a two-job rank computation: its
+boundary sampling re-runs per job, so the counts job and the final job can
+disagree on the layout (observed locally — duplicate/shifted ranks).
+
+The construction here is deterministic end-to-end:
+
+1. **Sample boundaries once, deterministically**: rows where
+   ``xxhash64(key cols) % m == 0`` (no RNG), sorted driver-side, thinned to
+   ~``buckets`` cut points on the FIRST sort key. The collect is bounded by
+   the chosen sample size, not data volume.
+2. **Bucket by literal comparison**: each row's bucket is the count of
+   boundaries preceding its first-key value — a pure codegen-able
+   expression, identical in every job that evaluates it. Rows with equal
+   first keys always share a bucket, so bucketing respects the total order.
+3. **Rank within bucket** via a window keyed by bucket (one shuffle), then
+   add per-bucket offsets from a (#buckets)-row count table.
+
+Skew bound: a single first-key value heavier than ~|data|/buckets collapses
+into one bucket; callers ranking by a low-cardinality first key should put
+a higher-cardinality column first or accept the larger local sort.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: (column name, "asc" | "desc") — first entry drives range bucketing;
+#: the full list must be a total order for a deterministic rank.
+KeySpec = list[tuple[str, str]]
+
+
+def _order_cols(keys: KeySpec) -> list[Column]:
+    cols = []
+    for name, direction in keys:
+        c = F.col(name)
+        cols.append(c.desc_nulls_first() if direction == "desc" else c.asc_nulls_first())
+    return cols
+
+
+def with_global_rank(
+    df: DataFrame,
+    keys: KeySpec,
+    rank_col: str = "rank",
+    buckets: int = 32,
+    sample_target: int = 2048,
+) -> DataFrame:
+    """Append a 1-based global row number following ``keys``.
+
+    Equivalent to SQL ``row_number() OVER (ORDER BY ...)`` without the
+    single-reducer bottleneck.
+    """
+    first_name, first_dir = keys[0]
+    key_cols = [name for name, _ in keys]
+
+    n = df.count()
+    if n == 0:
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
+
+    # 1. Deterministic sample of first-key values (hash-modulus, no RNG).
+    m = max(1, n // sample_target)
+    sample = [
+        r[0]
+        for r in df.filter(F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0)
+        .select(first_name)
+        .collect()
+        if r[0] is not None
+    ]
+    rev = first_dir == "desc"
+    sample.sort(reverse=rev)  # NULLs were dropped; they bucket to -1 below
+    step = max(1, len(sample) // buckets)
+    boundaries: list[Any] = []
+    for v in sample[step::step]:
+        if not boundaries or boundaries[-1] != v:
+            boundaries.append(v)
+
+    # 2. Bucket = #boundaries strictly preceding the row's first-key value.
+    #    NULLs sort first (matching asc_nulls_first/desc_nulls_first).
+    first = F.col(first_name)
+    bucket = F.lit(0)
+    for b in boundaries:
+        passed = (first < F.lit(b)) if rev else (first > F.lit(b))
+        bucket = bucket + F.when(passed, 1).otherwise(0)
+    bucket = F.when(first.isNull(), F.lit(-1)).otherwise(bucket)
+
+    bucketed = df.withColumn("_bkt", bucket)
+
+    # 3. Local rank within bucket + bucket offsets (bounded collect).
+    w = Window.partitionBy("_bkt").orderBy(*_order_cols(keys))
+    local = bucketed.withColumn("_rn", F.row_number().over(w))
+    counts = sorted(local.groupBy("_bkt").count().collect(), key=lambda r: r["_bkt"])
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_bkt"]] = acc
+        acc += row["count"]
+    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    return (
+        local.withColumn(rank_col, (mapping[F.col("_bkt")] + F.col("_rn")).cast("long"))
+        .drop("_bkt", "_rn")
+    )

@@ -1,0 +1,171 @@
+"""Sorts / limits / top-k / sampling (SURVEY.md §2.6) and set operations
+(§2.7).
+
+The oracle hash is order-insensitive, so a bare sort is unobservable; every
+sort operator here materializes its order as an explicit rank column via
+``ranking.with_global_rank`` (range-partitioned, no single-reducer), making
+the sort itself hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .ranking import with_global_rank
+from .registry import query
+
+
+@query(
+    "sort_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+    FROM orders
+    WHERE o_totalprice > 100000
+    """,
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order with materialized rank — terasort canon. Tie-break on the
+    unique o_orderkey makes the order (hence the hash) deterministic."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return with_global_rank(
+        o.select("o_orderkey", "o_totalprice"),
+        [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    )
+
+
+@query(
+    "sort_multi_key",
+    oracle="""
+    SELECT o_orderkey, status_or_null, o_totalprice, rank FROM (
+      SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null, o_totalprice,
+             row_number() OVER (ORDER BY nullif(o_orderstatus, 'P') ASC NULLS FIRST,
+                                o_totalprice DESC, o_orderkey) AS rank
+      FROM orders) t
+    WHERE rank <= 1000
+    """,
+)
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort, mixed direction, explicit null placement (nulls are
+    derived via nullif — the corpus has none physically)."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "status_or_null", F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    )
+    ranked = with_global_rank(
+        o.select("o_orderkey", "status_or_null", "o_totalprice"),
+        [("status_or_null", "asc"), ("o_totalprice", "desc"), ("o_orderkey", "asc")],
+    )
+    return ranked.filter(F.col("rank") <= 1000)
+
+
+@query(
+    "topk_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 25
+    """,
+)
+def topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT k → Spark's TakeOrderedAndProject: each task keeps
+    a k-heap, driver merges — O(k) memory, no global sort. Unique
+    (orderkey, linenumber) tie-break keeps the result hash-stable."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(25)
+    )
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE (l_orderkey * 37 + l_linenumber) % 100 = 0
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeatable ~1% sample via arithmetic on the key — NOT df.sample()
+    (nondeterministic under repartitioning) and NOT hash() (Spark's
+    Murmur3 ≠ DuckDB's hash). Pure modular arithmetic is identical
+    everywhere and pushes into the scan."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_orderkey") * 37 + F.col("l_linenumber")) % 100 == 0
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+def _event_slice(spark: SparkSession, sf_dir: str, types: list[str]) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(types))
+        .select("user_id", "event_type")
+    )
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE event_type IN ('click', 'view')
+    UNION ALL
+    SELECT user_id, event_type FROM events WHERE event_type IN ('view', 'purchase')
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union — pure concatenation, no shuffle at all."""
+    a = _event_slice(spark, sf_dir, ["click", "view"])
+    b = _event_slice(spark, sf_dir, ["view", "purchase"])
+    return a.unionByName(b)
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT user_id, event_type FROM events WHERE event_type IN ('click', 'view')
+    UNION
+    SELECT user_id, event_type FROM events WHERE event_type IN ('view', 'purchase')
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _event_slice(spark, sf_dir, ["click", "view"])
+    b = _event_slice(spark, sf_dir, ["view", "purchase"])
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _event_slice(spark, sf_dir, ["purchase"]).select("user_id")
+    b = _event_slice(spark, sf_dir, ["error"]).select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose every order is ≤ 150k: EXCEPT (set semantics)."""
+    o = load(spark, sf_dir, "orders")
+    all_keys = o.select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return all_keys.subtract(big)  # subtract == EXCEPT (set semantics)

@@ -1,0 +1,44 @@
+"""Property/invariant tests for rows-only operators (SURVEY.md §5.4.3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import sparkgraft
+from conftest import SF_DIR
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in sparkgraft.QUERIES["agg_approx_count_distinct"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n_users"]
+        for r in sparkgraft.QUERIES["agg_count_distinct"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        # rsd=0.02 → allow 5 sigma-ish slack
+        assert abs(approx[k] - exact[k]) <= max(2, 0.1 * exact[k]), k
+
+
+def test_global_rank_is_permutation(spark):
+    df = sparkgraft.QUERIES["sort_global"](spark, SF_DIR)
+    ranks = [r["rank"] for r in df.select("rank").collect()]
+    assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_global_rank_follows_order(spark):
+    rows = (
+        sparkgraft.QUERIES["sort_global"](spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert (a["o_totalprice"], -a["o_orderkey"]) >= (b["o_totalprice"], -b["o_orderkey"])
+
+
+def test_distinct_idempotent(spark):
+    df = sparkgraft.QUERIES["agg_distinct_rows"](spark, SF_DIR)
+    assert df.count() == df.distinct().count()

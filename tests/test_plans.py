@@ -1,0 +1,61 @@
+"""Physical-plan assertions (SURVEY.md §5.4.4): the scale posture is
+checked in the plan, not just claimed in docstrings — filters reach the
+parquet scan, projections prune columns, dims broadcast, expressions stay
+inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import sparkgraft
+from conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown(spark):
+    df = sparkgraft.QUERIES["filter_simple"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    df = sparkgraft.QUERIES["filter_simple"](spark, SF_DIR)
+    plan = _plan(df)
+    # only the 4 selected columns appear in ReadSchema, not all 11
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_broadcast_join_strategy(spark):
+    df = sparkgraft.QUERIES["join_broadcast"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    # The free MapReduce combiner: a partial_sum HashAggregate exists
+    # upstream of the Exchange in the operator details.
+    df = sparkgraft.QUERIES["agg_groupby_hash"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_sum" in plan
+
+
+def test_whole_stage_codegen(spark):
+    # In formatted explain, whole-stage-codegen nodes carry a '*' prefix.
+    # AQE's pre-execution plan hides them; execute first, then check the
+    # final plan keeps Filter/Project/HashAggregate inside codegen spans.
+    df = sparkgraft.QUERIES["agg_groupby_hash"](spark, SF_DIR)
+    df.collect()
+    plan = _plan(df)
+    assert "* HashAggregate" in plan
+    assert "* Filter" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    df = sparkgraft.QUERIES["topk_limit"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
