@@ -14,8 +14,11 @@ from __future__ import annotations
 
 from . import aggregates  # noqa: F401  (registers §2.4)
 from . import filters  # noqa: F401  (registers §2.2)
+from . import functions  # noqa: F401  (registers §2.8)
 from . import joins  # noqa: F401  (registers §2.3)
+from . import scans  # noqa: F401  (registers §2.1)
 from . import sorts  # noqa: F401  (registers §2.6–2.7)
+from . import windows  # noqa: F401  (registers §2.5)
 from .catalog import TABLES, load, register_tables  # noqa: F401
 from .registry import ORACLE, QUERIES  # noqa: F401
 from .session import get_session  # noqa: F401

@@ -1,0 +1,245 @@
+"""Scalar function families (SURVEY.md §2.8): string / regex / date / math
+/ array / lambda / map / json.
+
+All JVM-side ``pyspark.sql.functions`` — these run inside whole-stage
+codegen, never in Python. Dialect-parity notes are inline where Spark and
+DuckDB disagree (dayofweek numbering, libm last-ulp drift, map types).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+
+@query(
+    "fn_string_core",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                       AS name_lower,
+           upper(p_brand)                      AS brand_upper,
+           trim(concat('  ', p_type, ' '))     AS type_trim,
+           substr(p_name, 1, 8)                AS name_prefix,
+           concat_ws('|', p_brand, p_type)     AS brand_type,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           length(p_name)                      AS name_len
+    FROM part
+    """,
+)
+def fn_string_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@query(
+    "fn_string_split_explode",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def fn_string_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wordcount mapper: one row per token. explode is a generator —
+    no shuffle, output partitioning follows the input."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+
+
+@query(
+    "fn_string_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{6,})', 1)          AS first_long_word,
+           regexp_replace(text, 'data', 'DATA', 'g')       AS shouted,
+           regexp_matches(text, 'merge (join|sort)')       AS has_merge_phrase
+    FROM documents
+    """,
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family. Patterns restricted to syntax Java regex and RE2
+    interpret identically; NB Spark regexp_replace is global by default,
+    DuckDB needs the 'g' flag."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{6,})", 1).alias("first_long_word"),
+        F.regexp_replace("text", "data", "DATA").alias("shouted"),
+        F.col("text").rlike("merge (join|sort)").alias("has_merge_phrase"),
+    )
+
+
+@query(
+    "fn_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           date_part('year', o_orderdate)::INT       AS yr,
+           date_part('month', o_orderdate)::INT      AS mon,
+           date_part('day', o_orderdate)::INT        AS dom,
+           date_part('dow', o_orderdate)::INT + 1    AS dow_sunday1,
+           date_trunc('month', o_orderdate)          AS month_start,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')::INT AS days_to_y2k
+    FROM orders
+    """,
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part family. dayofweek numbering differs (Spark: Sunday=1;
+    DuckDB dow: Sunday=0) — aligned explicitly in the oracle."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.dayofweek("o_orderdate").alias("dow_sunday1"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_y2k"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT p_partkey,
+           abs(p_retailprice - 1000.0)            AS abs_diff,
+           floor(p_retailprice)                   AS price_floor,
+           ceil(p_retailprice)                    AS price_ceil,
+           round(sqrt(p_retailprice), 6)          AS price_sqrt,
+           round(ln(p_retailprice), 6)            AS price_ln,
+           round(pow(p_size, 2.0), 6)             AS size_sq,
+           p_size % 7                             AS size_mod
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family. abs/floor/ceil/% are exact; sqrt/ln/pow go through
+    libm whose last ulp is implementation-defined → rounded to 6."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("abs_diff"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(F.pow("p_size", F.lit(2.0)), 6).alias("size_sq"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@query(
+    "fn_array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))                         AS n_tokens,
+           string_split(text, ' ')[1:3]                         AS first3,
+           list_contains(string_split(text, ' '), 'data')       AS has_data,
+           len(list_distinct(string_split(text, ' ')))          AS n_unique,
+           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_unique
+    FROM documents
+    """,
+)
+def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over the tokenized documents. NB slice is 1-based in
+    both engines; DuckDB's [a:b] is inclusive → slice(arr, 1, 3) == [1:3]."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_contains(toks, "data").alias("has_data"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first_unique"),
+    )
+
+
+@query(
+    "fn_array_lambda",
+    oracle="""
+    SELECT doc_id,
+           list_transform(string_split(text, ' ')[1:5], t -> length(t)) AS first5_lens,
+           len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+           list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')
+             AS total_chars
+    FROM documents
+    """,
+)
+def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) on
+    integer values — exact parity; float lambda kernels (dot products)
+    live in vectorops where the comparison is designed for them."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.transform(F.slice(toks, 1, 5), lambda t: F.length(t)).alias("first5_lens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+@query(
+    "fn_map_ops",
+    oracle="""
+    SELECT event_id,
+           'type=' || event_type || ',user=' || CAST(user_id AS VARCHAR) AS kv_string,
+           event_type               AS map_type,
+           CAST(user_id AS VARCHAR) AS map_user
+    FROM events
+    """,
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map + element extraction. The map itself is not returned
+    (map cell encodings aren't dialect-portable); extracted values are —
+    the oracle recomputes them from source, proving the round-trip."""
+    e = load(spark, sf_dir, "events")
+    kv = F.concat(F.lit("type="), F.col("event_type"), F.lit(",user="), F.col("user_id").cast("string"))
+    m = F.str_to_map(kv, F.lit(","), F.lit("="))
+    return e.select(
+        "event_id",
+        kv.alias("kv_string"),
+        m.getItem("type").alias("map_type"),
+        m.getItem("user").alias("map_user"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                THEN 'hi' ELSE 'lo' END AS k_band
+    FROM events
+    """,
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from events.props (literally '{"k": <int>}').
+    get_json_object is the codegen-friendly path; from_json with an
+    explicit schema is exercised in the streaming module."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id",
+        k.alias("k_value"),
+        F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
+    )

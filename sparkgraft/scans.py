@@ -1,0 +1,112 @@
+"""Scans / sources / sinks (SURVEY.md §2.1).
+
+The format-conversion and compaction utilities of the Hadoop canon. Sink
+operators write under a per-SF scratch dir and return the read-back
+DataFrame, so the driver's rows-only check validates the round-trip.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import TABLES, load
+from .registry import query
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "sparkgraft_sinks")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_SCRATCH, tag, name)
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT * FROM nation",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan, stable column order (schema-first: FIXTURES.md order)."""
+    return load(spark, sf_dir, "nation")
+
+
+@query(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned scan: parquet reads exactly 2 of 11 columns
+    (asserted on the plan in tests/test_plans.py)."""
+    return load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "scan_text_lines",
+    oracle="SELECT count(*) AS n FROM documents WHERE length(text) > 0",
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hadoop `grep -c` shape: treat the corpus as lines, count non-empty."""
+    return (
+        load(spark, sf_dir, "documents")
+        .select("text")
+        .filter(F.length("text") > 0)
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conversion utility (the distcp/csv shape): parquet → CSV →
+    read back with the EXPLICIT catalog schema (never inferSchema — one
+    extra full pass at scale and type drift besides). Oracle-checkable
+    because the round-trip must be lossless for this all-ASCII dim."""
+    out = _scratch(sf_dir, "nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(TABLES["nation"]).option("header", True).csv(out)
+
+
+@query("sink_partitioned_write")  # rows-only: filesystem side effect
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned output (the MapReduce part-*/ dir shape):
+    write lineitem partitioned by returnflag, read back ONE partition —
+    partition pruning turns the read into a single-directory scan."""
+    out = _scratch(sf_dir, "lineitem_by_flag")
+    (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite")
+        .partitionBy("l_returnflag")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@query("sink_compaction")  # rows-only: filesystem side effect
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction: explode input into many files, compact to 4
+    with repartition (full shuffle, even sizes — coalesce would skew).
+    Returns a digest proving content survived both rewrites."""
+    scattered = _scratch(sf_dir, "orders_scattered")
+    compacted = _scratch(sf_dir, "orders_compacted")
+    o = load(spark, sf_dir, "orders")
+    o.repartition(64).write.mode("overwrite").parquet(scattered)
+    spark.read.parquet(scattered).repartition(4).write.mode("overwrite").parquet(compacted)
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )

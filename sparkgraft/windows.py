@@ -1,0 +1,248 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Every window here is partitioned by a real key (custkey / user_id) — never
+an empty ``Window.orderBy`` over the whole table, which would serialize
+into one task at scale (global ordering goes through ranking.py instead).
+
+Frames are always written out explicitly: default frames for
+first_value/last_value differ across engines (SURVEY.md §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+
+@query(
+    "win_row_number_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def win_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the secondary-sort canon. One shuffle on
+    the partition key; per-group sort is local. Unique orderkey tie-break
+    keeps the cut deterministic."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           percent_rank() OVER w AS prnk,
+           ntile(4)       OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over one shared window definition."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        # percent_rank = (rank-1)/(n-1): integer operands, one division —
+        # bit-identical across engines, safe unrounded.
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead_delta",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w  AS gap_us,
+           lead(event_id) OVER w                    AS next_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap — the sessionization building block. Gap in
+    integer microseconds (exact in both engines; interval types are not
+    dialect-portable)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@query(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_so_far
+    FROM orders
+    """,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer. Rounded: window sums are NOT
+    plain left-folds in every engine (DuckDB aggregates frames via a
+    segment tree), so prefix values drift in the last ulp."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.count("*").over(w).alias("n_so_far"),
+    )
+
+
+@query(
+    "win_sliding_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS avg_5
+    FROM events
+    """,
+)
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over the trailing 5 rows. Rounded: sliding frames are
+    where engines differ internally (Spark re-aggregates per frame, DuckDB
+    uses segment trees — different summation order, last-ulp drift)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_5"),
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+             AS n_within_50k
+    FROM orders
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a value axis: how many of the customer's orders fall
+    within 50k below this one. count → integer, no float drift."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("n_within_50k"),
+    )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_order,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value with the frame PINNED to the whole partition —
+    the default frame (… AND CURRENT ROW) makes last_value echo the
+    current row, a classic cross-engine trap."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+
+
+# Session gap threshold shared by the batch operator and (later) the
+# streaming session-window twin (SURVEY.md §2.9).
+SESSION_GAP_MINUTES = 30
+
+
+@query(
+    "win_session_ids",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MINUTES} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events) t
+    """,
+)
+def win_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: flag a session start when the gap
+    to the previous event exceeds 30 min, then a running sum of flags
+    numbers the sessions 1..k per user. This batch query is the oracle for
+    the streaming session_window operator (§2.9)."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", is_new.alias("is_new"))
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .select("event_id", "user_id", "ts", "session_id")
+    )
