@@ -1,0 +1,451 @@
+"""Text-analysis + deduplication operators over the documents corpus
+(SURVEY.md §2.11 — the LLM-data-pipeline surface).
+
+Everything is built from JVM-side primitives (split/explode/groupBy/
+higher-order array functions) — no Python UDFs in any hot path. At 100 TB
+the shapes hold: tokenization is a generator (no shuffle), counts are
+partial+final aggregates, pair generation is always bucket-pruned (LSH)
+before any join, never a naive O(n²) cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+# Tokenized view shared by most operators: (doc_id, lang, token).
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+    GROUP BY token
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical Hadoop job. explode is map-side; the count is a
+    partial+final aggregate — exactly mapper/combiner/reducer, declared."""
+    return _tokens(spark, sf_dir).groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, natural log pinned on both sides. The doc-frequency side is
+    tiny (vocabulary-sized) → broadcast back onto the term-frequency side,
+    so the only big shuffle is the tf groupBy."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()  # one scalar, driver-side
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    SELECT lang, bigram, count(*) AS cnt FROM (
+      SELECT lang,
+             unnest(list_transform(range(1, len(string_split(lower(text), ' '))),
+                                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                                        string_split(lower(text), ' ')[i+1])) AS bigram
+      FROM documents) t
+    GROUP BY lang, bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per language — positional array construction, no
+    self-join. Spark's transform lambda exposes the 0-based index; DuckDB
+    subscripts are 1-based, aligned in the oracle."""
+    d = load(spark, sf_dir, "documents")
+    # Guard single-token docs: Spark's sequence(1, 0) counts DOWN instead
+    # of returning empty, unlike DuckDB's range.
+    bigrams = F.expr(
+        "CASE WHEN size(split(lower(text), ' ')) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 1),"
+        " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
+        "             element_at(split(lower(text), ' '), i + 1))) END"
+    )
+    return (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    SELECT token, list(doc_id ORDER BY doc_id) AS doc_ids, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents) t
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index canon: term → sorted posting list. Posting lists are
+    bounded by doc count; at web scale the long tail is fine and hot terms
+    would be delta-encoded downstream — the groupBy shape is unchanged."""
+    return (
+        _tokens(spark, sf_dir)
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.count("*").alias("df"),
+        )
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           n_chars // n_tokens AS avg_token_len_floor,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) AS n_stop,
+           len(list_filter(toks, x -> len(x) <= 2)) AS n_short,
+           CASE WHEN n_tokens >= 20
+                 AND len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) > 0
+                THEN 'keep' ELSE 'flag' END AS verdict
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring for training-data filtering: token count,
+    stopword presence, short-token count → keep/flag verdict. Integer
+    features only — ratio thresholds stay exact across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars") / n_tokens).cast("long").alias("avg_token_len_floor"),
+        n_stop.alias("n_stop"),
+        F.size(F.filter(toks, lambda x: F.length(x) <= 2)).alias("n_short"),
+        F.when((n_tokens >= 20) & (n_stop > 0), "keep").otherwise("flag").alias("verdict"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                  AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
+           length(text)                                  AS n_bytes
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex token
+    class — the cheap pre-tokenizer cost estimate for LLM pipelines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("re_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           list_aggregate(list_transform(range(1, len(toks) + 1),
+                                         i -> ascii(toks[i]) * ((i - 1) % 64 + 1)),
+                          'sum') % 1000000007 AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sensitive document fingerprint: Σ ascii(first char of
+    token_i) × (i mod 64 + 1), mod p. Pure integer arithmetic → exact in
+    any engine; order-sensitive, unlike a bag-of-words hash."""
+    d = load(spark, sf_dir, "documents")
+    weighted = F.expr(
+        "transform(split(lower(text), ' '), (x, i) -> ascii(x) * (i % 64 + 1))"
+    )
+    return d.select(
+        "doc_id",
+        (F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % 1000000007)
+        .alias("fingerprint"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                     x -> list_contains({_STOPWORDS}, x))) * 10
+                     >= len(string_split(lower(text), ' '))
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-ish language ID heuristic: English stopword density ≥ 10% →
+    'en'. (A real system compares per-language profile sets; the plumbing
+    — token filter, density, argmax-by-threshold — is what scales.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(n_stop * 10 >= F.size(toks), "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           min(doc_id)  AS keeper,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized content hash — groupBy on the digest, so
+    the shuffle moves 32-byte keys, not documents. keeper = min(doc_id)
+    makes the survivor deterministic."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# MinHash parameters: k = BANDS × ROWS_PER_BAND hash functions.
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = 4
+_SHINGLE_W = 3  # word-shingle width
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct w-word shingles per document."""
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {_SHINGLE_W - 1}, 1)),"
+        f" i -> array_join(slice(split(lower(text), ' '), i, {_SHINGLE_W}), ' '))"
+    )
+    return df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{k-1} (k = bands × rows).
+
+    Hash family: xxhash64(seed_i, shingle) — k independent functions from
+    one primitive by folding the seed into the hash input. The k mins are
+    computed in ONE groupBy pass (k partial-min aggregates), not k passes.
+    """
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query("dedup_near_minhash")  # rows-only: hash-seed-specific buckets
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH banding.
+
+    Pipeline: shingle → k minhashes (one pass) → band keys → groupBy band
+    → pairs within buckets only. The O(n²) pair space is never formed;
+    work is proportional to bucket sizes. Invariant-tested: every exact
+    duplicate pair must surface as a candidate (tests/test_invariants.py).
+    """
+    sigs = minhash_signatures(load(spark, sf_dir, "documents"))
+    bands = []
+    for b in range(_MINHASH_BANDS):
+        cols = [F.col(f"mh_{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_key"),
+            )
+        )
+    bucketed = bands[0]
+    for other in bands[1:]:
+        bucketed = bucketed.unionByName(other)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    size_ AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.overlap,
+           round(i.overlap * 1.0 / (sa.n + sb.n - i.overlap), 6) AS jaccard
+    FROM inter i
+    JOIN size_ sa ON i.doc_a = sa.doc_id
+    JOIN size_ sb ON i.doc_b = sb.doc_id
+    WHERE i.overlap * 1.0 / (sa.n + sb.n - i.overlap) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.6 pairs, via the inverted index — pairs
+    are generated per shared token (join on token), never all-pairs. Terms
+    shared by half the corpus would explode this; production prepends the
+    MinHash candidate filter (dedup_near_minhash) and verifies only those.
+    """
+    tok = _tokens(spark, sf_dir).select("doc_id", "token").distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("overlap"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("overlap") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("overlap"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", "overlap", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("dedup_simhash")  # rows-only: hash-seed-specific signatures
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document + nibble-LSH candidate pairs.
+
+    Each bit b of the signature is sign(Σ_tokens ±1) where the ± comes
+    from bit b of xxhash64(token) — computed as 16 conditional-sum
+    aggregates in ONE pass. Candidates = pairs sharing any of the 4
+    nibbles (Hamming-distance LSH), again bucket-pruned, never all-pairs.
+    """
+    tok = _tokens(spark, sf_dir).select("doc_id", "token")
+    h = F.xxhash64("token")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(16)
+    ]
+    sig = tok.groupBy("doc_id").agg(*bit_aggs)
+    simhash = sum(
+        (F.when(F.col(f"bit_{i}") > 0, F.lit(2**i)).otherwise(0) for i in range(16)),
+        F.lit(0),
+    )
+    sigs = sig.select("doc_id", simhash.alias("simhash"))
+    nibbles = []
+    for nb in range(4):
+        nibbles.append(
+            sigs.select(
+                "doc_id",
+                "simhash",
+                F.lit(nb).alias("nibble"),
+                F.shiftright(F.col("simhash"), nb * 4).bitwiseAND(F.lit(0xF)).alias("nibble_key"),
+            )
+        )
+    bucketed = nibbles[0]
+    for other in nibbles[1:]:
+        bucketed = bucketed.unionByName(other)
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.nibble_key") == F.col("b.nibble_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )

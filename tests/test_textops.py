@@ -1,0 +1,91 @@
+"""Invariant tests for the text/dedup family (SURVEY.md §5.4.3).
+
+The MinHash/SimHash candidate generators are rows-only (hash seeds are
+engine-specific), so correctness is enforced by invariants instead of the
+oracle: every EXACT duplicate pair must surface as a candidate pair in
+every LSH scheme, and dedup must be idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import sparkgraft
+from conftest import SF_DIR, SF_DIR_MID
+from sparkgraft.catalog import load
+
+# Exact-duplicate texts exist only at sf0.1 (8 dup texts / 5000 docs,
+# verified with DuckDB); sf0.01 is 500 fully-distinct docs.
+SF_DIR_BIG = "/root/testdata/sf0.1"
+
+
+def _exact_dup_pairs(spark, sf_dir):
+    """All (doc_a < doc_b) pairs with byte-identical normalized text."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("norm")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(
+            b,
+            (F.col("a.norm") == F.col("b.norm"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .collect()
+    }
+
+
+def test_minhash_candidates_cover_exact_dups(spark):
+    exact = _exact_dup_pairs(spark, SF_DIR_BIG)
+    assert exact, "fixture should contain exact duplicate docs"
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in sparkgraft.QUERIES["dedup_near_minhash"](spark, SF_DIR_BIG).collect()
+    }
+    assert exact <= cand
+
+
+def test_simhash_candidates_cover_exact_dups(spark):
+    exact = _exact_dup_pairs(spark, SF_DIR_BIG)
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in sparkgraft.QUERIES["dedup_simhash"](spark, SF_DIR_BIG).collect()
+    }
+    assert exact <= cand
+
+
+def test_exact_dedup_partitions_corpus(spark):
+    """Each doc lands in exactly one hash group; keepers are distinct docs."""
+    d = sparkgraft.QUERIES["dedup_exact_docs"](spark, SF_DIR)
+    total_docs = load(spark, SF_DIR, "documents").count()
+    agg = d.agg(
+        F.sum("n_copies").alias("n"),
+        F.count("*").alias("groups"),
+        F.countDistinct("keeper").alias("keepers"),
+    ).collect()[0]
+    assert agg["n"] == total_docs
+    assert agg["groups"] == agg["keepers"]
+
+
+def test_jaccard_pairs_are_symmetric_free_and_bounded(spark):
+    rows = sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.6 <= r["jaccard"] <= 1.0 + 1e-9
+
+
+def test_wordcount_total_equals_token_count(spark):
+    """Σ wordcount == Σ per-doc whitespace tokens — explode loses nothing."""
+    wc = (
+        sparkgraft.QUERIES["text_wordcount"](spark, SF_DIR)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    tc = (
+        sparkgraft.QUERIES["text_token_count"](spark, SF_DIR)
+        .agg(F.sum("ws_tokens"))
+        .collect()[0][0]
+    )
+    assert wc == tc
