@@ -19,6 +19,7 @@ from . import joins  # noqa: F401  (registers §2.3)
 from . import scans  # noqa: F401  (registers §2.1)
 from . import sorts  # noqa: F401  (registers §2.6–2.7)
 from . import textops  # noqa: F401  (registers §2.11 text/dedup)
+from . import vectorops  # noqa: F401  (registers §2.11 sim_*/mm_*)
 from . import windows  # noqa: F401  (registers §2.5)
 from .catalog import TABLES, load, register_tables  # noqa: F401
 from .registry import ORACLE, QUERIES  # noqa: F401

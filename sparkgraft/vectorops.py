@@ -1,0 +1,307 @@
+"""Vector similarity + multimodal-join operators over the embeddings table
+(SURVEY.md §2.11 — sim_*, dedup_embedding_cosine, mm_doc_embedding_join).
+
+Kernels are pure higher-order array functions (zip_with + aggregate), JVM-side
+and codegen-friendly — no UDFs. Precision contract: the corpus stores
+float32 vectors; every kernel casts element-wise to double BEFORE multiplying
+and accumulates left-to-right in double, which is bitwise-reproducible in any
+IEEE engine, so the DuckDB oracle uses the identical element-cast formula
+(its builtin ``list_cosine_similarity`` accumulates in float32 and diverges
+in the 7th decimal — never use it in an oracle).
+
+Scale posture (100 TB): the exact all-pairs kernels (`sim_cosine_topk`,
+`dedup_embedding_cosine`) are the small-N verification baseline; the scale
+paths are `sim_lsh_buckets` (random-hyperplane bucketing prunes the O(n²)
+pair space to within-bucket pairs) and `sim_ivf_knn` (inverted-file cells:
+probe-2 of C centroids caps each query's candidate set at ~2N/C). Query sets
+and centroid sets are bounded and broadcast; nothing collects vectors to the
+driver.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+_DIM = 64  # fixed embedding width (FIXTURES.md: embeddings.embedding)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ double(a_i)·double(b_i), left-to-right double accumulation."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twin of the kernel above — identical cast + accumulation order.
+_SQL_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), 'sum')"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    )
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar pairs — the brute-force O(n²) baseline
+    that `sim_lsh_buckets` is measured against. Rounded-then-sorted with an
+    id tie-break so the top-k set is engine-independent."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_a", "vec_b")
+        .limit(20)
+    )
+
+
+@query(
+    "sim_knn_per_query",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round({_sql_cosine('q.qvec', 'e.embedding')}, 6) AS cos_sim
+      FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+    SELECT qid, vec_id, cos_sim, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rnk
+      FROM scored) t WHERE rnk <= 5
+    """,
+)
+def sim_knn_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 nearest neighbors for each query vector (vec_id % 100 = 0 — a
+    deterministic arithmetic sample, SURVEY §2.6 policy). The bounded query
+    set is broadcast, so the scan of the big side never shuffles; the only
+    shuffle is the per-query top-k window over N·Q scored rows."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-duplicate pairs: cosine ≥ τ (τ=0.4 — sized to
+    this corpus, whose max pairwise cosine is 0.51; real pipelines run
+    τ≈0.95 over `sim_lsh_buckets` candidates instead of all pairs)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+# Random-hyperplane LSH: BANDS independent signatures of BITS sign-bits each.
+# Fixed seed → the planes are constants of the engine, shipped broadcast.
+_LSH_BANDS = 16
+_LSH_BITS = 6
+_LSH_SEED = 20260813
+
+
+def _hyperplanes() -> list[tuple[int, int, list[float]]]:
+    rng = random.Random(_LSH_SEED)
+    return [
+        (band, bit, [rng.gauss(0.0, 1.0) for _ in range(_DIM)])
+        for band in range(_LSH_BANDS)
+        for bit in range(_LSH_BITS)
+    ]
+
+
+def lsh_signatures(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """(vec_id, band, band_key): sign-bit signature of each vector against
+    each band's hyperplanes. One broadcast nested-loop pass over the
+    vectors (96 constant planes), then an 8k-key groupBy — linear in N."""
+    planes = spark.createDataFrame(
+        _hyperplanes(), "band int, bit int, plane array<double>"
+    )
+    signed = vecs.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "band",
+        F.when(dot(F.col("embedding"), F.col("plane")) > 0, F.expr("shiftleft(1, bit)"))
+        .otherwise(F.lit(0))
+        .alias("bitval"),
+    )
+    return signed.groupBy("vec_id", "band").agg(F.sum("bitval").alias("band_key"))
+
+
+@query("sim_lsh_buckets")  # rows-only: plane seeds are engine-specific
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs from random-hyperplane LSH (16 bands × 6 bits).
+
+    The O(n²) pair space is pruned to within-bucket pairs; recall against
+    the exact `sim_cosine_topk` is invariant-tested (tests/test_vectorops).
+    """
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = lsh_signatures(spark, e)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+_IVF_CENTROID_MOD = 50  # centroids = vec_id % 50 == 0 → C ≈ N/50 cells
+_IVF_PROBES = 2
+
+
+@query("sim_ivf_knn")  # rows-only: centroid choice is engine-specific
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN — the coarse-quantization scale path.
+
+    Cells: every vector is assigned to its nearest centroid (broadcast
+    nested-loop over C centroids, argmax by cosine). Queries probe their 2
+    nearest cells and rank only those cells' members — candidate work per
+    query drops from N to ~2N/C. Same query set and k as the exact
+    `sim_knn_per_query`, which serves as its recall oracle."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    # assignment: argmax-by-cosine via max_by, one aggregate pass
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cvec")).alias("c_cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cid", "c_cos").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+    # queries probe their top-2 cells
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("c_cos"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("c_cos"), "cid")),
+        )
+        .filter(F.col("rnk") <= _IVF_PROBES)
+        .select("qid", "qvec", F.col("cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(qcells), "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "cos_sim", "rnk")
+    )
+
+
+@query(
+    "mm_doc_embedding_join",
+    oracle=f"""
+    SELECT e.label,
+           count(*) AS n_docs,
+           count(DISTINCT d.lang) AS n_langs,
+           round(avg(d.n_chars), 6) AS avg_chars,
+           round(avg(sqrt({_sql_dot('e.embedding', 'e.embedding')})), 6) AS avg_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def mm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal relation: text row ⋈ vector row on the shared id, then
+    per-label stats over both modalities (doc lengths + vector norms)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.avg(norm(F.col("embedding"))), 6).alias("avg_norm"),
+        )
+    )
