@@ -1,0 +1,332 @@
+"""Streaming operators (SURVEY.md §2.9) — the events table replayed via
+``readStream`` with an ``availableNow`` trigger, so every query runs to
+completion and returns a plain DataFrame the driver can collect.
+
+Design notes (scale posture):
+
+- The file source requires a *directory*; ``_stage_events`` copies the
+  driver's single ``events.parquet`` into a per-sf staging dir once. On a
+  real cluster the source would be a Kafka topic or a landing directory —
+  everything downstream of ``readStream`` is unchanged.
+- Windowed aggregations run in **complete** output mode into a memory
+  sink. That is fine for the bounded replay; a production job would use
+  append mode + watermark with a file/Kafka sink via ``foreachBatch``
+  (exercised by ``stream_foreach_sink``).
+- Watermark semantics are exercised deterministically: the events are
+  staged as TWO files split on a fixed date cutoff, recent file first,
+  with ``maxFilesPerTrigger=1``. Batch 0 (recent half) advances the
+  watermark to ``max(ts) - 10min``; every row of batch 1 (old half) is
+  older than that and is dropped — so the final answer equals the batch
+  aggregation over the recent half only, which is what ``oracle_sql``
+  states. Replay order is pinned by file modification times (the file
+  source processes oldest-mtime first).
+- Stateful operators (session windows, dedup-within-watermark, running
+  aggregates) keep state in the state store between micro-batches —
+  bounded by the watermark, which is the property that makes them viable
+  on an unbounded 100 TB/day stream.
+
+Streaming-vs-batch equivalence is additionally asserted in
+``tests/test_streaming.py`` against the batch twins from §2.4/§2.5.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sparkgraft.registry import query
+
+# Parquet stores events.ts as TIMESTAMP(NANOS); Spark's reader only hands
+# it over as a long (legacy nanosAsLong conf, see catalog.load), so the
+# stream schema declares a long and the source converts to a µs timestamp.
+_EVENTS_RAW_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+# Fixed split point for the watermark-late scenario: recent half replayed
+# first, old half second (and therefore dropped as late).
+_LATE_CUTOFF = "2024-01-15"
+
+_name_seq = itertools.count()
+
+
+def _staging_root(sf_dir: str, flavor: str) -> str:
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"sparkgraft-stream-{digest}", flavor)
+
+
+def _stage_events(sf_dir: str) -> str:
+    """Copy events.parquet into a directory (file-source contract)."""
+    src = os.path.join(sf_dir, "events.parquet")
+    out = _staging_root(sf_dir, "whole")
+    dst = os.path.join(out, "events.parquet")
+    if not (os.path.exists(dst) and os.path.getsize(dst) == os.path.getsize(src)):
+        os.makedirs(out, exist_ok=True)
+        shutil.copyfile(src, dst)
+    return out
+
+
+def _stage_events_split(sf_dir: str) -> str:
+    """Stage events as THREE files replayed in order (pinned via mtimes):
+
+    1. recent half (ts >= cutoff) minus its max-ts row,
+    2. that single max-ts row,
+    3. the old half (ts < cutoff).
+
+    Three batches are needed because Spark's stateful operators filter
+    late input with the watermark as of one batch *earlier* than the one
+    used for state eviction (visible as the two watermark values on
+    ``StateStoreSave`` in the physical plan). Batch 0 advances the
+    watermark; by batch 2 the late-event filter has caught up, so every
+    old-half row is provably dropped.
+    """
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = _staging_root(sf_dir, "split")
+    paths = [os.path.join(out, f"00{i}-{n}.parquet") for i, n in
+             enumerate(("recent", "maxrow", "old"))]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(out, exist_ok=True)
+        table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        cutoff = pa.scalar(
+            datetime.datetime.fromisoformat(_LATE_CUTOFF),
+            type=table.schema.field("ts").type,
+        )
+        recent_mask = pc.greater_equal(table["ts"], cutoff)
+        recent = table.filter(recent_mask)
+        # Deterministic max row: highest (ts, event_id).
+        order = pc.sort_indices(
+            recent, sort_keys=[("ts", "descending"), ("event_id", "descending")]
+        )
+        max_idx = order[0].as_py()
+        keep = pc.invert(pc.is_in(
+            pa.array(range(len(recent))), value_set=pa.array([max_idx])
+        ))
+        pq.write_table(recent.filter(keep), paths[0])
+        pq.write_table(recent.take([max_idx]), paths[1])
+        pq.write_table(table.filter(pc.invert(recent_mask)), paths[2])
+    # File source processes oldest modification time first.
+    for i, p in enumerate(paths):
+        os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return out
+
+
+def _events_stream(spark: SparkSession, path: str, max_files: int | None = None) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _run_to_table(df: DataFrame, key: str, mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink and
+    return the materialized result."""
+    name = f"sg_{key}_{next(_name_seq)}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle="""
+    select date_trunc('hour', ts) as window_start, event_type,
+           count(*) as n
+    from events
+    group by 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour per-type counts over the replayed stream. Epoch-aligned
+    tumbling windows, so window.start == date_trunc('hour', ts)."""
+    src = _events_stream(spark, _stage_events(sf_dir)).withWatermark("ts", "10 minutes")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_table(agg, "tumbling", "complete")
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+    with expanded as (
+      select timestamp '1970-01-01'
+               + to_seconds(cast(floor(epoch(ts) / 900) * 900 as bigint) - 900 * k.i)
+               as window_start,
+             event_type
+      from events, (select unnest(range(0, 4)) as i) k
+    )
+    select window_start, event_type, count(*) as n
+    from expanded
+    group by 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event lands in exactly
+    4 epoch-aligned windows (the oracle expands them arithmetically)."""
+    src = _events_stream(spark, _stage_events(sf_dir)).withWatermark("ts", "10 minutes")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_table(agg, "sliding", "complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    with flagged as (
+      select user_id, ts,
+             case when ts - lag(ts) over (partition by user_id order by ts)
+                    > interval 30 minute
+                  then 1 else 0 end as new_sess
+      from events
+    ),
+    sess as (
+      select user_id, ts,
+             sum(new_sess) over (partition by user_id order by ts
+                                 rows unbounded preceding) as sid
+      from flagged
+    )
+    select user_id, min(ts) as session_start, count(*) as n_events
+    from sess
+    group by user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user. The oracle is the
+    gaps-and-islands batch construction (win_session_ids twin): a new
+    session starts when the gap strictly exceeds the timeout, matching
+    Spark's merge condition (next.start <= current.end merges)."""
+    src = _events_stream(spark, _stage_events(sf_dir)).withWatermark("ts", "10 minutes")
+    agg = (
+        src.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n_events")
+    )
+    return _run_to_table(agg, "session", "complete")
+
+
+@query(
+    "stream_watermark_late",
+    oracle=f"""
+    select date_trunc('hour', ts) as window_start, count(*) as n
+    from events
+    where ts >= timestamp '{_LATE_CUTOFF}'
+    group by 1
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic late-data drop: batch 0 (recent half) advances the
+    watermark to ~max(ts)-10min; by batch 2 the late-event filter has
+    caught up (see _stage_events_split) and the entire old half is
+    discarded, so the final counts cover only ts >= cutoff — exactly the
+    oracle. The update-mode memory sink receives one row per window per
+    update; ``max(n)`` keeps the final (monotonically grown) count for
+    the single window updated twice across batches 0/1."""
+    src = _events_stream(spark, _stage_events_split(sf_dir), max_files=1)
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    updates = _run_to_table(agg, "late", "update")
+    return updates.groupBy("window_start").agg(F.max("n").alias("n"))
+
+
+@query(
+    "stream_dedup_state",
+    oracle="select distinct user_id, event_type from events",
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) with state bounded
+    by the watermark — the streaming twin of batch DISTINCT. Only the key
+    columns are emitted (which physical row survives is arrival-order
+    dependent; the key set is not)."""
+    src = _events_stream(spark, _stage_events(sf_dir))
+    deduped = (
+        src.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(deduped, "dedup", "append")
+
+
+@query(
+    "stream_running_agg",
+    oracle="""
+    select user_id, count(*) as n_events,
+           round(sum(value), 4) as total_value
+    from events
+    group by user_id
+    """,
+)
+def stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user aggregates; the final state after the bounded
+    replay equals the batch groupBy."""
+    src = _events_stream(spark, _stage_events(sf_dir))
+    agg = src.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return _run_to_table(agg, "running", "complete")
+
+
+@query(
+    "stream_foreach_sink",
+    oracle="select event_type, count(*) as n from events group by event_type",
+)
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sink via foreachBatch: each micro-batch is appended to a
+    parquet directory (the production path for arbitrary sinks), then the
+    written data is read back and summarized — proving the sink saw every
+    row exactly once."""
+    out = _staging_root(sf_dir, "foreach-out")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    src = _events_stream(spark, _stage_events(sf_dir))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,92 @@
+"""Streaming-vs-batch equivalence tests (SURVEY.md §5.4.3): each stream_*
+operator's bounded replay must equal its batch twin computed by Spark
+itself on the same events table. Oracle (DuckDB) parity is covered by
+tools/preflight.py; these run at sf0.001 for speed."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import sparkgraft
+from conftest import SF_DIR
+
+
+def _events(spark):
+    return sparkgraft.load(spark, SF_DIR, "events")
+
+
+def _as_sets(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_tumbling_matches_batch(spark):
+    streamed = sparkgraft.QUERIES["stream_tumbling_counts"](spark, SF_DIR)
+    batch = (
+        _events(spark)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_sliding_windows_are_4x_events(spark):
+    streamed = sparkgraft.QUERIES["stream_sliding"](spark, SF_DIR)
+    total_events = _events(spark).count()
+    assert streamed.agg(F.sum("n")).collect()[0][0] == 4 * total_events
+
+
+def test_session_window_matches_gaps_and_islands(spark):
+    streamed = sparkgraft.QUERIES["stream_session_window"](spark, SF_DIR)
+    # Batch twin: win_session_ids assigns per-user session ids the same way.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = _events(spark).withColumn(
+        "new_sess",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+         > 30 * 60).cast("int"),
+    ).fillna({"new_sess": 0})
+    sess = flagged.withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    ).drop("sid")
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_watermark_late_drops_old_half(spark):
+    streamed = sparkgraft.QUERIES["stream_watermark_late"](spark, SF_DIR)
+    from sparkgraft.streaming import _LATE_CUTOFF
+
+    ev = _events(spark)
+    recent = ev.filter(F.col("ts") >= F.lit(_LATE_CUTOFF).cast("timestamp"))
+    old_n = ev.count() - recent.count()
+    assert old_n > 0, "split cutoff must leave a non-empty late half"
+    batch = recent.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start")
+    ).agg(F.count("*").alias("n"))
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_dedup_state_matches_distinct(spark):
+    streamed = sparkgraft.QUERIES["stream_dedup_state"](spark, SF_DIR)
+    batch = _events(spark).select("user_id", "event_type").distinct()
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_running_agg_final_state_is_batch_groupby(spark):
+    streamed = sparkgraft.QUERIES["stream_running_agg"](spark, SF_DIR)
+    batch = _events(spark).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_foreach_sink_saw_every_row_once(spark):
+    streamed = sparkgraft.QUERIES["stream_foreach_sink"](spark, SF_DIR)
+    batch = _events(spark).groupBy("event_type").agg(F.count("*").alias("n"))
+    assert _as_sets(streamed) == _as_sets(batch)
