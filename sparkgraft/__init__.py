@@ -16,10 +16,12 @@ from . import aggregates  # noqa: F401  (registers §2.4)
 from . import filters  # noqa: F401  (registers §2.2)
 from . import functions  # noqa: F401  (registers §2.8)
 from . import joins  # noqa: F401  (registers §2.3)
+from . import multimodal  # noqa: F401  (registers §2.11 mm_*)
 from . import scans  # noqa: F401  (registers §2.1)
 from . import sorts  # noqa: F401  (registers §2.6–2.7)
 from . import streaming  # noqa: F401  (registers §2.9)
 from . import textops  # noqa: F401  (registers §2.11 text/dedup)
+from . import udfs  # noqa: F401  (registers §2.10)
 from . import vectorops  # noqa: F401  (registers §2.11 sim_*/mm_*)
 from . import windows  # noqa: F401  (registers §2.5)
 from .catalog import TABLES, load, register_tables  # noqa: F401

@@ -1,0 +1,179 @@
+"""Multimodal column plumbing (SURVEY.md §2.11, BASELINE.json mandate).
+
+Images/audio/video are carried as opaque ``binary`` payload columns with a
+typed metadata struct alongside — the storage model a 100 TB multimodal
+training corpus uses (payload bytes stay columnar in parquet; all
+filtering/joining happens on the typed metadata without touching bytes).
+
+The corpus has no real media files (and this container has no codec
+libraries), so the *payload* is derived deterministically from
+``documents.text`` (UTF-8 bytes) and the *decode* step is an explicit
+stub (``decode_media``) — but everything Spark-side is real and verified:
+the binary column flows through Arrow into ``mapInPandas`` workers, the
+metadata struct is built/queried with native functions, and frame
+sampling fans one row out per fixed-size byte window.
+
+At scale: ``mapInPandas`` processes Arrow batches per partition — no
+driver collection, no per-row Python calls; payload bytes are only
+deserialized inside the worker that needs them, and batch size is bounded
+by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkgraft.catalog import load
+from sparkgraft.registry import query
+
+_FRAME_BYTES = 256
+
+_MODALITIES = ("image", "audio", "video")
+_MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
+
+
+def decode_media(payload: bytes, modality: str) -> dict:
+    """Decode a media payload into pixels/samples/frames.
+
+    STUB — this environment ships no codec libraries (PIL/librosa/ffmpeg).
+    The Spark-side plumbing (binary column, Arrow transfer, batch shape)
+    is real; only the innermost codec call is absent. A deployment wires
+    the real decoder here; everything around it is already tested.
+    """
+    try:
+        import PIL.Image  # noqa: F401  — absent in this container
+    except ImportError:
+        raise NotImplementedError(
+            "media decoding requires codec libraries not present in this "
+            "environment; see decode_media docstring"
+        ) from None
+    raise NotImplementedError("real decoder not wired")  # pragma: no cover
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload + typed metadata struct to each
+    document: modality assigned deterministically (doc_id mod 3), payload
+    = UTF-8 bytes standing in for media bytes."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    mime = F.element_at(
+        F.create_map(
+            *[x for m in _MODALITIES for x in (F.lit(m), F.lit(_MIME[m]))]
+        ),
+        modality,
+    )
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            modality.alias("modality"),
+            mime.alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+# Shared oracle fragment: the same modality assignment in SQL.
+_MODALITY_SQL = (
+    "case when doc_id % 3 = 0 then 'image' "
+    "when doc_id % 3 = 1 then 'audio' else 'video' end"
+)
+
+
+@query(
+    "mm_binary_features",
+    oracle=f"""
+    select doc_id, {_MODALITY_SQL} as modality,
+           octet_length(encode(text)) as n_bytes
+    from documents
+    """,
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction shape: binary payloads stream through Arrow into
+    a mapInPandas worker which measures each payload (stand-in for a real
+    decode+featurize — see decode_media). Verifies bytes arrive intact:
+    the worker-computed length must equal DuckDB's octet_length."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    # measured from the actual bytes in the worker, NOT
+                    # copied from metadata — this is the decode stand-in.
+                    "n_bytes": [len(b) for b in pdf["payload"]],
+                }
+            )
+
+    mm = with_payload(load(spark, sf_dir, "documents"))
+    return mm.mapInPandas(extract, "doc_id long, modality string, n_bytes long")
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    with f as (
+      select doc_id, octet_length(encode(text)) as n_bytes from documents
+    ),
+    ex as (
+      select doc_id, n_bytes,
+             unnest(range(0, cast(ceil(n_bytes / {_FRAME_BYTES}.0) as bigint)))
+               as frame_idx
+      from f
+    )
+    select doc_id, frame_idx,
+           least({_FRAME_BYTES}, n_bytes - frame_idx * {_FRAME_BYTES}) as frame_len
+    from ex
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: fan each payload out to one row per fixed-size byte
+    window (the video-frame / audio-chunk extraction shape), inside
+    mapInPandas so the fan-out happens executor-side on Arrow batches."""
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for i in range(0, n, _FRAME_BYTES):
+                    ids.append(doc_id)
+                    idxs.append(i // _FRAME_BYTES)
+                    lens.append(min(_FRAME_BYTES, n - i))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens}
+            )
+
+    mm = with_payload(load(spark, sf_dir, "documents"))
+    return mm.mapInPandas(frames, "doc_id long, frame_idx long, frame_len long")
+
+
+@query(
+    "mm_modal_metadata",
+    oracle=f"""
+    select {_MODALITY_SQL} as modality,
+           count(*) as n_docs,
+           sum(octet_length(encode(text))) as total_bytes
+    from documents
+    group by 1
+    """,
+)
+def mm_modal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan: aggregate corpus composition from the typed
+    metadata struct without ever deserializing a payload byte — the
+    cheap-path query pattern that makes opaque-binary tables navigable
+    at 100 TB."""
+    mm = with_payload(load(spark, sf_dir, "documents"))
+    return mm.groupBy(F.col("meta.modality").alias("modality")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+    )

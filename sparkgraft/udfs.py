@@ -1,0 +1,171 @@
+"""UDF / UDAF / UDTF extension surface (SURVEY.md §2.10).
+
+Policy: every relational operator in the engine is pure
+``pyspark.sql.functions`` (Catalyst-optimizable, codegen-able). These four
+queries exist to prove the *extension* path for logic Spark genuinely
+cannot express — and they use only the Arrow-vectorized variants
+(``pandas_udf`` / ``applyInPandas`` / Python UDTF), never row-at-a-time
+Python UDFs. Each mirrors its logic in plain SQL for the oracle, so the
+UDF machinery itself (Arrow batch transfer, grouped-map schema contract,
+lateral UDTF expansion) is what's under test.
+
+Scale posture: pandas UDFs stream Arrow batches per partition (no
+driver-side collection); grouped-map state is bounded by the largest
+single group, so group keys are chosen with bounded cardinality domains
+(returnflag, orderpriority) whose per-group size grows linearly and
+spills via Arrow chunking.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from sparkgraft.catalog import load, register_tables
+from sparkgraft.registry import query
+
+_TRIM_FRAC = 0.1
+
+
+@query(
+    "udf_scalar_arrow",
+    oracle="""
+    select case when l_discount < 0.03 then 'LOW'
+                when l_discount < 0.07 then 'MID'
+                else 'HIGH' end                         as band,
+           count(*)                                     as n,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+    from lineitem
+    group by 1
+    """,
+)
+def udf_scalar_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: label each line item with a discount
+    band, then aggregate per band. The banding logic is mirrored in the
+    oracle's CASE WHEN — what's verified is the Arrow scalar-UDF path."""
+
+    @pandas_udf("string")
+    def discount_band(d: pd.Series) -> pd.Series:
+        out = pd.Series("HIGH", index=d.index, dtype="object")
+        out[d < 0.07] = "MID"
+        out[d < 0.03] = "LOW"
+        return out
+
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("band", discount_band("l_discount"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "udf_grouped_agg",
+    oracle=f"""
+    with ranked as (
+      select l_returnflag, l_extendedprice,
+             row_number() over (partition by l_returnflag
+                                order by l_extendedprice) as rn,
+             count(*) over (partition by l_returnflag) as n
+      from lineitem
+    )
+    select l_returnflag,
+           round(avg(l_extendedprice), 4) as trimmed_mean
+    from ranked
+    where rn > floor(n * {_TRIM_FRAC}) and rn <= n - floor(n * {_TRIM_FRAC})
+    group by l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (10% trimmed mean) as a grouped-agg pandas
+    UDF — an aggregate Spark has no builtin for. Trimming by rank keeps
+    the retained multiset deterministic even under ties, so the SQL twin
+    (drop the bottom/top floor(n*0.1) by value rank) is exact."""
+
+    @pandas_udf("double")
+    def trimmed_mean(v: pd.Series) -> float:
+        s = v.sort_values()
+        k = int(len(s) * _TRIM_FRAC)
+        kept = s.iloc[k : len(s) - k] if k > 0 else s
+        return round(float(kept.mean()), 4)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        trimmed_mean("l_extendedprice").alias("trimmed_mean")
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    select o_orderkey, o_orderpriority,
+           round((o_totalprice
+                  - avg(o_totalprice) over (partition by o_orderpriority))
+                 / stddev_samp(o_totalprice) over (partition by o_orderpriority),
+                 4) as z
+    from orders
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transform via applyInPandas: z-score-normalize order
+    totals within each priority class (the feature-normalization shape of
+    a training-data pipeline). The oracle recomputes the same z-scores
+    with window functions."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "z": ((pdf["o_totalprice"] - mu) / sd).round(4),
+            }
+        )
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").applyInPandas(
+        zscore, "o_orderkey long, o_orderpriority string, z double"
+    )
+
+
+@udtf(returnType="token: string, token_len: int")
+class _SplitTokens:
+    """Row→N generator: whitespace tokens with their lengths. The sample
+    UDTF shape — real uses are parsers/chunkers that emit a variable
+    number of typed rows per input row."""
+
+    def eval(self, text: str):  # noqa: D102 — UDTF contract method
+        for tok in (text or "").split(" "):
+            if tok:
+                yield tok, len(tok)
+
+
+@query(
+    "udtf_explode_custom",
+    oracle="""
+    select doc_id, t as token, length(t) as token_len
+    from (select doc_id, unnest(string_split(text, ' ')) as t
+          from documents)
+    where length(t) > 0
+    """,
+)
+def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied laterally: one documents row expands to one row
+    per token. The oracle is the unnest twin."""
+    spark.udtf.register("sg_split_tokens", _SplitTokens)
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.token_len
+        FROM documents d, LATERAL sg_split_tokens(d.text) t
+        """
+    )

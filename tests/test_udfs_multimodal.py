@@ -1,0 +1,83 @@
+"""Tests for the UDF extension surface (§2.10) and multimodal binary
+plumbing (§2.11). Oracle parity runs in tools/preflight.py; these assert
+the properties the oracle can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import sparkgraft
+from conftest import SF_DIR
+from sparkgraft.multimodal import _FRAME_BYTES, decode_media, with_payload
+
+
+def test_scalar_udf_bands_partition_lineitem(spark):
+    df = sparkgraft.QUERIES["udf_scalar_arrow"](spark, SF_DIR)
+    total = df.agg(F.sum("n")).collect()[0][0]
+    assert total == sparkgraft.load(spark, SF_DIR, "lineitem").count()
+
+
+def test_trimmed_mean_between_min_and_max(spark):
+    rows = sparkgraft.QUERIES["udf_grouped_agg"](spark, SF_DIR).collect()
+    bounds = (
+        sparkgraft.load(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi"))
+        .collect()
+    )
+    by_flag = {r["l_returnflag"]: (r["lo"], r["hi"]) for r in bounds}
+    assert rows
+    for r in rows:
+        lo, hi = by_flag[r["l_returnflag"]]
+        assert lo <= r["trimmed_mean"] <= hi
+
+
+def test_grouped_map_zscores_standardized(spark):
+    df = sparkgraft.QUERIES["udf_grouped_map"](spark, SF_DIR)
+    stats = df.groupBy("o_orderpriority").agg(
+        F.avg("z").alias("mu"), F.stddev_samp("z").alias("sd")
+    ).collect()
+    for r in stats:
+        assert abs(r["mu"]) < 1e-3
+        assert abs(r["sd"] - 1.0) < 1e-3
+
+
+def test_udtf_matches_builtin_explode(spark):
+    via_udtf = sparkgraft.QUERIES["udtf_explode_custom"](spark, SF_DIR)
+    docs = sparkgraft.load(spark, SF_DIR, "documents")
+    via_explode = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") > 0)
+    )
+    assert via_udtf.count() == via_explode.count()
+
+
+def test_decode_media_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image")
+
+
+def test_payload_bytes_survive_arrow_roundtrip(spark):
+    docs = sparkgraft.load(spark, SF_DIR, "documents").limit(20)
+    rows = with_payload(docs).join(docs, "doc_id").collect()
+    assert rows
+    for r in rows:
+        assert bytes(r["payload"]) == r["text"].encode("utf-8")
+        assert r["meta"]["n_bytes"] == len(r["text"].encode("utf-8"))
+        assert r["meta"]["mime"].split("/")[0] == r["meta"]["modality"]
+
+
+def test_frame_sample_reassembles_lengths(spark):
+    frames = sparkgraft.QUERIES["mm_frame_sample"](spark, SF_DIR)
+    per_doc = frames.groupBy("doc_id").agg(
+        F.sum("frame_len").alias("total"), F.count("*").alias("n_frames")
+    )
+    docs = with_payload(sparkgraft.load(spark, SF_DIR, "documents")).select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    joined = per_doc.join(docs, "doc_id").collect()
+    assert joined
+    for r in joined:
+        assert r["total"] == r["n_bytes"]
+        assert r["n_frames"] == -(-r["n_bytes"] // _FRAME_BYTES)
