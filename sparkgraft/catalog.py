@@ -110,6 +110,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {sorted(TABLES)}")
+    # The driver builds its own SparkSession (not session.get_session), so
+    # pin timestamp semantics here on the query path: the DuckDB oracle
+    # sees UTC-naive timestamps, and every date_trunc/window/cast must
+    # render identically regardless of the host session's timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         from pyspark.sql import functions as F
 

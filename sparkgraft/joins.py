@@ -260,28 +260,57 @@ def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (latest order at-or-before each event, per user).
 
-    Spark has no native ASOF JOIN; the scalable construction is equi-join
-    on the key + window argmax, so the pair blow-up is bounded by
-    orders-per-key, and the shuffle is the same one the equi-join already
-    pays. Tie-break (o_orderdate, o_orderkey) is explicit — hash-stable
-    regardless of physical row order (SURVEY.md §7.3 risk 4).
+    Spark has no native ASOF JOIN. The scalable construction is the
+    ordered-merge: union both sides tagged by kind, sort within each key
+    by (time, kind, tie), and carry the latest order forward with
+    ``last(..., ignorenulls=True)`` over a running frame. One shuffle on
+    the key, zero pair blow-up — unlike equi-join + argmax, whose
+    intermediate grows with events×orders per key (quadratic in key
+    frequency, fatal for hot keys at 100 TB).
+
+    Ordering makes the semantics exact: at equal time, orders sort before
+    events (at-or-BEFORE is inclusive); among same-date orders the highest
+    o_orderkey sorts last, so ``last`` picks it — matching the oracle's
+    ``ORDER BY o_orderdate DESC, o_orderkey DESC`` tie-break
+    (SURVEY.md §7.3 risk 4).
     """
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    joined = e.join(o, (o.o_custkey == e.user_id) & (o.o_orderdate <= e.ts))
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("odate"),
     )
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.col("o_orderdate").alias("asof_orderdate"),
-        )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o.unionByName(e).select(
+        "k",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("okey", ignorenulls=True).over(w).alias("asof_orderkey"),
+        F.last("odate", ignorenulls=True).over(w).alias("asof_orderdate"),
+    )
+    return merged.filter(
+        (F.col("is_event") == 1) & F.col("asof_orderkey").isNotNull()
+    ).select(
+        "event_id",
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        "asof_orderkey",
+        "asof_orderdate",
     )
 
 

@@ -30,6 +30,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: (column name, "asc" | "desc") — first entry drives range bucketing;
 #: the full list must be a total order for a deterministic rank.
@@ -58,23 +59,40 @@ def with_global_rank(
     """
     first_name, first_dir = keys[0]
     key_cols = [name for name, _ in keys]
-
-    n = df.count()
-    if n == 0:
-        return df.withColumn(rank_col, F.lit(None).cast("long"))
-
-    # 1. Deterministic sample of first-key values (hash-modulus, no RNG).
-    m = max(1, n // sample_target)
-    sample = [
-        r[0]
-        for r in df.filter(F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0)
-        .select(first_name)
-        .collect()
-        if r[0] is not None
-    ]
     rev = first_dir == "desc"
-    sample.sort(reverse=rev)  # NULLs were dropped; they bucket to -1 below
-    step = max(1, len(sample) // buckets)
+
+    # 1. Range boundaries on the first key, collected ONCE driver-side and
+    #    baked as literals below — so every downstream job sees the same
+    #    layout no matter how it re-evaluates (unlike repartitionByRange,
+    #    which re-samples per job). Numeric keys use one approxQuantile
+    #    pass; other types fall back to a deterministic hash-modulus
+    #    sample (needs a count first to bound the collect).
+    numeric = isinstance(
+        df.schema[first_name].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+         T.FloatType, T.DoubleType, T.DecimalType),
+    )
+    if numeric:
+        probs = [i / buckets for i in range(1, buckets)]
+        sample = df.approxQuantile(first_name, probs, 1.0 / (4 * buckets))
+        if not sample and df.isEmpty():
+            return df.withColumn(rank_col, F.lit(None).cast("long"))
+        sample.sort(reverse=rev)
+        step = 1
+    else:
+        n = df.count()
+        if n == 0:
+            return df.withColumn(rank_col, F.lit(None).cast("long"))
+        m = max(1, n // sample_target)
+        sample = [
+            r[0]
+            for r in df.filter(F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0)
+            .select(first_name)
+            .collect()
+            if r[0] is not None
+        ]
+        sample.sort(reverse=rev)  # NULLs were dropped; they bucket to -1 below
+        step = max(1, len(sample) // buckets)
     boundaries: list[Any] = []
     for v in sample[step::step]:
         if not boundaries or boundaries[-1] != v:
@@ -92,9 +110,11 @@ def with_global_rank(
     bucketed = df.withColumn("_bkt", bucket)
 
     # 3. Local rank within bucket + bucket offsets (bounded collect).
+    #    Counts come from `bucketed`, not the windowed plan — row_number is
+    #    cardinality-preserving, so the counts job skips the sort entirely.
     w = Window.partitionBy("_bkt").orderBy(*_order_cols(keys))
     local = bucketed.withColumn("_rn", F.row_number().over(w))
-    counts = sorted(local.groupBy("_bkt").count().collect(), key=lambda r: r["_bkt"])
+    counts = sorted(bucketed.groupBy("_bkt").count().collect(), key=lambda r: r["_bkt"])
     offsets, acc = {}, 0
     for row in counts:
         offsets[row["_bkt"]] = acc

@@ -128,6 +128,9 @@ def _stage_events_split(sf_dir: str) -> str:
 
 
 def _events_stream(spark: SparkSession, path: str, max_files: int | None = None) -> DataFrame:
+    # Same session pinning as catalog.load — the driver's session is not
+    # ours, and window()/date_trunc semantics must match the UTC oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files is not None:
