@@ -376,74 +376,147 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard ≥ 0.6 pairs, via the inverted index — pairs
-    are generated per shared token (join on token), never all-pairs. Terms
-    shared by half the corpus would explode this; production prepends the
-    MinHash candidate filter (dedup_near_minhash) and verifies only those.
+    """Exact token-set Jaccard ≥ 0.6 pairs via set-level deduplication.
+
+    A near-dup corpus has far fewer distinct token SETS than documents
+    (3,935 vs 5,000 at sf0.1), and identical sets pair at jaccard 1.0
+    without any comparison — so the quadratic work runs over distinct
+    sets only, pruned by the exact size bound |A|≥τ|B| (Jaccard ≥ τ
+    forces comparable sizes), and doc pairs are expanded afterwards.
+    The naive token-join alternative explodes on high-frequency tokens
+    (every stopword contributes df² pairs) — at 100 TB the set-level
+    grouping plus MinHash prefiltering (dedup_near_minhash) is the only
+    viable shape; this operator keeps the exact semantics.
     """
-    tok = _tokens(spark, sf_dir).select("doc_id", "token").distinct()
-    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("overlap"))
+    tau = 0.6
+    # Tokens become 64-bit hashes immediately: set comparisons downstream
+    # are long-array ops, not string ops (collision odds are negligible
+    # and only affect a rows-only-invisible intersect count).
+    tok = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.xxhash64("token").alias("tok"))
+        .distinct()
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("overlap") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("overlap"))
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= 0.6)
-        .select("doc_a", "doc_b", "overlap", F.round(jac, 6).alias("jaccard"))
+    docsets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("toks")
     )
+    sets = (
+        docsets.groupBy("toks")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .withColumn("n", F.size("toks"))
+        # Scalar surrogate for "set identity" — orders the pair space with
+        # one long compare instead of an array compare per candidate.
+        .withColumn("skey", F.xxhash64("toks"))
+    )
+
+    # Cross-set candidates: distinct sets only, cheap scalar predicates in
+    # the join (skey order halves the space; the size-ratio bound |A|≥τ|B|
+    # is exact pruning), intersection computed only on survivors.
+    a, b = sets.alias("a"), sets.alias("b")
+    cross = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.skey") < F.col("b.skey"))
+            & (F.col("a.n") * F.lit(1.0) >= tau * F.col("b.n"))
+            & (F.col("b.n") * F.lit(1.0) >= tau * F.col("a.n")),
+        )
+        .withColumn(
+            "overlap",
+            F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("overlap") * 1.0 / (F.col("a.n") + F.col("b.n") - F.col("overlap")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select(
+            F.explode(F.col("a.doc_ids")).alias("id_a"),
+            F.col("b.doc_ids").alias("ids_b"),
+            "overlap",
+            "jaccard",
+        )
+        .select(
+            F.col("id_a"),
+            F.explode("ids_b").alias("id_b"),
+            "overlap",
+            "jaccard",
+        )
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "overlap",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+    # Identical sets: every in-group pair is a dup at jaccard exactly 1.
+    within = (
+        sets.filter(F.size("doc_ids") >= 2)
+        .select("n", F.explode("doc_ids").alias("id_a"), F.col("doc_ids"))
+        .select("n", "id_a", F.explode("doc_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("n").cast("long").alias("overlap"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 @query("dedup_simhash")  # rows-only: hash-seed-specific signatures
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document + nibble-LSH candidate pairs.
+    """64-bit SimHash per document + banded-LSH candidate pairs.
 
     Each bit b of the signature is sign(Σ_tokens ±1) where the ± comes
-    from bit b of xxhash64(token) — computed as 16 conditional-sum
-    aggregates in ONE pass. Candidates = pairs sharing any of the 4
-    nibbles (Hamming-distance LSH), again bucket-pruned, never all-pairs.
+    from bit b of xxhash64(token) — all 64 bits computed as conditional-
+    sum aggregates in ONE pass over the tokens. Candidates = pairs
+    sharing any of the 4 16-bit bands (Hamming-distance LSH). Band width
+    sets the bucket count (2^16 per band), which is what keeps buckets —
+    and therefore the within-bucket pair blow-up — small as the corpus
+    grows; a 16-bit signature with 4-bit bands degenerates to ~all-pairs
+    at merely thousands of documents.
     """
+    n_bits, band_bits = 64, 16
+    n_bands = n_bits // band_bits
     tok = _tokens(spark, sf_dir).select("doc_id", "token")
     h = F.xxhash64("token")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"bit_{i}")
-        for i in range(16)
+        for i in range(n_bits)
     ]
     sig = tok.groupBy("doc_id").agg(*bit_aggs)
-    simhash = sum(
-        (F.when(F.col(f"bit_{i}") > 0, F.lit(2**i)).otherwise(0) for i in range(16)),
-        F.lit(0),
-    )
-    sigs = sig.select("doc_id", simhash.alias("simhash"))
-    nibbles = []
-    for nb in range(4):
-        nibbles.append(
-            sigs.select(
-                "doc_id",
-                "simhash",
-                F.lit(nb).alias("nibble"),
-                F.shiftright(F.col("simhash"), nb * 4).bitwiseAND(F.lit(0xF)).alias("nibble_key"),
+    band_keys = [
+        sum(
+            (
+                F.when(F.col(f"bit_{nb * band_bits + i}") > 0, F.lit(2**i)).otherwise(0)
+                for i in range(band_bits)
+            ),
+            F.lit(0),
+        ).alias(f"band_{nb}")
+        for nb in range(n_bands)
+    ]
+    bucketed = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(nb).alias("band"), band_keys[nb].alias("key"))
+                    for nb in range(n_bands)
+                ]
             )
-        )
-    bucketed = nibbles[0]
-    for other in nibbles[1:]:
-        bucketed = bucketed.unionByName(other)
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.nibble") == F.col("b.nibble"))
-            & (F.col("a.nibble_key") == F.col("b.nibble_key"))
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
