@@ -20,14 +20,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import sparkgraft
 
-# Headline set: one representative per major operator family.
+# Headline set: one representative per major operator family, aligned
+# with the query classes measured in BASELINE.md.
 HEADLINE = [
-    "agg_groupby_hash",      # q1: scan+filter+7-agg+sort
+    "agg_groupby_hash",      # q1: scan+filter+7-agg+sort (BASELINE q1)
     "join_multiway_star",    # q5-shape star join (BASELINE q3 class)
     "topk_limit",            # TakeOrderedAndProject
     "agg_count_distinct",    # expand + two-phase distinct
     "sort_global",           # distributed total sort + rank
-    "join_asof",             # equi-join + window argmax
+    "join_asof",             # ordered-merge as-of join
+    "win_row_number_topn",   # window rank (BASELINE window-rank class)
+    "dedup_exact_docs",      # doc dedup (BASELINE near-dup class)
+    "sim_cosine_topk",       # blocked-gemm cosine top-k (BASELINE cosine class)
+    "text_wordcount",        # the canonical Hadoop job
 ]
 
 

@@ -243,19 +243,37 @@ def _hyperplanes() -> list[tuple[int, int, list[float]]]:
 
 def lsh_signatures(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     """(vec_id, band, band_key): sign-bit signature of each vector against
-    each band's hyperplanes. One broadcast nested-loop pass over the
-    vectors (96 constant planes), then an 8k-key groupBy — linear in N."""
-    planes = spark.createDataFrame(
-        _hyperplanes(), "band int, bit int, plane array<double>"
-    )
-    signed = vecs.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "band",
-        F.when(dot(F.col("embedding"), F.col("plane")) > 0, F.expr("shiftleft(1, bit)"))
-        .otherwise(F.lit(0))
-        .alias("bitval"),
-    )
-    return signed.groupBy("vec_id", "band").agg(F.sum("bitval").alias("band_key"))
+    each band's hyperplanes. The 96 planes are fixed-seed constants
+    (engine literals), broadcast as one (bands·bits)×dim matrix; each
+    Arrow batch computes every sign bit with a single gemm and packs the
+    band keys — linear in N, one Python pass, no per-plane row blow-up."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [p for _, _, p in _hyperplanes()], dtype=np.float64
+    )  # (_LSH_BANDS*_LSH_BITS) × _DIM, ordered band-major then bit
+    bc = spark.sparkContext.broadcast(planes)
+
+    def sign_bands(batches):
+        mat = bc.value
+        weights = (1 << np.arange(_LSH_BITS, dtype=np.int64))[None, None, :]
+        for pdf in batches:
+            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (block @ mat.T) > 0  # n × (bands·bits)
+            keys = (
+                bits.reshape(len(block), _LSH_BANDS, _LSH_BITS) * weights
+            ).sum(axis=2)
+            n = len(block)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _LSH_BANDS),
+                    "band": np.tile(np.arange(_LSH_BANDS, dtype=np.int32), n),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return vecs.mapInPandas(sign_bands, "vec_id long, band int, band_key long")
 
 
 @query("sim_lsh_buckets")  # rows-only: plane seeds are engine-specific
