@@ -59,3 +59,38 @@ def test_topk_is_take_ordered(spark):
     df = sparkgraft.QUERIES["topk_limit"](spark, SF_DIR)
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    # The ordered-merge construction must not contain any join operator
+    # (that would be the pair blow-up), and shuffles exactly once — the
+    # window partitioning over the key.
+    df = sparkgraft.QUERIES["join_asof"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    # formatted explain lists each node once in the tree and once in the
+    # details; count unique detail headers like "(6) Exchange".
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ln.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 1
+
+
+def test_ngram_jaccard_avoids_cartesian(spark):
+    # The distinct-set candidate join is a broadcast nested loop with
+    # pruning predicates, never an unconditioned CartesianProduct.
+    df = sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_cosine_topk_is_blocked_gemm(spark):
+    # The kernel runs executor-side over Arrow batches (MapInPandas) and
+    # the global reduce is a top-k, not a full sort.
+    df = sparkgraft.QUERIES["sim_cosine_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
