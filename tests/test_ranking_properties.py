@@ -1,0 +1,59 @@
+"""Property tests for ranking.with_global_rank (hypothesis): the
+distributed construction must equal a plain sorted row_number for any
+data — heavy ties, negatives, constant keys, singletons. Boundary
+placement between range buckets is where hand-written logic can break,
+so that's what random data is aimed at."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparkgraft.ranking import with_global_rank
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=-1000, max_value=1000),  # sort value (many ties)
+        st.integers(min_value=0, max_value=10_000),    # unique-ish id
+    ),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: t[1],  # ids unique => total order deterministic
+)
+
+
+def _expected(rows: list[tuple[int, int]], desc: bool) -> dict[int, int]:
+    ordered = sorted(rows, key=lambda t: (-t[0] if desc else t[0], t[1]))
+    return {row[1]: i + 1 for i, row in enumerate(ordered)}
+
+
+@pytest.mark.parametrize("direction", ["asc", "desc"])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_rank_matches_plain_row_number(spark, direction, rows):
+    df = spark.createDataFrame(rows, "v int, id long")
+    ranked = with_global_rank(df, [("v", direction), ("id", "asc")], buckets=4)
+    got = {r["id"]: r["rank"] for r in ranked.collect()}
+    assert got == _expected(rows, direction == "desc")
+
+
+def test_rank_constant_first_key_single_bucket(spark):
+    rows = [(7, i) for i in range(50)]
+    df = spark.createDataFrame(rows, "v int, id long")
+    ranked = with_global_rank(df, [("v", "asc"), ("id", "asc")], buckets=4)
+    got = {r["id"]: r["rank"] for r in ranked.collect()}
+    assert got == {i: i + 1 for i in range(50)}
+
+
+def test_rank_with_nulls_first(spark):
+    rows = [(None, 1), (5, 2), (None, 3), (-5, 4)]
+    df = spark.createDataFrame(rows, "v int, id long")
+    ranked = with_global_rank(df, [("v", "asc"), ("id", "asc")], buckets=4)
+    got = {r["id"]: r["rank"] for r in ranked.collect()}
+    # asc_nulls_first: null ids 1,3 rank first, then -5, then 5
+    assert got == {1: 1, 3: 2, 4: 3, 2: 4}
