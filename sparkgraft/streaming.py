@@ -305,6 +305,70 @@ def stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_custom_state",
+    oracle="""
+    with g as (
+      select user_id,
+             epoch_us(ts) - epoch_us(lag(ts) over (partition by user_id
+                                                   order by ts)) as gap_us
+      from events
+    )
+    select user_id, count(*) as n_events,
+           round(max(gap_us) / 1e6, 6) as max_gap_s
+    from g
+    group by user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    longest gap between consecutive events — a fold over event order that
+    no built-in streaming aggregate expresses. State carries
+    (n, last_ts, max_gap) across micro-batches; each batch sorts its
+    Arrow rows by event time and merges into the carried state. Gap math
+    stays in integer microseconds (exact) until the final division, so
+    the oracle's epoch_us arithmetic matches bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, max_gap_s double"
+    state_schema = "n long, last_us long, max_gap_us long"
+
+    def track(key, pdfs, state: GroupState):
+        n, last_us, max_gap_us = (
+            state.get if state.exists else (0, None, None)
+        )
+        for pdf in pdfs:
+            us = pdf["ts"].sort_values().astype("int64") // 1000  # ns → µs
+            for v in us:
+                if last_us is not None:
+                    gap = v - last_us
+                    if max_gap_us is None or gap > max_gap_us:
+                        max_gap_us = gap
+                last_us = int(v)
+                n += 1
+        state.update((n, last_us, max_gap_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_gap_s": [
+                    None if max_gap_us is None else round(max_gap_us / 1e6, 6)
+                ],
+            }
+        )
+
+    src = _events_stream(spark, _stage_events(sf_dir))
+    tracked = (
+        src.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    return _run_to_table(tracked, "custom_state", "update")
+
+
+@query(
     "stream_foreach_sink",
     oracle="select event_type, count(*) as n from events group by event_type",
 )

@@ -86,6 +86,22 @@ def test_running_agg_final_state_is_batch_groupby(spark):
     assert _as_sets(streamed) == _as_sets(batch)
 
 
+def test_custom_state_matches_batch_gap_fold(spark):
+    streamed = sparkgraft.QUERIES["stream_custom_state"](spark, SF_DIR)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = _events(spark).withColumn(
+        "gap_us",
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w),
+    )
+    batch = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
 def test_foreach_sink_saw_every_row_once(spark):
     streamed = sparkgraft.QUERIES["stream_foreach_sink"](spark, SF_DIR)
     batch = _events(spark).groupBy("event_type").agg(F.count("*").alias("n"))
