@@ -73,6 +73,50 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(TABLES["nation"]).option("header", True).csv(out)
 
 
+@query(
+    "scan_json_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Lines conversion (the classic Hadoop log format): parquet →
+    JSONL → read back with the explicit catalog schema, then aggregate —
+    proving the round-trip lost nothing the aggregation can see."""
+    out = _scratch(sf_dir, "customer_json")
+    load(spark, sf_dir, "customer").write.mode("overwrite").json(out)
+    back = spark.read.schema(TABLES["customer"]).json(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+    )
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 4) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC conversion (the Hive columnar format of the Hadoop world):
+    parquet → ORC → read back → aggregate. Timestamps survive natively
+    (ORC stores µs), so orders' o_orderdate needs no special casing."""
+    out = _scratch(sf_dir, "orders_orc")
+    src = load(spark, sf_dir, "orders")
+    src.write.mode("overwrite").orc(out)
+    # Read back with the writer's exact schema: parquet surfaces
+    # o_orderdate as TIMESTAMP_NTZ, and ORC refuses an NTZ→LTZ cast, so
+    # the catalog's LTZ declaration cannot be used here.
+    back = spark.read.schema(src.schema).orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
 @query("sink_partitioned_write")  # rows-only: filesystem side effect
 def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned output (the MapReduce part-*/ dir shape):
