@@ -311,47 +311,63 @@ def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop over C centroids, argmax by cosine). Queries probe their 2
     nearest cells and rank only those cells' members — candidate work per
     query drops from N to ~2N/C. Same query set and k as the exact
-    `sim_knn_per_query`, which serves as its recall oracle."""
+    `sim_knn_per_query`, which serves as its recall oracle.
+
+    Both dense kernels (cell assignment, candidate scoring) run as one
+    gemm per Arrow batch against the broadcast centroid/query matrices —
+    the centroid and query sets are the bounded pieces, exactly what IVF
+    assumes at corpus scale."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    cents_pdf = e.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0).toPandas()
+    c_ids = cents_pdf["vec_id"].to_numpy()
+    c_mat = np.stack(cents_pdf["embedding"].to_numpy()).astype(np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    q_pdf = e.filter(F.col("vec_id") % 100 == 0).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    q_mat = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    q_mat /= np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    # queries probe their _IVF_PROBES nearest cells (tiny, driver-side)
+    qc = q_mat @ c_mat.T
+    probe_order = np.argsort(-qc, axis=1, kind="stable")[:, :_IVF_PROBES]
+    probed_cells = {
+        int(q_ids[i]): {int(c_ids[j]) for j in probe_order[i]}
+        for i in range(len(q_ids))
+    }
+    bc = spark.sparkContext.broadcast(
+        (c_ids, c_mat, q_ids, q_mat, probed_cells)
     )
-    # assignment: argmax-by-cosine via max_by, one aggregate pass
-    scored = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine(F.col("embedding"), F.col("cvec")).alias("c_cos"),
-    )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cid", "c_cos").alias("cell"),
-        F.first("embedding").alias("embedding"),
-    )
-    # queries probe their top-2 cells
-    q = e.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-    )
-    qcells = (
-        q.crossJoin(F.broadcast(cents))
-        .select("qid", "qvec", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("c_cos"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("qid").orderBy(F.desc("c_cos"), "cid")),
-        )
-        .filter(F.col("rnk") <= _IVF_PROBES)
-        .select("qid", "qvec", F.col("cid").alias("cell"))
-    )
-    cand = assigned.join(F.broadcast(qcells), "cell").filter(
-        F.col("vec_id") != F.col("qid")
-    )
+
+    def score_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cmat, qids, qmat, probes = bc.value
+        for pdf in batches:
+            v_ids = pdf["vec_id"].to_numpy()
+            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            # cell assignment: argmax over centroids (deterministic: ties
+            # break to the lowest centroid index)
+            cells = cids[np.argmax(block @ cmat.T, axis=1)]
+            sims = np.round(block @ qmat.T, 6)
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                hit = np.isin(cells, list(probes[int(qid)])) & (v_ids != qid)
+                out_q.extend([qid] * int(hit.sum()))
+                out_v.extend(v_ids[hit])
+                out_s.extend(sims[hit, qi])
+            yield pd.DataFrame(
+                {"qid": out_q, "vec_id": out_v, "cos_sim": out_s}
+            )
+
+    cand = e.mapInPandas(score_cells, "qid long, vec_id long, cos_sim double")
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
-        cand.select(
-            "qid",
-            "vec_id",
-            F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 5)
         .select("qid", "vec_id", "cos_sim", "rnk")
     )
