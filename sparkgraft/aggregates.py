@@ -341,3 +341,56 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+           round(median(l_quantity), 4)                   AS med_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both linear-interpolation, parity verified to
+    the 4th decimal). Exact percentile is a full-sort-per-group operator —
+    fine as the small-N verification baseline; the 100 TB path is
+    `agg_approx_quantile` below, whose sketch merges associatively."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+            F.round(F.expr("median(l_quantity)"), 4).alias("med_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("agg_approx_quantile")  # rows-only: sketch estimates are engine-specific
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (`approx_percentile`, accuracy 10000 -> max rank error 0.01%).
+    The scale path for quantiles: sketches merge associatively in the
+    partial-aggregate stage, so no per-group sort ever happens; error is
+    invariant-tested against `agg_percentiles` (tests/test_invariants)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("approx_percentile(l_extendedprice, 0.25, 10000)"), 4).alias("p25"),
+            F.round(F.expr("approx_percentile(l_extendedprice, 0.50, 10000)"), 4).alias("p50"),
+            F.round(F.expr("approx_percentile(l_extendedprice, 0.90, 10000)"), 4).alias("p90"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -243,3 +243,29 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k_value"),
         F.when(k >= 50, "hi").otherwise("lo").alias("k_band"),
     )
+
+
+@query(
+    "fn_null_conditional",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(round(c_acctbal, 2), 0.0)                  AS bal_floor0,
+           least(round(c_acctbal, 2), 5000.0)                  AS bal_cap5k,
+           CASE WHEN c_acctbal IS NULL THEN -1.0
+                ELSE round(c_acctbal, 2) END                   AS bal_or_neg1
+    FROM customer
+    """,
+)
+def fn_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling conditional family: coalesce / nullif / greatest /
+    least / ifnull — all Catalyst expressions, null-safe by definition."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.round(F.col("c_acctbal"), 2)
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias("seg_or_other"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(5000.0)).alias("bal_cap5k"),
+        F.ifnull(bal, F.lit(-1.0)).alias("bal_or_neg1"),
+    )

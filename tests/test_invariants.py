@@ -42,3 +42,20 @@ def test_global_rank_follows_order(spark):
 def test_distinct_idempotent(spark):
     df = sparkgraft.QUERIES["agg_distinct_rows"](spark, SF_DIR)
     assert df.count() == df.distinct().count()
+
+
+def test_approx_quantile_within_rank_error(spark):
+    """approx_percentile(accuracy=10000) must land within a small value
+    band of the exact per-group percentile (GK sketch rank-error bound)."""
+    exact = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p90"])
+        for r in sparkgraft.QUERIES["agg_percentiles"](spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: (r["p25"], r["p50"], r["p90"])
+        for r in sparkgraft.QUERIES["agg_approx_quantile"](spark, SF_DIR).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag in exact:
+        for e, a in zip(exact[flag], approx[flag]):
+            assert abs(a - e) <= 0.02 * abs(e) + 1.0, (flag, e, a)
