@@ -369,3 +369,133 @@ def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("label_a", "label_b")
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT a.user_id,
+           a.event_id AS event_a,
+           b.event_id AS event_b,
+           date_diff('microsecond', a.ts, b.ts) AS delta_us
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id < b.event_id
+     AND b.ts >= a.ts
+     AND date_diff('microsecond', a.ts, b.ts) <= 300000000
+    ORDER BY event_a, event_b
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity (range) join via time binning — the scale recipe for
+    range predicates that a broadcast nested loop can't survive: bin each
+    timestamp into window-width buckets (5 min), explode the left side to
+    its two candidate buckets (bin, bin+1), equi-join on (user, bucket),
+    then apply the exact range predicate. The non-equi condition rides a
+    hash-partitioned equi shuffle; candidate blow-up is exactly 2×, and
+    every qualifying pair matches exactly once (the probe buckets are
+    distinct and b's bucket is unique). µs arithmetic is engine-internal
+    on both sides, so bin-boundary parity never matters — only the final
+    (offset-cancelling) delta predicate does."""
+    win_us = 300_000_000  # 5 minutes, in microseconds
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    us = F.unix_micros(F.col("ts"))
+    binned = e.select(
+        "event_id",
+        "user_id",
+        us.alias("t_us"),
+        F.floor(us / F.lit(win_us)).alias("bin"),
+    )
+    a = binned.withColumn(
+        "probe_bin", F.explode(F.array(F.col("bin"), F.col("bin") + 1))
+    ).select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id"),
+        F.col("t_us").alias("t_a"),
+        "probe_bin",
+    )
+    b = binned.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("t_us").alias("t_b"),
+        F.col("bin").alias("bin_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("probe_bin") == F.col("bin_b"))
+            & (F.col("event_a") < F.col("event_b"))
+            & (F.col("t_b") >= F.col("t_a"))
+            & (F.col("t_b") - F.col("t_a") <= win_us),
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            (F.col("t_b") - F.col("t_a")).alias("delta_us"),
+        )
+        .orderBy("event_a", "event_b")
+    )
+
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem over pre-bucketed tables — zero join-side shuffle.
+
+    Both fact tables are written `bucketBy(8, <orderkey>)` + `sortBy`
+    (one file per bucket via a matching repartition, so the sort survives
+    the write). A sort-merge join over matching bucket specs reads
+    co-located buckets directly: the plan has NO Exchange under the join
+    (asserted in tests/test_plans.py). This is the Spark-native form of
+    the Hadoop world's pre-partitioned map-side merge join, and the
+    pattern that amortizes one shuffle across every downstream join of
+    the same key at 100 TB."""
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    scratch = os.path.join(tempfile.gettempdir(), "sparkgraft_bucketed", tag)
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        tbl = f"sg_{name}_b_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load(spark, sf_dir, name)
+            .repartition(8, F.col(key))  # 1 task : 1 bucket → 1 sorted file
+            .write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(scratch, name))
+            .saveAsTable(tbl)
+        )
+    o = spark.table(f"sg_orders_b_{tag}")
+    li = spark.table(f"sg_lineitem_b_{tag}")
+    return li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*)                         AS n_lines,
+           round(avg(l.l_quantity), 6)      AS avg_qty,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the shuffle-free bucketed join (`bucketed_join`).
+    The only Exchanges in the whole plan belong to the final groupBy/sort,
+    never to the join inputs."""
+    return (
+        bucketed_join(spark, sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -154,3 +154,35 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.countDistinct("o_orderkey").alias("n_keys"),
     )
+
+
+@query(
+    "scan_partition_pruned_read",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scan_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning end-to-end, oracle-checked: write events
+    Hive-partitioned by event_type, read back with a partition-column
+    filter — the scan touches 2 of 5 directories (PartitionFilters in the
+    plan, asserted in tests/test_plans.py), the pruned read must equal
+    the plain filtered aggregate over the source table."""
+    out = _scratch(sf_dir, "events_by_type")
+    (
+        load(spark, sf_dir, "events")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("event_type")
+    )

@@ -94,3 +94,34 @@ def test_cosine_topk_is_blocked_gemm(spark):
     assert "MapInPandas" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # Both sides bucketed on the join key: the sort-merge join must read
+    # co-located buckets with zero Exchange anywhere below it.
+    from sparkgraft.joins import bucketed_join
+
+    df = bucketed_join(spark, SF_DIR)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert "SelectedBucketsCount" in plan
+
+
+def test_range_binned_join_is_equi_shuffle(spark):
+    # The binned construction must ride a hash-partitioned equi join —
+    # never a nested-loop/cartesian pair blow-up.
+    df = sparkgraft.QUERIES["join_range_binned"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_partition_pruned_read(spark):
+    df = sparkgraft.QUERIES["scan_partition_pruned_read"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
