@@ -397,3 +397,59 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
+           date_diff('microsecond', c.ts, p.ts) as delta_us
+    from events c
+    join events p
+      on c.user_id = p.user_id
+     and c.event_type = 'click' and p.event_type = 'purchase'
+     and p.ts >= c.ts
+     and p.ts <= c.ts + interval 30 minute
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks ⋈ purchases per user where the
+    purchase lands within 30 minutes of the click — the streaming
+    attribution canon. Both sides carry watermarks and the join condition
+    carries the time band, which is what lets the state store evict a
+    buffered click once no future purchase can match it (the property
+    that bounds state on an unbounded stream). The bounded replay's final
+    append-mode table equals the batch join — the oracle."""
+    clicks = (
+        _events_stream(spark, _stage_events(sf_dir))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, _stage_events(sf_dir))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delta_us"),
+    )
+    return _run_to_table(joined, "ssjoin", "append")

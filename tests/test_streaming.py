@@ -106,3 +106,28 @@ def test_foreach_sink_saw_every_row_once(spark):
     streamed = sparkgraft.QUERIES["stream_foreach_sink"](spark, SF_DIR)
     batch = _events(spark).groupBy("event_type").agg(F.count("*").alias("n"))
     assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_stream_stream_join_matches_batch_join(spark):
+    streamed = sparkgraft.QUERIES["stream_stream_join"](spark, SF_DIR)
+    e = _events(spark)
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("delta_us"),
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
