@@ -522,3 +522,86 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    size_ AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN size_ sa ON i.doc_a = sa.doc_id
+      JOIN size_ sb ON i.doc_b = sb.doc_id
+      WHERE i.overlap * 1.0 / (sa.n + sb.n - i.overlap) >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT doc_id, min(reach) AS canonical_id FROM walk GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    Jaccard ≥ 0.6 pair graph (`dedup_ngram_jaccard` edges), each document
+    labeled with the min doc_id of its component — the "pick one canonical
+    copy per dup cluster" step of a training-data pipeline, which pairwise
+    dedup alone cannot express (dup pairs chain transitively).
+
+    Iterative min-label propagation: each round, every vertex takes the
+    min of its own label and its neighbors' labels — converges in
+    O(component diameter) rounds (dup clusters are near-cliques, so 2-3
+    rounds in practice; a 20-round cap guards pathological chains).
+    `localCheckpoint` truncates plan lineage per round, the classic
+    iterative-DataFrame discipline; the only driver-side value is the
+    scalar convergence count. At extreme scale the same loop upgrades to
+    the alternating large-star/small-star form (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") without changing the
+    contract. The oracle walks reachability with a recursive CTE —
+    min(reachable) is exactly the component minimum."""
+    from .catalog import load as _load
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        stepped = stepped.localCheckpoint()
+        if stepped.filter(F.col("label") < F.col("old")).count() == 0:
+            labels = stepped.select("doc_id", "label")
+            break
+        labels = stepped.select("doc_id", "label")
+    return labels.select(
+        "doc_id", F.col("label").alias("canonical_id")
+    ).orderBy("doc_id")

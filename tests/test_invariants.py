@@ -59,3 +59,16 @@ def test_approx_quantile_within_rank_error(spark):
     for flag in exact:
         for e, a in zip(exact[flag], approx[flag]):
             assert abs(a - e) <= 0.02 * abs(e) + 1.0, (flag, e, a)
+
+
+def test_cc_clusters_are_consistent(spark):
+    """Connected-component labels: canonical ≤ member, canonicals map to
+    themselves, and both ends of every dup edge share one canonical."""
+    labels = {
+        r["doc_id"]: r["canonical_id"]
+        for r in sparkgraft.QUERIES["dedup_cluster_cc"](spark, SF_DIR).collect()
+    }
+    assert all(c <= d for d, c in labels.items())
+    assert all(labels[c] == c for c in set(labels.values()))
+    for r in sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect():
+        assert labels[r["doc_a"]] == labels[r["doc_b"]], (r["doc_a"], r["doc_b"])
