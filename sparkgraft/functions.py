@@ -269,3 +269,35 @@ def fn_null_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(bal, F.lit(5000.0)).alias("bal_cap5k"),
         F.ifnull(bal, F.lit(-1.0)).alias("bal_or_neg1"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255                   AS low_byte,
+           event_id | 4096                  AS with_flag,
+           xor(event_id, 21845)             AS toggled,
+           CAST(event_id * 8 AS BIGINT)     AS shifted_l,
+           CAST(event_id // 16 AS BIGINT)   AS shifted_r,
+           bit_count(event_id)              AS popcount
+    FROM events
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: AND/OR/XOR, shifts, popcount — the bit-packing
+    toolkit behind SimHash/bloom-style sketches (dedup_simhash uses these
+    in anger). Shifts are written as *8 and //16 in the oracle (DuckDB
+    shift operators differ in type promotion; arithmetic is exact on
+    non-negative ids)."""
+    e = load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    return e.select(
+        "event_id",
+        eid.bitwiseAND(F.lit(255)).alias("low_byte"),
+        eid.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        eid.bitwiseXOR(F.lit(21845)).alias("toggled"),
+        F.shiftleft(eid, 3).cast("bigint").alias("shifted_l"),
+        F.shiftright(eid, 4).cast("bigint").alias("shifted_r"),
+        F.bit_count(eid).alias("popcount"),
+    )

@@ -186,3 +186,48 @@ def scan_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_schema_merge",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                ELSE 'MISSING' END          AS status,
+           count(*)                         AS n,
+           round(sum(o_totalprice), 2)      AS total
+    FROM orders
+    GROUP BY 1
+    ORDER BY status
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (the Hadoop data-lake drift reality): an old
+    writer produced (o_orderkey, o_totalprice), a newer one added
+    o_orderstatus. ``mergeSchema`` unifies the footers at read time; rows
+    from the old files surface NULL for the added column. Merge is a
+    footer-level operation — at 100 TB the data files are never
+    rewritten, which is the point of the utility."""
+    out = _scratch(sf_dir, "orders_evolving")
+    o = load(spark, sf_dir, "orders")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "v=1"))
+    )
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out, "v=2"))
+    )
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "v=1"), os.path.join(out, "v=2")
+    )
+    return (
+        merged.groupBy(
+            F.coalesce("o_orderstatus", F.lit("MISSING")).alias("status")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("status")
+    )
