@@ -109,18 +109,22 @@ def with_global_rank(
 
     bucketed = df.withColumn("_bkt", bucket)
 
-    # 3. Local rank within bucket + bucket offsets (bounded collect).
-    #    Counts come from `bucketed`, not the windowed plan — row_number is
-    #    cardinality-preserving, so the counts job skips the sort entirely.
+    # 3. Local rank within bucket + bucket offsets, all in ONE action: the
+    #    offsets side is a (#buckets)-row aggregate (Catalyst plans it as
+    #    its own cheap pruned scan + partial agg — row_number is
+    #    cardinality-preserving, so it never needs the sort), prefix-summed
+    #    by a single-partition window that is trivially bounded (≤ buckets
+    #    + 1 rows), then broadcast-joined back. No counts job, no driver
+    #    collect — half the job round-trips of the collect-offsets form.
     w = Window.partitionBy("_bkt").orderBy(*_order_cols(keys))
     local = bucketed.withColumn("_rn", F.row_number().over(w))
-    counts = sorted(bucketed.groupBy("_bkt").count().collect(), key=lambda r: r["_bkt"])
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["_bkt"]] = acc
-        acc += row["count"]
-    mapping = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+    counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_bkt", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
     return (
-        local.withColumn(rank_col, (mapping[F.col("_bkt")] + F.col("_rn")).cast("long"))
-        .drop("_bkt", "_rn")
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_bkt", "_rn", "_off")
     )
