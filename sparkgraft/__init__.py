@@ -20,6 +20,8 @@ from . import multimodal  # noqa: F401  (registers §2.11 mm_*)
 from . import scans  # noqa: F401  (registers §2.1)
 from . import skew  # noqa: F401  (registers §4 salted aggregation)
 from . import sorts  # noqa: F401  (registers §2.6–2.7)
+from . import sources  # noqa: F401  (registers custom source + observed metrics)
+from . import sqlentry  # noqa: F401  (registers SQL entry path)
 from . import streaming  # noqa: F401  (registers §2.9)
 from . import textops  # noqa: F401  (registers §2.11 text/dedup)
 from . import udfs  # noqa: F401  (registers §2.10)

@@ -231,3 +231,32 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("status")
     )
+
+
+@query(
+    "sink_codec_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-codec conversion (the recompression utility of the
+    Hadoop canon): lineitem rewritten zstd then gzip, read back,
+    aggregated. Codec is a file-level property — the query layer must be
+    byte-identical through any codec change."""
+    z = _scratch(sf_dir, "lineitem_zstd")
+    g = _scratch(sf_dir, "lineitem_gzip")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    li.write.mode("overwrite").option("compression", "zstd").parquet(z)
+    spark.read.parquet(z).write.mode("overwrite").option("compression", "gzip").parquet(g)
+    return (
+        spark.read.parquet(g)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .orderBy("l_returnflag")
+    )

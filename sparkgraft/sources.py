@@ -1,0 +1,177 @@
+"""Extension sources & side-channel metrics (SURVEY.md §2.1 / §1.1).
+
+Two Hadoop-canon capabilities that live OUTSIDE the parquet happy path:
+
+- a custom **Python DataSource** (Spark 4 `pyspark.sql.datasource` API) —
+  the Spark-native replacement for the reference world's custom
+  InputFormat: a fixed-width record file parsed per-partition on the
+  executors, with planner-visible partitions (one per file) so reads
+  parallelize exactly like any built-in source;
+- **observed metrics** (`DataFrame.observe`) — the replacement for
+  MapReduce job counters: side-channel aggregates collected during a
+  normal action, no extra pass over the data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import load
+from .registry import query
+
+# Fixed-width layout for the custom-source file: the classic mainframe/
+# log-processing record shape a Hadoop InputFormat would parse.
+_FW_ID, _FW_TYPE, _FW_VALUE = 12, 10, 14
+_FW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _fixedwidth_datasource():
+    """Build the DataSource class lazily (import is Spark ≥ 4 only)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str) -> None:
+            self.path = path
+
+    class FixedWidthReader(DataSourceReader):
+        def __init__(self, options) -> None:
+            self.dir = options["path"]
+
+        def partitions(self):
+            # One planner-visible partition per data file — the same
+            # split model as a file-based InputFormat, so executor-side
+            # parallelism scales with the file count.
+            return [
+                _FilePartition(os.path.join(self.dir, f))
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".txt")
+            ]
+
+        def read(self, partition):
+            with open(partition.path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    yield (
+                        int(line[:_FW_ID]),
+                        line[_FW_ID : _FW_ID + _FW_TYPE].strip(),
+                        float(line[_FW_ID + _FW_TYPE :]),
+                    )
+
+    class FixedWidthSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sparkgraft_fixedwidth"
+
+        def schema(self):
+            return _FW_SCHEMA
+
+        def reader(self, schema) -> DataSourceReader:
+            return FixedWidthReader(self.options)
+
+    return FixedWidthSource
+
+
+@query(
+    "source_fixedwidth_python",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def source_fixedwidth_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the custom source: events rendered as
+    fixed-width text (4 files), read back via the registered Python
+    DataSource, aggregated — proving the executor-side parser and the
+    partition planning, with the plain events table as the oracle."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = os.path.join(tempfile.gettempdir(), "sparkgraft_fixedwidth", tag)
+    done = os.path.join(out, "_done")
+    if not os.path.exists(done):
+        (
+            load(spark, sf_dir, "events")
+            .select(
+                F.concat(
+                    F.lpad(F.col("event_id").cast("string"), _FW_ID, " "),
+                    F.rpad(F.col("event_type"), _FW_TYPE, " "),
+                    # round-trippable double text: plain %f keeps µ-cents
+                    F.lpad(F.format_string("%.6f", "value"), _FW_VALUE, " "),
+                ).alias("value")
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .text(out)
+        )
+        # .txt suffix marks data files apart from _SUCCESS markers
+        for f in os.listdir(out):
+            if f.startswith("part-"):
+                os.rename(os.path.join(out, f), os.path.join(out, f + ".txt"))
+        open(done, "w").close()
+
+    spark.dataSource.register(_fixedwidth_datasource())
+    back = spark.read.format("sparkgraft_fixedwidth").option("path", out).load()
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_observed_metrics",
+    oracle="""
+    SELECT count(*)                                         AS n_rows,
+           round(sum(l_extendedprice), 2)                   AS total_price,
+           count(CASE WHEN l_discount > 0.05 THEN 1 END)    AS n_discounted
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    """,
+)
+def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapReduce job counters, Spark-native: `observe()` attaches metric
+    expressions to a normal pipeline; they are computed DURING the action
+    (zero extra passes) and surface as a driver-side side channel. Here
+    the observed pipeline is driven by a noop sink and the counters
+    themselves become the result — which the oracle recomputes as plain
+    aggregates, proving the side channel saw every row exactly once."""
+    from pyspark.sql import Observation
+
+    obs = Observation("counters")
+    observed = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias("n_discounted"),
+        )
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["total_price"], row["n_discounted"])],
+        T.StructType(
+            [
+                T.StructField("n_rows", T.LongType()),
+                T.StructField("total_price", T.DoubleType()),
+                T.StructField("n_discounted", T.LongType()),
+            ]
+        ),
+    )
