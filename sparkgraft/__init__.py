@@ -15,6 +15,7 @@ from __future__ import annotations
 from . import aggregates  # noqa: F401  (registers §2.4)
 from . import filters  # noqa: F401  (registers §2.2)
 from . import functions  # noqa: F401  (registers §2.8)
+from . import graph  # noqa: F401  (registers iterative graph analytics)
 from . import joins  # noqa: F401  (registers §2.3)
 from . import multimodal  # noqa: F401  (registers §2.11 mm_*)
 from . import scans  # noqa: F401  (registers §2.1)

@@ -1,0 +1,126 @@
+"""Iterative graph analytics (the PageRank canon — THE iterative
+MapReduce benchmark of the Hadoop era, re-expressed as a DataFrame loop).
+
+The graph is derived relationally: nations as vertices, trade volume
+(customer-nation → supplier-nation lineitem counts) as weighted edges.
+Each power-iteration step is two shuffles (propagate ranks along edges,
+sum per destination) plus a broadcast of the 1-row dangling-mass
+aggregate — the exact shape that scales to billion-edge graphs, where
+`ranks` is hash-partitioned by vertex id and the edge join co-locates on
+it. `localCheckpoint` per iteration truncates lineage (same discipline
+as `dedup_cluster_cc`). Only bounded scalars (vertex count) reach the
+driver.
+
+The oracle unrolls the same five iterations as chained CTEs — aggregates
+are not allowed in a recursive CTE term, so the unroll IS the portable
+ANSI form; validated against an independent NumPy power iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load
+from .registry import query
+
+_DAMP = 0.85
+_ITERS = 5
+
+_ORACLE_ITER = """
+r{i} AS (
+  SELECT n.id,
+         0.15 / (SELECT cnt FROM nn) +
+         0.85 * (coalesce(inc.m, 0) + (SELECT coalesce(sum(r.rank), 0)
+                                       FROM r{p} r
+                                       WHERE r.id NOT IN (SELECT src FROM outw))
+                                      / (SELECT cnt FROM nn)) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS id, sum(e.p * r.rank) AS m
+             FROM norm e JOIN r{p} r ON e.src = r.id
+             GROUP BY e.dst) inc ON inc.id = n.id)
+"""
+
+_ORACLE = (
+    """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) * 1.0 AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, sum(w) AS total FROM edges GROUP BY src),
+norm AS (SELECT e.src, e.dst, e.w / o.total AS p
+         FROM edges e JOIN outw o ON e.src = o.src),
+nodes AS (SELECT n_nationkey AS id FROM nation),
+nn AS (SELECT count(*) * 1.0 AS cnt FROM nodes),
+r0 AS (SELECT id, 1.0 / (SELECT cnt FROM nn) AS rank FROM nodes),
+"""
+    + ",".join(_ORACLE_ITER.format(i=i, p=i - 1) for i in range(1, _ITERS + 1))
+    + f"""
+SELECT id AS nationkey, round(rank, 8) AS pagerank
+FROM r{_ITERS} ORDER BY id
+"""
+)
+
+
+@query("graph_pagerank", oracle=_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 damped power iterations (d=0.85) over the nation trade graph,
+    dangling mass redistributed uniformly. Deterministic: fixed iteration
+    count, double arithmetic over ≤ 25-term sums, rounded to 8 decimals
+    on both sides."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("total")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    n = nodes.count()  # bounded scalar: vertex count
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    out_srcs = outw.select("src")
+    for _ in range(_ITERS):
+        dangling = (
+            ranks.join(out_srcs, ranks.id == out_srcs.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        inc = (
+            norm.join(ranks, norm.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("m"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.id == inc.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(_DAMP)
+                    * (F.coalesce("m", F.lit(0.0)) + F.col("_dang") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select(
+            F.col("id").alias("nationkey"), F.round("rank", 8).alias("pagerank")
+        ).orderBy("nationkey")
+    )
