@@ -260,3 +260,33 @@ def sink_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "scan_catalog_counts",
+    oracle="""
+    SELECT 'customer' AS tbl, count(*) AS n FROM customer
+    UNION ALL SELECT 'documents',  count(*) FROM documents
+    UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+    UNION ALL SELECT 'events',     count(*) FROM events
+    UNION ALL SELECT 'lineitem',   count(*) FROM lineitem
+    UNION ALL SELECT 'nation',     count(*) FROM nation
+    UNION ALL SELECT 'orders',     count(*) FROM orders
+    UNION ALL SELECT 'part',       count(*) FROM part
+    UNION ALL SELECT 'region',     count(*) FROM region
+    UNION ALL SELECT 'supplier',   count(*) FROM supplier
+    ORDER BY tbl
+    """,
+)
+def scan_catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-accounting utility (`hadoop fs -count` canon): one row per
+    catalog table with its row count — a union of 10 count aggregates,
+    each a metadata-cheap parquet count(*) (rowgroup stats, no data
+    decode)."""
+    counts = None
+    for name in sorted(TABLES):
+        one = load(spark, sf_dir, name).agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("tbl"), "n"
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    return counts.orderBy("tbl")
