@@ -87,11 +87,11 @@ def test_ngram_jaccard_avoids_cartesian(spark):
 
 
 def test_cosine_topk_is_blocked_gemm(spark):
-    # The kernel runs executor-side over Arrow batches (MapInPandas) and
-    # the global reduce is a top-k, not a full sort.
+    # The kernel runs executor-side over raw Arrow batches (MapInArrow)
+    # and the global reduce is a top-k, not a full sort.
     df = sparkgraft.QUERIES["sim_cosine_topk"](spark, SF_DIR)
     plan = _plan(df)
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan
 
