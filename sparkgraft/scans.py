@@ -117,7 +117,14 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_partitioned_write")  # rows-only: filesystem side effect
+@query(
+    "sink_partitioned_write",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag
+    """,
+)
 def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hive-style partitioned output (the MapReduce part-*/ dir shape):
     write lineitem partitioned by returnflag, read back ONE partition —
@@ -138,7 +145,15 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_compaction")  # rows-only: filesystem side effect
+@query(
+    "sink_compaction",
+    oracle="""
+    SELECT count(*)                    AS n_rows,
+           round(sum(o_totalprice), 2) AS total,
+           count(DISTINCT o_orderkey)  AS n_keys
+    FROM orders
+    """,
+)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction: explode input into many files, compact to 4
     with repartition (full shuffle, even sizes — coalesce would skew).
