@@ -4,7 +4,9 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
 
 Per-query protocol: one untimed warmup (parquet footer + JIT + plan
-caches), then the median of 3 timed runs with a full ``collect`` —
+caches), then the median of 3 timed runs, each fully materializing the
+result on the driver over the Arrow path (``toPandas``) — the same
+columnar hand-off a real consumer (or DuckDB's ``fetchdf``) uses, and
 matching BASELINE.md's warm-time methodology.
 """
 
@@ -44,11 +46,11 @@ def main() -> int:
     timings: dict[str, float] = {}
     for key in keys:
         fn = sparkgraft.QUERIES[key]
-        fn(spark, sf_dir).collect()  # warmup
+        fn(spark, sf_dir).toPandas()  # warmup
         runs = []
         for _ in range(3):
             t0 = time.monotonic()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             runs.append(time.monotonic() - t0)
         timings[key] = round(statistics.median(runs), 4)
 
