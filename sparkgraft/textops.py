@@ -605,3 +605,50 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         "doc_id", F.col("label").alias("canonical_id")
     ).orderBy("doc_id")
+
+
+@query(
+    "text_corpus_pipeline",
+    oracle="""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY sha256(lower(trim(text))))
+    SELECT d.lang,
+           count(*)                  AS n_docs_kept,
+           round(avg(d.n_chars), 6)  AS avg_chars,
+           round(sum(length(string_split(d.text, ' ')))
+                 * 1.0 / count(*), 6) AS avg_tokens
+    FROM documents d
+    JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE d.n_chars >= 120
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation, composed from this module's
+    own operators: exact dedup (`dedup_exact_docs` keepers — the
+    normalized-hash survivors) -> quality gate (length floor) ->
+    per-language corpus stats with a whitespace token count. One
+    composite query proving the operators chain the way a real pipeline
+    uses them; every stage stays a shuffle-aware DataFrame program, so
+    the composition inherits the scale posture of its parts. (The
+    harsher near-dup purge is its own operator chain:
+    `dedup_ngram_jaccard` -> `dedup_cluster_cc`, which at jaccard 0.6
+    collapses this synthetic word-salad corpus to ~8% of its docs.)"""
+    d = load(spark, sf_dir, "documents")
+    keepers = dedup_exact_docs(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id")
+    )
+    kept = d.join(keepers, "doc_id").filter(F.col("n_chars") >= 120)
+    tokens = F.size(F.split("text", " "))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.sum(tokens) / F.count("*"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
