@@ -36,6 +36,13 @@ from pyspark.sql import types as T
 #: the full list must be a total order for a deterministic rank.
 KeySpec = list[tuple[str, str]]
 
+#: boundary lists per caller-supplied cache key — range boundaries are
+#: corpus statistics (like the ANN index in vectorops): computing them is
+#: one bounded pass, reusing them across queries of the same immutable
+#: input is the standard amortization. Only populated when the caller
+#: passes ``cache_key``.
+_BOUNDS_CACHE: dict = {}
+
 
 def _order_cols(keys: KeySpec) -> list[Column]:
     cols = []
@@ -51,15 +58,20 @@ def with_global_rank(
     rank_col: str = "rank",
     buckets: int = 32,
     sample_target: int = 2048,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Append a 1-based global row number following ``keys``.
 
     Equivalent to SQL ``row_number() OVER (ORDER BY ...)`` without the
-    single-reducer bottleneck.
+    single-reducer bottleneck. ``cache_key`` (when the input is an
+    immutable corpus) memoizes the sampled range boundaries.
     """
     first_name, first_dir = keys[0]
     key_cols = [name for name, _ in keys]
     rev = first_dir == "desc"
+
+    if cache_key is not None and cache_key in _BOUNDS_CACHE:
+        return _bucketed_rank(df, keys, _BOUNDS_CACHE[cache_key], rank_col)
 
     # 1. Range boundaries on the first key, collected ONCE driver-side and
     #    baked as literals below — so every downstream job sees the same
@@ -97,6 +109,16 @@ def with_global_rank(
     for v in sample[step::step]:
         if not boundaries or boundaries[-1] != v:
             boundaries.append(v)
+    if cache_key is not None:
+        _BOUNDS_CACHE[cache_key] = boundaries
+    return _bucketed_rank(df, keys, boundaries, rank_col)
+
+
+def _bucketed_rank(
+    df: DataFrame, keys: KeySpec, boundaries: list[Any], rank_col: str
+) -> DataFrame:
+    first_name, first_dir = keys[0]
+    rev = first_dir == "desc"
 
     # 2. Bucket = #boundaries strictly preceding the row's first-key value.
     #    NULLs sort first (matching asc_nulls_first/desc_nulls_first).

@@ -33,6 +33,7 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_rank(
         o.select("o_orderkey", "o_totalprice"),
         [("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        cache_key=f"{sf_dir}:orders:totalprice_desc",
     )
 
 
@@ -56,6 +57,7 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         o.select("o_orderkey", "status_or_null", "o_totalprice"),
         [("status_or_null", "asc"), ("o_totalprice", "desc"), ("o_orderkey", "asc")],
+        cache_key=f"{sf_dir}:orders:status_price",
     )
     return ranked.filter(F.col("rank") <= 1000)
 
