@@ -72,3 +72,12 @@ def test_cc_clusters_are_consistent(spark):
     assert all(labels[c] == c for c in set(labels.values()))
     for r in sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR).collect():
         assert labels[r["doc_a"]] == labels[r["doc_b"]], (r["doc_a"], r["doc_b"])
+
+
+def test_pagerank_is_a_distribution(spark):
+    """Damped PageRank with dangling redistribution conserves mass: ranks
+    are positive and sum to 1 (up to fp tolerance)."""
+    rows = sparkgraft.QUERIES["graph_pagerank"](spark, SF_DIR).collect()
+    ranks = [r["pagerank"] for r in rows]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < 1e-6
