@@ -301,3 +301,30 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(eid, 4).cast("bigint").alias("shifted_r"),
         F.bit_count(eid).alias("popcount"),
     )
+
+
+@query(
+    "fn_string_codecs",
+    oracle="""
+    SELECT p_partkey,
+           base64(encode(p_name))        AS name_b64,
+           hex(encode(p_name))           AS name_hex,
+           md5(p_name)                   AS name_md5,
+           sha256(p_name)                AS name_sha256
+    FROM part
+    """,
+)
+def fn_string_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding/digest family — base64, hex, md5, sha256 over UTF-8 bytes.
+    The content-addressing toolkit (manifest digests, cache keys) of any
+    data lake; byte-level parity with the oracle proves the UTF-8
+    round-trip."""
+    p = load(spark, sf_dir, "part")
+    name_bin = F.encode("p_name", "UTF-8")
+    return p.select(
+        "p_partkey",
+        F.base64(name_bin).alias("name_b64"),
+        F.hex(name_bin).alias("name_hex"),
+        F.md5(name_bin).alias("name_md5"),
+        F.sha2(name_bin, 256).alias("name_sha256"),
+    )
