@@ -394,3 +394,39 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT event_type, k_mode, n FROM (
+      SELECT event_type, k, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, k) AS rn
+      FROM (SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k
+            FROM events) t
+      GROUP BY event_type, k
+    ) r(event_type, k_mode, n, rn)
+    WHERE rn = 1
+    ORDER BY event_type
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most-frequent value per group with a pinned tie-break (lowest value
+    wins) — built from count + rank instead of `F.mode`, whose tie choice
+    is undefined. Two hash aggregates + a tiny window; the count
+    aggregation is the only data-sized shuffle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    counts = e.groupBy("event_type", "k").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "k")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("k").alias("k_mode"), "n")
+        .orderBy("event_type")
+    )

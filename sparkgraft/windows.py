@@ -246,3 +246,26 @@ def win_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("is_new").over(wsum))
         .select("event_id", "user_id", "ts", "session_id")
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(cume_dist() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY o_totalprice, o_orderkey), 8) AS cd
+    FROM orders
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distribution per partition — the remaining member of the
+    ranking family; the (price, unique key) order pins every tie."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.cume_dist().over(w), 8).alias("cd"),
+    )
