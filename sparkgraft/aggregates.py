@@ -253,18 +253,25 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_collect_sorted",
     oracle="""
-    SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_numbers
+    SELECT l_orderkey,
+           array_to_string(list(l_linenumber ORDER BY l_linenumber), '|') AS line_numbers
     FROM lineitem
     GROUP BY l_orderkey
     """,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group sorted list. collect_list order is nondeterministic under
-    parallelism — sort_array AFTER collection restores determinism."""
+    parallelism — sort_array AFTER collection restores determinism; the
+    sort happens on the INT array (so 10 sorts after 2), then the surface
+    projects to a '|'-joined string for driver hashability."""
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), "|"
+            ).alias("line_numbers")
+        )
     )
 
 

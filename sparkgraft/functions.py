@@ -115,8 +115,8 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            abs(p_retailprice - 1000.0)            AS abs_diff,
-           floor(p_retailprice)                   AS price_floor,
-           ceil(p_retailprice)                    AS price_ceil,
+           floor(p_retailprice)::BIGINT           AS price_floor,
+           ceil(p_retailprice)::BIGINT            AS price_ceil,
            round(sqrt(p_retailprice), 6)          AS price_sqrt,
            round(ln(p_retailprice), 6)            AS price_ln,
            round(pow(p_size, 2.0), 6)             AS size_sq,
@@ -127,7 +127,9 @@ def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family. abs/floor/ceil/% are exact; sqrt/ln/pow go through
-    libm whose last ulp is implementation-defined → rounded to 6."""
+    libm whose last ulp is implementation-defined → rounded to 6.
+    Spark floor/ceil return BIGINT while DuckDB's return DOUBLE — the
+    oracle casts to BIGINT so the value hash sees 740, not 740.0."""
     p = load(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
     return p.select(
         "p_partkey",
@@ -146,25 +148,29 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(string_split(text, ' '))                         AS n_tokens,
-           string_split(text, ' ')[1:3]                         AS first3,
+           array_to_string(string_split(text, ' ')[1:3], '|')   AS first3,
            list_contains(string_split(text, ' '), 'data')       AS has_data,
            len(list_distinct(string_split(text, ' ')))          AS n_unique,
-           list_sort(list_distinct(string_split(text, ' ')))[1:5] AS first_unique
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], '|')
+             AS first_unique
     FROM documents
     """,
 )
 def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family over the tokenized documents. NB slice is 1-based in
-    both engines; DuckDB's [a:b] is inclusive → slice(arr, 1, 3) == [1:3]."""
+    both engines; DuckDB's [a:b] is inclusive → slice(arr, 1, 3) == [1:3].
+    Array-valued results are projected to '|'-joined strings at the query
+    surface — the driver's canonicalizer can't hash list cells — while the
+    array ops themselves stay native (array internals unchanged)."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
-        F.slice(toks, 1, 3).alias("first3"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
         F.array_contains(toks, "data").alias("has_data"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.slice(F.array_sort(F.array_distinct(toks)), 1, 5).alias("first_unique"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(toks)), 1, 5), "|").alias("first_unique"),
     )
 
 
@@ -172,9 +178,10 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_lambda",
     oracle="""
     SELECT doc_id,
-           list_transform(string_split(text, ' ')[1:5], t -> length(t)) AS first5_lens,
+           array_to_string(list_transform(string_split(text, ' ')[1:5], t -> length(t)), '|')
+             AS first5_lens,
            len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
-           list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')
+           list_aggregate(list_transform(string_split(text, ' '), t -> length(t)), 'sum')::BIGINT
              AS total_chars
     FROM documents
     """,
@@ -182,18 +189,22 @@ def fn_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (transform / filter / aggregate) on
     integer values — exact parity; float lambda kernels (dot products)
-    live in vectorops where the comparison is designed for them."""
+    live in vectorops where the comparison is designed for them.
+    The transform result is '|'-joined at the surface (driver hashability);
+    the lambda pipeline underneath is unchanged."""
     d = load(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
-        F.transform(F.slice(toks, 1, 5), lambda t: F.length(t)).alias("first5_lens"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 5), lambda t: F.length(t).cast("string")), "|"
+        ).alias("first5_lens"),
         F.size(F.filter(toks, lambda t: F.length(t) > 4)).alias("n_long"),
         F.aggregate(
             F.transform(toks, lambda t: F.length(t)),
             F.lit(0),
             lambda acc, x: acc + x,
-        ).alias("total_chars"),
+        ).cast("bigint").alias("total_chars"),
     )
 
 

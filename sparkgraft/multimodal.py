@@ -162,7 +162,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     select {_MODALITY_SQL} as modality,
            count(*) as n_docs,
-           sum(octet_length(encode(text))) as total_bytes
+           sum(octet_length(encode(text)))::BIGINT as total_bytes
     from documents
     group by 1
     """,

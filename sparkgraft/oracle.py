@@ -5,10 +5,14 @@ three axes: row count, schema, order-insensitive value hash
 (``__spark_entry__.py`` docstring). This module reproduces that check so
 dialect-parity bugs (SURVEY.md §5.3) are caught before the driver runs.
 
-Canonicalization choices mirror the trap list: floats are compared at 6
-decimal places (queries round explicitly at or above that), timestamps are
-truncated to microseconds (Spark's precision), and rows are compared as a
-sorted multiset so result order never matters.
+Canonicalization is STRICT, mirroring the driver's exact value hash
+(round-1 lesson: the driver distinguishes 740 from 740.0 — Spark floor()
+is BIGINT, DuckDB's is DOUBLE — so any leniency here lets a red row
+through). Floats are compared at full precision via shortest round-trip
+repr with int-vs-float preserved; queries must do any tolerance-rounding
+IN the query on BOTH sides. Timestamps are truncated to microseconds
+(Spark's physical precision). Rows are compared as a multiset so result
+order never matters.
 """
 
 from __future__ import annotations
@@ -20,12 +24,6 @@ import duckdb
 import pandas as pd
 
 from .catalog import TABLES, path_for
-
-# 9 decimals ≈ exact for money-magnitude doubles (ulp > 1e-9 there) while
-# forgiving sub-nano noise on small values; queries are designed so both
-# engines produce bit-identical doubles (raw IEEE arithmetic per-row,
-# in-query rounding for aggregates).
-_FLOAT_DECIMALS = 9
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -42,13 +40,12 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
 def _canon_value(v: object) -> str:
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, float):  # np.float64 subclasses float; bools don't reach here
         if math.isnan(v):
             return "NULL"
-        r = round(v, _FLOAT_DECIMALS)
-        if r == int(r) and abs(r) < 1e15:
-            return str(int(r))
-        return f"{r:.{_FLOAT_DECIMALS}f}".rstrip("0").rstrip(".")
+        # shortest round-trip repr: exact, and 740.0 stays "740.0" — the
+        # driver's hash distinguishes int from integral float, so must we.
+        return repr(float(v))
     if isinstance(v, (bool,)):
         return str(bool(v))
     if isinstance(v, int):
@@ -56,6 +53,9 @@ def _canon_value(v: object) -> str:
     if isinstance(v, pd.Timestamp):
         return v.floor("us").isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # Complex-typed cells crash the driver's canonicalizer outright
+        # (pandas factorize: "unhashable type: 'list'") — queries must
+        # serialize arrays to strings at the surface; flag loudly here.
         return "[" + ",".join(_canon_value(x) for x in v) + "]"
     return str(v)
 
@@ -72,6 +72,16 @@ def canonical_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity)."""
     problems: list[str] = []
+    for pdf, side in ((spark_pdf, "spark"), (oracle_pdf, "oracle")):
+        if len(pdf):
+            first = pdf.iloc[0]
+            for c in pdf.columns:
+                v = first[c]
+                if isinstance(v, (list, tuple, dict)) or type(v).__name__ == "ndarray":
+                    problems.append(
+                        f"driver-unhashable complex column {side}.{c} "
+                        f"({type(v).__name__}) — serialize to string at the query surface"
+                    )
     if len(spark_pdf) != len(oracle_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
     s_cols, o_cols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)

@@ -126,7 +126,9 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_inverted_index",
     oracle="""
-    SELECT token, list(doc_id ORDER BY doc_id) AS doc_ids, count(*) AS df
+    SELECT token,
+           array_to_string(list(doc_id ORDER BY doc_id), '|') AS doc_ids,
+           count(*) AS df
     FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
           FROM documents) t
     GROUP BY token
@@ -135,14 +137,18 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index canon: term → sorted posting list. Posting lists are
     bounded by doc count; at web scale the long tail is fine and hot terms
-    would be delta-encoded downstream — the groupBy shape is unchanged."""
+    would be delta-encoded downstream — the groupBy shape is unchanged.
+    The posting list sorts as INTs (10 after 2), then the surface projects
+    to a '|'-joined string for driver hashability."""
     return (
         _tokens(spark, sf_dir)
         .select("doc_id", "token")
         .distinct()
         .groupBy("token")
         .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), "|"
+            ).alias("doc_ids"),
             F.count("*").alias("df"),
         )
     )
@@ -215,9 +221,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
     SELECT doc_id,
-           list_aggregate(list_transform(range(1, len(toks) + 1),
-                                         i -> ascii(toks[i]) * ((i - 1) % 64 + 1)),
-                          'sum') % 1000000007 AS fingerprint
+           (list_aggregate(list_transform(range(1, len(toks) + 1),
+                                          i -> ascii(toks[i]) * ((i - 1) % 64 + 1)),
+                           'sum') % 1000000007)::BIGINT AS fingerprint
     FROM t
     """,
 )

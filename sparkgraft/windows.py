@@ -214,8 +214,8 @@ SESSION_GAP_MINUTES = 30
     "win_session_ids",
     oracle=f"""
     SELECT event_id, user_id, ts,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
              AS session_id
     FROM (
       SELECT event_id, user_id, ts,
