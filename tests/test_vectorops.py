@@ -3,8 +3,10 @@
 The LSH/IVF candidate generators are rows-only (plane seeds / centroid
 choices are engine-specific), so they are graded on recall against their
 exact twins, plus a pruning bound proving the O(n²) space is actually cut.
-Measured this session at sf0.01: LSH recall@20 = 0.65 (29k/125k pairs
-materialized), IVF recall@5 = 1.0 — thresholds pinned with slack below.
+Measured at sf0.01 (round 2, fixed-cardinality centroid/query sets +
+2-round Lloyd refinement, probes 16/64): LSH recall@20 = 0.65 (29k/125k
+pairs materialized), IVF recall@5 = 0.77 — thresholds pinned with slack
+below.
 """
 
 from __future__ import annotations
