@@ -454,7 +454,9 @@ def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # per-process token: two concurrent Spark apps on the same sf_dir
+    # (e.g. bench + preflight) must not race on shared scratch tables/files
+    tag = f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}_p{os.getpid()}"
     scratch = os.path.join(tempfile.gettempdir(), "sparkgraft_bucketed", tag)
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         tbl = f"sg_{name}_b_{tag}"

@@ -90,7 +90,9 @@ def with_global_rank(
         if not sample and df.isEmpty():
             return df.withColumn(rank_col, F.lit(None).cast("long"))
         sample.sort(reverse=rev)
-        step = 1
+        # approxQuantile already returns only the buckets-1 interior cut
+        # points — take them all (thinning would drop the first boundary).
+        candidates = sample
     else:
         n = df.count()
         if n == 0:
@@ -104,9 +106,13 @@ def with_global_rank(
             if r[0] is not None
         ]
         sample.sort(reverse=rev)  # NULLs were dropped; they bucket to -1 below
+        # thin the hash sample to ~buckets-1 interior cut points; starting
+        # at index `step` (not 0) intentionally skips the sampled minimum,
+        # which would create an empty leading bucket.
         step = max(1, len(sample) // buckets)
+        candidates = sample[step::step]
     boundaries: list[Any] = []
-    for v in sample[step::step]:
+    for v in candidates:
         if not boundaries or boundaries[-1] != v:
             boundaries.append(v)
     if cache_key is not None:
@@ -141,9 +147,19 @@ def _bucketed_rank(
     w = Window.partitionBy("_bkt").orderBy(*_order_cols(keys))
     local = bucketed.withColumn("_rn", F.row_number().over(w))
     counts = bucketed.groupBy("_bkt").agg(F.count("*").alias("_n"))
-    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_bkt", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    #    The prefix sum over the (≤ buckets+1 row) counts table is a
+    #    triangle self-join rather than an unpartitioned window: same
+    #    result, trivially cheap at this cardinality, and it keeps the
+    #    bench log free of WindowExec's "No Partition Defined" warning
+    #    (which at face value reads as a scale bug; here it never was —
+    #    the input is bounded by the bucket count, not the data).
+    prior = counts.select(
+        F.col("_bkt").alias("_bkt_p"), F.col("_n").alias("_n_p")
+    )
+    offsets = (
+        counts.join(prior, F.col("_bkt_p") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_n_p"), F.lit(0)).alias("_off"))
     )
     return (
         local.join(F.broadcast(offsets), "_bkt")

@@ -26,7 +26,10 @@ from .registry import query
 
 # Fixed-width layout for the custom-source file: the classic mainframe/
 # log-processing record shape a Hadoop InputFormat would parse.
-_FW_ID, _FW_TYPE, _FW_VALUE = 12, 10, 14
+# value field is 26 chars: %.17g (exact double round-trip) renders at most
+# sign + 17 significant digits + point + "e-308" = 25 chars, so lpad can
+# never truncate, for ANY double — not just the current fixtures.
+_FW_ID, _FW_TYPE, _FW_VALUE = 12, 10, 26
 _FW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -101,7 +104,9 @@ def source_fixedwidth_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataSource, aggregated — proving the executor-side parser and the
     partition planning, with the plain events table as the oracle."""
     tag = sf_dir.strip("/").replace("/", "_")
-    out = os.path.join(tempfile.gettempdir(), "sparkgraft_fixedwidth", tag)
+    # "v2" = layout version (value width 14 → 26); versioned path keeps a
+    # stale cache from an older layout from being parsed at wrong offsets.
+    out = os.path.join(tempfile.gettempdir(), "sparkgraft_fixedwidth_v2", tag)
     done = os.path.join(out, "_done")
     if not os.path.exists(done):
         (
@@ -110,8 +115,9 @@ def source_fixedwidth_python(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(
                     F.lpad(F.col("event_id").cast("string"), _FW_ID, " "),
                     F.rpad(F.col("event_type"), _FW_TYPE, " "),
-                    # round-trippable double text: plain %f keeps µ-cents
-                    F.lpad(F.format_string("%.6f", "value"), _FW_VALUE, " "),
+                    # %.17g: shortest text that exactly round-trips every
+                    # IEEE double (17 significant digits)
+                    F.lpad(F.format_string("%.17g", "value"), _FW_VALUE, " "),
                 ).alias("value")
             )
             .repartition(4)

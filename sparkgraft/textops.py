@@ -592,6 +592,7 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(20):
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -604,10 +605,20 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
         )
         stepped = stepped.localCheckpoint()
-        if stepped.filter(F.col("label") < F.col("old")).count() == 0:
-            labels = stepped.select("doc_id", "label")
-            break
+        changed = stepped.filter(F.col("label") < F.col("old")).count()
         labels = stepped.select("doc_id", "label")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        # A silent cap-exit would return wrong canonical labels for any
+        # component with diameter > 20; fail loudly instead. (Diameter-20
+        # near-clique dup clusters don't occur in practice; a corpus that
+        # hits this needs the large-star/small-star form cited above.)
+        raise RuntimeError(
+            "dedup_cluster_cc: label propagation did not converge within "
+            "20 rounds — component diameter exceeds cap"
+        )
     return labels.select(
         "doc_id", F.col("label").alias("canonical_id")
     ).orderBy("doc_id")

@@ -87,13 +87,16 @@ def test_ngram_jaccard_avoids_cartesian(spark):
 
 
 def test_cosine_topk_is_blocked_gemm(spark):
-    # The kernel runs executor-side over raw Arrow batches (MapInArrow)
-    # and the global reduce is a top-k, not a full sort.
+    # The kernel is a hash-bucketed grid block self-join: each block pair
+    # is cogrouped to one executor-side gemm (FlatMapCoGroupsInPandas),
+    # and the global reduce is a top-k, not a full sort. No all-pairs
+    # nested-loop/cartesian join may appear anywhere.
     df = sparkgraft.QUERIES["sim_cosine_topk"](spark, SF_DIR)
     plan = _plan(df)
-    assert "MapInArrow" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
     assert "TakeOrderedAndProject" in plan
-    assert "Join" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_bucketed_join_has_no_exchange(spark):
