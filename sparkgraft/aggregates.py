@@ -437,3 +437,121 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("k").alias("k_mode"), "n")
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O')                    AS "O_n",
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS "O_total",
+           count(*) FILTER (WHERE o_orderstatus = 'F')                    AS "F_n",
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS "F_total",
+           count(*) FILTER (WHERE o_orderstatus = 'P')                    AS "P_n",
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS "P_total"
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot: order counts and totals per priority × status.
+
+    The pivot values are an EXPLICIT list — with an implicit list Spark
+    runs a distinct-collect job over the pivot column first, a hidden
+    corpus-sized action; with explicit values the whole thing is one
+    partial+final hash aggregate, shuffling only the group keys. Missing
+    (priority, status) cells surface as count 0 / total 0, matching the
+    oracle's coalesce."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        # count(lit(1)): pivot rejects the '*' star expression
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+    )
+    # pivot cells with no rows come back null; normalize AFTER the pivot
+    # (pivot agg expressions must be bare aggregates, so the rounding
+    # can't live inside the .agg)
+    cols = [F.col("o_orderpriority")]
+    for s in ("O", "F", "P"):
+        cols.append(F.coalesce(F.col(f"{s}_n"), F.lit(0)).alias(f"{s}_n"))
+        cols.append(
+            F.round(F.coalesce(F.col(f"{s}_total"), F.lit(0.0)), 2).alias(f"{s}_total")
+        )
+    return piv.select(*cols).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    WITH long_ AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           count(*)            AS n,
+           round(sum(v), 2)    AS total,
+           round(avg(v), 6)    AS mean
+    FROM long_
+    GROUP BY l_returnflag, measure
+    ORDER BY l_returnflag, measure
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) + per-measure stats — the inverse of
+    `agg_pivot` and the standard reshape before a generic per-metric
+    aggregation. `DataFrame.unpivot` is a zero-shuffle narrow transform
+    (each row expands to 3 in place); only the follow-up groupBy
+    shuffles, and only (flag, measure) keys at that."""
+    li = load(spark, sf_dir, "lineitem")
+    long_ = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return (
+        long_.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 2).alias("total"),
+            F.round(F.avg("v"), 6).alias("mean"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+@query(
+    "agg_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_discount), 6)      AS covar_qty_disc,
+           round(covar_pop(l_quantity, l_discount), 6)       AS covar_pop_qty_disc,
+           round(regr_slope(l_extendedprice, l_quantity), 4) AS slope_price_on_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: correlation, sample/population
+    covariance, and the regression slope — all streaming co-moment
+    aggregates (partial+final, single shuffle of 3 groups). Rounded
+    identically on both sides because co-moment accumulation order
+    differs between engines at the last ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_pop_qty_disc"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope_price_on_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

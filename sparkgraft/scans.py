@@ -305,3 +305,66 @@ def scan_catalog_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         counts = one if counts is None else counts.unionByName(one)
     return counts.orderBy("tbl")
+
+
+@query(
+    "sink_merge_upsert",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS (
+      SELECT coalesce(u.o_orderkey, b.o_orderkey)       AS o_orderkey,
+             coalesce(u.o_totalprice, b.o_totalprice)   AS o_totalprice
+      FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+      FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+    )
+    SELECT count(*)                               AS n_rows,
+           count(DISTINCT o_orderkey)             AS n_keys,
+           round(sum(o_totalprice), 2)            AS total,
+           count(*) FILTER (WHERE o_orderkey >= 100000000) AS n_inserted
+    FROM merged
+    """,
+)
+def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (merge) into an immutable columnar store — the incremental-
+    ETL step the Hadoop world ran as a full partition rewrite, and the
+    batch form of what table formats call MERGE INTO: a change set (10%
+    updated rows + a disjoint insert slice) full-outer-joined against the
+    base on the key, change rows winning via coalesce, result written
+    to parquet and read back for the digest. One key-partitioned shuffle
+    join sized by base+changes; at 100 TB the same plan applies per
+    partition of a date-partitioned base (rewrite only touched
+    partitions), which keeps the join input bounded."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 1.1).alias("o_totalprice"))
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    merged = (
+        o.alias("b")
+        .join(upd.alias("u"), F.col("b.o_orderkey") == F.col("u.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("u.o_orderkey"), F.col("b.o_orderkey")).alias("o_orderkey"),
+            F.coalesce(F.col("u.o_totalprice"), F.col("b.o_totalprice")).alias("o_totalprice"),
+        )
+    )
+    out = _scratch(sf_dir, "orders_merged")
+    merged.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count(F.when(F.col("o_orderkey") >= 100000000, 1)).alias("n_inserted"),
+    )

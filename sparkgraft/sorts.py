@@ -171,3 +171,37 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_keys = o.select("o_custkey")
     big = o.filter(F.col("o_totalprice") > 150000).select("o_custkey")
     return all_keys.subtract(big)  # subtract == EXCEPT (set semantics)
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE (event_id * 37) % 100 <
+          CASE event_type
+            WHEN 'error'    THEN 50
+            WHEN 'purchase' THEN 25
+            WHEN 'signup'   THEN 10
+            ELSE 5
+          END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum sampling rates (rare classes kept at 50%/25%, bulk
+    classes at 5%) — the class-rebalancing step of a training-data
+    pipeline. Same deterministic key-arithmetic acceptance test as
+    `sample_deterministic` (df.sampleBy is nondeterministic under
+    repartitioning and its RNG has no DuckDB twin); the CASE-threshold
+    filter is a pure narrow predicate evaluated inside the scan's
+    whole-stage codegen — no shuffle, no extra pass."""
+    e = load(spark, sf_dir, "events")
+    rate = (
+        F.when(F.col("event_type") == "error", 50)
+        .when(F.col("event_type") == "purchase", 25)
+        .when(F.col("event_type") == "signup", 10)
+        .otherwise(5)
+    )
+    return e.filter((F.col("event_id") * 37) % 100 < rate).select(
+        "event_id", "event_type", "value"
+    )

@@ -269,3 +269,32 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.cume_dist().over(w), 8).alias("cd"),
     )
+
+
+@query(
+    "win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+    FROM orders
+    """,
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartiles per priority class — the curriculum /
+    quality-binning primitive of a training-data pipeline ("take the top
+    quartile of each stratum"). NTILE's first (n mod 4) tiles take the
+    extra row in both engines, and the (price desc, unique key) order
+    pins every tie, so the assignment is deterministic and
+    dialect-stable."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )
