@@ -555,3 +555,36 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 1.0)    AS all_above_1,
+           bool_or(value > 180.0)   AS any_above_180,
+           count_if(value > 50.0)::BIGINT AS n_above_50,
+           count_if(value > 50.0) * 1.0 / count(*) AS frac_above_50
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean reduction family — every/any/conditional-count, the
+    predicate-audit shape ("do ALL rows satisfy the invariant; how many
+    violate it"). Boolean partials AND/OR-combine map-side like any
+    other partial aggregate, so the shuffle carries one bit per group."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") > 1.0).alias("all_above_1"),
+            F.bool_or(F.col("value") > 180.0).alias("any_above_180"),
+            F.count_if(F.col("value") > 50.0).alias("n_above_50"),
+            (
+                F.count_if(F.col("value") > 50.0) * F.lit(1.0) / F.count("*")
+            ).alias("frac_above_50"),
+        )
+        .orderBy("event_type")
+    )

@@ -339,3 +339,34 @@ def fn_string_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(name_bin).alias("name_md5"),
         F.sha2(name_bin, 256).alias("name_sha256"),
     )
+
+
+@query(
+    "fn_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d')     AS due_date,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d')    AS review_date,
+           strftime(last_day(o_orderdate), '%Y-%m-%d')             AS month_end,
+           date_diff('month', date_trunc('month', o_orderdate),
+                     TIMESTAMP '1998-01-01')                       AS whole_months_to_98
+    FROM orders
+    """,
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic family: day/month offsets, month-end, whole-month
+    distance. All results cross the comparison boundary as 'yyyy-MM-dd'
+    STRINGS — Spark date_add returns DATE while DuckDB interval addition
+    yields TIMESTAMP, and month arithmetic (add_months clamping to
+    month-end) is the part worth pinning, not the carrier type."""
+    o = load(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd"
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_add("o_orderdate", 30), fmt).alias("due_date"),
+        F.date_format(F.add_months("o_orderdate", 2), fmt).alias("review_date"),
+        F.date_format(F.last_day("o_orderdate"), fmt).alias("month_end"),
+        (
+            (F.lit(1998) - F.year("o_orderdate")) * 12 - F.month("o_orderdate") + 1
+        ).cast("long").alias("whole_months_to_98"),
+    )

@@ -32,3 +32,30 @@ def sql_entry_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     portability end-to-end (parse -> analyze -> optimize -> execute)."""
     register_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_Q3_SQL)
+
+
+_TOP2_SQL = """
+WITH ranked AS (
+  SELECT n.n_name,
+         c.c_name,
+         round(c.c_acctbal, 2) AS acctbal,
+         row_number() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+  FROM customer c
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT n_name, c_name, acctbal, rn
+FROM ranked
+WHERE rn <= 2
+ORDER BY n_name, rn
+"""
+
+
+@query("sql_entry_window_cte", oracle=_TOP2_SQL)
+def sql_entry_window_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second SQL-entry proof point: CTE + join + window + qualify-style
+    filter in ONE dialect-portable text (top-2 customers per nation).
+    Exercises the parser paths the Q3 shape doesn't — WITH resolution and
+    window-in-CTE — again with the identical text as its own oracle."""
+    register_tables(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(_TOP2_SQL)

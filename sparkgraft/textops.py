@@ -669,3 +669,38 @@ def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY substr(text, 1, 60)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each near-dup cluster (shared 60-char
+    prefix — the corpus's built-in dup structure, FIXTURES.md) keep the
+    LONGEST document, ties to the lowest doc_id — the "pick the best
+    copy, not an arbitrary one" curation step that plain keeper=min(id)
+    dedup (`dedup_exact_docs`) cannot express. One window over the
+    cluster key; the shuffle carries only (prefix, len, id), and a
+    pre-aggregated max_by form drops the window entirely if clusters
+    ever skew."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.substring("text", 1, 60)).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -298,3 +298,28 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+@query(
+    "win_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY o_totalprice, o_orderkey), 8) AS pr
+    FROM orders
+    """,
+)
+def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank-1)/(n-1) relative rank — completes the ranking family next
+    to rank/dense_rank/cume_dist/ntile; the (price, unique key) order
+    pins every tie, and rounding both sides absorbs the division's last
+    ulp."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 8).alias("pr"),
+    )
