@@ -87,13 +87,14 @@ def test_ngram_jaccard_avoids_cartesian(spark):
 
 
 def test_cosine_topk_is_blocked_gemm(spark):
-    # The kernel is a hash-bucketed grid block self-join: each block pair
-    # is cogrouped to one executor-side gemm (FlatMapCoGroupsInPandas),
-    # and the global reduce is a top-k, not a full sort. No all-pairs
-    # nested-loop/cartesian join may appear anywhere.
+    # The kernel is a hash-bucketed grid block self-join: one shuffle
+    # replicates rows to their block pairs, each pair runs one
+    # executor-side gemm (FlatMapGroupsInPandas), and the global reduce
+    # is a top-k, not a full sort. No all-pairs nested-loop/cartesian
+    # join may appear anywhere.
     df = sparkgraft.QUERIES["sim_cosine_topk"](spark, SF_DIR)
     plan = _plan(df)
-    assert "FlatMapCoGroupsInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
