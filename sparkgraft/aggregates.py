@@ -588,3 +588,39 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+             AS qty_weighted_price,
+           round(sum(l_extendedprice * (1 - l_discount)) /
+                 sum(l_extendedprice), 6) AS effective_discount_factor
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted means (Σw·x / Σw) — the shape behind every per-group
+    blended metric. Two plain sums per group, partial+final; never
+    avg(x*w) (wrong) and never a two-pass join (wasteful)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                6,
+            ).alias("qty_weighted_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                / F.sum("l_extendedprice"),
+                6,
+            ).alias("effective_discount_factor"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -501,3 +501,40 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'O') AS st FROM orders),
+    b AS (SELECT nullif(o_orderstatus, 'O') AS st, count(*) AS group_total
+          FROM orders GROUP BY nullif(o_orderstatus, 'O'))
+    SELECT coalesce(a.st, '_open_') AS status_key,
+           count(*)                 AS n_orders,
+           min(b.group_total)       AS group_total
+    FROM a JOIN b ON a.st IS NOT DISTINCT FROM b.st
+    GROUP BY coalesce(a.st, '_open_')
+    ORDER BY status_key
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics an
+    attribute-match ETL join needs when the key is optional. Spark treats
+    `eqNullSafe` as a true equi-join key, so this plans as a hash join
+    (broadcast here — the grouped side is 3 rows), never a nested loop;
+    a plain `=` join would lose every derived-NULL row, which the
+    '_open_' group's 7k+ matches makes visible."""
+    o = load(spark, sf_dir, "orders")
+    st = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    a = o.select("o_orderkey", st.alias("st"))
+    b = o.groupBy(st.alias("st")).agg(F.count("*").alias("group_total"))
+    return (
+        a.join(F.broadcast(b), a["st"].eqNullSafe(b["st"]))
+        .groupBy(F.coalesce(a["st"], F.lit("_open_")).alias("status_key"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("group_total").alias("group_total"),
+        )
+        .orderBy("status_key")
+    )

@@ -704,3 +704,46 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist,
+           (levenshtein(a.text, b.text) * 100)
+             // greatest(len(a.text), len(b.text)) AS dist_pct_floor
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 60) = substr(b.text, 1, 60)
+     AND a.doc_id < b.doc_id
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup CANDIDATES: Levenshtein is
+    O(len²) per pair, so it must never run all-pairs — here it scores
+    only pairs that already share a 60-char prefix (the corpus's
+    candidate structure; at scale the LSH/MinHash buckets play this
+    role). The candidate join is a plain equi-join on the prefix;
+    integer percent (floor) keeps the ratio exact across engines."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 60).alias("pfx")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+            (
+                (dist * 100)
+                / F.greatest(F.length("a.text"), F.length("b.text"))
+            ).cast("long").alias("dist_pct_floor"),
+        )
+    )

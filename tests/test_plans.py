@@ -129,3 +129,56 @@ def test_partition_pruned_read(spark):
     plan = _plan(df)
     assert "PartitionFilters: [" in plan
     assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_pivot_is_single_hash_aggregate(spark):
+    # Explicit pivot values: one partial+final aggregate pair, no hidden
+    # distinct-collect job and no join anywhere.
+    df = sparkgraft.QUERIES["agg_pivot"](spark, SF_DIR)
+    plan = _plan(df)
+    # Spark pivots in two aggregate levels — a (priority, status) pre-agg
+    # that shrinks data BEFORE the wide rotation, then the pivot agg —
+    # plus the final sort: exactly 3 Exchanges, each partial+final, and
+    # no hidden distinct-collect job or join anywhere.
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ln.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 3
+    assert "partial_count" in plan
+    assert "Join" not in plan
+
+
+def test_unpivot_is_narrow_expand(spark):
+    # unpivot must plan as Expand (row-local), shuffling only the
+    # follow-up (flag, measure) aggregate.
+    df = sparkgraft.QUERIES["agg_unpivot"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    # eqNullSafe is a legal equi-join key: must be a broadcast hash join,
+    # never the nested-loop plan a generic theta condition would get.
+    df = sparkgraft.QUERIES["join_null_safe"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_rides_equi_join(spark):
+    # Levenshtein only scores prefix-bucket candidates: the pair source
+    # must be an equi join on the prefix, never an all-pairs product.
+    df = sparkgraft.QUERIES["text_edit_distance"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_no_cartesian(spark):
+    df = sparkgraft.QUERIES["sink_merge_upsert"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
