@@ -177,3 +177,43 @@ def mm_modal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("meta.n_bytes").alias("total_bytes"),
     )
+
+
+_THUMB_BYTES = 64
+
+
+@query(
+    "mm_payload_resize",
+    oracle=f"""
+    select doc_id, {_MODALITY_SQL} as modality,
+           least({_THUMB_BYTES}, octet_length(encode(text)))::BIGINT as thumb_len,
+           md5(substr(text, 1, {_THUMB_BYTES})) as thumb_md5
+    from documents
+    """,
+)
+def mm_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample shape: derive a bounded 'thumbnail' from each
+    payload (its {_THUMB_BYTES}-byte prefix — the stand-in for a real
+    decode→resize→re-encode, see decode_media) executor-side in
+    mapInPandas, and emit a digest of the DERIVED bytes so the oracle
+    verifies the worker transformed the actual payload, not metadata.
+    The output is thumbnail-sized regardless of payload size — the
+    property that makes the derived table cheap to ship downstream."""
+    import hashlib
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            thumbs = [bytes(b)[:_THUMB_BYTES] for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m["modality"] for m in pdf["meta"]],
+                    "thumb_len": [len(t) for t in thumbs],
+                    "thumb_md5": [hashlib.md5(t).hexdigest() for t in thumbs],
+                }
+            )
+
+    mm = with_payload(load(spark, sf_dir, "documents"))
+    return mm.mapInPandas(
+        resize, "doc_id long, modality string, thumb_len long, thumb_md5 string"
+    )

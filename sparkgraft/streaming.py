@@ -453,3 +453,43 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("delta_us"),
     )
     return _run_to_table(joined, "ssjoin", "append")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    with user_total as (
+      select user_id, round(sum(value), 6) as user_total
+      from events group by user_id
+    )
+    select e.event_type,
+           count(*)                   as n,
+           round(sum(u.user_total), 2) as total_exposure
+    from events e join user_total u using (user_id)
+    group by e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — THE streaming lookup pattern: each
+    micro-batch joins a bounded static dimension (per-user historical
+    totals, batch-computed and broadcast) with no streaming state at all;
+    only the downstream aggregate keeps state. The static side re-plans
+    per micro-batch, which at scale is the hook for slowly-changing
+    dimension refresh."""
+    from sparkgraft.catalog import load
+
+    static = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 6).alias("user_total"))
+    )
+    src = _events_stream(spark, _stage_events(sf_dir))
+    agg = (
+        src.join(F.broadcast(static), "user_id")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("user_total"), 2).alias("total_exposure"),
+        )
+    )
+    return _run_to_table(agg, "static_join", "complete")
