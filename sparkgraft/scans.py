@@ -368,3 +368,32 @@ def sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("o_totalprice"), 2).alias("total"),
         F.count(F.when(F.col("o_orderkey") >= 100000000, 1)).alias("n_inserted"),
     )
+
+
+@query(
+    "scan_file_provenance",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           count(*)           AS n_rows,
+           count(DISTINCT l_orderkey) AS n_keys
+    FROM lineitem
+    """,
+)
+def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-file lineage (`input_file_name()`): every row carries the
+    file it came from — the provenance column an audit/backfill pipeline
+    groups by to find bad source files. Grouping by the extracted
+    basename proves the virtual column resolves to the real scan file;
+    at 100 TB the same query profiles per-file row counts across a
+    many-thousand-file table with no extra scan cost (the value is
+    task-local metadata, not data)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0).alias("file_name")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_keys"),
+        )
+    )
