@@ -747,3 +747,73 @@ def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("dist_pct_floor"),
         )
     )
+
+
+@query(
+    "text_training_mix",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 20
+    ),
+    dedup AS (
+      SELECT doc_id, lang, n_chars, n_tokens,
+             row_number() OVER (PARTITION BY substr(text, 1, 60)
+                                ORDER BY n_chars DESC, doc_id) AS dup_rn
+      FROM quality
+    ),
+    capped AS (
+      SELECT doc_id, lang, n_chars, n_tokens,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS lang_rn
+      FROM dedup WHERE dup_rn = 1
+    )
+    SELECT lang,
+           count(*)              AS n_docs,
+           sum(n_chars)::BIGINT  AS total_chars,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(n_chars)          AS min_chars
+    FROM capped
+    WHERE lang_rn <= 50
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set assembly — the composite every stage above
+    exists for: quality gate (≥ 20 tokens) → keep-best dedup (longest doc
+    per 60-char-prefix cluster) → per-language cap (top-50 by length,
+    curriculum-style) → per-language manifest (doc/char/token budget).
+    Every stage is a narrow filter or a window over a bounded partition
+    key; nothing materializes between stages — Catalyst pipelines the
+    whole thing into two window shuffles plus the final 5-row aggregate,
+    which is exactly the plan you'd want over 100 TB of documents."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), " "))
+    quality = d.select(
+        "doc_id", "text", "lang", "n_chars", n_tokens.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    w_dup = Window.partitionBy(F.substring("text", 1, 60)).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    dedup = quality.withColumn("dup_rn", F.row_number().over(w_dup)).filter(
+        F.col("dup_rn") == 1
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    capped = dedup.withColumn("lang_rn", F.row_number().over(w_lang)).filter(
+        F.col("lang_rn") <= 50
+    )
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
