@@ -624,3 +624,38 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*)::BIGINT AS n_items
+      FROM lineitem
+      GROUP BY l_suppkey)
+    SELECT r.l_suppkey AS suppkey, s.s_name, r.revenue, r.n_items
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.revenue > (SELECT avg(revenue) FROM rev)
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-over-aggregate with a scalar-subquery threshold (TPC-H Q15
+    shape): per-supplier revenue, kept only above the all-supplier mean.
+    The mean is a 1-row aggregate-of-aggregate broadcast onto the grouped
+    frame — no second pass over lineitem, no driver collect; the grouped
+    frame is computed once and reused for both sides."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+    mean = rev.agg(F.avg("revenue").alias("mean_rev"))
+    return (
+        rev.join(F.broadcast(mean))
+        .filter(F.col("revenue") > F.col("mean_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_suppkey").alias("suppkey"), "s_name", "revenue", "n_items")
+    )

@@ -370,3 +370,72 @@ def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1998) - F.year("o_orderdate")) * 12 - F.month("o_orderdate") + 1
         ).cast("long").alias("whole_months_to_98"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/d/' || doc_id ||
+             '?lang=' || lang || '&sf=1' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^https://([^/]+)', 1)      AS host,
+           regexp_extract(url, '^https://[^/]+([^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1)              AS query_string,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)      AS lang_param
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition (host/path/query/parameter) via Spark's native
+    ``parse_url`` — a JVM expression inside codegen. The oracle mirrors it
+    with anchored regexes; URLs are synthesized deterministically from
+    catalog columns so both engines parse identical strings."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.org/d/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), "lang", F.lit("&sf=1"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "fn_struct_ops",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             struct_pack(src := source, lang := lang, id := doc_id) AS meta
+      FROM documents)
+    SELECT doc_id,
+           meta.src                 AS src_field,
+           meta.lang                AS lang_field,
+           meta.id + 1              AS id_plus,
+           to_json(meta)::VARCHAR   AS meta_json
+    FROM s
+    """,
+)
+def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, field access, and JSON serialization. Field
+    order is pinned in both engines so ``to_json`` renders byte-identical
+    text; all fields are non-null strings/ints (Spark's to_json drops null
+    fields while DuckDB keeps them — avoided by construction)."""
+    d = load(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.col("source").alias("src"), F.col("lang").alias("lang"),
+        F.col("doc_id").alias("id"),
+    )
+    return d.select(
+        "doc_id",
+        meta.getField("src").alias("src_field"),
+        meta.getField("lang").alias("lang_field"),
+        (meta.getField("id") + 1).alias("id_plus"),
+        F.to_json(meta).alias("meta_json"),
+    )

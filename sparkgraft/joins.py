@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .catalog import load
+from .catalog import load, register_tables
 from .registry import query
 
 
@@ -538,3 +538,23 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_key")
     )
+
+
+_EXISTS_SQL = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+"""
+
+
+@query("join_exists_subquery", oracle=_EXISTS_SQL)
+def join_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries submitted as SQL text —
+    Catalyst de-correlates them into a left-semi + left-anti join pair
+    (visible in the plan), the scale-correct rewrite; the identical text
+    runs on DuckDB as the oracle."""
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_EXISTS_SQL)

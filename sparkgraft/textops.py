@@ -817,3 +817,54 @@ def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS ng
+      FROM toks WHERE len(t) >= 5)
+    SELECT t.doc_id,
+           count(DISTINCT t.ng)::BIGINT     AS shared_ngrams,
+           count(DISTINCT b.doc_id)::BIGINT AS n_bench_docs
+    FROM g t
+    JOIN g b ON t.ng = b.ng
+    WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT t.ng) >= 3
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 3 distinct
+    5-grams with the held-out benchmark set (doc_id % 97 == 0 stands in
+    for a fixed eval suite). Both sides explode to distinct (doc, ngram)
+    pairs and meet in one equi-join on the ngram — shuffle-bounded,
+    never all-pairs, so it scales like wordcount rather than O(n^2).
+    At 100 TB the bench side is a fixed small table -> broadcast join."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    ngrams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = d.select("doc_id", F.explode(F.array_distinct(ngrams)).alias("ng"))
+    bench = pairs.filter(F.col("doc_id") % 97 == 0).withColumnRenamed("doc_id", "bench_id")
+    train = pairs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("shared_ngrams") >= 3)
+    )
