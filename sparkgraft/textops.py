@@ -386,13 +386,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     A near-dup corpus has far fewer distinct token SETS than documents
     (3,935 vs 5,000 at sf0.1), and identical sets pair at jaccard 1.0
-    without any comparison — so the quadratic work runs over distinct
-    sets only, pruned by the exact size bound |A|≥τ|B| (Jaccard ≥ τ
-    forces comparable sizes), and doc pairs are expanded afterwards.
-    The naive token-join alternative explodes on high-frequency tokens
-    (every stopword contributes df² pairs) — at 100 TB the set-level
-    grouping plus MinHash prefiltering (dedup_near_minhash) is the only
-    viable shape; this operator keeps the exact semantics.
+    without any comparison — so work runs over distinct sets only, and
+    doc pairs are expanded afterwards.
+
+    Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
+    family, Bayardo et al. WWW'07): under any fixed total order on
+    tokens, two sets with Jaccard ≥ τ must share at least one token
+    among the first n − ⌈τ·n⌉ + 1 tokens of each (their required
+    overlap is ≥ ⌈τ·n⌉ given the size bound |A| ≥ τ|B|, so disjoint
+    prefixes would leave too few tokens to reach it). Ordering tokens
+    by ascending document frequency makes prefixes maximally rare, so
+    candidates come from a plain shuffle EQUI-join on the prefix token
+    — exact (zero false negatives), skew-resistant, and with NO
+    corpus-proportional broadcast anywhere in the plan (plan-asserted
+    in tests/test_plans.py). The naive token-join alternative explodes
+    on high-frequency tokens (every stopword contributes df² pairs);
+    prefix filtering is exactly the published fix and is the shape
+    that survives 100 TB.
     """
     tau = 0.6
     # Tokens become 64-bit hashes immediately: set comparisons downstream
@@ -415,38 +425,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("skey", F.xxhash64("toks"))
     )
 
-    # Cross-set candidates: distinct sets only, cheap scalar predicates in
-    # the join (skey order halves the space; the size-ratio bound |A|≥τ|B|
-    # is exact pruning), intersection computed only on survivors.
-    a, b = sets.alias("a"), sets.alias("b")
-    cross = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.skey") < F.col("b.skey"))
-            & (F.col("a.n") * F.lit(1.0) >= tau * F.col("b.n"))
-            & (F.col("b.n") * F.lit(1.0) >= tau * F.col("a.n")),
+    # Prefix-filtered candidates: explode each distinct set's rarest
+    # n − ⌈τ·n⌉ + 1 tokens (ascending-df order), equi-join on the token,
+    # prune by the exact size-ratio bound, verify survivors with the
+    # real intersection. Every join below is a shuffle equi-join keyed
+    # on bounded-cardinality columns — nothing scales with corpus size
+    # except partition counts.
+    from pyspark.sql import Window
+
+    stok = sets.select("skey", "n", F.explode("toks").alias("tok"))
+    tok_df = stok.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix = (
+        stok.join(tok_df, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("skey").orderBy("df", "tok")),
         )
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
+        .select("skey", "n", "tok")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.skey") < F.col("pb.skey"))
+            & (F.col("pa.n") * F.lit(1.0) >= tau * F.col("pb.n"))
+            & (F.col("pb.n") * F.lit(1.0) >= tau * F.col("pa.n")),
+        )
+        .select(F.col("pa.skey").alias("skey_a"), F.col("pb.skey").alias("skey_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("skey").alias("skey_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+        F.col("doc_ids").alias("ids_a"),
+    )
+    sb = sets.select(
+        F.col("skey").alias("skey_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+        F.col("doc_ids").alias("ids_b"),
+    )
+    cross = (
+        cand.join(sa, "skey_a")
+        .join(sb, "skey_b")
         .withColumn(
             "overlap",
-            F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("long"),
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
         )
         .withColumn(
             "jaccard",
-            F.col("overlap") * 1.0 / (F.col("a.n") + F.col("b.n") - F.col("overlap")),
+            F.col("overlap") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("overlap")),
         )
         .filter(F.col("jaccard") >= tau)
-        .select(
-            F.explode(F.col("a.doc_ids")).alias("id_a"),
-            F.col("b.doc_ids").alias("ids_b"),
-            "overlap",
-            "jaccard",
-        )
-        .select(
-            F.col("id_a"),
-            F.explode("ids_b").alias("id_b"),
-            "overlap",
-            "jaccard",
-        )
+        .select(F.explode("ids_a").alias("id_a"), "ids_b", "overlap", "jaccard")
+        .select("id_a", F.explode("ids_b").alias("id_b"), "overlap", "jaccard")
         .select(
             F.least("id_a", "id_b").alias("doc_a"),
             F.greatest("id_a", "id_b").alias("doc_b"),

