@@ -37,22 +37,45 @@ _MODALITIES = ("image", "audio", "video")
 _MIME = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
 
 
+# Codec probe, once at import: the image path is real wherever Pillow is
+# installed; this container ships no codec libs so the probe comes back
+# None here and decode_media falls through to the documented stub.
+try:
+    import PIL.Image as _pil_image
+except ImportError:  # pragma: no cover — exercised in codec-equipped envs
+    _pil_image = None
+
+
 def decode_media(payload: bytes, modality: str) -> dict:
     """Decode a media payload into pixels/samples/frames.
 
-    STUB — this environment ships no codec libraries (PIL/librosa/ffmpeg).
-    The Spark-side plumbing (binary column, Arrow transfer, batch shape)
-    is real; only the innermost codec call is absent. A deployment wires
-    the real decoder here; everything around it is already tested.
+    Images: decoded with Pillow when it is installed — returns width/
+    height/mode/n_pixels from the real bitstream (tested behind
+    ``pytest.importorskip`` in tests/test_udfs_multimodal.py so the same
+    test suite exercises it in codec-equipped deployments).
+
+    Audio/video (and images without Pillow): STUB — this environment
+    ships no codec libraries (PIL/librosa/ffmpeg). The Spark-side
+    plumbing (binary column, Arrow transfer, batch shape) is real; only
+    the innermost codec call is absent. A deployment wires librosa/
+    PyAV here; everything around it is already tested.
     """
-    try:
-        import PIL.Image  # noqa: F401  — absent in this container
-    except ImportError:
-        raise NotImplementedError(
-            "media decoding requires codec libraries not present in this "
-            "environment; see decode_media docstring"
-        ) from None
-    raise NotImplementedError("real decoder not wired")  # pragma: no cover
+    if modality == "image" and _pil_image is not None:
+        import io
+
+        img = _pil_image.open(io.BytesIO(payload))
+        img.load()
+        return {
+            "modality": "image",
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+            "n_pixels": img.width * img.height,
+        }
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this "
+        "environment; see decode_media docstring"
+    )
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -187,7 +210,12 @@ _THUMB_BYTES = 64
     oracle=f"""
     select doc_id, {_MODALITY_SQL} as modality,
            least({_THUMB_BYTES}, octet_length(encode(text)))::BIGINT as thumb_len,
-           md5(substr(text, 1, {_THUMB_BYTES})) as thumb_md5
+           -- byte-based slice: hex(encode(text)) is the UTF-8 BYTE stream
+           -- (2 hex chars per byte), so this digests the same prefix the
+           -- Spark kernel does even for multi-byte text where a byte slice
+           -- can split a codepoint (substr on VARCHAR slices CHARACTERS,
+           -- and this DuckDB's md5 only accepts VARCHAR — hence hex).
+           md5(lower(substring(hex(encode(text)), 1, {2 * _THUMB_BYTES}))) as thumb_md5
     from documents
     """,
 )
@@ -209,7 +237,11 @@ def mm_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "modality": [m["modality"] for m in pdf["meta"]],
                     "thumb_len": [len(t) for t in thumbs],
-                    "thumb_md5": [hashlib.md5(t).hexdigest() for t in thumbs],
+                    # digest the hex spelling of the thumb bytes — the only
+                    # byte-faithful form the DuckDB twin can also hash
+                    "thumb_md5": [
+                        hashlib.md5(t.hex().encode()).hexdigest() for t in thumbs
+                    ],
                 }
             )
 

@@ -20,8 +20,12 @@ _SCRATCH = os.path.join(tempfile.gettempdir(), "sparkgraft_sinks")
 
 
 def _scratch(sf_dir: str, name: str) -> str:
+    # Per-process token: every _scratch consumer writes then reads back
+    # within one invocation, so pid isolation makes concurrent bench +
+    # preflight runs on the same sf_dir race-free (same fix the bucketed
+    # join warehouse got).
     tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(_SCRATCH, tag, name)
+    return os.path.join(_SCRATCH, f"{tag}_pid{os.getpid()}", name)
 
 
 @query(

@@ -53,9 +53,27 @@ def test_udtf_matches_builtin_explode(spark):
     assert via_udtf.count() == via_explode.count()
 
 
-def test_decode_media_is_explicit_stub():
+def test_decode_media_stub_paths_raise():
+    # audio/video decoding has no codec library in any supported env yet;
+    # the image path is a stub only where Pillow is absent.
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image")
+        decode_media(b"RIFF....WAVE", "audio")
+    from sparkgraft.multimodal import _pil_image
+
+    if _pil_image is None:
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x89PNG", "image")
+
+
+def test_decode_media_real_image_when_pillow_present():
+    # Runs only in codec-equipped deployments; skipped in this container.
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 5)).save(buf, format="PNG")
+    out = decode_media(buf.getvalue(), "image")
+    assert (out["width"], out["height"], out["n_pixels"]) == (8, 5, 40)
 
 
 def test_payload_bytes_survive_arrow_roundtrip(spark):
