@@ -3,10 +3,11 @@
 The LSH/IVF candidate generators are rows-only (plane seeds / centroid
 choices are engine-specific), so they are graded on recall against their
 exact twins, plus a pruning bound proving the O(n²) space is actually cut.
-Measured at sf0.01 (round 2, fixed-cardinality centroid/query sets +
-2-round Lloyd refinement, probes 16/64): LSH recall@20 = 0.65 (29k/125k
-pairs materialized), IVF recall@5 = 0.77 — thresholds pinned with slack
-below.
+Measured at sf0.01 (round 3, fixed-cardinality centroid/query sets +
+2-round Lloyd refinement, probes 48/256): LSH recall@20 = 0.65 (29k/125k
+pairs materialized), IVF recall@5 = 0.96 at a 19% candidate fraction —
+the IVF floor is pinned at the production bar (≥ 0.9) so quantization
+quality can't silently degrade; LSH keeps slack below its measurement.
 """
 
 from __future__ import annotations
@@ -43,7 +44,7 @@ def test_ivf_recall_vs_exact_knn(spark):
         (r.qid, r.vec_id)
         for r in sparkgraft.QUERIES["sim_ivf_knn"](spark, SF_DIR_MID).collect()
     }
-    assert len(knn & ivf) / len(knn) >= 0.6
+    assert len(knn & ivf) / len(knn) >= 0.9
 
 
 def test_cosine_kernel_self_similarity(spark):
