@@ -324,16 +324,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-@query("dedup_near_minhash")  # rows-only: hash-seed-specific buckets
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidate pairs via MinHash-LSH banding.
-
-    Pipeline: shingle → k minhashes (one pass) → band keys → groupBy band
-    → pairs within buckets only. The O(n²) pair space is never formed;
-    work is proportional to bucket sizes. Invariant-tested: every exact
-    duplicate pair must surface as a candidate (tests/test_invariants.py).
-    """
-    sigs = minhash_signatures(load(spark, sf_dir, "documents"))
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one LSH bucket key per (doc, band),
+    band_key = hash of that band's minhash rows. Shared by the candidate
+    pair generator (dedup_near_minhash) and with_candidate_key."""
     bands = []
     for b in range(_MINHASH_BANDS):
         cols = [F.col(f"mh_{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)]
@@ -347,6 +341,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = bands[0]
     for other in bands[1:]:
         bucketed = bucketed.unionByName(other)
+    return bucketed
+
+
+@query("dedup_near_minhash")  # rows-only: hash-seed-specific buckets
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH banding.
+
+    Pipeline: shingle → k minhashes (one pass) → band keys → groupBy band
+    → pairs within buckets only. The O(n²) pair space is never formed;
+    work is proportional to bucket sizes. Invariant-tested: every exact
+    duplicate pair must surface as a candidate (tests/test_invariants.py).
+    """
+    bucketed = band_keys(minhash_signatures(load(spark, sf_dir, "documents")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = (
@@ -706,6 +713,38 @@ def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_PREFIX_LEN = 60  # the corpus's built-in dup structure (FIXTURES.md);
+# oracle SQL pairs with this as a literal `substr(text, 1, 60)`
+
+
+def with_candidate_key(d: DataFrame, method: str = "prefix") -> DataFrame:
+    """Attach the near-dup candidate bucket key ``ckey`` to each document
+    — the composition point for everything downstream that needs "docs
+    that might be duplicates share a key": keep-best dedup partitions on
+    it, edit-distance verification equi-joins on it.
+
+    - ``"prefix"`` (default): the corpus's built-in 60-char-prefix dup
+      structure — deterministic, exactly ONE key per doc, expressible in
+      the DuckDB oracle, so the hash-graded registered queries use it.
+    - ``"minhash_band"``: MinHash-LSH band keys (the same generator
+      dedup_near_minhash buckets with) — the content-defined candidate
+      source that holds at 100 TB where no prefix structure exists;
+      emits one row per (doc, band). Pair-generation consumers compose
+      unchanged (equi-join on ckey + distinct); rank-based consumers
+      must aggregate over a doc's buckets (keep iff best in EVERY
+      bucket). Invariant-tested: exact duplicates always share a ckey
+      under both methods (tests/test_textops.py).
+    """
+    if method == "prefix":
+        return d.withColumn("ckey", F.substring("text", 1, _DUP_PREFIX_LEN))
+    if method == "minhash_band":
+        keys = band_keys(minhash_signatures(d)).select(
+            "doc_id", F.concat_ws(":", "band", "band_key").alias("ckey")
+        )
+        return d.join(keys, "doc_id")
+    raise ValueError(f"unknown candidate-key method: {method!r}")
+
+
 @query(
     "dedup_keep_best",
     oracle="""
@@ -720,20 +759,19 @@ def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware dedup: within each near-dup cluster (shared 60-char
-    prefix — the corpus's built-in dup structure, FIXTURES.md) keep the
+    """Quality-aware dedup: within each near-dup cluster (shared
+    candidate key, default = the corpus's prefix structure) keep the
     LONGEST document, ties to the lowest doc_id — the "pick the best
     copy, not an arbitrary one" curation step that plain keeper=min(id)
     dedup (`dedup_exact_docs`) cannot express. One window over the
-    cluster key; the shuffle carries only (prefix, len, id), and a
+    cluster key; the shuffle carries only (ckey, len, id), and a
     pre-aggregated max_by form drops the window entirely if clusters
-    ever skew."""
+    ever skew. Swap with_candidate_key(..., "minhash_band") to run the
+    same shape over content-defined LSH buckets at scale."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy(F.substring("text", 1, 60)).orderBy(
-        F.desc("n_chars"), "doc_id"
-    )
+    d = with_candidate_key(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("ckey").orderBy(F.desc("n_chars"), "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -757,19 +795,21 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verification of near-dup CANDIDATES: Levenshtein is
     O(len²) per pair, so it must never run all-pairs — here it scores
-    only pairs that already share a 60-char prefix (the corpus's
-    candidate structure; at scale the LSH/MinHash buckets play this
-    role). The candidate join is a plain equi-join on the prefix;
-    integer percent (floor) keeps the ratio exact across engines."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.substring("text", 1, 60).alias("pfx")
+    only pairs that share a candidate key (with_candidate_key; default =
+    the corpus's prefix structure, and the identical code path runs over
+    MinHash-LSH band keys at scale — tests/test_textops.py exercises
+    that composition). The candidate join is a plain equi-join on the
+    key; integer percent (floor) keeps the ratio exact across
+    engines."""
+    d = with_candidate_key(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
     )
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
     return (
         a.join(
             b,
-            (F.col("a.pfx") == F.col("b.pfx"))
+            (F.col("a.ckey") == F.col("b.ckey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(

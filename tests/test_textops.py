@@ -89,3 +89,43 @@ def test_wordcount_total_equals_token_count(spark):
         .collect()[0][0]
     )
     assert wc == tc
+
+
+def test_candidate_key_methods_cover_exact_dups(spark):
+    """Exact duplicates must share a ckey under BOTH candidate-key
+    methods — the guarantee that lets keep-best dedup and edit-distance
+    verification swap the prefix key for MinHash-LSH band keys at scale
+    without losing true duplicate pairs."""
+    from sparkgraft.textops import with_candidate_key
+
+    exact = _exact_dup_pairs(spark, SF_DIR_BIG)
+    assert exact, "fixture should contain exact duplicate docs"
+    d = load(spark, SF_DIR_BIG, "documents").select("doc_id", "text")
+    for method in ("prefix", "minhash_band"):
+        keyed = with_candidate_key(d, method).select("doc_id", "ckey")
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(
+                b,
+                (F.col("a.ckey") == F.col("b.ckey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert exact <= pairs, method
+
+
+def test_candidate_key_rejects_unknown_method(spark):
+    import pytest
+
+    from sparkgraft.textops import with_candidate_key
+
+    d = load(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        with_candidate_key(d, "bogus")
