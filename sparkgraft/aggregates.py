@@ -659,3 +659,118 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("l_suppkey").alias("suppkey"), "s_name", "revenue", "n_items")
     )
+
+
+@query("agg_hll_sketch")  # rows-only: sketch estimates are engine-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct counting (Apache DataSketches HLL,
+    built into Spark 3.5+): distinct customers per order priority as a
+    sketch AGGREGATE, then an estimate over the merged sketch.
+
+    This — not exact count_distinct — is the 100 TB cardinality path:
+    sketches are fixed-size (lgK=12 → ~2.5 KB), merge associatively in
+    the partial/final aggregate (no Expand blow-up, no second shuffle),
+    and can be stored per-partition and re-merged across days without
+    rescanning. Invariant-tested against exact distinct counts
+    (tests/test_invariants.py): estimate within the published HLL error
+    envelope."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+            ).alias("approx_customers")
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             avg(l_quantity)                       AS mu,
+             avg(l_quantity * l_quantity)          AS e2,
+             avg(l_quantity ^ 3)                   AS e3,
+             avg(l_quantity ^ 4)                   AS e4,
+             count(*)::BIGINT                      AS n_rows
+      FROM lineitem GROUP BY l_returnflag),
+    c AS (
+      SELECT l_returnflag, n_rows,
+             e2 - mu * mu                                        AS m2,
+             e3 - 3 * mu * e2 + 2 * mu ^ 3                       AS m3,
+             e4 - 4 * mu * e3 + 6 * mu * mu * e2 - 3 * mu ^ 4    AS m4
+      FROM m)
+    SELECT l_returnflag,
+           round(m3 / m2 ^ 1.5, 6)      AS skew,
+           round(m4 / (m2 * m2) - 3, 6) AS kurt,
+           n_rows
+    FROM c
+    ORDER BY l_returnflag
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution profiling per group — the data-quality
+    screen that catches skewed/heavy-tailed columns before they skew
+    shuffles. Spark's skewness/kurtosis are POPULATION moments computed
+    as streaming central-moment aggregates (one pass, partial+final);
+    DuckDB's builtins are sample-corrected, so the oracle derives the
+    population formulas explicitly from power sums — same algebra,
+    rounded identically."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_quantity"), 6).alias("skew"),
+            F.round(F.kurtosis("l_quantity"), 6).alias("kurt"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_behavior_bitmap",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                  WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                  ELSE 16 END AS bit
+      FROM events),
+    masks AS (
+      SELECT user_id, day, bit_or(bit)::BIGINT AS type_mask
+      FROM coded GROUP BY user_id, day)
+    SELECT type_mask, count(*)::BIGINT AS n_user_days
+    FROM masks GROUP BY type_mask
+    ORDER BY type_mask
+    """,
+)
+def agg_behavior_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership profiles as bitmasks: which of the 5 event types
+    did each (user, day) produce, cohorted by the exact combination.
+    The per-key set is ONE long (bit_or of per-type bits), not a
+    collect_set — the bitmap is the constant-size, mergeable carrier
+    for small-domain membership at 100 TB (bitwise partial aggregates,
+    no array shuffle), and the cohort rollup is a plain second hash
+    aggregate over at most 2^5 masks."""
+    e = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    masks = (
+        e.select("user_id", F.to_date("ts").alias("day"), bit.alias("bit"))
+        .groupBy("user_id", "day")
+        .agg(F.bit_or("bit").cast("long").alias("type_mask"))
+    )
+    return (
+        masks.groupBy("type_mask")
+        .agg(F.count("*").alias("n_user_days"))
+        .orderBy("type_mask")
+    )

@@ -59,3 +59,38 @@ def sql_entry_window_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-in-CTE — again with the identical text as its own oracle."""
     register_tables(spark, sf_dir, ["customer", "nation"])
     return spark.sql(_TOP2_SQL)
+
+
+_SPINE_SQL = """
+WITH RECURSIVE spine(day) AS (
+  SELECT CAST('2024-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(day + INTERVAL '1' DAY AS DATE) FROM spine
+  WHERE day < CAST('2024-01-30' AS DATE)
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         count(*) AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events
+  GROUP BY CAST(ts AS DATE)
+)
+SELECT CAST(s.day AS VARCHAR(10)) AS day,
+       COALESCE(d.n_events, 0) AS n_events,
+       COALESCE(d.total_value, 0.0) AS total_value
+FROM spine s
+LEFT JOIN daily d ON s.day = d.day
+ORDER BY s.day
+"""
+
+
+@query("sql_entry_recursive_spine", oracle=_SPINE_SQL)
+def sql_entry_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE entry: generate a calendar day spine (WITH RECURSIVE,
+    Spark 4's iterative CTE execution) and gap-fill the daily event
+    aggregate against it — the canonical time-series densification
+    utility, in ONE dialect-portable text that is also its own oracle.
+    The recursion is 30 driver-side rows (a spine, not data); the data
+    path stays one scan + one hash aggregate + a broadcast-sized join."""
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql(_SPINE_SQL)

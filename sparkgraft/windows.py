@@ -323,3 +323,49 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.percent_rank().over(w), 8).alias("pr"),
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events),
+    islands AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS run_len
+      FROM ordered
+      GROUP BY user_id, event_type, rn_all - rn_type)
+    SELECT event_type, run_len, count(*)::BIGINT AS n_runs
+    FROM islands
+    GROUP BY event_type, run_len
+    ORDER BY event_type, run_len
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive same-type events per
+    user (the classic Tabibito/row_number-difference construction —
+    rn_overall − rn_within_type is constant exactly along one run), then
+    the run-length distribution per type. Both windows partition on
+    user_id, so the shuffle is keyed and skew-bounded; no self-join, no
+    lag-cascade — two ranks and two hash aggregates end to end."""
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    islands = (
+        e.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        islands.groupBy("event_type", "run_len")
+        .agg(F.count("*").alias("n_runs"))
+        .orderBy("event_type", "run_len")
+    )

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 import sparkgraft
 from conftest import SF_DIR
+from sparkgraft.catalog import load
 
 
 def test_approx_count_distinct_within_rsd(spark):
@@ -81,3 +82,22 @@ def test_pagerank_is_a_distribution(spark):
     ranks = [r["pagerank"] for r in rows]
     assert all(r > 0 for r in ranks)
     assert abs(sum(ranks) - 1.0) < 1e-6
+
+
+def test_hll_sketch_within_error_envelope(spark):
+    """DataSketches HLL at lgK=12 has ~1.6% relative standard error;
+    assert estimates land within 5% (≈3σ) of exact distinct counts."""
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in sparkgraft.QUERIES["agg_hll_sketch"](spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    exact = {
+        r.o_orderpriority: r.exact
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count_distinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
