@@ -943,3 +943,177 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("shared_ngrams") >= 3)
     )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS cum_before
+      FROM toks),
+    packed AS (
+      SELECT lang, n_tokens,
+             (COALESCE(cum_before, 0) // {_PACK_BUDGET})::BIGINT AS seq_id
+      FROM cum)
+    SELECT lang, seq_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS seq_tokens
+    FROM packed
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing — the step that turns a curated corpus into
+    fixed-budget training sequences: docs are laid out in a deterministic
+    order (doc_id) within each shard key (lang) and assigned to sequence
+    slots by their running token offset (slot = floor(offset/budget), so
+    docs straddle boundaries exactly like a real packer's byte offsets).
+    The manifest aggregates docs and tokens per slot.
+
+    Scale shape: the running sum partitions by the shard key — there is
+    NO global window; a 100 TB run packs within shards in parallel,
+    which is how production packers shard anyway. Two keyed shuffles
+    (window + rollup), both skew-bounded by the lang distribution; a
+    heavier-skew corpus would swap lang for a hash-bucket shard key with
+    identical semantics."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
+        .orderBy("lang", "seq_id")
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_transform(
+               generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2]) AS trigrams
+      FROM documents)
+    SELECT doc_id, lang,
+           len(trigrams)::BIGINT AS n_trigrams,
+           len(list_distinct(trigrams))::BIGINT AS n_distinct,
+           round(1.0 - len(list_distinct(trigrams)) * 1.0 / len(trigrams), 6)
+             AS rep_ratio
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signal (the Rae et al. Gopher repetition
+    filter): fraction of a doc's word trigrams that are duplicates of an
+    earlier trigram in the same doc. High ratio = boilerplate/looping
+    text a curation pipeline drops. Entirely row-local higher-order
+    array expressions (transform over a sequence + array_distinct) — no
+    shuffle at all until the output sort, so it scales as a pure map."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    tri = F.expr(
+        "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),"
+        " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(tri).cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct(tri)).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") * 1.0 / F.col("n_trigrams"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || doc_id ||
+             '@example.org or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+'))::BIGINT
+               + len(regexp_extract_all(raw, '\\+1-[0-9]{3}-[0-9]{4}'))::BIGINT
+               AS n_redactions,
+             regexp_replace(
+               regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      FROM enriched)
+    SELECT doc_id, lang, n_redactions,
+           len(clean)::BIGINT AS clean_chars, md5(clean) AS clean_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the safety pass every training corpus runs: find
+    email/phone spans, replace with typed placeholders, and count the
+    redactions for the audit manifest. (The corpus carries no real PII,
+    so deterministic contact strings are synthesized per doc first; the
+    scrub path is exactly what production runs.) Pure regexp expressions
+    inside codegen — row-local, zero shuffle; the digest of the scrubbed
+    text lets the oracle verify the transformation byte-for-byte."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-z0-9.]+@[a-z0-9.]+"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    n_red = (
+        F.regexp_count(raw, F.lit(email_re)) + F.regexp_count(raw, F.lit(phone_re))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_red.alias("n_redactions"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")

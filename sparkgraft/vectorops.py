@@ -551,3 +551,120 @@ def mm_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(norm(F.col("embedding"))), 6).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "sim_int8_quantize",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings),
+    err AS (
+      SELECT e.vec_id, q.amax,
+             list_max(list_transform(e.embedding,
+               x -> abs(CAST(x AS DOUBLE)
+                        - round(CAST(x AS DOUBLE) * 127.0 / q.amax)
+                          * q.amax / 127.0))) AS max_err
+      FROM embeddings e JOIN q ON e.vec_id = q.vec_id)
+    SELECT vec_id, round(amax, 6) AS amax, round(max_err, 6) AS max_err,
+           (max_err <= amax / 127.0) AS within_bound
+    FROM err
+    ORDER BY vec_id
+    """,
+)
+def sim_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization audit — the 4× storage/bandwidth cut
+    every large ANN index applies before sharding: per-vector absmax
+    scale, quantize to [-127,127], and report the max reconstruction
+    error plus the guarantee check err ≤ scale_step (= amax/127, half-
+    step rounding bound doubled for safety — asserted true for every
+    row). All higher-order array expressions, row-local, zero shuffle:
+    the audit runs as a pure map over any corpus size. Double-precision
+    math pinned on both engines (floats upcast before any arithmetic)."""
+    e = load(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    amax = F.array_max(F.transform("embedding", lambda c: F.abs(c.cast("double"))))
+    d = e.select("vec_id", "embedding", amax.alias("amax"))
+    max_err = F.array_max(
+        F.transform(
+            "embedding",
+            lambda c: F.abs(
+                c.cast("double")
+                - F.round(c.cast("double") * 127.0 / F.col("amax"))
+                * F.col("amax")
+                / 127.0
+            ),
+        )
+    )
+    return (
+        d.select("vec_id", "amax", max_err.alias("max_err"))
+        .select(
+            "vec_id",
+            F.round("amax", 6).alias("amax"),
+            F.round("max_err", 6).alias("max_err"),
+            (F.col("max_err") <= F.col("amax") / 127.0).alias("within_bound"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "sim_centroid_per_label",
+    oracle=f"""
+    WITH pos AS (
+      SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS m
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i
+      GROUP BY label, i.i),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid
+      FROM pos GROUP BY label),
+    scored AS (
+      SELECT e.label,
+             {_SQL_DOT.format(a="e.embedding", b="c.centroid")}
+               / (sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})
+                  * sqrt({_SQL_DOT.format(a="c.centroid", b="c.centroid")}))
+               AS cos_to_centroid
+      FROM embeddings e JOIN cent c ON e.label = c.label)
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           round(avg(cos_to_centroid), 6) AS avg_cohesion,
+           round(min(cos_to_centroid), 6) AS min_cohesion
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid + cohesion audit — the embedding-space health
+    check run before using labels for curriculum/mixture decisions: mean
+    vector per label, then every vector's cosine to its own centroid,
+    aggregated to per-label cohesion stats. Centroids come from a
+    posexplode + (label, pos) partial+final aggregate (shuffle rows ≤
+    labels × dim — constants), re-assembled with sort_array(collect) and
+    broadcast back onto the corpus; scoring is then a row-local dot.
+    Identical double-accumulation order pinned on both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label", cosine(F.col("embedding"), F.col("centroid")).alias("cos_to_centroid")
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos_to_centroid"), 6).alias("avg_cohesion"),
+            F.round(F.min("cos_to_centroid"), 6).alias("min_cohesion"),
+        )
+        .orderBy("label")
+    )
