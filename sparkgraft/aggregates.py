@@ -774,3 +774,122 @@ def agg_behavior_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_user_days"))
         .orderBy("type_mask")
     )
+
+
+@query(
+    "agg_funnel_steps",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, min(ts) AS first_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id),
+    conv AS (
+      SELECT c.user_id, c.first_click, min(e.ts) AS first_purchase
+      FROM clicks c
+      LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+       AND e.ts > c.first_click
+      GROUP BY c.user_id, c.first_click)
+    SELECT strftime(CAST(first_click AS DATE), '%Y-%m-%d') AS click_day,
+           count(*)::BIGINT AS n_clicked,
+           count(first_purchase)::BIGINT AS n_converted,
+           COALESCE(round(avg(
+             (epoch_us(first_purchase) - epoch_us(first_click)) / 3600000000.0
+           ), 4), 0.0) AS avg_hours_to_convert
+    FROM conv
+    GROUP BY click_day
+    ORDER BY click_day
+    """,
+)
+def agg_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (click → later purchase), cohorted by
+    first-click day — the canonical product-analytics report. Each step
+    is a keyed min-aggregate (partial+final); the step join is per-user
+    equi + time predicate, so the intermediate is bounded by events per
+    user, never a cross of steps. Hours-to-convert is computed on epoch
+    MICROseconds on both engines (the µs-truncation-safe carrier for
+    this corpus's second-granularity timestamps)."""
+    e = load(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (clicks["user_id"] == purchases["user_id"])
+            & (purchases["p_ts"] > clicks["first_click"]),
+            "left",
+        )
+        .groupBy(clicks["user_id"], "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    hours = (
+        F.unix_micros("first_purchase") - F.unix_micros("first_click")
+    ) / 3600000000.0
+    return (
+        conv.groupBy(F.date_format("first_click", "yyyy-MM-dd").alias("click_day"))
+        .agg(
+            F.count("*").alias("n_clicked"),
+            F.count("first_purchase").alias("n_converted"),
+            F.coalesce(F.round(F.avg(hours), 4), F.lit(0.0)).alias(
+                "avg_hours_to_convert"
+            ),
+        )
+        .orderBy("click_day")
+    )
+
+
+@query(
+    "agg_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT c.user_id,
+             strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+             (date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) // 7)::BIGINT
+               AS week_offset
+      FROM cohorts c
+      JOIN events e ON e.user_id = c.user_id
+      WHERE CAST(e.ts AS DATE) >= c.cohort_day)
+    SELECT cohort_day, week_offset, count(*)::BIGINT AS n_active_users
+    FROM activity
+    GROUP BY cohort_day, week_offset
+    ORDER BY cohort_day, week_offset
+    """,
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-signup day,
+    counted as active in each week offset since. The workhorse growth
+    report, built from two keyed aggregates and one per-user equi-join
+    — the cohort side is user-cardinality (broadcastable against the
+    event log at scale), and the distinct collapses to (user, cohort,
+    week) before the final count, so the shuffle never carries raw
+    events twice."""
+    e = load(spark, sf_dir, "events")
+    cohorts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    )
+    activity = (
+        e.select("user_id", F.to_date("ts").alias("day"))
+        .join(cohorts, "user_id")
+        .filter(F.col("day") >= F.col("cohort_day"))
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            (F.datediff("day", "cohort_day") / 7).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_day", "week_offset")
+    )

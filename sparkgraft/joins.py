@@ -558,3 +558,81 @@ def join_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on DuckDB as the oracle."""
     register_tables(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_EXISTS_SQL)
+
+
+_ASOF_TOLERANCE_DAYS = 30
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH matched AS (
+      SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN date_diff('day', CAST(m.o_orderdate AS DATE),
+                               CAST(e.ts AS DATE)) <= {_ASOF_TOLERANCE_DAYS}
+                THEN m.o_orderkey END AS asof_orderkey,
+           CASE WHEN date_diff('day', CAST(m.o_orderdate AS DATE),
+                               CAST(e.ts AS DATE)) <= {_ASOF_TOLERANCE_DAYS}
+                THEN date_diff('day', CAST(m.o_orderdate AS DATE),
+                               CAST(e.ts AS DATE))::BIGINT END AS staleness_days
+    FROM events e
+    LEFT JOIN matched m ON m.event_id = e.event_id AND m.rn = 1
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a max-staleness bound — the feature-store lookup
+    contract: the latest order at-or-before each event counts ONLY if it
+    is at most {_ASOF_TOLERANCE_DAYS} days old; staler matches surface
+    as NULL (stale features must be dropped, not silently served).
+    Identical ordered-merge single-shuffle construction as `join_asof`
+    (union + running last-ignorenulls — no per-key pair blow-up); the
+    tolerance is one row-local predicate applied after the merge, which
+    is exactly how a 100 TB run bounds feature staleness without a
+    second pass."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(None).cast("timestamp").alias("odate"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event", "okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = o.unionByName(e).select(
+        "k",
+        "t",
+        "is_event",
+        "event_id",
+        F.last("okey", ignorenulls=True).over(w).alias("cand_key"),
+        F.last("odate", ignorenulls=True).over(w).alias("cand_date"),
+    )
+    staleness = F.datediff(F.to_date("t"), F.to_date("cand_date"))
+    fresh = F.col("cand_key").isNotNull() & (staleness <= _ASOF_TOLERANCE_DAYS)
+    return (
+        merged.filter(F.col("is_event") == 1)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.when(fresh, F.col("cand_key")).alias("asof_orderkey"),
+            F.when(fresh, staleness.cast("long")).alias("staleness_days"),
+        )
+        .orderBy("event_id")
+    )

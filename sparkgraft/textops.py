@@ -1117,3 +1117,39 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(clean).cast("long").alias("clean_chars"),
         F.md5(clean).alias("clean_md5"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                       x -> list_contains({_STOPWORDS}, x))) * 10
+                       >= len(string_split(lower(text), ' '))
+                  THEN 'en' ELSE 'other' END AS lang_guess
+      FROM documents)
+    SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
+    FROM pred
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix: declared language vs the
+    heuristic lang-ID prediction (text_lang_id), as (truth, predicted)
+    counts — the evaluation table every corpus-curation run publishes
+    next to its filters. One row-local prediction + one hash aggregate;
+    composes on top of the same prediction expression so the audit can
+    never drift from the classifier it audits."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    pred = F.when(n_stop * 10 >= F.size(toks), "en").otherwise("other")
+    return (
+        d.select("lang", pred.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
