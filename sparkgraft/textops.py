@@ -1153,3 +1153,121 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "lang_guess")
     )
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.org:443/d/' || (doc_id % 50) ||
+             '/?utm_source=feed&lang=' || lang || '&utm_campaign=x&ref=' || doc_id
+               AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[A-Za-z]+://(?:[Ww][Ww][Ww]\\.)?([^/:?]+)', 1))
+               || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]*(/[^?]*)', 1),
+                                 '/$', '')
+               || CASE WHEN len(list_filter(string_split(
+                              regexp_extract(url, '\\?(.*)$', 1), '&'),
+                              p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))) > 0
+                       THEN '?' || array_to_string(list_filter(string_split(
+                              regexp_extract(url, '\\?(.*)$', 1), '&'),
+                              p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%')), '&')
+                       ELSE '' END AS canonical
+      FROM raw)
+    SELECT canonical,
+           min(doc_id) AS keeper,
+           count(*)::BIGINT AS n_urls
+    FROM canon
+    GROUP BY canonical
+    ORDER BY canonical
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier step that stops a
+    web corpus fetching/storing the same page under cosmetic variants:
+    lowercase scheme-less host, strip leading www. and the port, drop the
+    trailing slash, and remove tracking params (utm_*, ref) while keeping
+    semantic ones, then group by the canonical form (keeper = min id).
+    (URLs are synthesized deterministically with the variants baked in —
+    mixed case, www, :443, utm noise — so the canonicalizer provably
+    collapses them: 500 raw URLs → 50·langs canonical groups.) All
+    row-local regex/filter expressions in codegen; the dedup is one
+    digest-keyed hash aggregate, the same shuffle shape as
+    dedup_exact_docs."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), "source", F.lit(".Example.org:443/d/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&lang="), "lang",
+        F.lit("&utm_campaign=x&ref="), F.col("doc_id").cast("string"),
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z]+://(?:[Ww][Ww][Ww]\.)?([^/:?]+)", 1)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?]*(/[^?]*)", 1), r"/$", ""
+    )
+    qparams = F.filter(
+        F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&"),
+        lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+    )
+    canonical = F.concat(
+        host,
+        path,
+        F.when(
+            F.size(qparams) > 0, F.concat(F.lit("?"), F.array_join(qparams, "&"))
+        ).otherwise(""),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_urls"))
+        .orderBy("canonical")
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH clusters AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies
+      FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(CASE WHEN n_copies > 1 THEN 1 END)::BIGINT AS n_dup_docs,
+           round(count(CASE WHEN n_copies > 1 THEN 1 END) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM clusters
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: which sources deliver duplicated content —
+    per-source doc count, docs that belong to a >1-copy exact-dup
+    cluster, and the dup rate. This is the feedback table that drives
+    source-level sampling weights in a training mix. One digest-keyed
+    window (same shuffle key as dedup_exact_docs — 32-byte hashes, not
+    documents) + one hash aggregate."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_copies = F.count("*").over(
+        Window.partitionBy(F.sha2(F.lower(F.trim("text")), 256))
+    )
+    clusters = d.select("doc_id", "source", n_copies.alias("n_copies"))
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_docs"),
+            F.round(
+                F.count(F.when(F.col("n_copies") > 1, 1)) * 1.0 / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
