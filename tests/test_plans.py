@@ -194,3 +194,32 @@ def test_merge_upsert_no_cartesian(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_has_no_global_window(spark):
+    # The packing window partitions by the shard key; a global running
+    # sum would plan an Exchange SinglePartition and serialize the
+    # corpus through one task.
+    df = sparkgraft.QUERIES["text_pack_sequences"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_int8_quantize_is_pure_map(spark):
+    # The quantization audit is row-local array math: no join and no
+    # aggregate anywhere; the only Exchange allowed is the final
+    # presentation sort.
+    df = sparkgraft.QUERIES["sim_int8_quantize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_funnel_step_join_is_keyed_equi(spark):
+    # The click->purchase step join must ride the user_id equi key
+    # (hash-joinable), never a nested-loop on the time predicate alone.
+    df = sparkgraft.QUERIES["agg_funnel_steps"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
