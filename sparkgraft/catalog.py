@@ -118,9 +118,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
+        # Spark builds differ in how they surface parquet TIMESTAMP(NANOS):
+        # with the legacy conf honored the column reads as a nanos BIGINT;
+        # newer readers return TIMESTAMP_NTZ (already µs-truncated). Branch
+        # on the actual read dtype so both shapes land on the same µs
+        # TimestampType the rest of the engine (and the DuckDB oracle's
+        # UTC-naive view) expects.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path_for(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type == "timestamp_ntz":
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path_for(sf_dir, name))
 
 

@@ -43,12 +43,14 @@ from pyspark.sql import types as T
 
 from sparkgraft.registry import query
 
-# Parquet stores events.ts as TIMESTAMP(NANOS); Spark's reader only hands
-# it over as a long (legacy nanosAsLong conf, see catalog.load), so the
-# stream schema declares a long and the source converts to a µs timestamp.
+# Parquet stores events.ts as TIMESTAMP(NANOS). This reader build surfaces
+# it as TIMESTAMP_NTZ (µs-truncated — sub-µs bits are zero in this corpus,
+# see catalog.load); declaring a LongType here instead would silently hand
+# over MICROsecond longs, so the schema pins NTZ and the source casts to a
+# session-UTC timestamp.
 _EVENTS_RAW_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
+    T.StructField("ts", T.TimestampNTZType()),
     T.StructField("user_id", T.LongType()),
     T.StructField("event_type", T.StringType()),
     T.StructField("value", T.DoubleType()),
@@ -131,12 +133,11 @@ def _events_stream(spark: SparkSession, path: str, max_files: int | None = None)
     # Same session pinning as catalog.load — the driver's session is not
     # ours, and window()/date_trunc semantics must match the UTC oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA)
     if max_files is not None:
         reader = reader.option("maxFilesPerTrigger", max_files)
     df = reader.parquet(path)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(df: DataFrame, key: str, mode: str) -> DataFrame:
