@@ -1271,3 +1271,186 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_split_assign",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the canonical
+    holdout protocol for a training corpus. The split key is the first
+    md5 byte of the doc id (NOT a random() draw: hash-based assignment is
+    reproducible across runs, engines, and re-partitioning, and stays
+    stable when the corpus grows — the property random sampling lacks).
+    Thresholds are hex-lexicographic on the fixed-width digest prefix
+    ('e6' ≈ 89.8% train, 'f6' ≈ 6.3% val, rest test), identical strings
+    on both engines. Pure map + one 3-group aggregate: zero joins, one
+    shuffle carrying 3 partial rows per task at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    split = (
+        F.when(prefix < "e6", "train").when(prefix < "f6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
+    SELECT doc_id, (start // 48)::INT AS chunk_id,
+           least(64, len(toks) - start)::BIGINT AS n_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_digest
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for retrieval/training: each document is
+    cut into overlapping 64-token windows with stride 48 (16-token
+    overlap) — the standard RAG chunker. The chunk fan-out is a per-row
+    generator (sequence + explode, no shuffle, no self-join); the chunk
+    payload is verified by digest so the result stays narrow however
+    wide the windows get. At 100 TB this is a pure map stage that
+    pipelines into whatever sink or embedder follows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("start", F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))))
+    )
+    return chunks.select(
+        "doc_id",
+        F.expr("CAST(start DIV 48 AS INT)").alias("chunk_id"),
+        F.least(F.lit(64), F.size("toks") - F.col("start")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.encode(F.array_join(F.slice("toks", F.col("start") + 1, 64), " "), "UTF-8")
+        ).alias("chunk_digest"),
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT count(*) * 1.0 AS n FROM tok)
+    SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+           round(avg(ln(f.cnt / (SELECT n FROM tot))), 6) AS avg_logprob
+    FROM tok t JOIN freq f ON t.token = f.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the cheapest member of the
+    model-based quality-filter family (docs with very low mean token
+    log-probability are gibberish; very high are boilerplate). The
+    corpus LM is the token frequency table itself: vocabulary-sized, so
+    it broadcasts back onto the token stream (map-side join); the token
+    total is a 1-row aggregate broadcast the same way. One explode + two
+    hash aggregates + zero corpus-sized shuffled joins."""
+    tok = _tokens(spark, sf_dir)
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
+    return (
+        tok.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("n"))), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "text_dup_ngram_coverage",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(range(1, len(toks) - 3),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                         toks[i+3] || ' ' || toks[i+4])) AS ngram
+      FROM t WHERE len(toks) >= 5),
+    df AS (SELECT ngram, count(*) AS n_docs_with FROM grams GROUP BY ngram),
+    cov AS (
+      SELECT g.doc_id, any_value(g.source) AS source,
+             count(CASE WHEN df.n_docs_with > 1 THEN 1 END) * 1.0 / count(*) AS coverage
+      FROM grams g JOIN df ON g.ngram = df.ngram
+      GROUP BY g.doc_id)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           round(avg(coverage), 6) AS avg_dup_coverage
+    FROM cov GROUP BY source ORDER BY source
+    """,
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style duplicate-ngram coverage audit: per source, the
+    mean fraction of each document's distinct 5-gram shingles that also
+    occur in at least one other document — the observability metric that
+    tells you HOW duplicated a source is, not just whether exact copies
+    exist. Shingling is a per-row generator; document frequency is a
+    hash aggregate keyed on the shingle; the shingle→df join is a plain
+    equi-join on the same key (vocabulary-sized build side, shuffle-
+    bounded — never broadcast, the shingle table grows with the corpus).
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    grams5 = F.expr(
+        "CASE WHEN size(split(lower(text), ' ')) < 5 THEN array()"
+        " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 4),"
+        " i -> concat_ws(' ', element_at(split(lower(text), ' '), i),"
+        "                element_at(split(lower(text), ' '), i + 1),"
+        "                element_at(split(lower(text), ' '), i + 2),"
+        "                element_at(split(lower(text), ' '), i + 3),"
+        "                element_at(split(lower(text), ' '), i + 4))) END"
+    )
+    grams = (
+        d.filter(F.size(toks) >= 5)
+        .select("doc_id", "source", F.explode(grams5).alias("ngram"))
+        .dropDuplicates(["doc_id", "ngram"])
+    )
+    df_counts = grams.groupBy("ngram").agg(F.count("*").alias("n_docs_with"))
+    cov = (
+        grams.join(df_counts, "ngram")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            (
+                F.count(F.when(F.col("n_docs_with") > 1, 1)) * 1.0 / F.count("*")
+            ).alias("coverage"),
+        )
+    )
+    return (
+        cov.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("coverage"), 6).alias("avg_dup_coverage"),
+        )
+        .orderBy("source")
+    )
