@@ -893,3 +893,81 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_day", "week_offset")
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) * 1.0 AS cnt
+      FROM documents GROUP BY source, lang),
+    t AS (SELECT source, sum(cnt) AS total FROM c GROUP BY source)
+    SELECT c.source,
+           round(-sum((c.cnt / t.total) * ln(c.cnt / t.total)), 6) AS lang_entropy,
+           count(*)::BIGINT AS n_langs
+    FROM c JOIN t ON c.source = t.source
+    GROUP BY c.source ORDER BY c.source
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the diversity
+    metric that flags single-language (or language-collapsed) sources in
+    a corpus audit. Natural log pinned on both engines. The corpus-sized
+    work is ONE hash aggregate to (source, lang) counts; the per-source
+    total is a window over that already-tiny frame (≤ sources × langs
+    rows), so no second pass over the data and no join."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.groupBy("source", "lang").agg(F.count("*").cast("double").alias("cnt"))
+    )
+    p = F.col("cnt") / F.sum("cnt").over(Window.partitionBy("source"))
+    return (
+        counts.select("source", (p * F.log(p)).alias("plogp"))
+        .groupBy("source")
+        .agg(
+            F.round(-F.sum("plogp"), 6).alias("lang_entropy"),
+            F.count("*").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "agg_rolling_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du),
+    cov AS (
+      SELECT du.day + (o.off)::INT AS cover_day, du.user_id
+      FROM du, (SELECT unnest(range(0, 7)) AS off) o)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           count(DISTINCT c.user_id)::BIGINT AS wau
+    FROM days d JOIN cov c ON c.cover_day = d.day
+    GROUP BY d.day ORDER BY day
+    """,
+)
+def agg_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (the WAU curve). COUNT
+    DISTINCT over a sliding RANGE window has no distributed form, so the
+    scale-correct construction is: distinct (day, user) — the only
+    corpus-sized shuffle — then a bounded ×7 offset fan-out (each active
+    day covers itself and the next 6 report days) and a day-keyed exact
+    distinct count. Day cardinality is bounded by the calendar, and the
+    distinct count is Spark's own two-phase expand — no window state, no
+    self-join on a range predicate."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    cov = du.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6)))).select(
+        F.expr("date_add(day, off)").alias("cover_day"), "user_id"
+    )
+    days = du.select("day").distinct()
+    return (
+        days.join(cov, days.day == cov.cover_day)
+        .groupBy(days.day)
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
+        .orderBy("day")
+    )

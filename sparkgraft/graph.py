@@ -124,3 +124,71 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").alias("nationkey"), F.round("rank", 8).alias("pagerank")
         ).orderBy("nationkey")
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS a, s.s_nationkey AS b
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+    und AS (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM e WHERE a <> b),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT v AS nationkey, count(*)::BIGINT AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS v FROM tri) t
+    GROUP BY v ORDER BY v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle participation on the undirected nation trade
+    graph — the clustering/community canon alongside PageRank. Edges are
+    canonicalized (least, greatest) so each undirected edge exists once
+    with a < b; triangles enumerate as the ordered two-hop equi-join
+    (a<b<c), which counts each triangle exactly once and is the standard
+    distributed node-iterator algorithm: every step is an equi-join or
+    hash aggregate on an edge endpoint, so the plan shuffles on vertex
+    ids and never materializes a cross product. Each triangle credits
+    its three vertices via a 3-element explode."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    directed = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .select(F.col("c_nationkey").alias("a"), F.col("s_nationkey").alias("b"))
+        .distinct()
+    )
+    und = (
+        directed.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("nationkey"))
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("nationkey")
+    )

@@ -369,3 +369,43 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_runs"))
         .orderBy("event_type", "run_len")
     )
+
+
+@query(
+    "dedup_cdc_latest",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id AS last_event_id,
+           epoch_us(ts)::BIGINT AS last_ts_us, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def dedup_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse an append-only change stream to the
+    latest record per (user, event_type) key — the materialize-current-
+    state step every incremental ETL runs. One keyed window shuffle
+    carrying only the projected columns; ties broken by event_id so the
+    survivor is deterministic. The timestamp is surfaced as epoch
+    MICROseconds (bigint) on both engines — the µs-vs-ns-safe carrier
+    for this corpus (SURVEY §5.3). At 100 TB this is the same plan:
+    shuffle by key, one pass per partition, no driver state."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.select("user_id", "event_type", "event_id", "ts", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.unix_micros("ts").alias("last_ts_us"),
+            F.col("value").alias("last_value"),
+        )
+    )
