@@ -439,3 +439,35 @@ def fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (meta.getField("id") + 1).alias("id_plus"),
         F.to_json(meta).alias("meta_json"),
     )
+
+
+@query(
+    "fn_trig",
+    oracle="""
+    SELECT event_id,
+           round(sin(value), 6)                    AS sin_v,
+           round(cos(value), 6)                    AS cos_v,
+           round(atan2(value, 1.0 + value), 6)     AS atan2_v,
+           round(degrees(atan(value)), 6)          AS deg_atan,
+           round(radians(value), 6)                AS rad_v,
+           round(exp(-value / 100.0), 6)           AS exp_decay
+    FROM events
+    WHERE value IS NOT NULL
+    """,
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric + transcendental family (sin/cos/atan2/degrees/
+    radians/exp) — rounds out the §2.8 math surface. All go through
+    libm whose last ulp is implementation-defined, so every column is
+    rounded to 6 decimals on both engines (same policy as fn_math).
+    Pure codegen'd map stage: no shuffle, pushdown-eligible filter."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.select(
+        "event_id",
+        F.round(F.sin("value"), 6).alias("sin_v"),
+        F.round(F.cos("value"), 6).alias("cos_v"),
+        F.round(F.atan2(F.col("value"), F.col("value") + 1.0), 6).alias("atan2_v"),
+        F.round(F.degrees(F.atan("value")), 6).alias("deg_atan"),
+        F.round(F.radians("value"), 6).alias("rad_v"),
+        F.round(F.exp(F.col("value") / F.lit(-100.0)), 6).alias("exp_decay"),
+    )

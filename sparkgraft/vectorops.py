@@ -668,3 +668,41 @@ def sim_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "sim_norm_audit",
+    oracle=f"""
+    WITH n AS (
+      SELECT label,
+             sqrt({_SQL_DOT.format(a="embedding", b="embedding")}) AS norm
+      FROM embeddings)
+    SELECT label, count(*)::BIGINT AS n_vecs,
+           round(avg(norm), 6) AS avg_norm,
+           round(min(norm), 6) AS min_norm,
+           round(max(norm), 6) AS max_norm,
+           count(CASE WHEN norm < 1e-6 THEN 1 END)::BIGINT AS n_degenerate
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution audit per label — the pre-flight
+    check before any cosine pipeline: near-zero-norm vectors make
+    cosine undefined and silently poison ANN indexes, so count them
+    explicitly. The norm is the same row-local double-accumulation dot
+    kernel as every other sim_* op (zero shuffle for the map; one
+    bounded hash aggregate keyed on the 10-value label domain)."""
+    e = load(spark, sf_dir, "embeddings")
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    scored = e.select("label", norm.alias("norm"))
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+            F.count(F.when(F.col("norm") < 1e-6, 1)).alias("n_degenerate"),
+        )
+        .orderBy("label")
+    )
