@@ -494,3 +494,44 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(agg, "static_join", "complete")
+
+
+@query(
+    "stream_windowed_topk",
+    oracle="""
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM c)
+    SELECT window_start, event_type, n::BIGINT AS n, rnk::BIGINT AS rnk
+    FROM r WHERE rnk <= 2
+    """,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-items pattern: top-2 event types per tumbling hour. The
+    STREAMING stage is the incremental windowed count (watermarked state,
+    mergeable across micro-batches); the rank-and-filter runs batch on
+    the materialized result — ranking inside the stream would force a
+    per-window global sort in update mode, which no engine does
+    incrementally. Ties broken by event_type so top-2 is deterministic."""
+    from pyspark.sql import Window as W
+
+    src = _events_stream(spark, _stage_events(sf_dir)).withWatermark("ts", "10 minutes")
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    counts = _run_to_table(agg, "windowed_topk", "complete")
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    )
+    return (
+        counts.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 2)
+        .select("window_start", "event_type", "n", "rnk")
+    )

@@ -1454,3 +1454,46 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_quality_buckets",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents),
+    bucketed AS (
+      SELECT lang, source, n_chars,
+             ntile(4) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS bucket
+      FROM scored)
+    SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT source)::BIGINT AS n_sources
+    FROM bucketed GROUP BY lang, bucket ORDER BY lang, bucket
+    """,
+)
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: split each language's documents into length
+    quartiles and report the composition of every bucket — the table a
+    mixture scheduler samples from when it wants "short-doc en" vs
+    "long-doc zh" strata. ntile is PARTITIONED by lang (never a global
+    single-partition window) with a pinned (n_tokens, doc_id) total
+    order so bucket boundaries are deterministic on both engines."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), " "))
+    w = Window.partitionBy("lang").orderBy(n_tokens.asc(), F.col("doc_id").asc())
+    bucketed = d.select(
+        "lang", "source", "n_chars", F.ntile(4).over(w).alias("bucket")
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy("lang", "bucket")
+    )

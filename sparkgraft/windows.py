@@ -409,3 +409,61 @@ def dedup_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("last_value"),
         )
     )
+
+
+@query(
+    "win_session_stats",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MINUTES} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id, value, ts,
+             (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+               AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           count(*)::BIGINT AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS duration_us,
+           round(sum(value), 6) AS total_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def win_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level rollup — the table sessionization actually exists to
+    produce: per (user, session) event count, wall duration, and value
+    total. Builds the same gaps-and-islands ids as win_session_ids, then
+    one hash aggregate on the session key. Both windows and the final
+    aggregate shuffle on user_id, so the whole pipeline is ONE exchange
+    reused across stages (Catalyst sees the shared partitioning) —
+    exactly how per-session features are computed over a 100 TB event
+    log. Duration is epoch-µs arithmetic on both engines."""
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MINUTES * 60 * 1_000_000), 1
+    ).otherwise(0)
+    sess = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("session_id", F.sum(is_new).over(wsum))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+                "duration_us"
+            ),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
