@@ -223,3 +223,55 @@ def test_funnel_step_join_is_keyed_equi(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_windows_is_pure_generator(spark):
+    # Chunking is a per-row explode: no join, no aggregate, no shuffle
+    # anywhere — the stage must pipeline straight from scan to output.
+    df = sparkgraft.QUERIES["text_chunk_windows"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Generate" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+
+
+def test_unigram_logprob_freq_join_broadcasts(spark):
+    # The vocabulary-sized frequency table must come back map-side; a
+    # shuffled sort-merge join here would re-shuffle the whole token
+    # stream.
+    df = sparkgraft.QUERIES["text_unigram_logprob"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rolling_wau_has_no_range_join(spark):
+    # The trailing-7-day construction must be the bounded offset fan-out
+    # + equi-join on the day, never a nested-loop range self-join.
+    df = sparkgraft.QUERIES["agg_rolling_active_users"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_latest_single_keyed_window(spark):
+    # CDC compaction is one keyed window: partitioned by the compaction
+    # key, never a global single-partition sort.
+    df = sparkgraft.QUERIES["dedup_cdc_latest"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_session_stats_reuses_user_partitioning(spark):
+    # Both session windows and the final per-session aggregate key on
+    # user_id; Catalyst must not re-shuffle between them. Allow the
+    # single user_id exchange (details repeat per node in formatted
+    # explain, so count distinct exchange ids, not lines).
+    df = sparkgraft.QUERIES["win_session_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    n_exchanges = len(
+        {ln.split()[-1] for ln in plan.splitlines() if ln.strip().startswith("Exchange")}
+    )
+    assert "SinglePartition" not in plan
+    assert n_exchanges <= 1, plan
