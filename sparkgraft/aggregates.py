@@ -971,3 +971,97 @@ def agg_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey)::BIGINT AS n_customers
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through roaring-style bitmaps — the
+    mergeable alternative to count(DISTINCT) when the expand+re-shuffle
+    of exact distinct gets expensive and an HLL estimate isn't
+    acceptable. Two-level plan: keys bucket into fixed 4KB bitmap pages
+    (bitmap_bucket_number / bitmap_bit_position), pages OR-merge as
+    partial aggregates within (group, bucket), then per-group distinct
+    = sum of per-page popcounts. Every shuffled payload is a bounded
+    bitmap page, never a value list — the property that lets this run
+    at 100 TB where collect_set dies. The oracle is plain exact
+    count(DISTINCT): same answer, different physical strategy."""
+    o = load(spark, sf_dir, "orders")
+    pages = (
+        o.groupBy(
+            "o_orderpriority",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))").alias(
+                "page"
+            )
+        )
+    )
+    return (
+        pages.groupBy("o_orderpriority")
+        .agg(F.sum(F.expr("bitmap_count(page)")).alias("n_customers"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_topk_share",
+    oracle="""
+    WITH rev AS (
+      SELECT p.p_brand, l.l_partkey,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_partkey),
+    r AS (
+      SELECT p_brand, rev,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY rev DESC, l_partkey) AS rnk
+      FROM rev)
+    SELECT p_brand, count(*)::BIGINT AS n_parts,
+           round(sum(CASE WHEN rnk <= 3 THEN rev ELSE 0 END) / sum(rev), 6)
+             AS top3_share
+    FROM r GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: what share of each brand's revenue
+    its top-3 parts capture — the skew diagnostic that predicts which
+    group-by keys need salting before they hit a 1000-executor shuffle.
+    Per-(brand, part) revenue is one partial+final hash aggregate; the
+    rank and the share ride the SAME brand-keyed exchange (window +
+    final agg co-partitioned). The part dim broadcasts; ranks pin a
+    p_partkey tie-break so top-3 membership is deterministic."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("r")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.sum("r").alias("rev"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("p_brand").orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    )
+    return (
+        rev.withColumn("rnk", rnk)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum(F.when(F.col("rnk") <= 3, F.col("rev")).otherwise(0.0))
+                / F.sum("rev"),
+                6,
+            ).alias("top3_share"),
+        )
+        .orderBy("p_brand")
+    )

@@ -1497,3 +1497,66 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents),
+    m AS (
+      SELECT doc_id, n_tokens,
+             (n_tokens BETWEEN 20 AND 1000) AS r_len,
+             (len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) >= 1)
+               AS r_stop,
+             (len(list_filter(toks, x -> len(x) <= 2)) * 5 <= n_tokens * 2)
+               AS r_short,
+             ((n_chars // n_tokens) BETWEEN 2 AND 12) AS r_tok_len
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CASE WHEN r_len AND r_stop AND r_short AND r_tok_len
+                THEN 'keep' ELSE 'drop' END AS verdict,
+           concat_ws('|',
+             CASE WHEN NOT r_len THEN 'len' END,
+             CASE WHEN NOT r_stop THEN 'stop' END,
+             CASE WHEN NOT r_short THEN 'short' END,
+             CASE WHEN NOT r_tok_len THEN 'tok_len' END) AS reasons
+    FROM m
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate with an AUDIT TRAIL: every
+    rule (length band, stopword presence, short-token ratio, mean token
+    length band) reports which checks a dropped doc failed, joined as a
+    stable '|' string — the explainability layer a curation pipeline
+    needs to tune thresholds. All features are integer-exact (the ratio
+    threshold is cross-multiplied, never a float divide), so the verdict
+    is bit-identical across engines. Pure map stage, zero shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    n_short = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    tok_len = (F.col("n_chars") / n_tokens).cast("long")
+    r_len = n_tokens.between(20, 1000)
+    r_stop = n_stop >= 1
+    r_short = n_short * 5 <= n_tokens * 2
+    r_tok_len = tok_len.between(2, 12)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.when(r_len & r_stop & r_short & r_tok_len, "keep")
+        .otherwise("drop")
+        .alias("verdict"),
+        F.concat_ws(
+            "|",
+            F.when(~r_len, "len"),
+            F.when(~r_stop, "stop"),
+            F.when(~r_short, "short"),
+            F.when(~r_tok_len, "tok_len"),
+        ).alias("reasons"),
+    )

@@ -706,3 +706,50 @@ def sim_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# Fixed ±1 sign matrix for the random projection — generated once from a
+# pinned seed and inlined as LITERALS on both engines (the same
+# fixed-seed-literal discipline as the LSH hyperplanes), so the
+# projection is deterministic and oracle-checkable.
+import random as _random
+
+_PROJ_DIM = 8
+_PROJ_SIGNS: list[list[float]] = [
+    [float(_random.Random(20240813 * 100 + j * 1000 + i).choice((-1.0, 1.0)))
+     for i in range(_DIM)]
+    for j in range(_PROJ_DIM)
+]
+
+
+def _proj_sql_component(j: int) -> str:
+    lits = "[" + ", ".join(str(v) for v in _PROJ_SIGNS[j]) + "]"
+    return (
+        f"round({_SQL_DOT.format(a='embedding', b=lits)} / sqrt({_PROJ_DIM}), 6)"
+        f" AS p{j}"
+    )
+
+
+@query(
+    "sim_random_projection",
+    oracle=(
+        "SELECT vec_id, "
+        + ", ".join(_proj_sql_component(j) for j in range(_PROJ_DIM))
+        + " FROM embeddings"
+    ),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketching: project every 64-dim embedding
+    onto 8 fixed ±1 random directions (scaled 1/√k) — the dimensionality
+    reduction that shrinks ANN candidate filtering and distance sketches
+    8× while approximately preserving pairwise distances. The sign
+    matrix is a constant literal (seeded, engine-independent), so this
+    is a pure row-local map — zero shuffle, zero state — and, unlike
+    seed-dependent LSH, exactly reproducible by the SQL oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    cols = [F.col("vec_id")]
+    for j in range(_PROJ_DIM):
+        signs = F.array(*[F.lit(v) for v in _PROJ_SIGNS[j]])
+        comp = dot(F.col("embedding"), signs) / F.lit(float(_PROJ_DIM) ** 0.5)
+        cols.append(F.round(comp, 6).alias(f"p{j}"))
+    return e.select(*cols)
