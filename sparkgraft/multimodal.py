@@ -249,3 +249,67 @@ def mm_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.mapInPandas(
         resize, "doc_id long, modality string, thumb_len long, thumb_md5 string"
     )
+
+
+@query(
+    "mm_chunk_dedup",
+    oracle="""
+    WITH payload AS (
+      -- hex(encode(text)) renders the UTF-8 BYTE stream (2 hex chars per
+      -- byte) — this DuckDB build has no BLOB slicing/md5, so both
+      -- engines digest the lowercase-hex rendering of each byte chunk
+      -- (same carrier as mm_payload_resize).
+      SELECT doc_id, source, lower(hex(encode(text))) AS payload_hex,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    chunks AS (
+      SELECT doc_id, source,
+             md5(substring(payload_hex, (s.off)::INT * 2 + 1, 64)) AS chunk_digest
+      FROM payload,
+           (SELECT unnest(range(0, 8192, 32)) AS off) s
+      WHERE s.off < n_bytes)
+    SELECT source,
+           count(*)::BIGINT AS n_chunks,
+           count(DISTINCT chunk_digest)::BIGINT AS n_distinct_chunks,
+           round(1.0 - count(DISTINCT chunk_digest) * 1.0 / count(*), 6)
+             AS chunk_dup_ratio
+    FROM chunks GROUP BY source ORDER BY source
+    """,
+)
+def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable chunk-level dedup over binary payloads — the
+    storage-efficiency audit for multimodal blobs: slice every payload
+    into fixed 32-byte chunks, digest each, and measure how much of
+    each source's byte volume is redundant at chunk granularity (the
+    CDC/CAS shape object stores and dataset caches use). Payload bytes
+    come from encode(text) on BOTH engines (the corpus's stand-in for
+    real media bytes, same carrier as the other mm_* ops); the chunk
+    fan-out is a bounded per-row generator and the digest count is a
+    two-phase distinct — no payload ever crosses a shuffle, only 16-byte
+    digests."""
+    d = load(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    chunks = (
+        d.select("doc_id", "source", payload.alias("payload"))
+        .withColumn(
+            "off",
+            F.explode(F.sequence(F.lit(0), F.length("payload") - 1, F.lit(32))),
+        )
+        .select(
+            "source",
+            F.md5(
+                F.lower(F.hex(F.expr("substring(payload, off + 1, 32)")))
+            ).alias("chunk_digest"),
+        )
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.countDistinct("chunk_digest").alias("n_distinct_chunks"),
+            F.round(
+                1.0 - F.countDistinct("chunk_digest") * F.lit(1.0) / F.count("*"), 6
+            ).alias("chunk_dup_ratio"),
+        )
+        .orderBy("source")
+    )

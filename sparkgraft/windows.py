@@ -467,3 +467,35 @@ def win_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("total_value"),
         )
     )
+
+
+@query(
+    "win_sliding_minmax",
+    oracle="""
+    SELECT user_id, event_id,
+           round(min(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS min_5,
+           round(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+             AS max_5
+    FROM events
+    """,
+)
+def win_sliding_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding min/max over the last 5 events per user — the monotonic-
+    envelope primitive behind spike/drop detection on metric streams.
+    Rows-frame extrema are exact (no float accumulation at all — min and
+    max are selections), one keyed window shuffle, per-partition
+    single-pass evaluation."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.min("value").over(w), 6).alias("min_5"),
+        F.round(F.max("value").over(w), 6).alias("max_5"),
+    )
