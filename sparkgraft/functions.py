@@ -471,3 +471,66 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.radians("value"), 6).alias("rad_v"),
         F.round(F.exp(F.col("value") / F.lit(-100.0)), 6).alias("exp_decay"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::INT AS k,
+           CASE WHEN json_extract(props, '$.k')::INT % 2 = 0 THEN 'even'
+                ELSE 'odd' END AS k_parity
+    FROM events
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse the
+    JSON props column ONCE into the binary variant encoding, then do
+    typed path extraction — the modern engine path that replaces
+    repeated get_json_object string re-parsing (fn_json_extract keeps
+    the classic form for contrast). At scale the parse cost is paid a
+    single time per row however many fields are read. The oracle is
+    DuckDB's native JSON extraction over the same path."""
+    e = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return e.select(
+        "event_id",
+        k.alias("k"),
+        F.when(k % 2 == 0, "even").otherwise("odd").alias("k_parity"),
+    )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+      FROM events GROUP BY user_id)
+    SELECT user_id, n_clicks::BIGINT AS n_clicks,
+           n_purchases::BIGINT AS n_purchases,
+           round(n_purchases * 1.0 / nullif(n_clicks, 0), 6) AS conv_rate
+    FROM per_user
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (ANSI-mode ETL defense): conversion rate
+    per user computed with try_divide, which yields NULL for the
+    zero-click users instead of failing the job under ANSI SQL mode —
+    the behavior a 100 TB batch needs when one bad row must not kill
+    the stage. The oracle expresses the identical semantics portably
+    via nullif. One hash aggregate; the division is row-local."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_clicks",
+        "n_purchases",
+        F.round(
+            F.try_divide(F.col("n_purchases") * F.lit(1.0), F.col("n_clicks")), 6
+        ).alias("conv_rate"),
+    )
