@@ -1560,3 +1560,55 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~r_tok_len, "tok_len"),
         ).alias("reasons"),
     )
+
+
+@query(
+    "text_keyword_extraction",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+    r AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, token, tfidf, rnk::BIGINT AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: the top-3 TF-IDF terms per document — the
+    per-doc tag set used for topic routing and index summaries. Same
+    plan skeleton as text_tfidf (one corpus shuffle for tf, a
+    vocabulary-sized df table broadcast back), plus one doc-keyed
+    window for the rank. Ranking is on the ROUNDED score with a token
+    tie-break on both engines, so top-3 membership never depends on
+    last-ulp libm differences."""
+    from pyspark.sql import Window
+
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()  # one scalar, driver-side
+    scored = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    )
+    return (
+        scored.withColumn("rnk", rnk.cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tfidf", "rnk")
+    )
