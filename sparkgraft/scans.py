@@ -401,3 +401,44 @@ def scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_keys"),
         )
     )
+
+
+@query(
+    "scan_dpp_join",
+    oracle="""
+    SELECT o_orderpriority, count(*)::BIGINT AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE substr(o_orderpriority, 1, 1) IN ('1', '2')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — THE scan optimization that makes
+    star joins viable on a partitioned 100 TB fact table: the fact side
+    is written Hive-partitioned on the join key, the dim side carries a
+    filter Catalyst cannot fold statically (a distinct over a filtered
+    scan), and at runtime Spark turns the dim's build-side values into
+    a partition filter on the fact scan (visible as
+    ``dynamicpruningexpression`` in the plan, asserted in
+    tests/test_plans.py) — so only the matching partition directories
+    are read at all. The oracle is the equivalent static filter."""
+    out = _scratch(sf_dir, "orders_by_prio")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        o.filter(F.substring("o_orderpriority", 1, 1).isin("1", "2"))
+        .select("o_orderpriority")
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderpriority")
+    )

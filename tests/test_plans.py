@@ -275,3 +275,11 @@ def test_session_stats_reuses_user_partitioning(spark):
     )
     assert "SinglePartition" not in plan
     assert n_exchanges <= 1, plan
+
+
+def test_dpp_join_prunes_partitions(spark):
+    # The dim's runtime values must reach the partitioned fact scan as a
+    # dynamic partition filter — the star-join lever at 100 TB.
+    df = sparkgraft.QUERIES["scan_dpp_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower()
