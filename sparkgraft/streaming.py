@@ -378,7 +378,9 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet directory (the production path for arbitrary sinks), then the
     written data is read back and summarized — proving the sink saw every
     row exactly once."""
-    out = _staging_root(sf_dir, "foreach-out")
+    # pid token: concurrent preflight/test runs on the same sf_dir must
+    # not rmtree each other's sink output (same fix as scans._scratch).
+    out = _staging_root(sf_dir, f"foreach-out-pid{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
@@ -534,4 +536,73 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", rnk.cast("long"))
         .filter(F.col("rnk") <= 2)
         .select("window_start", "event_type", "n", "rnk")
+    )
+
+
+@query(
+    "stream_cdc_merge",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, event_type, event_id AS last_event_id,
+           epoch_us(ts)::BIGINT AS last_ts_us, value AS last_value
+    FROM r WHERE rn = 1
+    """,
+)
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization: maintain a compacted latest-record-
+    per-key store while the change stream plays — the foreachBatch MERGE
+    pattern every incremental lakehouse pipeline runs. The events replay
+    as THREE ordered micro-batches (split staging, maxFilesPerTrigger=1);
+    each batch is first compacted within itself, then merged against the
+    current store by the same (ts, event_id) total order, and written as
+    a new store version (versioned dirs stand in for a table format's
+    transaction log). Because latest-by-total-order is associative, the
+    final store equals the batch answer REGARDLESS of how the stream was
+    batched — that idempotent-merge property is what makes the pattern
+    exactly-once under retries. Oracle: the batch CDC compaction
+    (dedup_cdc_latest's SQL)."""
+    from pyspark.sql import Window
+
+    base = _staging_root(sf_dir, f"cdc-state-pid{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    version = {"n": 0}
+
+    cols = ["user_id", "event_type", "event_id", "ts", "value"]
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        return (
+            df.select(*cols)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        compacted = latest_per_key(batch_df)
+        if version["n"] > 0:
+            cur = spark.read.parquet(os.path.join(base, f"v{version['n']}"))
+            compacted = latest_per_key(cur.unionByName(compacted))
+        version["n"] += 1
+        compacted.write.mode("overwrite").parquet(
+            os.path.join(base, f"v{version['n']}")
+        )
+
+    src = _events_stream(spark, _stage_events_split(sf_dir), max_files=1)
+    q = src.writeStream.foreachBatch(merge_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return spark.read.parquet(os.path.join(base, f"v{version['n']}")).select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("value").alias("last_value"),
     )
