@@ -1065,3 +1065,35 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "agg_daily_seasonality",
+    oracle="""
+    SELECT (dayofweek(ts) + 1)::INT AS dow,
+           hour(ts)::INT AS hod,
+           count(*)::BIGINT AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY dow, hod
+    ORDER BY dow, hod
+    """,
+)
+def agg_daily_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-seasonality profile: event volume and mean value by
+    (day-of-week × hour-of-day) — the 7×24 heat-map behind capacity
+    planning and anomaly baselines. One hash aggregate onto a bounded
+    168-cell key space (partials collapse to ≤168 rows per task at any
+    scale). Dialect trap pinned in the oracle: Spark's dayofweek is
+    1=Sunday..7, DuckDB's is 0=Sunday..6, so the oracle adds 1."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hod")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("dow", "hod")
+    )

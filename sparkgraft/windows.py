@@ -499,3 +499,56 @@ def win_sliding_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value").over(w), 6).alias("min_5"),
         F.round(F.max("value").over(w), 6).alias("max_5"),
     )
+
+
+@query(
+    "win_zscore_anomaly",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sigma,
+             count(*) OVER (PARTITION BY user_id) AS n_user
+      FROM events)
+    SELECT event_id, user_id,
+           round((value - mu) / sigma, 4) AS zscore,
+           (abs(value - mu) > 3 * sigma) AS is_anomaly
+    FROM stats
+    WHERE n_user >= 2 AND sigma > 0
+    """,
+)
+def win_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly flags — the metric-outlier screen run
+    before events feed a model. Population mean/stddev come from ONE
+    unordered keyed window (whole-partition frame: computed once per
+    user, no sort needed), the z and the 3σ flag are row-local. The
+    anomaly PREDICATE compares |value−µ| against 3σ directly — never
+    the rounded z — so the boolean is identical on both engines even
+    when a z sits on the rounding boundary. Degenerate users (single
+    event or zero variance) are excluded on both sides."""
+    w = Window.partitionBy("user_id")
+    mu = F.avg("value").over(w)
+    sigma = F.stddev_pop("value").over(w)
+    n_user = F.count("*").over(w)
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            mu.alias("mu"),
+            sigma.alias("sigma"),
+            n_user.alias("n_user"),
+        )
+        .filter((F.col("n_user") >= 2) & (F.col("sigma") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
+                "zscore"
+            ),
+            (
+                F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")
+            ).alias("is_anomaly"),
+        )
+    )
