@@ -1612,3 +1612,51 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tfidf", "rnk")
     )
+
+
+@query(
+    "text_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             md5(lower(trim(text))) AS digest,
+             string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents),
+    blocked AS (
+      SELECT DISTINCT digest FROM t
+      WHERE NOT (n_tokens BETWEEN 20 AND 1000
+                 AND len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) >= 1))
+    SELECT t.source, count(*)::BIGINT AS n_kept
+    FROM t
+    WHERE t.digest NOT IN (SELECT digest FROM blocked)
+    GROUP BY t.source ORDER BY t.source
+    """,
+)
+def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deny-list filtering — the moderation step every training corpus
+    runs: a bounded blocklist of content DIGESTS (here derived from the
+    quality gate; in production, known-bad hashes) is broadcast and the
+    corpus is swept with a broadcast LEFT ANTI join on the digest. The
+    blocklist is digests, not documents — a few MB for millions of
+    entries — so the anti join is map-side at any corpus size; content
+    matching is by normalized hash, which also catches exact copies of
+    a blocked document under different ids."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.lower(F.trim("text"))).alias("digest"),
+        (n_tokens.between(20, 1000) & (n_stop >= 1)).alias("ok"),
+    )
+    blocked = scored.filter(~F.col("ok")).select("digest").distinct()
+    return (
+        scored.join(F.broadcast(blocked), "digest", "left_anti")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )
