@@ -18,6 +18,8 @@ spills via Arrow chunking.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -169,3 +171,38 @@ def udtf_explode_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents d, LATERAL sg_split_tokens(d.text) t
         """
     )
+
+
+@query(
+    "udf_scalar_iter",
+    oracle="""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-( (n_chars - 250.0) / 100.0 ))), 6)
+             AS model_score
+    FROM documents
+    """,
+)
+def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-batches pandas UDF — THE inference-UDF pattern for
+    scoring 100 TB with an expensive model: the function body runs ONCE
+    per partition, so model load / tokenizer init / session setup is
+    amortized across every Arrow batch that partition streams, instead
+    of being paid per batch (scalar UDF) or per row (classic UDF). The
+    'model' here is a deterministic logistic on n_chars so the oracle
+    can mirror it exactly; in production the np.exp line is where the
+    real forward pass goes — the Spark-side contract (init placement,
+    batch iteration, Arrow transfer) is identical."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def model_score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # Expensive one-time init would go HERE (runs once per partition,
+        # not per batch): load weights, build the tokenizer, open a
+        # session. The constants stand in for loaded weights.
+        mu, scale = 250.0, 100.0
+        for n_chars in batches:
+            z = (n_chars.astype("float64") - mu) / scale
+            yield (1.0 / (1.0 + np.exp(-z))).round(6)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", model_score("n_chars").alias("model_score"))
