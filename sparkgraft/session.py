@@ -15,6 +15,11 @@ import os
 from pyspark.sql import SparkSession
 
 _DEFAULTS = {
+    # Local-mode driver heap: the driver JVM IS the executor in local[N],
+    # and Spark's 1g default starves 32 task threads (MemoryStore cache
+    # evictions, OOM under cached iterative queries at sf0.1). 8g is
+    # still <7% of this box; on a cluster executor sizing replaces this.
+    "spark.driver.memory": "8g",
     # Shuffle sizing: ~cores locally; AQE coalesces down at tiny SFs and
     # splits skewed partitions at huge ones, so this is a ceiling not a law.
     "spark.sql.shuffle.partitions": "32",
