@@ -1097,3 +1097,40 @@ def agg_daily_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, CAST(extract(hour FROM ts) AS DOUBLE)) AS BIGINT)
+             AS n,
+           round(regr_slope(value, CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+             AS slope,
+           round(regr_intercept(value, CAST(extract(hour FROM ts) AS DOUBLE)), 6)
+             AS intercept,
+           round(regr_r2(value, CAST(extract(hour FROM ts) AS DOUBLE)), 6) AS r2
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (value vs hour-of-day) with the SQL-standard
+    regr_* aggregate family — the trend-per-segment query behind every
+    metrics dashboard. All four statistics decompose into the same five
+    running moments (n, Σx, Σy, Σxy, Σx²), so Spark computes them in ONE
+    partial+final hash aggregate pass — no second scan, no window, no
+    collect. Rounded at 6dp where the two engines' moment accumulation
+    order can differ in the last ulp."""
+    x = F.hour("ts").cast("double")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.regr_count("value", x).cast("long").alias("n"),
+            F.round(F.regr_slope("value", x), 6).alias("slope"),
+            F.round(F.regr_intercept("value", x), 6).alias("intercept"),
+            F.round(F.regr_r2("value", x), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )

@@ -94,3 +94,30 @@ def sql_entry_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path stays one scan + one hash aggregate + a broadcast-sized join."""
     register_tables(spark, sf_dir, ["events"])
     return spark.sql(_SPINE_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n
+CROSS JOIN LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@query("sql_entry_lateral_topk", oracle=_LATERAL_SQL)
+def sql_entry_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery entry: top-2 customers per nation as a
+    per-row dependent subquery — the third SQL parser surface (after CTE+
+    window and recursive CTE) in ONE dialect-portable text that is its own
+    oracle. Catalyst decorrelates the lateral into a ranked join (the
+    rewrite DomainJoin → window-filter), so despite the row-at-a-time
+    surface syntax, the physical plan is the same one shuffle + local
+    rank as `win_row_number_topn` — nothing executes per-outer-row."""
+    register_tables(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(_LATERAL_SQL)

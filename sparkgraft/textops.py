@@ -1660,3 +1660,124 @@ def text_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_kept"))
         .orderBy("source")
     )
+
+
+@query(
+    "text_sentence_split",
+    oracle=r"""
+    WITH sent AS (
+      SELECT doc_id, trim(unnest(regexp_split_to_array(text, '[.!?]+'))) AS s
+      FROM documents)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           round(avg(length(s)), 4) AS avg_sentence_chars,
+           CAST(max(length(s)) AS BIGINT) AS max_sentence_chars
+    FROM sent WHERE length(s) > 0
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document — the pre-chunking pass a
+    RAG/packing pipeline runs before deciding split points. Terminal
+    punctuation ([.!?]+) splits map-side (explode is pipelined, never
+    materialized), empty fragments from trailing punctuation are dropped,
+    and ONE hash aggregate keyed on doc_id computes count/avg/max sentence
+    length. Both engines split with the same regex class and measure
+    trimmed character lengths, so the stats hash-match exactly."""
+    d = load(spark, sf_dir, "documents")
+    sent = d.select(
+        "doc_id", F.explode(F.split("text", r"[.!?]+")).alias("s")
+    ).select("doc_id", F.trim("s").alias("s")).filter(F.length("s") > 0)
+    return (
+        sent.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.round(F.avg(F.length("s")), 4).alias("avg_sentence_chars"),
+            F.max(F.length("s")).cast("long").alias("max_sentence_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# GPT-2-style pretokenizer classes: letter runs, digit runs, and
+# punctuation runs; whitespace is the implicit separator. The same RE2-
+# compatible pattern text compiles identically under Java regex (Spark)
+# and RE2 (DuckDB) — plain character classes only, no lookaround.
+_PRETOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "text_bpe_pretokenize",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT lower(unnest(regexp_extract_all(text, '{_PRETOKEN_RE}'))) AS pretoken
+      FROM documents)
+    SELECT pretoken, count(*) AS cnt
+    FROM tok GROUP BY pretoken
+    ORDER BY cnt DESC, pretoken LIMIT 100
+    """,
+)
+def text_bpe_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenization census: split text into letter / digit /
+    punctuation runs (the pre-merge alphabet every BPE/WordPiece trainer
+    starts from) and count the top-100 pretokens. regexp_extract_all runs
+    map-side inside codegen, explode pipelines into a partial+final hash
+    aggregate, and the top-100 is a TakeOrdered — no full sort. This is
+    the vocabulary-frequency pass of a tokenizer-training job, expressed
+    as one scan + one aggregate."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)
+        ).alias("pretoken")
+    ).select(F.lower("pretoken").alias("pretoken"))
+    return (
+        toks.groupBy("pretoken")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pretoken")
+        .limit(100)
+    )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT token, count(*) AS cnt
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+      WHERE token <> ''
+      GROUP BY token),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM freq)
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(cnt), ln(rnk)), 4) AS zipf_slope,
+           round(regr_r2(ln(cnt), ln(rnk)), 4) AS r2
+    FROM ranked WHERE rnk <= 500
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of log(freq)
+    vs log(rank) for the top-500 terms — a one-number language-health
+    check (natural text sits near −1; boilerplate or spam skews it).
+    The frequency table is a hash aggregate; ranking the top 500 is a
+    TakeOrdered-sized cut (the window runs over ≤500 survivors after a
+    limit, not the full vocabulary); the regression is Spark's built-in
+    regr_slope/regr_r2 — partial+final, single reduce row out."""
+    from pyspark.sql import Window
+
+    freq = (
+        _tokens(spark, sf_dir)
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = freq.orderBy(F.desc("cnt"), "token").limit(500)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("cnt"), "token"))
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("cnt"), F.log("rnk")), 4).alias("r2"),
+    )

@@ -753,3 +753,79 @@ def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp = dot(F.col("embedding"), signs) / F.lit(float(_PROJ_DIM) ** 0.5)
         cols.append(F.round(comp, 6).alias(f"p{j}"))
     return e.select(*cols)
+
+
+# Matryoshka prefix width: retrieval over the first _MRL_DIM of _DIM
+# components. A constant of the engine (like _KNN_QUERIES), not a corpus
+# parameter.
+_MRL_DIM = 16
+
+
+@query(
+    "sim_matryoshka_overlap",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id < {_KNN_QUERIES}),
+    full_knn AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round({_sql_cosine('q.qvec', 'e.embedding')}, 6) DESC,
+                 e.vec_id) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid) t
+      WHERE rnk <= {_KNN_K}),
+    pfx_knn AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 round({_sql_cosine(f'q.qvec[1:{_MRL_DIM}]', f'e.embedding[1:{_MRL_DIM}]')}, 6) DESC,
+                 e.vec_id) AS rnk
+        FROM q JOIN embeddings e ON e.vec_id <> q.qid) t
+      WHERE rnk <= {_KNN_K})
+    SELECT f.qid, CAST(count(p.vec_id) AS BIGINT) AS overlap
+    FROM full_knn f
+    LEFT JOIN pfx_knn p ON f.qid = p.qid AND f.vec_id = p.vec_id
+    GROUP BY f.qid ORDER BY f.qid
+    """,
+)
+def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-retrieval audit: for each fixed query, how many of the
+    exact top-k neighbors survive when cosine is computed over only the
+    first 16 of 64 embedding components (the MRL trick: truncated
+    prefixes of a matryoshka-trained embedding are themselves usable, at
+    1/4 the memory and flops). Both rankings share one broadcast of
+    the constant query set; each is the two-phase top-k (`_topk_per_query`
+    — no per-query funneling), and the overlap is a tiny (q·k)-row join.
+    The per-query overlap count is the go/no-go statistic for shipping
+    truncated vectors to the ANN tier."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    full_scored = joined.select(
+        "qid",
+        "vec_id",
+        F.round(cosine(F.col("qvec"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    pfx_scored = joined.select(
+        "qid",
+        "vec_id",
+        F.round(
+            cosine(
+                F.slice(F.col("qvec"), 1, _MRL_DIM),
+                F.slice(F.col("embedding"), 1, _MRL_DIM),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    full_knn = _topk_per_query(full_scored, _KNN_K).select("qid", "vec_id")
+    pfx_knn = _topk_per_query(pfx_scored, _KNN_K).select(
+        "qid", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        full_knn.join(pfx_knn, ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").cast("long").alias("overlap"))
+        .orderBy("qid")
+    )

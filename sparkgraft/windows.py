@@ -552,3 +552,109 @@ def win_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "win_ewma",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+             lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+             lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+             lag(value, 7) OVER w AS l7
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id, value,
+           round((value
+                  + 0.5 * COALESCE(l1, 0) + 0.25 * COALESCE(l2, 0)
+                  + 0.125 * COALESCE(l3, 0) + 0.0625 * COALESCE(l4, 0)
+                  + 0.03125 * COALESCE(l5, 0) + 0.015625 * COALESCE(l6, 0)
+                  + 0.0078125 * COALESCE(l7, 0))
+                 /
+                 (1.0
+                  + 0.5 * (CASE WHEN l1 IS NULL THEN 0 ELSE 1 END)
+                  + 0.25 * (CASE WHEN l2 IS NULL THEN 0 ELSE 1 END)
+                  + 0.125 * (CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)
+                  + 0.0625 * (CASE WHEN l4 IS NULL THEN 0 ELSE 1 END)
+                  + 0.03125 * (CASE WHEN l5 IS NULL THEN 0 ELSE 1 END)
+                  + 0.015625 * (CASE WHEN l6 IS NULL THEN 0 ELSE 1 END)
+                  + 0.0078125 * (CASE WHEN l7 IS NULL THEN 0 ELSE 1 END)),
+                 6) AS ewma_8
+    FROM lagged
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.5) over each user's last
+    8 events — the smoothing pass behind metric dashboards and drift
+    monitors. True EWMA is a recursion Spark can't vectorize, so this is
+    the standard bounded-horizon expansion: 8 explicit lag() terms with
+    geometric weights 0.5^k, renormalized over the lags that exist at the
+    head of each series. All terms come from ONE ordered keyed window (one
+    shuffle on user_id, local sort), the weighted sum is row-local
+    whole-stage-codegen arithmetic written in the identical left-to-right
+    IEEE order as the oracle. The dropped tail weight is 0.5^8 ≈ 0.4 % —
+    the usual dashboard tolerance."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(1, 8)]
+    weights = [0.5 ** k for k in range(1, 8)]
+    num = F.col("value")
+    den = F.lit(1.0)
+    for lk, wk in zip(lags, weights):
+        num = num + F.lit(wk) * F.coalesce(lk, F.lit(0.0))
+        den = den + F.lit(wk) * F.when(lk.isNull(), F.lit(0.0)).otherwise(F.lit(1.0))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(num / den, 6).alias("ewma_8"),
+    )
+
+
+@query(
+    "win_cumulative_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id),
+    new_by_day AS (
+      SELECT day, count(*) AS new_users FROM firsts GROUP BY day),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT CAST(d.day AS VARCHAR(10)) AS day, d.dau,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(COALESCE(n.new_users, 0)) OVER (
+             ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily d LEFT JOIN new_by_day n ON d.day = n.day
+    ORDER BY d.day
+    """,
+)
+def win_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query. A naive
+    running COUNT(DISTINCT) over an expanding frame re-scans every prefix
+    (O(days·N)); the scalable identity is first-seen attribution: each
+    user contributes to exactly one day (their min day), so the cumulative
+    distinct count is a running SUM of per-day first-timer counts. Two
+    hash aggregates keyed on high-cardinality columns do the heavy
+    lifting; the final window orders DAYS — calendar-bounded cardinality,
+    immune to corpus growth — so its single-task frame is safe at 100 TB."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_by_day = firsts.groupBy("day").agg(F.count("*").alias("new_users"))
+    daily = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cum_users", F.sum("new_users").over(w))
+        .orderBy("day")
+        .withColumn("day", F.col("day").cast("string"))
+    )
