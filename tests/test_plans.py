@@ -283,3 +283,44 @@ def test_dpp_join_prunes_partitions(spark):
     df = sparkgraft.QUERIES["scan_dpp_join"](spark, SF_DIR)
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower()
+
+
+def test_lateral_topk_decorrelates_to_ranked_join(spark):
+    # Catalyst must rewrite the correlated LATERAL into a window-ranked
+    # join — never a per-outer-row nested loop or cartesian product.
+    df = sparkgraft.QUERIES["sql_entry_lateral_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_ewma_single_keyed_window(spark):
+    # All 8 lag taps share ONE user-keyed ordered window: one exchange,
+    # no single-partition frame, arithmetic stays in codegen.
+    df = sparkgraft.QUERIES["win_ewma"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    n_exchanges = len(
+        {ln.split()[-1] for ln in plan.splitlines() if ln.strip().startswith("Exchange")}
+    )
+    assert n_exchanges <= 1, plan
+
+
+def test_cumulative_users_no_expanding_distinct(spark):
+    # The growth curve must be first-seen attribution (two hash aggs +
+    # a days-bounded window) — never a COUNT(DISTINCT) over an expanding
+    # frame, which re-buffers every prefix per row.
+    df = sparkgraft.QUERIES["win_cumulative_users"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "HashAggregate" in plan
+    # the only window runs over the per-day aggregate, after both aggs
+    assert plan.count("Expand") == 0
+
+
+def test_pretokenize_is_takeordered(spark):
+    # Top-100 pretokens must plan as TakeOrderedAndProject over the
+    # aggregate — no global sort of the full vocabulary.
+    df = sparkgraft.QUERIES["text_bpe_pretokenize"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
