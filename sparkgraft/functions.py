@@ -534,3 +534,36 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("n_purchases") * F.lit(1.0), F.col("n_clicks")), 6
         ).alias("conv_rate"),
     )
+
+
+@query(
+    "fn_split_posexplode",
+    oracle="""
+    SELECT p_partkey,
+           CAST(generate_subscripts(string_split(p_name, ' '), 1) AS BIGINT)
+             AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    ORDER BY p_partkey, pos
+    """,
+)
+def fn_split_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-preserving tokenization: split + posexplode keeps each
+    word's 1-based position — the structure chunkers and sequence
+    labelers need that a bare explode throws away. posexplode is
+    map-side generate (pipelined, never materialized); the ordinal is
+    aligned to DuckDB's 1-based generate_subscripts by the +1 in the
+    projection."""
+    return (
+        load(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.posexplode(F.split("p_name", " ")).alias("pos", "word"),
+        )
+        .select(
+            "p_partkey",
+            (F.col("pos") + 1).cast("long").alias("pos"),
+            "word",
+        )
+        .orderBy("p_partkey", "pos")
+    )

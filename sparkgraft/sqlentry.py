@@ -121,3 +121,29 @@ def sql_entry_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank as `win_row_number_topn` — nothing executes per-outer-row."""
     register_tables(spark, sf_dir, ["customer", "nation"])
     return spark.sql(_LATERAL_SQL)
+
+
+_PIVOT_SQL = """
+SELECT prio,
+       round(O, 2) AS total_open,
+       round(F, 2) AS total_filled,
+       round(P, 2) AS total_pending
+FROM (SELECT o_orderpriority AS prio, o_orderstatus AS st, o_totalprice AS v
+      FROM orders)
+PIVOT (sum(v) FOR st IN ('O', 'F', 'P'))
+ORDER BY prio
+"""
+
+
+@query("sql_entry_pivot_sql", oracle=_PIVOT_SQL)
+def sql_entry_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard PIVOT clause entry (the fourth parser surface):
+    revenue by priority × order status as ONE dialect-portable text that
+    is its own oracle — the aggregate stays pure inside the PIVOT (both
+    engines require it) and the rounding happens in the outer projection
+    over the pivoted columns. Spark plans this as the same single
+    two-phase pivot aggregate as the DataFrame `agg_pivot` twin — the
+    IN-list makes the output schema static, so no distinct-values job
+    runs first."""
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(_PIVOT_SQL)

@@ -1781,3 +1781,95 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("cnt"), F.log("rnk")), 4).alias("r2"),
     )
+
+
+@query(
+    "text_doc_cooccurrence",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) t
+      WHERE token <> ''),
+    vocab AS (
+      SELECT token, count(*) AS df FROM tok GROUP BY token
+      ORDER BY df DESC, token LIMIT 50),
+    dt AS (
+      SELECT t.doc_id, t.token, v.df
+      FROM tok t JOIN vocab v ON t.token = v.token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             a.df AS df_a, b.df AS df_b, count(*) AS pair_docs
+      FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2, 3, 4)
+    SELECT tok_a, tok_b, CAST(pair_docs AS BIGINT) AS pair_docs,
+           round(ln(CAST(pair_docs AS DOUBLE) * n_docs / (df_a * df_b)), 6)
+             AS pmi
+    FROM pairs, n
+    ORDER BY pmi DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+)
+def text_doc_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information over top-vocab term pairs — the
+    collocation / topic-signal pass of corpus analysis. The vocabulary is
+    CAPPED (top-50 by document frequency), so the pair space is a fixed
+    ≤1225 keys regardless of corpus size: the per-doc self-join fans out
+    at most vocab² rows per document and aggregates onto the bounded key
+    set with map-side combine. The vocab table broadcasts (bounded
+    constant); the only big shuffles are the two hash aggregates keyed on
+    token and doc_id. The corpus size joins in as a broadcast 1-row
+    aggregate — no collect. PMI is ordered by its ROUNDED value with the
+    pair as tie-break, so libm-vs-Java last-ulp log noise can't reorder
+    the cut."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(50)
+    )
+    dt = tok.join(F.broadcast(vocab), "token").select("doc_id", "token", "df")
+    n = d.agg(F.count("*").alias("n_docs"))
+    a = dt.alias("a")
+    b = dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("tok_a"),
+            F.col("b.token").alias("tok_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("pair_docs"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("pair_docs").cast("long").alias("pair_docs"),
+            F.round(
+                F.log(
+                    F.col("pair_docs").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "tok_a", "tok_b")
+        .limit(100)
+    )
