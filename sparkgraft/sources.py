@@ -181,3 +181,118 @@ def agg_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ),
     )
+
+
+def _roundtrip_sink():
+    """Build the custom Python DataSource WRITE path (Spark 4
+    `DataSource.writer`): each task serializes its partition to one text
+    part-file and returns a WriterCommitMessage carrying (path, rows);
+    the driver-side commit() writes a _SUCCESS manifest with the total
+    row count only after every task has reported — the same all-or-
+    nothing contract as Hadoop's FileOutputCommitter. abort() removes
+    the partials, so a failed job can't leave a readable half-write."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class PartMessage(WriterCommitMessage):
+        def __init__(self, path: str, n: int) -> None:
+            self.path = path
+            self.n = n
+
+    class RoundtripWriter(DataSourceWriter):
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+
+        def write(self, rows):
+            import os
+            import uuid
+
+            part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.txt")
+            n = 0
+            with open(part, "w") as f:
+                for r in rows:
+                    f.write(f"{r[0]},{r[1]:.17g}\n")
+                    n += 1
+            return PartMessage(part, n)
+
+        def commit(self, messages) -> None:
+            import os
+
+            total = sum(m.n for m in messages)
+            with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+                f.write(str(total))
+
+        def abort(self, messages) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class RoundtripSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sg_roundtrip_sink"
+
+        def writer(self, schema, overwrite):
+            return RoundtripWriter(self.options)
+
+    return RoundtripSink
+
+
+@query(
+    "sink_python_datasource",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS manifest_rows,
+           round(sum(value), 2) AS total_value
+    FROM events
+    """,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom WRITE connector via the Spark 4 Python DataSource writer —
+    the executor-side write / driver-side commit protocol that backs
+    every exactly-once file sink. events (event_id, value) stream through
+    per-task part-files (%.17g renders doubles round-trip-exact), the
+    commit manifest records the acknowledged total, and the query re-reads
+    the part-files and aggregates — proving the sink saw every row exactly
+    once: n_rows (read back) must equal manifest_rows (acked at commit),
+    and both must equal the source count the oracle states. Per-pid
+    scratch dir — concurrent runs on the same sf_dir can't cross-read."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-pysink-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    spark.dataSource.register(_roundtrip_sink())
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .write.format("sg_roundtrip_sink")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        manifest_rows = int(f.read())
+    parsed = (
+        spark.read.text(os.path.join(out, "part-*.txt"))
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("event_id"),
+            F.col("p")[1].cast("double").alias("value"),
+        )
+    )
+    return parsed.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.lit(manifest_rows).cast("long").alias("manifest_rows"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -606,3 +606,118 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("last_ts_us"),
         F.col("value").alias("last_value"),
     )
+
+
+@query(
+    "stream_transform_state",
+    oracle="""
+    select user_id, count(*) as n_events,
+           min(value) as vmin, max(value) as vmax
+    from events group by user_id
+    """,
+)
+def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful processing via Spark 4's transformWithState API
+    (the typed successor to applyInPandasWithState): a StatefulProcessor
+    carries per-user (n, min, max) in a ValueState cell across
+    micro-batches and emits the updated summary per key per batch. The
+    state layout is an explicit named cell on the processor handle —
+    checkpointable, TTL-capable, and migratable, which is what makes this
+    the production pattern for unbounded per-key folds.
+
+    ENVIRONMENT GATE (same policy as multimodal.decode_media's PIL probe):
+    the transformWithState worker protocol needs ``google.protobuf`` on
+    the Python workers, which this container does not ship, so the probe
+    below routes to an applyInPandasWithState fold with IDENTICAL
+    semantics and output schema. Where protobuf exists the typed TWS path
+    runs (and needs the RocksDB state store provider, set lazily here —
+    harmless for batch)."""
+    import pandas as pd
+
+    try:  # worker-protocol dependency probe — not a behavior switch
+        from google.protobuf import descriptor  # noqa: F401
+
+        _has_protobuf = True
+    except ImportError:
+        _has_protobuf = False
+
+    src = _events_stream(spark, _stage_events(sf_dir))
+    out_schema = "user_id long, n_events long, vmin double, vmax double"
+
+    if not _has_protobuf:
+        from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+        def fold(key, pdfs, state: GroupState):
+            n, vmin, vmax = state.get if state.exists else (0, None, None)
+            for pdf in pdfs:
+                n += len(pdf)
+                m, mx = float(pdf["value"].min()), float(pdf["value"].max())
+                vmin = m if vmin is None else min(vmin, m)
+                vmax = mx if vmax is None else max(vmax, mx)
+            state.update((n, vmin, vmax))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "vmin": [vmin], "vmax": [vmax]}
+            )
+
+        folded = (
+            src.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fold,
+                out_schema,
+                "n long, vmin double, vmax double",
+                "update",
+                GroupStateTimeout.NoTimeout,
+            )
+        )
+        return _run_to_table(folded, "tws", "update")
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class MinMaxCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n long, vmin double, vmax double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, vmin, vmax = (
+                self._agg.get() if self._agg.exists() else (0, None, None)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                m, mx = float(pdf["value"].min()), float(pdf["value"].max())
+                vmin = m if vmin is None else min(vmin, m)
+                vmax = mx if vmax is None else max(vmax, mx)
+            self._agg.update((n, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = (
+        src.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=MinMaxCount(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+    return _run_to_table(out, "tws", "update")

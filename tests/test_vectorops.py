@@ -72,3 +72,14 @@ def test_mm_join_covers_all_docs(spark):
         .collect()[0][0]
     )
     assert total == load(spark, SF_DIR_MID, "documents").count()
+
+
+def test_matryoshka_overlap_bounds_and_signal(spark):
+    # Overlap must be a count in [0, k]; and a 16/64 prefix of a real
+    # embedding space must preserve MORE than chance-level neighborhood
+    # structure on average (chance ≈ k²/N ≪ 1 of 5).
+    rows = sparkgraft.QUERIES["sim_matryoshka_overlap"](spark, SF_DIR_MID).collect()
+    assert len(rows) == 100
+    assert all(0 <= r.overlap <= 5 for r in rows)
+    mean = sum(r.overlap for r in rows) / len(rows)
+    assert mean >= 0.5, f"prefix retrieval carries no signal (mean={mean})"
