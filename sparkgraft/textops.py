@@ -1873,3 +1873,57 @@ def text_doc_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "tok_a", "tok_b")
         .limit(100)
     )
+
+
+# Markup-stripping rules, applied in order. Plain ERE — compiles
+# identically under Java regex (Spark) and RE2 (DuckDB): no lookaround,
+# no backreferences.
+_STRIP_RULES = [
+    (r"<[^>]*>", " "),          # tags
+    (r"&[a-zA-Z]+;", " "),      # named entities
+    (r"&#[0-9]+;", " "),        # numeric entities
+    (r"\s+", " "),              # collapse runs
+]
+
+
+@query(
+    "text_html_strip",
+    oracle=r"""
+    SELECT doc_id,
+           length(text) AS raw_chars,
+           length(cleaned) AS clean_chars,
+           md5(cleaned) AS clean_digest
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text, '<[^>]*>', ' ', 'g'),
+               '&[a-zA-Z]+;', ' ', 'g'),
+               '&#[0-9]+;', ' ', 'g'),
+               '\s+', ' ', 'g')) AS cleaned
+      FROM documents) t
+    ORDER BY doc_id
+    """,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup removal — the first cleaning pass of every web-scrape
+    pretraining pipeline: drop tags and HTML entities, collapse
+    whitespace, and emit before/after char counts plus a digest of the
+    cleaned text (the digest is what downstream exact-dedup keys on, so
+    it must be bit-stable across engines). A chain of regexp_replace
+    calls runs row-local inside codegen — zero shuffle except the final
+    presentation sort; the rule list is ERE-portable by construction
+    (no lookaround), so both engines rewrite identically."""
+    cleaned = F.col("text")
+    for pat, rep in _STRIP_RULES:
+        cleaned = F.regexp_replace(cleaned, pat, rep)
+    cleaned = F.trim(cleaned)
+    return (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length("text").alias("raw_chars"),
+            F.length(cleaned).alias("clean_chars"),
+            F.md5(cleaned).alias("clean_digest"),
+        )
+        .orderBy("doc_id")
+    )

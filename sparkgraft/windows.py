@@ -658,3 +658,53 @@ def win_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day")
         .withColumn("day", F.col("day").cast("string"))
     )
+
+
+@query(
+    "win_rolling_corr",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, value,
+             lag(value, 1) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_value
+      FROM events)
+    SELECT event_id, user_id,
+           round(corr(value, prev_value) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS autocorr_10
+    FROM lagged
+    WHERE prev_value IS NOT NULL
+    """,
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling lag-1 autocorrelation of each user's metric over a 10-row
+    trailing frame — the drift / regime-change detector run over metric
+    streams. Two ordered keyed windows on the SAME user_id partitioning
+    (Catalyst plans one exchange): lag() materializes the shifted series,
+    then corr() — a five-moment aggregate — runs over the bounded frame,
+    so state per row is O(1) and nothing re-scans. Head rows without a
+    predecessor are excluded on both sides before the frame, keeping the
+    window contents identical."""
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_corr = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value", 1).over(w_lag).alias("prev_value"),
+        )
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.corr("value", "prev_value").over(w_corr), 4).alias(
+                "autocorr_10"
+            ),
+        )
+    )
