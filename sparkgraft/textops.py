@@ -1927,3 +1927,64 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / greatest(n_sentences, 1))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / greatest(n_words, 1)), 4) AS flesch
+    FROM (
+      SELECT doc_id,
+             CAST(length(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS n_sentences,
+             CAST(length(regexp_extract_all(lower(text), '[aeiou]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents) t
+    ORDER BY doc_id
+    """,
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with the standard corpus-scale
+    proxies: words = non-empty space tokens, sentences = terminal-
+    punctuation runs, syllables = vowel groups (the classic cheap
+    approximation — no dictionary, fully deterministic). All three
+    counters are row-local regexp/array expressions in codegen: the
+    whole score is a zero-shuffle map, which is what lets a quality
+    gate apply it to every document of a 100 TB crawl as a scan-time
+    filter. greatest(·,1) guards the degenerate empty-doc divisions
+    identically on both engines."""
+    toks = F.split("text", " ")
+    n_words = F.size(F.filter(toks, lambda x: x != "")).cast("long")
+    n_sentences = F.size(
+        F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)
+    ).cast("long")
+    n_syllables = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiou]+"), 0)
+    ).cast("long")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.greatest("n_sentences", F.lit(1)))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.greatest("n_words", F.lit(1)))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(flesch, 4).alias("flesch"),
+    ).orderBy("doc_id")

@@ -708,3 +708,39 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "win_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase' THEN value END
+                   AS purchase_value
+          FROM events) t
+    """,
+)
+def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last-observation-carried-forward): every event gets
+    the user's most recent purchase amount — the gap-filling pass behind
+    sessionized feature tables and sparse sensor streams. The sparse
+    column is masked row-local, then ONE ordered keyed window with
+    last(ignorenulls) over the expanding frame carries it forward; Spark
+    evaluates the frame incrementally (O(1) state per row), and the raw
+    double is carried unrounded, so both engines emit bit-identical
+    values."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    masked = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.last(masked, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
