@@ -324,3 +324,43 @@ def test_pretokenize_is_takeordered(spark):
     plan = _plan(df)
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_forward_fill_single_keyed_window(spark):
+    # LOCF is ONE user-keyed ordered window over the masked column —
+    # one exchange, never a single-partition frame.
+    df = sparkgraft.QUERIES["win_forward_fill"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+    n_exchanges = len(
+        {ln.split()[-1] for ln in plan.splitlines() if ln.strip().startswith("Exchange")}
+    )
+    assert n_exchanges <= 1, plan
+
+
+def test_readability_is_shuffle_free_map(spark):
+    # The quality gate must be a pure scan-time map: no aggregate, no
+    # join, no window — only the presentation sort exchanges.
+    df = sparkgraft.QUERIES["text_readability_score"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_html_strip_is_shuffle_free_map(spark):
+    df = sparkgraft.QUERIES["text_html_strip"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+
+
+def test_cooccurrence_broadcasts_bounded_tables(spark):
+    # The capped vocab and the 1-row corpus count must broadcast; the
+    # doc_id pair self-join must be a hash join, not a nested loop over
+    # the corpus.
+    df = sparkgraft.QUERIES["text_doc_cooccurrence"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
