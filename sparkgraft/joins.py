@@ -636,3 +636,87 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "join_nearest_event",
+    oracle="""
+    WITH purch AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts,
+             CAST(ts AS DATE) AS pday
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS cts,
+             CAST(ts AS DATE) AS cday
+      FROM events WHERE event_type = 'click'),
+    cand AS (
+      SELECT p.purchase_id, p.user_id, c.click_id,
+             abs(epoch_us(p.pts) - epoch_us(c.cts)) AS diff_us
+      FROM purch p
+      JOIN (SELECT c.*, (c.cday + o.off) AS bday
+            FROM clicks c, (VALUES (-1), (0), (1)) o(off)) c
+        ON p.user_id = c.user_id AND p.pday = c.bday
+      WHERE abs(epoch_us(p.pts) - epoch_us(c.cts)) <= 86400000000),
+    ranked AS (
+      SELECT purchase_id, user_id, click_id,
+             round(diff_us / 1e6, 6) AS diff_s,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY diff_us, click_id) AS rn
+      FROM cand)
+    SELECT purchase_id, user_id, click_id, diff_s
+    FROM ranked WHERE rn = 1
+    ORDER BY purchase_id
+    """,
+)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor-in-time join, BIDIRECTIONAL: each purchase is
+    matched to its temporally closest click by the same user within ±24 h
+    — the attribution semantics `join_asof` (backward-only) can't
+    express. The candidate space is bounded the same way as
+    `join_range_binned`: each click fans out to its 3 adjacent day
+    buckets (constant 3× replication — never a range/theta join), the
+    purchase side equi-joins on (user, day), and the exact ±24 h band plus
+    a (|Δt|, click_id)-ranked window pick the winner deterministically.
+    Time math stays in integer microseconds until the final display
+    division, so both engines rank identical keys. Scale shape: one
+    equi-shuffle on a well-spread (user, day) key + one bounded keyed
+    window — no pair blow-up at any corpus size."""
+    ev = load(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.to_date("ts").alias("pday"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("cts"),
+            F.to_date("ts").alias("cday"),
+        )
+        .withColumn("off", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("bday", F.date_add("cday", F.col("off")))
+    )
+    diff_us = F.abs(F.unix_micros("pts") - F.unix_micros("cts"))
+    cand = (
+        purch.join(
+            clicks,
+            (purch.user_id == clicks.c_user_id) & (purch.pday == clicks.bday),
+        )
+        .withColumn("diff_us", diff_us)
+        .filter(F.col("diff_us") <= 86_400_000_000)
+    )
+    w = Window.partitionBy("purchase_id").orderBy("diff_us", "click_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "click_id",
+            F.round(F.col("diff_us") / 1e6, 6).alias("diff_s"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -364,3 +364,13 @@ def test_cooccurrence_broadcasts_bounded_tables(spark):
     plan = _plan(df)
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nearest_event_is_equi_join(spark):
+    # The ±24 h nearest match must ride the day-bucket equi join —
+    # never a range/theta nested loop over the corpus.
+    df = sparkgraft.QUERIES["join_nearest_event"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
