@@ -671,7 +671,8 @@ def win_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            round(corr(value, prev_value) OVER (
              PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) AS autocorr_10
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) + 0.0
+             AS autocorr_10
     FROM lagged
     WHERE prev_value IS NOT NULL
     """,
@@ -703,9 +704,12 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round(F.corr("value", "prev_value").over(w_corr), 4).alias(
-                "autocorr_10"
-            ),
+            (
+                # + 0.0 folds IEEE -0.0 to +0.0 on both engines — a
+                # window corr of constant values can round to either zero
+                F.round(F.corr("value", "prev_value").over(w_corr), 4)
+                + F.lit(0.0)
+            ).alias("autocorr_10"),
         )
     )
 
