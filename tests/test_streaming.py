@@ -131,3 +131,20 @@ def test_stream_stream_join_matches_batch_join(spark):
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("delta_us"),
     )
     assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_transform_state_matches_batch_groupby(spark):
+    # The transformWithState fold (or its protobuf-gated
+    # applyInPandasWithState fallback — identical semantics) must agree
+    # with the batch per-user min/max/count.
+    streamed = sparkgraft.QUERIES["stream_transform_state"](spark, SF_DIR)
+    batch = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
