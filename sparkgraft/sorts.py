@@ -205,3 +205,35 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.filter((F.col("event_id") * 37) % 100 < rate).select(
         "event_id", "event_type", "value"
     )
+
+
+@query(
+    "set_union_by_name",
+    oracle="""
+    SELECT id, amount, src, name FROM (
+      SELECT o_orderkey AS id, o_totalprice AS amount, 'orders' AS src
+      FROM orders
+      UNION ALL BY NAME
+      SELECT c_custkey AS id, c_name AS name, 'customer' AS src
+      FROM customer)
+    ORDER BY src, id
+    """,
+)
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift-tolerant union: two frames with only partially
+    overlapping columns stack by COLUMN NAME, absent fields null-filled —
+    the append that keeps working when an upstream feed adds or drops
+    columns (Spark `unionByName(allowMissingColumns=True)`; the oracle is
+    DuckDB's native `UNION ALL BY NAME`). Still a zero-shuffle bag union:
+    both inputs scan in place and only the presentation sort exchanges."""
+    a = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("amount"),
+        F.lit("orders").alias("src"),
+    )
+    b = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("src"),
+    )
+    return a.unionByName(b, allowMissingColumns=True).orderBy("src", "id")
