@@ -263,11 +263,13 @@ def mm_payload_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
              octet_length(encode(text)) AS n_bytes
       FROM documents),
     chunks AS (
+      -- scalar range() bounded by each row's OWN byte length — a fixed
+      -- cap here would silently under-chunk any payload longer than it
       SELECT doc_id, source,
-             md5(substring(payload_hex, (s.off)::INT * 2 + 1, 64)) AS chunk_digest
-      FROM payload,
-           (SELECT unnest(range(0, 8192, 32)) AS off) s
-      WHERE s.off < n_bytes)
+             md5(substring(payload_hex, off::INT * 2 + 1, 64)) AS chunk_digest
+      FROM (SELECT doc_id, source, payload_hex,
+                   unnest(range(0, n_bytes, 32)) AS off
+            FROM payload))
     SELECT source,
            count(*)::BIGINT AS n_chunks,
            count(DISTINCT chunk_digest)::BIGINT AS n_distinct_chunks,

@@ -99,3 +99,47 @@ def test_frame_sample_reassembles_lengths(spark):
     for r in joined:
         assert r["total"] == r["n_bytes"]
         assert r["n_frames"] == -(-r["n_bytes"] // _FRAME_BYTES)
+
+
+def test_chunk_dedup_oracle_parity_beyond_8k_payloads(tmp_path, spark):
+    """Regression: the DuckDB oracle once capped chunk offsets at 8192
+    bytes while the Spark side chunked the whole payload, so any doc
+    longer than 8 KiB silently diverged. Build a corpus whose largest doc
+    is ~20 KiB and assert full strict parity."""
+    import os
+
+    import pandas as pd
+
+    from sparkgraft.catalog import TABLES
+    from sparkgraft.oracle import compare_frames, duckdb_connect
+
+    for name in TABLES:
+        if name != "documents":
+            os.symlink(f"{SF_DIR}/{name}.parquet", tmp_path / f"{name}.parquet")
+    texts = [
+        "short doc",
+        "repeated-block " * 40,          # ~600 B, internal dups
+        "x" * 8192,                       # exactly at the old cap
+        ("abcdefgh" * 4 + " ") * 600,    # ~19.8 KiB, past the old cap
+    ]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["web", "web", "books", "books"],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    spark_pdf = sparkgraft.QUERIES["mm_chunk_dedup"](spark, str(tmp_path)).toPandas()
+    oracle_pdf = (
+        duckdb_connect(str(tmp_path))
+        .execute(sparkgraft.ORACLE["mm_chunk_dedup"])
+        .fetchdf()
+    )
+    assert compare_frames(spark_pdf, oracle_pdf) == []
+    # the >8 KiB doc alone contributes ceil(19800/32) > 256 chunks, so the
+    # books source must exceed the old cap's maximum of 256 chunks per doc
+    books = spark_pdf[spark_pdf["source"] == "books"]
+    assert int(books["n_chunks"].iloc[0]) > 2 * 256
