@@ -53,14 +53,17 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF, natural log pinned on both sides. The doc-frequency side is
-    tiny (vocabulary-sized) → broadcast back onto the term-frequency side,
-    so the only big shuffle is the tf groupBy."""
+    """TF-IDF, natural log pinned on both sides. The doc-frequency table
+    grows with the corpus vocabulary (web text: typos, URLs, numbers →
+    billions of distinct tokens at 100 TB), so it is joined back as a
+    plain shuffle equi-join on ``token`` — never a forced broadcast.
+    AQE's size-gated auto-broadcast still converts it map-side whenever
+    the vocabulary is genuinely small, which is the only safe time."""
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = load(spark, sf_dir, "documents").count()  # one scalar, driver-side
-    return tf.join(F.broadcast(df), "token").select(
+    return tf.join(df, "token").select(
         "doc_id",
         "token",
         "tf",
@@ -1369,15 +1372,17 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model scoring — the cheapest member of the
     model-based quality-filter family (docs with very low mean token
     log-probability are gibberish; very high are boilerplate). The
-    corpus LM is the token frequency table itself: vocabulary-sized, so
-    it broadcasts back onto the token stream (map-side join); the token
-    total is a 1-row aggregate broadcast the same way. One explode + two
-    hash aggregates + zero corpus-sized shuffled joins."""
+    corpus LM is the token frequency table itself — and vocabulary grows
+    with the corpus, so it rejoins the token stream as a plain shuffle
+    equi-join on ``token`` (AQE auto-broadcasts only when actually
+    small); the token TOTAL is a 1-row aggregate, the one broadcast that
+    is bounded by construction. One explode + two hash aggregates + one
+    token-keyed shuffle join."""
     tok = _tokens(spark, sf_dir)
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     tot = freq.agg(F.sum("cnt").cast("double").alias("n"))
     return (
-        tok.join(F.broadcast(freq), "token")
+        tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(
@@ -1586,9 +1591,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword extraction: the top-3 TF-IDF terms per document — the
     per-doc tag set used for topic routing and index summaries. Same
-    plan skeleton as text_tfidf (one corpus shuffle for tf, a
-    vocabulary-sized df table broadcast back), plus one doc-keyed
-    window for the rank. Ranking is on the ROUNDED score with a token
+    plan skeleton as text_tfidf (one corpus shuffle for tf, the
+    corpus-growing df table rejoined via a shuffle equi-join on token —
+    no forced broadcast), plus one doc-keyed window for the rank. Ranking is on the ROUNDED score with a token
     tie-break on both engines, so top-3 membership never depends on
     last-ulp libm differences."""
     from pyspark.sql import Window
@@ -1597,7 +1602,7 @@ def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = load(spark, sf_dir, "documents").count()  # one scalar, driver-side
-    scored = tf.join(F.broadcast(dfreq), "token").select(
+    scored = tf.join(dfreq, "token").select(
         "doc_id",
         "token",
         F.round(

@@ -6,6 +6,8 @@ inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pytest
+
 import sparkgraft
 from conftest import SF_DIR
 
@@ -235,14 +237,45 @@ def test_chunk_windows_is_pure_generator(spark):
     assert "Exchange" not in plan
 
 
-def test_unigram_logprob_freq_join_broadcasts(spark):
-    # The vocabulary-sized frequency table must come back map-side; a
-    # shuffled sort-merge join here would re-shuffle the whole token
-    # stream.
-    df = sparkgraft.QUERIES["text_unigram_logprob"](spark, SF_DIR)
-    plan = _plan(df)
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+@pytest.mark.parametrize(
+    "key,n_bounded_bcast",
+    [
+        ("text_tfidf", 0),
+        # unigram_logprob broadcasts ONE bounded table: the 1-row token
+        # total. The vocab-sized freq join must not add another.
+        ("text_unigram_logprob", 1),
+        ("text_keyword_extraction", 0),
+    ],
+)
+def test_vocab_joins_never_force_broadcast(spark, key, n_bounded_bcast):
+    # Vocabulary tables grow with the corpus (billions of distinct
+    # tokens at 100 TB of web text) — a forced F.broadcast of one OOMs
+    # every executor. With stats-based auto-broadcast disabled, any
+    # BroadcastExchange left in the plan can only come from an explicit
+    # hint; the token-frequency join must appear as a shuffle equi-join
+    # (SortMergeJoin), leaving AQE to re-broadcast only when genuinely
+    # small.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    n_bcast = len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("(") and ln.strip().endswith("BroadcastExchange")
+        ]
+    )
+    assert n_bcast == n_bounded_bcast
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    if n_bounded_bcast == 0:
+        # (the 1-row total in unigram_logprob legitimately plans as a
+        # broadcast nested-loop cross join; corpus-sized tables may not)
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_rolling_wau_has_no_range_join(spark):
