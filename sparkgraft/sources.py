@@ -206,6 +206,22 @@ def _roundtrip_sink():
         def __init__(self, options) -> None:
             self.path = options.get("path")
 
+        @staticmethod
+        def _fmt(v) -> str:
+            # NULL → empty field (cast('' AS DOUBLE) is NULL on read-back);
+            # NaN/±inf → the spellings Spark's string→double cast accepts.
+            # %.17g alone would crash on None and round-trip NaN to NULL,
+            # silently breaking the exactly-once row-count proof.
+            if v is None:
+                return ""
+            if v != v:
+                return "NaN"
+            if v == float("inf"):
+                return "Infinity"
+            if v == float("-inf"):
+                return "-Infinity"
+            return f"{v:.17g}"
+
         def write(self, rows):
             import os
             import uuid
@@ -214,7 +230,7 @@ def _roundtrip_sink():
             n = 0
             with open(part, "w") as f:
                 for r in rows:
-                    f.write(f"{r[0]},{r[1]:.17g}\n")
+                    f.write(f"{r[0]},{self._fmt(r[1])}\n")
                     n += 1
             return PartMessage(part, n)
 
@@ -288,7 +304,10 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.split("value", ",").alias("p"))
         .select(
             F.col("p")[0].cast("long").alias("event_id"),
-            F.col("p")[1].cast("double").alias("value"),
+            # the serializer writes NULL as an empty field; nullif keeps
+            # ANSI cast strict for genuinely malformed bytes while
+            # round-tripping NULL as NULL
+            F.nullif(F.col("p")[1], F.lit("")).cast("double").alias("value"),
         )
     )
     return parsed.agg(

@@ -1519,7 +1519,7 @@ def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS r_stop,
              (len(list_filter(toks, x -> len(x) <= 2)) * 5 <= n_tokens * 2)
                AS r_short,
-             ((n_chars // n_tokens) BETWEEN 2 AND 12) AS r_tok_len
+             (n_chars >= 2 * n_tokens AND n_chars < 13 * n_tokens) AS r_tok_len
       FROM t)
     SELECT doc_id, n_tokens,
            CASE WHEN r_len AND r_stop AND r_short AND r_tok_len
@@ -1546,11 +1546,14 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
     n_short = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
-    tok_len = (F.col("n_chars") / n_tokens).cast("long")
     r_len = n_tokens.between(20, 1000)
     r_stop = n_stop >= 1
     r_short = n_short * 5 <= n_tokens * 2
-    r_tok_len = tok_len.between(2, 12)
+    # mean-token-length band 2 <= n_chars/n_tokens < 13, cross-multiplied
+    # so the comparison stays in exact integer arithmetic on both engines
+    r_tok_len = (F.col("n_chars") >= 2 * n_tokens) & (
+        F.col("n_chars") < 13 * n_tokens
+    )
     return d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

@@ -202,7 +202,12 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu, scale = 250.0, 100.0
         for n_chars in batches:
             z = (n_chars.astype("float64") - mu) / scale
-            yield (1.0 / (1.0 + np.exp(-z))).round(6)
+            yield 1.0 / (1.0 + np.exp(-z))
 
     d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", model_score("n_chars").alias("model_score"))
+    # Round OUTSIDE the UDF with F.round (HALF_UP): pandas' .round is
+    # IEEE half-even, which would diverge from the oracle's round() on an
+    # exact 6th-decimal tie. Same rounding discipline as every operator.
+    return d.select(
+        "doc_id", F.round(model_score("n_chars"), 6).alias("model_score")
+    )

@@ -101,3 +101,41 @@ def test_hll_sketch_within_error_envelope(spark):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+
+
+def test_python_sink_roundtrips_null_nan_inf(spark, tmp_path):
+    """Regression: the sink serializer once crashed on NULL (%.17g on
+    None) and round-tripped NaN to NULL via cast('nan' AS DOUBLE).
+    Every IEEE special + NULL must survive write→read exactly-once."""
+    from pyspark.sql import functions as F
+
+    from sparkgraft.sources import _roundtrip_sink
+
+    spark.dataSource.register(_roundtrip_sink())
+    src = spark.createDataFrame(
+        [(1, 1.5), (2, None), (3, float("nan")),
+         (4, float("inf")), (5, float("-inf"))],
+        "event_id long, value double",
+    )
+    out = str(tmp_path / "sink")
+    import os
+
+    os.makedirs(out)
+    src.write.format("sg_roundtrip_sink").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_SUCCESS")) as f:
+        assert int(f.read()) == 5
+    back = (
+        spark.read.text(os.path.join(out, "part-*.txt"))
+        .select(F.split("value", ",").alias("p"))
+        .select(
+            F.col("p")[0].cast("long").alias("event_id"),
+            F.nullif(F.col("p")[1], F.lit("")).cast("double").alias("value"),
+        )
+    )
+    got = {r["event_id"]: r["value"] for r in back.collect()}
+    assert len(got) == 5
+    assert got[1] == 1.5
+    assert got[2] is None
+    assert got[3] != got[3]  # NaN round-trips as NaN, not NULL
+    assert got[4] == float("inf")
+    assert got[5] == float("-inf")
