@@ -357,16 +357,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_self_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered self-pair enumeration (a.vec_id < b.vec_id) — the pair basis
-    for sim_* (§2.11). NOTE: O(n²) by definition; at scale the sim_ path
-    prunes through LSH buckets first (vectorops.py) — this operator exists
-    to pin the pair semantics, grouped down to a label×label matrix."""
+    for sim_* (§2.11), grouped down to a label×label matrix. The O(n²)
+    pair SPACE is inherent to the semantics, but no pair row is ever
+    materialized: the same hash-bucketed grid shuffle the sim_ kernels
+    use (vectorops._grid_blocks) hands each upper-triangle block pair to
+    one task, which counts ordered pairs per (label_a, label_b) with a
+    sort + searchsorted — O(n log n) per block, label-matrix output — and
+    the partial matrices sum in a final bounded groupBy. Task memory is
+    one block pair at any corpus size; the old theta self-join put the
+    whole corpus on both sides of one nested-loop task."""
+    import numpy as np
+    import pandas as pd
+
+    from sparkgraft.vectorops import (
+        _BLOCK_ROWS,
+        _MIN_BLOCKS,
+        _corpus_count,
+        _grid_blocks,
+    )
+
+    def _ordered_counts(ids_small, lab_small, ids_big, lab_big, cnt):
+        # pairs (s, b) with s.id < b.id → key (s.label, b.label)
+        for q in np.unique(lab_big):
+            bq = np.sort(ids_big[lab_big == q])
+            n_greater = len(bq) - np.searchsorted(bq, ids_small, side="right")
+            for p in np.unique(lab_small):
+                c = int(n_greater[lab_small == p].sum())
+                if c:
+                    cnt[(p, q)] = cnt.get((p, q), 0) + c
+
+    def pair_counts(key, pdf):
+        bi, bj = key
+        l_pdf = pdf[pdf["bucket"] == bi]
+        r_pdf = pdf[pdf["bucket"] == bj]
+        out_cols = {"label_a": "int32", "label_b": "int32", "n_pairs": "int64"}
+        if l_pdf.empty or r_pdf.empty:
+            return pd.DataFrame({k: pd.Series([], dtype=v) for k, v in out_cols.items()})
+        ids_l, lab_l = l_pdf["vec_id"].to_numpy(), l_pdf["label"].to_numpy()
+        ids_r, lab_r = r_pdf["vec_id"].to_numpy(), r_pdf["label"].to_numpy()
+        cnt: dict[tuple[int, int], int] = {}
+        _ordered_counts(ids_l, lab_l, ids_r, lab_r, cnt)
+        if bi != bj:  # the diagonal block counts each unordered pair once already
+            _ordered_counts(ids_r, lab_r, ids_l, lab_l, cnt)
+        keys = sorted(cnt)
+        return pd.DataFrame(
+            {
+                "label_a": pd.Series([k[0] for k in keys], dtype="int32"),
+                "label_b": pd.Series([k[1] for k in keys], dtype="int32"),
+                "n_pairs": pd.Series([cnt[k] for k in keys], dtype="int64"),
+            }
+        )
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
-    a = emb.alias("a")
-    b = emb.alias("b")
+    n = _corpus_count(spark, sf_dir)
+    n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
+    partial = _grid_blocks(spark, emb, n_blocks).applyInPandas(
+        pair_counts, "label_a int, label_b int, n_pairs long"
+    )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
-        .agg(F.count("*").alias("n_pairs"))
+        partial.groupBy("label_a", "label_b")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
         .orderBy("label_a", "label_b")
     )
 

@@ -407,3 +407,14 @@ def test_nearest_event_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_self_pairs_is_grid_blocked_not_theta(spark):
+    # O(n^2) pair semantics must run through the hash-bucketed grid
+    # shuffle (one applyInPandas per block pair), never as a theta
+    # self-join that nested-loops the whole corpus in one task.
+    df = sparkgraft.QUERIES["join_self_pairs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
