@@ -5,6 +5,7 @@ tools/preflight.py; these run at sf0.001 for speed."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import sparkgraft
@@ -137,6 +138,27 @@ def test_transform_state_matches_batch_groupby(spark):
     # The transformWithState fold (or its protobuf-gated
     # applyInPandasWithState fallback — identical semantics) must agree
     # with the batch per-user min/max/count.
+    streamed = sparkgraft.QUERIES["stream_transform_state"](spark, SF_DIR)
+    batch = (
+        _events(spark)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_transform_state_typed_path_where_protobuf_exists(spark):
+    """Runs ONLY in deployments that ship google.protobuf (the
+    transformWithState Python worker protocol dependency): there the
+    query takes the typed StatefulProcessor path, and its result must
+    still match the batch fold. Skipped in containers without protobuf,
+    where the applyInPandasWithState fallback is covered by
+    test_transform_state_matches_batch_groupby."""
+    pytest.importorskip("google.protobuf")
     streamed = sparkgraft.QUERIES["stream_transform_state"](spark, SF_DIR)
     batch = (
         _events(spark)

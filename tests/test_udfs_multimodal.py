@@ -143,3 +143,46 @@ def test_chunk_dedup_oracle_parity_beyond_8k_payloads(tmp_path, spark):
     # books source must exceed the old cap's maximum of 256 chunks per doc
     books = spark_pdf[spark_pdf["source"] == "books"]
     assert int(books["n_chunks"].iloc[0]) > 2 * 256
+
+
+def test_spark_side_decode_real_png_when_pillow_present(spark):
+    """Runs only in codec-equipped deployments: generated PNG payloads
+    flow through the REAL Spark plumbing (binary column → Arrow batch →
+    mapInPandas → decode_media) and the decoded dimensions come back
+    exactly. Pins that the distributed decode path, not just the pure
+    function, works wherever Pillow exists."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    def png(w, h):
+        buf = io.BytesIO()
+        PIL_Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    dims = [(8, 5), (16, 16), (3, 7), (1, 1)]
+    src = spark.createDataFrame(
+        [(i, bytearray(png(w, h))) for i, (w, h) in enumerate(dims)],
+        "doc_id long, payload binary",
+    ).repartition(2)
+
+    def decode(batches):
+        from sparkgraft.multimodal import decode_media
+
+        for pdf in batches:
+            out = [decode_media(bytes(b), "image") for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [o["width"] for o in out],
+                    "height": [o["height"] for o in out],
+                    "n_pixels": [o["n_pixels"] for o in out],
+                }
+            )
+
+    rows = src.mapInPandas(
+        decode, "doc_id long, width int, height int, n_pixels long"
+    ).collect()
+    got = {r["doc_id"]: (r["width"], r["height"], r["n_pixels"]) for r in rows}
+    assert got == {i: (w, h, w * h) for i, (w, h) in enumerate(dims)}
