@@ -1134,3 +1134,123 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Count-min sketch geometry (r4): d=4 pairwise-independent integer hash
+# rows × w=256 buckets. Hashing is ((user_id % P) · A_d + B_d) % P % w —
+# pre-reducing mod P keeps the product inside int64 for ANY key value
+# (ANSI overflow-safe at 100 TB id ranges), and plain integer arithmetic
+# is bit-identical in every engine, so the DuckDB twin reproduces the
+# sketch exactly (a production build swaps in xxhash64 for speed; the
+# relational shape is unchanged).
+_CMS_PARAMS = [(2654435761, 1), (2246822519, 7), (3266489917, 31), (668265263, 127)]
+_CMS_P = 2147483647
+_CMS_W = 256
+_CMS_PROBES = 20
+
+
+@query(
+    "agg_cms_counts",
+    oracle=f"""
+    WITH params(d, a, b) AS (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_CMS_PARAMS))}),
+    h AS (
+      SELECT p.d,
+             ((e.user_id % {_CMS_P}) * p.a + p.b) % {_CMS_P} % {_CMS_W} AS bucket
+      FROM events e CROSS JOIN params p),
+    sketch AS (SELECT d, bucket, count(*) AS cnt FROM h GROUP BY d, bucket),
+    probes AS (SELECT unnest(range(0, {_CMS_PROBES})) AS user_id),
+    pb AS (
+      SELECT pr.user_id, p.d,
+             ((pr.user_id % {_CMS_P}) * p.a + p.b) % {_CMS_P} % {_CMS_W} AS bucket
+      FROM probes pr CROSS JOIN params p),
+    est AS (
+      SELECT user_id, min(coalesce(s.cnt, 0))::BIGINT AS est_cnt
+      FROM pb LEFT JOIN sketch s USING (d, bucket) GROUP BY user_id),
+    exact AS (
+      SELECT user_id, count(*)::BIGINT AS exact_cnt
+      FROM events WHERE user_id < {_CMS_PROBES} GROUP BY user_id)
+    SELECT e_.user_id, e_.est_cnt,
+           coalesce(x.exact_cnt, 0)::BIGINT AS exact_cnt
+    FROM est e_ LEFT JOIN exact x USING (user_id) ORDER BY user_id
+    """,
+)
+def agg_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch as a RELATION: per-key event-frequency estimates
+    from a fixed d×w count table (Cormode & Muthukrishnan 2005) — the
+    bounded-memory heavy-hitter path when exact per-key counts would
+    shuffle billions of group keys. The sketch is ONE hash aggregate
+    onto d·w = 1,024 cells (map-side partial combine, constant size at
+    any corpus scale); estimates for the fixed probe set come from a
+    bounded join against those cells, taking min over the d rows.
+    Deterministic integer hashing makes the whole construction
+    hash-checkable against the oracle; the exact probe counts ride
+    along (pushed-down filter on the probe list) as the overcount
+    audit — est_cnt ≥ exact_cnt always, with equality when no collision
+    lands in all d rows."""
+    depths = F.array(
+        *[
+            F.struct(F.lit(i).alias("d"), F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for i, (a, b) in enumerate(_CMS_PARAMS)
+        ]
+    )
+
+    def bucket(key: F.Column) -> F.Column:
+        return ((key % _CMS_P) * F.col("h.a") + F.col("h.b")) % _CMS_P % _CMS_W
+
+    e = load(spark, sf_dir, "events").select("user_id")
+    sketch = (
+        e.select("user_id", F.explode(depths).alias("h"))
+        .select(F.col("h.d").alias("d"), bucket(F.col("user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.range(_CMS_PROBES).select(F.col("id").alias("user_id"))
+    est = (
+        probes.select("user_id", F.explode(depths).alias("h"))
+        .select("user_id", F.col("h.d").alias("d"), bucket(F.col("user_id")).alias("bucket"))
+        .join(sketch, ["d", "bucket"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_cnt"))
+    )
+    exact = (
+        e.filter(F.col("user_id") < _CMS_PROBES)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    return (
+        est.join(exact, "user_id", "left")
+        .select(
+            "user_id",
+            "est_cnt",
+            F.coalesce(F.col("exact_cnt"), F.lit(0)).cast("long").alias("exact_cnt"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("agg_hll_union_rollup")  # rows-only: DataSketches estimates are engine-internal
+def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch ROLLUP — the pattern that makes 100 TB distinct
+    counting tractable: sketch each (event_type, day) partition once with
+    HyperLogLog (DataSketches `hll_sketch_agg`, lgK=12, ~2.5 KB fixed),
+    persist the sketches, then answer any coarser rollup by UNIONING the
+    binaries (`hll_union_agg`) instead of rescanning raw data. The union
+    is exactly associative: re-aggregating daily sketches yields the SAME
+    estimate as sketching the raw stream directly, which the invariant
+    test pins (tests/test_invariants.py) along with a ≤5% error envelope
+    vs exact distinct. Both aggregation levels are partial+final hash
+    aggs over constant-size state."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_daily_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -832,3 +832,162 @@ def sim_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("hit").cast("long").alias("overlap"))
         .orderBy("qid")
     )
+
+
+@query(
+    "dedup_semantic_keep",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= 0.4),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b AS src, vec_a AS dst FROM pairs),
+    walk(vec_id, reach) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT w.vec_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+    lab AS (SELECT vec_id, min(reach) AS cluster_id FROM walk GROUP BY vec_id)
+    SELECT vec_id, cluster_id,
+           (count(*) OVER (PARTITION BY cluster_id))::BIGINT AS n_cluster,
+           (vec_id = cluster_id) AS is_kept
+    FROM lab ORDER BY vec_id
+    """,
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic deduplication by KEEPING
+    one representative per embedding-similarity cluster — the step after
+    pairwise cosine dedup that pairwise output alone can't express,
+    because near-dup pairs chain transitively. Edges are the cosine ≥ τ
+    pairs from the same distributed grid gemm as `dedup_embedding_cosine`
+    (τ=0.4, sized to this corpus); components come from iterative
+    min-label propagation (O(diameter) rounds, localCheckpoint per round,
+    only the scalar convergence count on the driver — same discipline and
+    scale posture as dedup_cluster_cc in textops.py, which upgrades to
+    large-star/small-star at extreme scale); the keeper is the min vec_id
+    of each cluster (deterministic — a production pipeline would keep
+    min-perplexity instead). n_cluster rides a cluster-keyed window,
+    bounded by the largest dup group, never global."""
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    edges = (
+        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("vec_id").alias("label"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(20):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.vec_id)
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "vec_id", "left").select(
+            "vec_id",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        stepped = stepped.localCheckpoint()
+        changed = stepped.filter(F.col("label") < F.col("old")).count()
+        labels = stepped.select("vec_id", "label")
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            "dedup_semantic_keep: label propagation did not converge "
+            "within 20 rounds — component diameter exceeds cap"
+        )
+    w_cluster = Window.partitionBy("cluster_id")
+    return (
+        labels.select("vec_id", F.col("label").alias("cluster_id"))
+        .withColumn("n_cluster", F.count("*").over(w_cluster).cast("long"))
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "sim_pair_histogram",
+    oracle=f"""
+    WITH p AS (
+      SELECT round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    SELECT CAST(floor(cos * 10 + 1e-9) AS INT) AS bucket,
+           round(CAST(floor(cos * 10 + 1e-9) AS INT) / 10.0, 1) AS lo,
+           count(*)::BIGINT AS n_pairs
+    FROM p GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-similarity distribution audit: a 0.1-wide histogram of
+    ALL n·(n−1)/2 cosine similarities — the corpus-health curve that
+    tells you where to set a dedup threshold τ BEFORE running dedup (a
+    healthy corpus is unimodal near 0; a right shoulder is the dup
+    mass). Same distributed grid-of-block-gemms as sim_cosine_topk, but
+    each block-pair task reduces its ≤ _BLOCK_ROWS² scores to a ≤ 21-row
+    partial histogram with one np.bincount, so the shuffle after the
+    gemm carries only (bucket, count) partials — the O(n²) score volume
+    never leaves the task. The 1e-9 nudge before floor() pins bucket
+    edges: 6-decimal-rounded scores that are exact multiples of 0.1
+    land identically on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    n = _corpus_count(spark, sf_dir)
+    n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
+
+    def hist_block(key, pdf):
+        bi, bj = key
+        l_pdf = pdf[pdf["bucket"] == bi]
+        r_pdf = pdf[pdf["bucket"] == bj]
+        empty = pd.DataFrame(
+            {
+                "bucket": pd.Series([], dtype="int32"),
+                "n_pairs": pd.Series([], dtype="int64"),
+            }
+        )
+        if l_pdf.empty or r_pdf.empty:
+            return empty
+        ids_l, ml = _pdf_matrix(l_pdf)
+        ids_r, mr = _pdf_matrix(r_pdf)
+        sims = np.round(ml @ mr.T, 6)
+        valid = (
+            ids_r[None, :] > ids_l[:, None]
+            if bi == bj
+            else np.ones(sims.shape, dtype=bool)
+        )
+        vals = sims[valid]
+        if vals.size == 0:
+            return empty
+        buckets = np.floor(vals * 10 + 1e-9).astype(np.int64)
+        shifted = np.bincount(buckets + 10, minlength=21)  # [-1.0, 1.0]
+        nz = np.nonzero(shifted)[0]
+        return pd.DataFrame(
+            {
+                "bucket": (nz - 10).astype("int32"),
+                "n_pairs": shifted[nz].astype("int64"),
+            }
+        )
+
+    partial = _grid_blocks(
+        spark, load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), n_blocks
+    ).applyInPandas(hist_block, "bucket int, n_pairs long")
+    return (
+        partial.groupBy("bucket")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") / 10.0, 1).alias("lo"),
+            "n_pairs",
+        )
+        .orderBy("bucket")
+    )

@@ -139,3 +139,61 @@ def test_python_sink_roundtrips_null_nan_inf(spark, tmp_path):
     assert got[3] != got[3]  # NaN round-trips as NaN, not NULL
     assert got[4] == float("inf")
     assert got[5] == float("-inf")
+
+
+def test_cms_estimates_dominate_exact_counts(spark):
+    # Count-min property: a sketch estimate can only OVER-count (hash
+    # collisions add, never subtract). Checked at 10x the driver SF.
+    from conftest import SF_DIR_MID
+
+    rows = sparkgraft.QUERIES["agg_cms_counts"](spark, SF_DIR_MID).collect()
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["exact_cnt"], r
+
+
+def test_hll_union_rollup_is_merge_consistent(spark):
+    # THE mergeable-sketch contract: unioning per-day sketches must give
+    # the SAME estimate as sketching the raw stream directly (sketch
+    # union is exactly associative), and land within the lgK=12 error
+    # envelope of the exact distinct.
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR_MID
+
+    rolled = {
+        r["event_type"]: r["est_users"]
+        for r in sparkgraft.QUERIES["agg_hll_union_rollup"](spark, SF_DIR_MID).collect()
+    }
+    e = sparkgraft.load(spark, SF_DIR_MID, "events")
+    direct = {
+        r["event_type"]: r["est"]
+        for r in e.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("est"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # exact merge consistency, not approximate
+    for k, est in rolled.items():
+        assert abs(est - exact[k]) <= 0.05 * exact[k], (k, est, exact[k])
+
+
+def test_pair_histogram_covers_every_pair(spark):
+    # The histogram is a partition of the full pair space: bucket counts
+    # must sum to exactly n(n-1)/2.
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR_MID
+
+    n = sparkgraft.load(spark, SF_DIR_MID, "embeddings").count()
+    total = (
+        sparkgraft.QUERIES["sim_pair_histogram"](spark, SF_DIR_MID)
+        .agg(F.sum("n_pairs"))
+        .collect()[0][0]
+    )
+    assert total == n * (n - 1) // 2
