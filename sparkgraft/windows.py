@@ -748,3 +748,36 @@ def win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(masked, ignorenulls=True).over(w).alias("last_purchase_value"),
     )
+
+
+@query(
+    "win_rolling_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med_10,
+           round(quantile_cont(value, 0.9) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS p90_10
+    FROM events
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact median + p90 over a trailing 10-row frame per user —
+    the robust-smoothing twin of `win_sliding_avg` (a median shrugs off
+    the value spikes that drag a mean, which is why alerting pipelines
+    trend on it). `percentile` is a true aggregate in Spark, so it rides
+    the ordered keyed window like any frame aggregate: one shuffle on
+    user_id, O(frame) per row, no self-join fan-out. Both engines use
+    linear interpolation between order statistics (Spark `percentile` ≡
+    DuckDB `quantile_cont`), rounded to absorb last-ulp interpolation
+    drift."""
+    frame = "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW"
+    over = f"OVER (PARTITION BY user_id ORDER BY ts, event_id {frame})"
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.expr(f"percentile(value, 0.5) {over}"), 6).alias("med_10"),
+        F.round(F.expr(f"percentile(value, 0.9) {over}"), 6).alias("p90_10"),
+    )
