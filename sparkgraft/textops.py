@@ -89,15 +89,18 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     subscripts are 1-based, aligned in the oracle."""
     d = load(spark, sf_dir, "documents")
     # Guard single-token docs: Spark's sequence(1, 0) counts DOWN instead
-    # of returning empty, unlike DuckDB's range.
+    # of returning empty, unlike DuckDB's range. The token array is
+    # materialized behind a projection boundary first — inlining split()
+    # into each element_at re-evaluates it per element (r4 fix: ~8× on
+    # the 5-gram twin below).
+    base = d.select("lang", F.split(F.lower("text"), " ").alias("toks"))
     bigrams = F.expr(
-        "CASE WHEN size(split(lower(text), ' ')) < 2 THEN array()"
-        " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 1),"
-        " i -> concat(element_at(split(lower(text), ' '), i), ' ',"
-        "             element_at(split(lower(text), ' '), i + 1))) END"
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
     )
     return (
-        d.select("lang", F.explode(bigrams).alias("bigram"))
+        base.select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -304,12 +307,15 @@ _SHINGLE_W = 3  # word-shingle width
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """(doc_id, shingle) — distinct w-word shingles per document."""
+    """(doc_id, shingle) — distinct w-word shingles per document. The
+    token array is projected out first so split() runs once per row, not
+    once per shingle position (r4 fix, see text_dup_ngram_coverage)."""
+    base = df.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
     sh = F.expr(
-        f"transform(sequence(1, greatest(size(split(lower(text), ' ')) - {_SHINGLE_W - 1}, 1)),"
-        f" i -> array_join(slice(split(lower(text), ' '), i, {_SHINGLE_W}), ' '))"
+        f"transform(sequence(1, greatest(size(toks) - {_SHINGLE_W - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {_SHINGLE_W}), ' '))"
     )
-    return df.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    return base.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -1054,17 +1060,23 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     array expressions (transform over a sequence + array_distinct) — no
     shuffle at all until the output sort, so it scales as a pure map."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
-    tri = F.expr(
-        "transform(sequence(1, greatest(size(split(lower(text), ' ')) - 2, 1)),"
-        " i -> concat_ws(' ', slice(split(lower(text), ' '), i, 3)))"
+    # Two projection boundaries: toks so split() runs once per row, and
+    # tri so the trigram transform isn't evaluated twice (it feeds both
+    # the total and the distinct count).
+    base = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"
+        ).alias("tri"),
     )
     return (
-        d.select(
+        base.select(
             "doc_id",
             "lang",
-            F.size(tri).cast("long").alias("n_trigrams"),
-            F.size(F.array_distinct(tri)).cast("long").alias("n_distinct"),
+            F.size("tri").cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct("tri")).cast("long").alias("n_distinct"),
         )
         .withColumn(
             "rep_ratio",
@@ -1430,30 +1442,33 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean fraction of each document's distinct 5-gram shingles that also
     occur in at least one other document — the observability metric that
     tells you HOW duplicated a source is, not just whether exact copies
-    exist. Shingling is a per-row generator; document frequency is a
-    hash aggregate keyed on the shingle; the shingle→df join is a plain
-    equi-join on the same key (vocabulary-sized build side, shuffle-
-    bounded — never broadcast, the shingle table grows with the corpus).
+    exist. r4 shape: shingles collapse to 64-bit hashes inside a row-
+    local ``array_distinct(transform(...))`` (per-doc dedup costs ZERO
+    shuffle — a doc's shingles live in one row), so the only corpus-wide
+    exchanges are one window count keyed on the 8-byte shingle hash and
+    the per-doc rollup — two long-keyed shuffles where the r3 plan moved
+    full shingle strings through four. Hash collisions are negligible
+    (same discipline and odds as dedup_ngram_jaccard's token hashing)
+    and the construction is still never-broadcast: the shingle table
+    grows with the corpus.
     """
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    # Token array materialized ONCE behind a projection boundary —
+    # inlining split() into every element_at re-evaluates the full-text
+    # split ~5× per shingle position (measured 8× slower at sf0.1).
+    base = d.select("doc_id", "source", F.split(F.lower("text"), " ").alias("toks")).filter(
+        F.size("toks") >= 5
+    )
     grams5 = F.expr(
-        "CASE WHEN size(split(lower(text), ' ')) < 5 THEN array()"
-        " ELSE transform(sequence(1, size(split(lower(text), ' ')) - 4),"
-        " i -> concat_ws(' ', element_at(split(lower(text), ' '), i),"
-        "                element_at(split(lower(text), ' '), i + 1),"
-        "                element_at(split(lower(text), ' '), i + 2),"
-        "                element_at(split(lower(text), ' '), i + 3),"
-        "                element_at(split(lower(text), ' '), i + 4))) END"
+        "array_distinct(transform(sequence(1, size(toks) - 4),"
+        " i -> xxhash64(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+        " element_at(toks, i + 2), element_at(toks, i + 3), element_at(toks, i + 4)))))"
     )
-    grams = (
-        d.filter(F.size(toks) >= 5)
-        .select("doc_id", "source", F.explode(grams5).alias("ngram"))
-        .dropDuplicates(["doc_id", "ngram"])
-    )
-    df_counts = grams.groupBy("ngram").agg(F.count("*").alias("n_docs_with"))
+    grams = base.select("doc_id", "source", F.explode(grams5).alias("g"))
     cov = (
-        grams.join(df_counts, "ngram")
+        grams.withColumn("n_docs_with", F.count("*").over(Window.partitionBy("g")))
         .groupBy("doc_id")
         .agg(
             F.any_value("source").alias("source"),
