@@ -943,7 +943,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs, so it scales like wordcount rather than O(n^2).
     At 100 TB the bench side is a fixed small table -> broadcast join."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), " ")
+    # toks behind a projection boundary: split once per row, not once
+    # per shingle position inside the transform lambda (r4 fix class,
+    # see text_dup_ngram_coverage).
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    toks = F.col("toks")
     ngrams = F.when(
         F.size(toks) >= 5,
         F.transform(
@@ -951,7 +955,7 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pairs = d.select("doc_id", F.explode(F.array_distinct(ngrams)).alias("ng"))
+    pairs = base.select("doc_id", F.explode(F.array_distinct(ngrams)).alias("ng"))
     bench = pairs.filter(F.col("doc_id") % 97 == 0).withColumnRenamed("doc_id", "bench_id")
     train = pairs.filter(F.col("doc_id") % 97 != 0)
     return (
