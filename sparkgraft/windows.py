@@ -511,7 +511,7 @@ def win_sliding_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY user_id) AS n_user
       FROM events)
     SELECT event_id, user_id,
-           round((value - mu) / sigma, 4) AS zscore,
+           round((value - mu) / sigma, 4) + 0.0 AS zscore,
            (abs(value - mu) > 3 * sigma) AS is_anomaly
     FROM stats
     WHERE n_user >= 2 AND sigma > 0
@@ -544,9 +544,13 @@ def win_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias(
-                "zscore"
-            ),
+            (
+                # + 0.0 folds IEEE -0.0 to +0.0 on both engines — a value
+                # an ulp below its user mean rounds to negative zero
+                # (surfaced by the sf0.1 robustness sweep, r4)
+                F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4)
+                + F.lit(0.0)
+            ).alias("zscore"),
             (
                 F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma")
             ).alias("is_anomaly"),
