@@ -567,3 +567,41 @@ def fn_split_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "pos")
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+    SELECT lower(CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                      ELSE c_mktsegment END) AS segment,
+           count(*) AS n,
+           round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY 1 ORDER BY segment
+    """,
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 `COLLATE UTF8_LCASE`): group
+    case-drifted strings WITHOUT materializing a normalized key column —
+    the engine's comparator itself is case-insensitive, which is the
+    Spark-4-native answer to the classic lower()-wrapper workaround (and
+    unlike lower() it extends to locale-aware collations). Case drift is
+    synthesized deterministically (even keys lowered), the group key is
+    the collated column, and the display key is normalized + cast back
+    to a plain string so the result schema is collation-free. Hash
+    aggregate, partial+final, same plan class as any groupBy."""
+    c = load(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        c.select(seg.alias("seg"), "c_acctbal")
+        .groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal"),
+        )
+        .select(
+            F.lower("k").cast("string").alias("segment"), "n", "bal"
+        )
+        .orderBy("segment")
+    )

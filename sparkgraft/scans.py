@@ -442,3 +442,62 @@ def scan_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "scan_csv_malformed",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_clean,
+           sum(n_nationkey)::BIGINT AS key_sum,
+           3::BIGINT AS n_corrupt
+    FROM nation
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine — what real CSV feeds need on day one:
+    rows that don't parse must be COUNTED AND SET ASIDE, never silently
+    dropped or allowed to poison the clean columns. The clean dim is
+    written to CSV, three corrupt lines (wrong arity / bad int / raw
+    junk) are appended to the directory, and the read-back uses
+    PERMISSIVE mode with ``columnNameOfCorruptRecord``: clean rows parse
+    into typed columns with the corrupt slot NULL, broken rows surface
+    with the raw line captured. The quarantine count is data-derived, so
+    the oracle's constant 3 proves the three planted rows were caught —
+    no more, no fewer — and the clean aggregate proves none of them
+    leaked into the typed columns. Row-local parsing: scales as a pure
+    scan."""
+    import os
+
+    from pyspark.sql import types as T
+
+    out = _scratch(sf_dir, "nation_malformed_csv")
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").csv(out)
+    with open(os.path.join(out, "part-zz-corrupt.csv"), "w") as f:
+        f.write("7,EXTRA,3,unexpected-fourth-field\n")   # wrong arity
+        f.write("not_an_int,BADKEY,1\n")                 # unparsable int
+        f.write("garbage line without any commas\n")     # raw junk
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+        .cache()  # one pass serves both branches; corrupt capture is per-scan
+    )
+    clean = back.filter(F.col("_corrupt").isNull())
+    return clean.agg(
+        F.count("*").alias("n_clean"),
+        F.sum("n_nationkey").alias("key_sum"),
+        F.lit(
+            back.filter(F.col("_corrupt").isNotNull()).count()
+        ).cast("long").alias("n_corrupt"),
+    )
