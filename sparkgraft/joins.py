@@ -770,3 +770,56 @@ def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "join_bloom_prune",
+    oracle="""
+    SELECT o.o_orderstatus, count(*) AS n,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    the selective filter on the orders side is compiled into a
+    `bloom_filter_agg` subquery whose `might_contain` probe is pushed
+    into the LINEITEM SCAN — at 100 TB this skips reading most of the
+    fact side before the shuffle even forms, the engine-native
+    equivalent of a semi-join pre-filter. The scan-size threshold is
+    lowered so the rule fires at test scale, and auto-broadcast is
+    disabled while PLANNING (injection targets shuffle joins — a
+    broadcast join already prunes by construction); `executedPlan()` is
+    forced inside the conf scope so the bloom-injected plan is frozen
+    before the session confs are restored, and results are identical
+    with or without the filter (it is pure pruning — plan-asserted in
+    tests/test_plans.py)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load(spark, sf_dir, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        j._jdf.queryExecution().executedPlan()
+        return j
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -418,3 +418,13 @@ def test_self_pairs_is_grid_blocked_not_theta(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prune_probe_reaches_fact_scan(spark):
+    # InjectRuntimeFilter must compile the selective dim filter into a
+    # bloom_filter_agg subquery whose might_contain probe lands on the
+    # fact side BEFORE the join shuffle.
+    df = sparkgraft.QUERIES["join_bloom_prune"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
