@@ -501,3 +501,68 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             back.filter(F.col("_corrupt").isNotNull()).count()
         ).cast("long").alias("n_corrupt"),
     )
+
+
+@query(
+    "sink_clustered_write",
+    oracle="""
+    SELECT event_type,
+           count(*)::BIGINT AS n_rows,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           true AS files_internally_sorted
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered layout write — the parquet organization that makes
+    100 TB data-skipping real: partition directories by the coarse key
+    (event_type) and `sortWithinPartitions(ts)` inside each task so
+    every file's row groups carry tight, non-overlapping ts min/max
+    stats (a later `WHERE ts BETWEEN …` skips whole row groups; an
+    unsorted write makes every file's stats span everything and skips
+    nothing). sortWithinPartitions is a LOCAL sort — no Exchange, each
+    write task sorts only its own rows. The read-back audit proves the
+    clustering physically landed: per input file, a lag() window checks
+    ts never decreases; the oracle pins the per-partition aggregates
+    plus the every-file-sorted flag."""
+    out = _scratch(sf_dir, "events_clustered")
+    (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition("event_type")
+        # The partition column LEADS the local sort: Spark's planned
+        # write requires ordering by partition columns and would insert
+        # its own Sort(event_type) — EliminateSorts then deletes a
+        # sortWithinPartitions that doesn't already satisfy it, silently
+        # un-clustering the files. Leading with event_type makes this
+        # sort BE the write's required ordering, so the ts clustering
+        # survives (verified by a negative control in tests).
+        .sortWithinPartitions("event_type", "ts", "event_id")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    from pyspark.sql import Window
+
+    # The sortedness check must follow the file's PHYSICAL row order —
+    # ordering the window by ts itself would be circularly true. The
+    # monotonic id captures scan order within each read split.
+    back = (
+        spark.read.parquet(out)
+        .withColumn("_file", F.input_file_name())
+        .withColumn("_rid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_file").orderBy("_rid")
+    audited = back.withColumn(
+        "monotone",
+        F.lag("ts").over(w).isNull() | (F.lag("ts").over(w) <= F.col("ts")),
+    )
+    return (
+        audited.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.every(F.col("monotone")).alias("files_internally_sorted"),
+        )
+        .orderBy("event_type")
+    )

@@ -197,3 +197,51 @@ def test_pair_histogram_covers_every_pair(spark):
         .collect()[0][0]
     )
     assert total == n * (n - 1) // 2
+
+
+def test_clustered_write_sort_survives_planned_write(spark, tmp_path):
+    """Regression for a silent un-clustering trap: Spark's planned write
+    inserts its own Sort(partition columns) and EliminateSorts deletes a
+    sortWithinPartitions that doesn't already satisfy it. The operator
+    leads its sort with the partition column so the ts clustering
+    survives; this test proves the mechanism by negative control — a
+    partition-col-led sort by a DIFFERENT column must produce files that
+    are genuinely NOT ts-sorted (i.e. user sort order reaches the files),
+    while the operator's audit flag stays true."""
+    from pyspark.sql import functions as F
+
+    import sparkgraft
+
+    out = str(tmp_path / "neg")
+    (
+        sparkgraft.load(spark, SF_DIR, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .repartition("event_type")
+        .sortWithinPartitions("event_type", F.desc("value"))
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(out + "/*/*.parquet"))
+    assert files
+    ts_sorted = [
+        bool(pq.read_table(f, columns=["ts"]).to_pandas()["ts"].is_monotonic_increasing)
+        for f in files
+    ]
+    vals_sorted = [
+        bool(
+            pq.read_table(f, columns=["value"])
+            .to_pandas()["value"]
+            .is_monotonic_decreasing
+        )
+        for f in files
+    ]
+    assert all(vals_sorted), "partition-col-led user sort must reach the files"
+    assert not any(ts_sorted), "ts order would mean the user sort was eliminated"
+
+    rows = sparkgraft.QUERIES["sink_clustered_write"](spark, SF_DIR).collect()
+    assert rows and all(r["files_internally_sorted"] for r in rows)
