@@ -785,3 +785,67 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(f"percentile(value, 0.5) {over}"), 6).alias("med_10"),
         F.round(F.expr(f"percentile(value, 0.9) {over}"), 6).alias("p90_10"),
     )
+
+
+@query(
+    "win_time_weighted_avg",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v100,
+             lead(epoch_us(ts)) OVER (
+               PARTITION BY user_id, CAST(ts AS DATE)
+               ORDER BY ts, event_id) - epoch_us(ts) AS dt_us
+      FROM events)
+    SELECT user_id, CAST(day AS VARCHAR(10)) AS day,
+           count(*) AS n_segments,
+           CAST(sum(dt_us) AS BIGINT) AS held_us,
+           round(sum(v100 * dt_us) / (100.0 * sum(dt_us)), 6) AS twa_value
+    FROM seg
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id, day
+    HAVING sum(dt_us) > 0
+    ORDER BY user_id, day
+    """,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per (user, day) over an irregular event
+    series — the metric a plain AVG gets wrong whenever sampling is
+    bursty (ten readings in one minute must not outvote one reading that
+    held for an hour). LOCF weighting: each value holds from its event
+    until the user's next event that day (lead() over ONE ordered keyed
+    window — a single user_id+day shuffle), the day's last observation
+    carries no weight. The weighted sum is computed in integer space —
+    value is exact cents, duration exact microseconds, so sum(v100·dt_us)
+    accumulates as int64 with no float-order sensitivity — and only the
+    final divide is floating point, one operation, bit-identical across
+    engines. Per-group state is one running int64 pair: safe at any
+    corpus size."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v100"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    seg = ev.withColumn(
+        "dt_us", F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+    ).filter(F.col("dt_us").isNotNull())
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("dt_us").alias("held_us"),
+            F.sum(F.col("v100") * F.col("dt_us")).alias("num"),
+        )
+        .filter(F.col("held_us") > 0)
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            "n_segments",
+            "held_us",
+            F.round(F.col("num") / (100.0 * F.col("held_us")), 6).alias("twa_value"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -245,3 +245,22 @@ def test_clustered_write_sort_survives_planned_write(spark, tmp_path):
 
     rows = sparkgraft.QUERIES["sink_clustered_write"](spark, SF_DIR).collect()
     assert rows and all(r["files_internally_sorted"] for r in rows)
+
+
+def test_time_weighted_avg_bounded_by_extremes(spark):
+    """A LOCF time-weighted mean is a convex combination of observed
+    values, so every (user, day) twa must lie within that group's
+    [min, max] value envelope."""
+    twa = sparkgraft.QUERIES["win_time_weighted_avg"](spark, SF_DIR)
+    ext = (
+        load(spark, SF_DIR, "events")
+        .select("user_id", F.to_date("ts").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .select("user_id", F.col("day").cast("string").alias("day"), "lo", "hi")
+    )
+    bad = twa.join(ext, ["user_id", "day"]).filter(
+        (F.col("twa_value") < F.col("lo") - 1e-6)
+        | (F.col("twa_value") > F.col("hi") + 1e-6)
+    )
+    assert bad.count() == 0
