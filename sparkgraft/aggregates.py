@@ -1254,3 +1254,71 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Heavy-hitter survivor threshold: φ = 1/125 of rows (cross-multiplied as
+# cnt·125 > n so both engines stay in exact integer arithmetic). The
+# per-batch prescreen keeps keys with batch count c_b·125 > m_b; by the
+# pigeonhole sum Σm_b = n, any key with global count > n/125 must clear
+# that bar in at least one batch, so the candidate set is a guaranteed
+# superset of the true heavy hitters (Misra-Gries survivor bound,
+# Misra & Gries 1982) and the exact recount makes the final answer
+# deterministic regardless of how rows were batched.
+_HH_INV_PHI = 125
+
+
+def _hh_candidates(batches):
+    """Per-Arrow-batch heavy-hitter prescreen: emit keys clearing the
+    φ-fraction bar within the batch. State is bounded by the Arrow batch
+    size (spark.sql.execution.arrow.maxRecordsPerBatch), never by corpus
+    cardinality."""
+    import pandas as pd
+
+    for pdf in batches:
+        m = len(pdf)
+        if m == 0:
+            continue
+        vc = pdf["user_id"].value_counts()
+        keep = vc[vc * _HH_INV_PHI > m]
+        yield pd.DataFrame({"user_id": keep.index})
+
+
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    SELECT user_id, count(*) AS cnt
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) * 125 > (SELECT count(*) FROM events)
+    ORDER BY cnt DESC, user_id
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters (keys holding > 1/125 of all rows) without
+    shuffling the full key space. A plain groupBy-HAVING exchanges every
+    distinct key — at 100 TB of web-scale ids that shuffle IS the cost.
+    This is the candidate + exact-recount pattern: (1) an Arrow-batched
+    prescreen keeps only keys that clear the φ bar within their batch —
+    a guaranteed superset of the global heavy hitters by the Misra-Gries
+    pigeonhole bound (see _HH_INV_PHI) and a tiny relation (≤ 1/φ keys
+    per batch); (2) a semi-join recounts exactly those candidates — AQE
+    broadcasts the candidate side when it is small, and the recount's
+    hash aggregate carries only candidate keys; (3) the φ filter on the
+    exact counts discards prescreen overshoot. Output is therefore
+    EXACTLY the true heavy hitters with exact counts — deterministic
+    under any partitioning — which is what makes a sketch-class
+    algorithm hash-checkable against a GROUP BY/HAVING oracle."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    cand = ev.mapInPandas(_hh_candidates, "user_id long").distinct()
+    exact = (
+        ev.join(cand, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.broadcast(ev.agg(F.count("*").alias("n")))
+    return (
+        exact.join(total)
+        .filter(F.col("cnt") * _HH_INV_PHI > F.col("n"))
+        .select("user_id", "cnt")
+        .orderBy(F.desc("cnt"), "user_id")
+    )

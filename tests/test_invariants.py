@@ -264,3 +264,32 @@ def test_time_weighted_avg_bounded_by_extremes(spark):
         | (F.col("twa_value") > F.col("hi") + 1e-6)
     )
     assert bad.count() == 0
+
+
+def test_heavy_hitters_partitioning_invariant(spark):
+    """The prescreen sees different Arrow batches under a different
+    physical partitioning; the exact-recount construction must make the
+    final relation identical anyway."""
+    base = sparkgraft.QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()
+    ev = (
+        load(spark, SF_DIR, "events")
+        .select("user_id")
+        .repartition(7, "user_id")
+    )
+    from sparkgraft.aggregates import _HH_INV_PHI, _hh_candidates
+
+    cand = ev.mapInPandas(_hh_candidates, "user_id long").distinct()
+    exact = (
+        ev.join(cand, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = F.broadcast(ev.agg(F.count("*").alias("n")))
+    alt = (
+        exact.join(total)
+        .filter(F.col("cnt") * _HH_INV_PHI > F.col("n"))
+        .select("user_id", "cnt")
+        .orderBy(F.desc("cnt"), "user_id")
+        .collect()
+    )
+    assert [tuple(r) for r in base] == [tuple(r) for r in alt]
