@@ -428,3 +428,15 @@ def test_bloom_prune_probe_reaches_fact_scan(spark):
     plan = _plan(df)
     assert "bloom_filter_agg" in plan
     assert "might_contain" in plan
+
+
+def test_scd2_pointintime_is_union_merge_not_range_join(spark):
+    """The SCD2 point-in-time join must plan as the union-merge (one
+    user_id hash exchange feeding a window) — never the nested-loop /
+    cartesian shape the naive BETWEEN range join would produce."""
+    df = sparkgraft.QUERIES["join_scd2_pointintime"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "Union" in plan
