@@ -721,3 +721,120 @@ def stream_transform_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_table(out, "tws", "update")
+
+
+def _stage_events_with_flush(sf_dir: str) -> str:
+    """Stage events plus three sentinel files (event_id −1, 2/4/6 h past
+    max ts, one click + one purchase row each, replayed as separate
+    batches via mtime order). Outer-join null rows only emit when the
+    eviction watermark passes a buffered row's join horizon, and that
+    watermark lags one batch (see _stage_events_split) — the sentinels
+    push it past every real click's click_ts + 30 min so the bounded
+    replay flushes ALL unmatched state before the query terminates. In
+    production this flush is the natural arrival of later data; only a
+    bounded replay needs it staged explicitly."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = _staging_root(sf_dir, "flush")
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(out, "000-events.parquet")
+    sent = [os.path.join(out, f"00{i}-flush.parquet") for i in (1, 2, 3)]
+    if not all(os.path.exists(p) for p in [dst, *sent]):
+        os.makedirs(out, exist_ok=True)
+        shutil.copyfile(src, dst)
+        table = pq.read_table(src)
+        max_ts = pa.compute.max(table["ts"]).as_py()
+        for i, p in enumerate(sent):
+            ts = max_ts + datetime.timedelta(hours=2 * (i + 1))
+            rows = pa.table(
+                {
+                    "event_id": pa.array([-1, -1], pa.int64()),
+                    "ts": pa.array([ts, ts], table.schema.field("ts").type),
+                    "user_id": pa.array([-1, -1], pa.int64()),
+                    "event_type": pa.array(["click", "purchase"]),
+                    "value": pa.array([0.0, 0.0], pa.float64()),
+                    "props": pa.array(["{}", "{}"]),
+                },
+                schema=table.schema,
+            )
+            pq.write_table(rows, p)
+    for i, p in enumerate([dst, *sent]):
+        os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return out
+
+
+@query(
+    "stream_left_outer_join",
+    oracle="""
+    select c.event_id as click_id, p.event_id as purchase_id, c.user_id,
+           date_diff('microsecond', c.ts, p.ts) as delta_us
+    from events c
+    left join events p
+      on c.user_id = p.user_id
+     and p.event_type = 'purchase'
+     and p.ts >= c.ts
+     and p.ts <= c.ts + interval 30 minute
+    where c.event_type = 'click'
+    """,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, attributed to a
+    purchase within 30 minutes when one exists, emitted with NULL
+    purchase columns once the watermark proves none can arrive — the
+    conversion-AND-abandonment feed a pure inner join can't produce.
+    Same bounded-state story as stream_stream_join (watermarks + time
+    band let the store evict), plus the outer-specific contract: a
+    buffered click's null row is emitted exactly at state eviction, so
+    result completeness is watermark-driven, not trigger-driven. The
+    replay appends sentinel batches beyond every real horizon
+    (_stage_events_with_flush) so the final table equals the batch LEFT
+    JOIN oracle; sentinel rows are dropped by the post-join id guard."""
+    staged = _stage_events_with_flush(sf_dir)
+    clicks = (
+        _events_stream(spark, staged, max_files=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, staged, max_files=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "delta_us"
+        ),
+    )
+    # The sentinel guard must run on the MATERIALIZED table: inside the
+    # streaming plan Catalyst pushes `click_id >= 0` below the click-side
+    # watermark node, which silently drops the flush sentinels and leaves
+    # the final real click's state unevicted (observed as one missing
+    # null row at the stream tail).
+    return _run_to_table(joined, "lojoin", "append").filter(
+        F.col("click_id") >= 0
+    )
