@@ -991,3 +991,72 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "sim_kmeans_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_sql_cosine('e.embedding', 'c.cvec')} AS cos
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored)
+    SELECT vec_id, cid AS centroid_id, round(cos, 6) AS cos_sim
+    FROM best WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means ASSIGN step: every vector labeled with its
+    nearest of 8 fixed seed centroids (vec_id < 8) by cosine — the inner
+    loop of embedding-space clustering and of IVF coarse quantizer
+    training. The centroid set is a CONSTANT-size relation (k rows, k
+    chosen by the operator, never corpus-proportional), packed into one
+    sorted array row and broadcast; assignment is then a row-local
+    F.aggregate fold over the k candidates — no shuffle at all beyond
+    the 1-row broadcast, embarrassingly parallel at any corpus size.
+    Strictly-greater replacement over the cid-ascending array keeps the
+    lowest centroid id on exact cosine ties, matching the oracle's
+    (cos DESC, cid) pick; both engines run the identical left-to-right
+    double kernel, so the rounded 6th decimal hash-matches."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    scored = emb.crossJoin(F.broadcast(cents))
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(-1).cast("integer").alias("cid"),
+            F.lit(-2.0).alias("cos"),
+        ),
+        lambda acc, c: F.when(
+            cosine(F.col("embedding"), c["cvec"]) > acc["cos"],
+            F.struct(
+                c["cid"].cast("integer").alias("cid"),
+                cosine(F.col("embedding"), c["cvec"]).alias("cos"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        scored.select("vec_id", best.alias("best"))
+        .select(
+            "vec_id",
+            F.col("best.cid").cast("long").alias("centroid_id"),
+            F.round(F.col("best.cos"), 6).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
