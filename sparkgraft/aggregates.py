@@ -12,7 +12,7 @@ summation order differs between engines at the last ulp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
@@ -1256,15 +1256,15 @@ def agg_hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Heavy-hitter survivor threshold: φ = 1/125 of rows (cross-multiplied as
-# cnt·125 > n so both engines stay in exact integer arithmetic). The
-# per-batch prescreen keeps keys with batch count c_b·125 > m_b; by the
-# pigeonhole sum Σm_b = n, any key with global count > n/125 must clear
+# Heavy-hitter survivor threshold: φ = 1/50 of rows (cross-multiplied as
+# cnt·50 > n so both engines stay in exact integer arithmetic). The
+# per-batch prescreen keeps keys with batch count c_b·50 > m_b; by the
+# pigeonhole sum Σm_b = n, any key with global count > n/50 must clear
 # that bar in at least one batch, so the candidate set is a guaranteed
 # superset of the true heavy hitters (Misra-Gries survivor bound,
 # Misra & Gries 1982) and the exact recount makes the final answer
 # deterministic regardless of how rows were batched.
-_HH_INV_PHI = 125
+_HH_INV_PHI = 50
 
 
 def _hh_candidates(batches):
@@ -1278,23 +1278,25 @@ def _hh_candidates(batches):
         m = len(pdf)
         if m == 0:
             continue
-        vc = pdf["user_id"].value_counts()
+        vc = pdf["hh_key"].value_counts()
         keep = vc[vc * _HH_INV_PHI > m]
-        yield pd.DataFrame({"user_id": keep.index})
+        yield pd.DataFrame({"hh_key": keep.index})
 
 
 @query(
     "agg_heavy_hitters",
     oracle="""
-    SELECT user_id, count(*) AS cnt
-    FROM events
-    GROUP BY user_id
-    HAVING count(*) * 125 > (SELECT count(*) FROM events)
-    ORDER BY cnt DESC, user_id
+    WITH keyed AS (
+      SELECT length(bin(1 + user_id % 1024)) - 1 AS hh_key FROM events)
+    SELECT hh_key, count(*) AS cnt
+    FROM keyed
+    GROUP BY hh_key
+    HAVING count(*) * 50 > (SELECT count(*) FROM keyed)
+    ORDER BY cnt DESC, hh_key
     """,
 )
 def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact φ-heavy hitters (keys holding > 1/125 of all rows) without
+    """Exact φ-heavy hitters (keys holding > 1/50 of all rows) without
     shuffling the full key space. A plain groupBy-HAVING exchanges every
     distinct key — at 100 TB of web-scale ids that shuffle IS the cost.
     This is the candidate + exact-recount pattern: (1) an Arrow-batched
@@ -1307,81 +1309,134 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact counts discards prescreen overshoot. Output is therefore
     EXACTLY the true heavy hitters with exact counts — deterministic
     under any partitioning — which is what makes a sketch-class
-    algorithm hash-checkable against a GROUP BY/HAVING oracle."""
-    ev = load(spark, sf_dir, "events").select("user_id")
-    cand = ev.mapInPandas(_hh_candidates, "user_id long").distinct()
+    algorithm hash-checkable against a GROUP BY/HAVING oracle.
+
+    The fixtures are skew-free by construction, so the hunted key is a
+    geometric derivation with scale-INDEPENDENT shares: floor(log₂(1 +
+    user_id mod 1024)) — computed as length(bin(x)) − 1, pure
+    integer/string arithmetic, bit-identical across engines — puts ≈2⁻ᵏ
+    of rows on key (9−k), giving real heavy hitters at every SF instead
+    of an answer that goes empty as uniform ids outgrow φ."""
+    ev = load(spark, sf_dir, "events").select(
+        (F.length(F.bin(1 + F.col("user_id") % 1024)) - 1).alias("hh_key")
+    )
+    cand = ev.mapInPandas(_hh_candidates, "hh_key long").distinct()
     exact = (
-        ev.join(cand, "user_id", "left_semi")
-        .groupBy("user_id")
+        ev.join(cand, "hh_key", "left_semi")
+        .groupBy("hh_key")
         .agg(F.count("*").alias("cnt"))
     )
     total = F.broadcast(ev.agg(F.count("*").alias("n")))
     return (
         exact.join(total)
         .filter(F.col("cnt") * _HH_INV_PHI > F.col("n"))
-        .select("user_id", "cnt")
-        .orderBy(F.desc("cnt"), "user_id")
+        .select("hh_key", "cnt")
+        .orderBy(F.desc("cnt"), "hh_key")
     )
 
 
 @query(
-    "agg_ratio_ci",
+    "agg_window_funnel",
     oracle="""
-    WITH g AS (
-      SELECT event_type,
-             CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS DOUBLE)
-               AS k
-      FROM events GROUP BY event_type)
-    SELECT event_type,
-           CAST(n AS BIGINT) AS n,
-           CAST(k AS BIGINT) AS k,
-           round(k / n, 6) AS p_hat,
-           round(((k / n + 3.8416 / (2.0 * n))
-                  - 1.96 * sqrt((k / n) * (1.0 - k / n) / n
-                                + 3.8416 / (4.0 * n * n)))
-                 / (1.0 + 3.8416 / n), 6) AS ci_lo,
-           round(((k / n + 3.8416 / (2.0 * n))
-                  + 1.96 * sqrt((k / n) * (1.0 - k / n) / n
-                                + 3.8416 / (4.0 * n * n)))
-                 / (1.0 + 3.8416 / n), 6) AS ci_hi
-    FROM g ORDER BY event_type
+    WITH c AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    v AS (
+      SELECT c.user_id, c.c_ts, min(e.ts) AS v_ts
+      FROM c LEFT JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'view'
+       AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 HOUR
+      GROUP BY c.user_id, c.c_ts),
+    p AS (
+      SELECT v.user_id, v.c_ts, v.v_ts, min(e.ts) AS p_ts
+      FROM v LEFT JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'purchase'
+       AND v.v_ts IS NOT NULL
+       AND e.ts > v.v_ts AND e.ts <= v.c_ts + INTERVAL 1 HOUR
+      GROUP BY v.user_id, v.c_ts, v.v_ts),
+    depth AS (
+      SELECT user_id,
+             max(CASE WHEN p_ts IS NOT NULL THEN 3
+                      WHEN v_ts IS NOT NULL THEN 2
+                      ELSE 1 END) AS funnel_depth
+      FROM p GROUP BY user_id)
+    SELECT funnel_depth, count(*) AS n_users
+    FROM depth GROUP BY funnel_depth ORDER BY funnel_depth
     """,
 )
-def agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wilson 95 % score interval on a per-group success ratio (share of
-    events with value > 100) — the uncertainty band a quality dashboard
-    puts around every rate, robust near 0/1 where the normal interval
-    collapses. The heavy work is ONE integer hash aggregate (count +
-    conditional count, partial+final); the interval itself is row-local
-    double arithmetic over (k, n) written in the identical operation
-    order as the oracle (division and sqrt are correctly-rounded IEEE
-    ops, so same order ⟹ same bits ⟹ the rounded 6th decimal
-    hash-matches). z = 1.96, z² = 3.8416 as exact literals."""
-    g = (
+def agg_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order windowed funnel (ClickHouse `windowFunnel`
+    semantics): deepest click → view → purchase chain with strictly
+    increasing timestamps, all inside one hour of the opening click, max
+    over each user's attempts. Greedy-earliest is exact here: if ANY
+    (view, purchase) chain completes inside a click's window, the chain
+    through the EARLIEST in-window view also completes (it only widens
+    the remaining window) — which is what lets both engines avoid
+    enumerating chains. The oracle does it with per-user min-joins; the
+    Spark plan is shuffle-free of time-range joins entirely: ONE ordered
+    per-user window computes, for every event, the next view ts and next
+    purchase ts (min-over-following-frame, O(n) state), then a single
+    (user_id, ts) equi-join hops click → its earliest view row to read
+    that row's next-purchase column. Per-user windows + one equi
+    shuffle — the same plan at 100 TB of events."""
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    ev = (
         load(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").cast("double").alias("n"),
-            F.sum(
-                F.when(F.col("value") > 100.0, F.lit(1)).otherwise(F.lit(0))
-            )
-            .cast("double")
-            .alias("k"),
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "nv",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(
+                w_next
+            ),
+        )
+        .withColumn(
+            "np",
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).over(w_next),
         )
     )
-    n, k = F.col("n"), F.col("k")
-    p = k / n
-    center = p + F.lit(3.8416) / (F.lit(2.0) * n)
-    half = F.lit(1.96) * F.sqrt(
-        p * (F.lit(1.0) - p) / n + F.lit(3.8416) / (F.lit(4.0) * n * n)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            # nv is next-by-ROW-order; the > guard restores the oracle's
+            # strictly-later-in-TIME contract for same-µs neighbors.
+            F.when(
+                (F.col("nv") > F.col("ts"))
+                & (F.col("nv") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+                F.col("nv"),
+            ).alias("v_ts"),
+        )
     )
-    denom = F.lit(1.0) + F.lit(3.8416) / n
-    return g.select(
-        "event_type",
-        n.cast("long").alias("n"),
-        k.cast("long").alias("k"),
-        F.round(p, 6).alias("p_hat"),
-        F.round((center - half) / denom, 6).alias("ci_lo"),
-        F.round((center + half) / denom, 6).alias("ci_hi"),
-    ).orderBy("event_type")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("np").alias("p_after_v")
+    )
+    depth = (
+        clicks.join(views, ["user_id", "v_ts"], "left")
+        .select(
+            "user_id",
+            F.when(
+                (F.col("p_after_v") > F.col("v_ts"))
+                & (
+                    F.col("p_after_v")
+                    <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")
+                ),
+                F.lit(3),
+            )
+            .when(F.col("v_ts").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("d"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("d").alias("funnel_depth"))
+    )
+    return (
+        depth.groupBy("funnel_depth")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_depth")
+    )

@@ -2026,3 +2026,74 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_syllables",
         F.round(flesch, 4).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@query(
+    "text_bigram_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i+1])) AS w2
+      FROM t WHERE len(toks) >= 2),
+    bf AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+    uf AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round(avg(ln(bf.c12 * 1.0 / uf.c1)), 6) AS avg_logprob,
+           round(exp(-round(avg(ln(bf.c12 * 1.0 / uf.c1)), 6)), 4) AS ppl
+    FROM big b
+    JOIN bf ON b.w1 = bf.w1 AND b.w2 = bf.w2
+    JOIN uf ON b.w1 = uf.w1
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model perplexity per document — the CCNet-style
+    quality filter one step up from `text_unigram_logprob`: conditioning
+    on the previous token separates fluent text from scrambled word soup
+    that unigram frequencies alone score identically. The corpus LM is
+    MLE over its own bigrams, P(w₂|w₁) = C(w₁,w₂)/C(w₁) with the
+    denominator counted over bigram CONTEXTS (so the conditional sums to
+    1 and every scored bigram is observed — no smoothing needed when
+    scoring the training corpus itself). Both model tables are
+    corpus-derived and therefore rejoin the bigram stream as plain
+    shuffle equi-joins on (w₁,w₂) and w₁ — never broadcast (the r3
+    vocabulary-broadcast lesson; AQE still broadcasts when genuinely
+    small). The token array is materialized behind a projection boundary
+    so split() runs once per row, and perplexity is exp(−avg) computed
+    from the ROUNDED mean both sides so the monotone transform cannot
+    amplify a last-ulp disagreement."""
+    base = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    big = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS w1,"
+                "             element_at(toks, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bf = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uf = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    avg_lp = F.round(
+        F.avg(F.log(F.col("c12") * 1.0 / F.col("c1"))), 6
+    )
+    return (
+        big.join(bf, ["w1", "w2"])
+        .join(uf, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            avg_lp.alias("avg_logprob"),
+            F.round(F.exp(-avg_lp), 4).alias("ppl"),
+        )
+        .orderBy("doc_id")
+    )

@@ -273,23 +273,25 @@ def test_heavy_hitters_partitioning_invariant(spark):
     base = sparkgraft.QUERIES["agg_heavy_hitters"](spark, SF_DIR).collect()
     ev = (
         load(spark, SF_DIR, "events")
-        .select("user_id")
-        .repartition(7, "user_id")
+        .select(
+            (F.length(F.bin(1 + F.col("user_id") % 1024)) - 1).alias("hh_key")
+        )
+        .repartition(7, "hh_key")
     )
     from sparkgraft.aggregates import _HH_INV_PHI, _hh_candidates
 
-    cand = ev.mapInPandas(_hh_candidates, "user_id long").distinct()
+    cand = ev.mapInPandas(_hh_candidates, "hh_key long").distinct()
     exact = (
-        ev.join(cand, "user_id", "left_semi")
-        .groupBy("user_id")
+        ev.join(cand, "hh_key", "left_semi")
+        .groupBy("hh_key")
         .agg(F.count("*").alias("cnt"))
     )
     total = F.broadcast(ev.agg(F.count("*").alias("n")))
     alt = (
         exact.join(total)
         .filter(F.col("cnt") * _HH_INV_PHI > F.col("n"))
-        .select("user_id", "cnt")
-        .orderBy(F.desc("cnt"), "user_id")
+        .select("hh_key", "cnt")
+        .orderBy(F.desc("cnt"), "hh_key")
         .collect()
     )
     assert [tuple(r) for r in base] == [tuple(r) for r in alt]
