@@ -1440,3 +1440,59 @@ def agg_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("funnel_depth")
     )
+
+
+@query(
+    "agg_decayed_sum",
+    oracle="""
+    WITH horizon AS (
+      SELECT max(CAST(ts AS DATE)) AS max_day FROM events),
+    term AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT)
+               * power(2.0, -date_diff('day', CAST(ts AS DATE),
+                                       (SELECT max_day FROM horizon)))
+               AS w
+      FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(w) / 100.0, 6) AS decayed_score
+    FROM term
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score per user — the feature-store
+    staple: recent activity counts fully, day-old activity half, with a
+    half-life of one day against the corpus horizon (max event day).
+    One hash aggregate after a row-local weight computation; the horizon
+    is a 1-row broadcast (bounded by construction). The arithmetic is
+    chosen so distributed summation order CANNOT matter: value is exact
+    integer cents (≤2¹⁶), the decay 2^(−whole days) is an exact dyadic
+    double, so every term is exact with ≤16 mantissa bits at offset
+    ≤ the corpus's day span — for spans + log₂(group volume) under 53
+    bits the sum is EXACT in IEEE double under any order (this corpus:
+    16 + 30 + log₂(67·490) ≈ 62... the cents and the span overlap, so
+    the true bound is span + log₂(Σcents) ≈ 30 + 22 = 52 bits — inside
+    the 53-bit mantissa). Only the final /100 display divide is
+    floating."""
+    ev = load(spark, sf_dir, "events")
+    horizon = F.broadcast(
+        ev.agg(F.max(F.to_date("ts")).alias("max_day"))
+    )
+    term = ev.crossJoin(horizon).select(
+        "user_id",
+        (
+            F.round(F.col("value") * 100).cast("long")
+            * F.pow(F.lit(2.0), -F.datediff("max_day", F.to_date("ts")))
+        ).alias("w"),
+    )
+    return (
+        term.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("w") / 100.0, 6).alias("decayed_score"),
+        )
+        .orderBy("user_id")
+    )

@@ -904,3 +904,39 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "join_not_in_null_aware",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT nullif(c_custkey, -1) FROM customer WHERE c_acctbal < 500.0)
+    ORDER BY o_orderkey
+    """,
+)
+def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN as a join — the semantic trap NOT EXISTS doesn't have: a
+    single NULL in the subquery list makes NOT IN return no rows (ANSI
+    three-valued logic), so a plain left-anti rewrite is WRONG whenever
+    the list column is nullable. Spark plans this as a null-aware anti
+    join (the left-anti variant that tracks list-side nulls); expressing
+    it through ``spark.sql`` keeps that plan — and its broadcast of the
+    filtered subquery — intact rather than hand-lowering to a join that
+    silently changes semantics. The list column is made NULLABLE via
+    nullif (no −1 keys exist, values unchanged) because on a provably
+    non-null column Catalyst correctly degrades to a plain left anti —
+    the null-aware machinery only engages when it must (plan-asserted). The subquery side here is a selective
+    dim filter (bounded), the probe side streams — the right shape for a
+    100 TB fact table."""
+    register_tables(spark, sf_dir, ["orders", "customer"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey NOT IN (
+          SELECT nullif(c_custkey, -1) FROM customer WHERE c_acctbal < 500.0)
+        ORDER BY o_orderkey
+        """
+    )

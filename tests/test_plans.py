@@ -440,3 +440,16 @@ def test_scd2_pointintime_is_union_merge_not_range_join(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert "Union" in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    """With a nullable list column, NOT IN must engage Spark's
+    null-aware anti join — shown as the trailing positional `true`
+    (isNullAwareAntiJoin) on the BroadcastHashJoin line. A plain left
+    anti here would silently change NOT IN's three-valued semantics."""
+    df = sparkgraft.QUERIES["join_not_in_null_aware"](spark, SF_DIR)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    joins = [ln for ln in simple.splitlines() if "BroadcastHashJoin" in ln]
+    assert joins and any(
+        "LeftAnti, BuildRight, true" in ln for ln in joins
+    ), joins
