@@ -1496,3 +1496,66 @@ def agg_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "agg_ratio_ci",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS DOUBLE)
+               AS k
+      FROM events GROUP BY event_type)
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k,
+           round(k / n, 6) AS p_hat,
+           round(((k / n + 3.8416 / (2.0 * n))
+                  - 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS ci_lo,
+           round(((k / n + 3.8416 / (2.0 * n))
+                  + 1.96 * sqrt((k / n) * (1.0 - k / n) / n
+                                + 3.8416 / (4.0 * n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS ci_hi
+    FROM g ORDER BY event_type
+    """,
+)
+def agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95 % score interval on a per-group success ratio (share of
+    events with value > 100) — the uncertainty band a quality dashboard
+    puts around every rate, robust near 0/1 where the normal interval
+    collapses. The heavy work is ONE integer hash aggregate (count +
+    conditional count, partial+final); the interval itself is row-local
+    double arithmetic over (k, n) written in the identical operation
+    order as the oracle (division and sqrt are correctly-rounded IEEE
+    ops, so same order ⟹ same bits ⟹ the rounded 6th decimal
+    hash-matches). z = 1.96, z² = 3.8416 as exact literals."""
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(
+                F.when(F.col("value") > 100.0, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("double")
+            .alias("k"),
+        )
+    )
+    n, k = F.col("n"), F.col("k")
+    p = k / n
+    center = p + F.lit(3.8416) / (F.lit(2.0) * n)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(3.8416) / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + F.lit(3.8416) / n
+    return g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        k.cast("long").alias("k"),
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    ).orderBy("event_type")
