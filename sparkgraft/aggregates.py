@@ -1559,3 +1559,87 @@ def agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT
+        sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s1,
+        sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS q1,
+        sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n2,
+        sum(CASE WHEN event_type = 'error'
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS s2,
+        sum(CASE WHEN event_type = 'error'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS q2
+      FROM events WHERE event_type IN ('click', 'error')),
+    m AS (
+      SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             s1 / (n1 * 100.0) AS m1, s2 / (n2 * 100.0) AS m2,
+             (q1 / 10000.0 - n1 * (s1 / (n1 * 100.0)) * (s1 / (n1 * 100.0)))
+               / (n1 - 1.0) AS v1,
+             (q2 / 10000.0 - n2 * (s2 / (n2 * 100.0)) * (s2 / (n2 * 100.0)))
+               / (n2 - 1.0) AS v2
+      FROM s)
+    SELECT n1, n2, round(m1, 6) AS mean_click, round(m2, 6) AS mean_error,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+                 / ((v1 / n1) * (v1 / n1) / (n1 - 1.0)
+                    + (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 4) AS welch_df
+    FROM m
+    """,
+)
+def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test on event value between the 'click' and
+    'error' populations — the A/B-testing readout, unequal variances
+    assumed. The distributed part is ONE conditional hash aggregate
+    collecting exact integer sufficient statistics (n, Σcents, Σcents²
+    per arm — int64-exact, so accumulation order cannot matter); the
+    t statistic and Welch–Satterthwaite degrees of freedom are then
+    row-local doubles over those six integers, written in the identical
+    operation order as the oracle so every IEEE op rounds the same
+    way. This is the textbook map-side-combinable test: 100 TB of
+    events reduce to six numbers before any float is touched."""
+    v100 = F.round(F.col("value") * 100).cast("long")
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "error"
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "error"))
+        .agg(
+            F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(is1, v100).otherwise(F.lit(0))).alias("s1"),
+            F.sum(F.when(is1, v100 * v100).otherwise(F.lit(0))).alias("q1"),
+            F.sum(F.when(is2, 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(is2, v100).otherwise(F.lit(0))).alias("s2"),
+            F.sum(F.when(is2, v100 * v100).otherwise(F.lit(0))).alias("q2"),
+        )
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1 = F.col("s1") / (n1 * 100.0)
+    m2 = F.col("s2") / (n2 * 100.0)
+    v1 = (F.col("q1") / 10000.0 - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (F.col("q2") / 10000.0 - n2 * m2 * m2) / (n2 - 1.0)
+    se2_1 = v1 / n1
+    se2_2 = v2 / n2
+    return s.select(
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.round(m1, 6).alias("mean_click"),
+        F.round(m2, 6).alias("mean_error"),
+        F.round((m1 - m2) / F.sqrt(se2_1 + se2_2), 6).alias("t_stat"),
+        F.round(
+            (se2_1 + se2_2) * (se2_1 + se2_2)
+            / (
+                se2_1 * se2_1 / (n1 - 1.0)
+                + se2_2 * se2_2 / (n2 - 1.0)
+            ),
+            4,
+        ).alias("welch_df"),
+    )

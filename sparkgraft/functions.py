@@ -605,3 +605,68 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "fn_sequence_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS n, round(sum(value), 2) AS v
+      FROM events GROUP BY user_id, CAST(ts AS DATE)),
+    rng AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM rng)
+    SELECT s.user_id, CAST(s.day AS VARCHAR(10)) AS day,
+           COALESCE(d.n, 0) AS n_events,
+           COALESCE(d.v, 0.0) AS daily_value
+    FROM spine s
+    LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    ORDER BY s.user_id, s.day
+    """,
+)
+def fn_sequence_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification (gap fill): every user gets a COMPLETE
+    day spine from their first to last active day, with zero-filled
+    rows on silent days — the step that turns an event log into a
+    regular time series (without it, rolling averages silently skip
+    gaps and look healthier than they are). Complements
+    `win_forward_fill`, which fills VALUES over existing rows but can't
+    create the missing rows. The spine is F.sequence + explode over a
+    per-user (min, max) day pair — fan-out bounded by the calendar span,
+    never by event volume — and rejoins the daily aggregate on
+    (user_id, day): two hash aggregates and one equi shuffle, the same
+    plan at any corpus size."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("day"),
+        )
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("daily_value"),
+        )
+        .orderBy("user_id", "day")
+    )
