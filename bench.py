@@ -63,6 +63,10 @@ GROUP2 = [
     "text_tfidf",               # token-keyed shuffle join (r4 de-broadcast)
     "join_nearest_event",       # day-bucketed bidirectional nearest-in-time
     "win_cumulative_users",     # first-seen running COUNT(DISTINCT)
+    # r4 additions (group2 totals therefore grow vs BENCH_r04-early;
+    # BASELINE.md's round-delta table carries the note):
+    "text_bigram_perplexity",   # bigram-LM shuffle joins (CCNet filter)
+    "agg_window_funnel",        # ordered-window funnel + (user, ts) hop join
 ]
 
 TIMED_REPS = 7
