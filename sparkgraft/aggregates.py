@@ -1643,3 +1643,287 @@ def agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("welch_df"),
     )
+
+
+@query(
+    "agg_gini_daily",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT priority, day, rev,
+             row_number() OVER (PARTITION BY priority ORDER BY rev, day) AS i,
+             count(*) OVER (PARTITION BY priority) AS n,
+             sum(rev) OVER (PARTITION BY priority) AS tot
+      FROM d)
+    SELECT priority, CAST(max(n) AS BIGINT) AS n_days,
+           round(max(tot) / 100.0, 2) AS total_rev,
+           round(2.0 * sum(i * rev) / (max(n) * 1.0 * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM r GROUP BY priority ORDER BY priority
+    """,
+)
+def agg_gini_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across calendar days per
+    order priority — the burstiness audit (is demand smooth or spiky?).
+    The corpus-sized work is ONE hash aggregate to (priority, day) cent
+    sums; the rank formula G = 2·Σi·x₍ᵢ₎/(n·Σx) − (n+1)/n then runs over
+    a window whose partition size is bounded by the CALENDAR, not the
+    data, so the single-task frame is safe at 100 TB. All accumulation is
+    exact int64 (cents, rank·cents); floats appear only in the final
+    row-local divide, in oracle-identical operation order. Ties in daily
+    revenue are rank-sum-invariant (equal x over a contiguous i block),
+    and the order is pinned by (rev, day) anyway."""
+    o = load(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    wp = Window.partitionBy("priority")
+    r = d.select(
+        "priority",
+        "rev",
+        F.row_number().over(wp.orderBy("rev", "day")).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("rev").over(wp).alias("tot"),
+    )
+    n, tot = F.max("n"), F.max("tot")
+    return (
+        r.groupBy("priority")
+        .agg(
+            n.cast("long").alias("n_days"),
+            F.round(tot / 100.0, 2).alias("total_rev"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("rev")) / (n * 1.0 * tot)
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "agg_markov_transition",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events),
+    c AS (
+      SELECT src, dst, count(*) AS cnt FROM p
+      WHERE dst IS NOT NULL GROUP BY src, dst)
+    SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY src), 6) AS p_next
+    FROM c ORDER BY src, dst
+    """,
+)
+def agg_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — P(next event type | current), the session-model primitive
+    behind next-action prediction and bot detection. lead() runs over
+    per-user ordered windows (partition size = one user's history, never
+    corpus-sized), pair counting is a partial+final hash aggregate, and
+    the row-normalising window runs over the |types|² matrix — a few
+    dozen rows regardless of corpus size. Order pinned by (ts, event_id)
+    so concurrent-timestamp rows sequence identically in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    c = pairs.groupBy("src", "dst").agg(F.count("*").alias("cnt"))
+    return c.select(
+        "src",
+        "dst",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(
+            F.col("cnt") * 1.0 / F.sum("cnt").over(Window.partitionBy("src")), 6
+        ).alias("p_next"),
+    ).orderBy("src", "dst")
+
+
+@query(
+    "agg_churn_rate",
+    oracle="""
+    WITH aw AS (
+      SELECT DISTINCT
+        datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wi,
+        user_id
+      FROM events),
+    mx AS (SELECT max(wi) AS last_wi FROM aw),
+    j AS (
+      SELECT a.wi, a.user_id,
+             CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+      FROM aw a LEFT JOIN aw b
+        ON b.user_id = a.user_id AND b.wi = a.wi + 1)
+    SELECT strftime(DATE '1970-01-01' + CAST(wi * 7 AS INT), '%Y-%m-%d')
+             AS week_start,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(churned) AS BIGINT) AS churned_users,
+           round(sum(churned) * 1.0 / count(*), 6) AS churn_rate
+    FROM j, mx WHERE wi < last_wi
+    GROUP BY wi ORDER BY week_start
+    """,
+)
+def agg_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week user churn: of the users active in week w, the
+    share with NO activity in w+1 — the retention dashboard's headline
+    number. The corpus reduces immediately to DISTINCT (week-index,
+    user) — the only corpus-sized shuffle — then churn is a self
+    LEFT JOIN on (user, week+1): a plain shuffle equi-join, no window
+    over users, no per-week recount of raw events. The final week is
+    excluded (churn undefined without a successor). Weeks are carried
+    as an exact integer index (epoch days // 7) so the join key and
+    the calendar arithmetic are identical in both engines."""
+    e = load(spark, sf_dir, "events")
+    aw = (
+        e.select(
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+            ).alias("wi"),
+            "user_id",
+        ).distinct()
+    )
+    last_wi = aw.agg(F.max("wi").alias("last_wi"))
+    b = aw.select(F.col("wi").alias("bwi"), F.col("user_id").alias("buid"))
+    j = aw.join(
+        b,
+        (F.col("buid") == F.col("user_id")) & (F.col("bwi") == F.col("wi") + 1),
+        "left",
+    ).select(
+        "wi", F.when(F.col("buid").isNull(), 1).otherwise(0).alias("churned")
+    )
+    return (
+        j.crossJoin(F.broadcast(last_wi))
+        .filter(F.col("wi") < F.col("last_wi"))
+        .groupBy("wi")
+        .agg(
+            F.count("*").cast("long").alias("active_users"),
+            F.sum("churned").cast("long").alias("churned_users"),
+            F.round(F.sum("churned") * 1.0 / F.count("*"), 6).alias("churn_rate"),
+        )
+        .select(
+            F.expr(
+                "date_format(date_add(DATE '1970-01-01', CAST(wi * 7 AS INT)),"
+                " 'yyyy-MM-dd')"
+            ).alias("week_start"),
+            "active_users",
+            "churned_users",
+            "churn_rate",
+        )
+        .orderBy("week_start")
+    )
+
+
+@query(
+    "agg_log_histogram",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    b AS (SELECT cents, length(format('{:b}', cents)) - 1 AS bucket FROM v)
+    SELECT bucket,
+           CAST((1::BIGINT << bucket) AS BIGINT) AS bucket_floor_cents,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(cents) / 100.0, 2) AS total_value,
+           round(sum(cents) / (100.0 * count(*)), 2) AS avg_value
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def agg_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HDR-style) histogram of order value — the log-scale
+    latency/size-distribution canon, one bucket per binary order of
+    magnitude. The bucket is floor(log₂(cents)) computed EXACTLY as the
+    bit length of the integer cent value (length of the binary string
+    minus one) — never a float log whose boundary rounding could
+    disagree between engines at exact powers of two. One hash aggregate
+    over a handful of buckets; int64 cent sums are order-immune."""
+    v = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    b = v.select(
+        "cents", (F.length(F.bin("cents")) - 1).alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+            F.round(F.sum("cents") / (100.0 * F.count("*")), 2).alias("avg_value"),
+        )
+        .select(
+            "bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+            .alias("bucket_floor_cents"),
+            "n_orders",
+            "total_value",
+            "avg_value",
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_mad_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+    med AS (SELECT event_type, median(c) AS med FROM v GROUP BY event_type),
+    dev AS (
+      SELECT v.event_type, v.c, abs(v.c - med.med) AS ad, med.med AS med
+      FROM v JOIN med ON v.event_type = med.event_type),
+    mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           round(max(d.med) / 100.0, 2) AS median_value,
+           round(max(m.mad) / 100.0, 2) AS mad_value,
+           CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier count per event type via median absolute deviation
+    (|x − median| > 3·MAD) — the anomaly gate that, unlike z-scores, a
+    single wild value cannot poison. Values are cent-quantized so both
+    medians are exact over an integer domain (deviations are k or k+0.5,
+    both dyadic-exact in IEEE double; 3·MAD likewise), making the
+    boundary comparison bit-identical across engines. The two median
+    frames are |event_type| rows, so both join-backs auto-broadcast;
+    the only corpus-sized shuffles are the two per-type exact-median
+    aggregates, whose state is bounded by the DISTINCT cent values of a
+    bounded metric domain, not by row count."""
+    v = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    med = v.groupBy("event_type").agg(F.median("c").alias("med"))
+    dev = v.join(med, "event_type").select(
+        "event_type", "c", F.abs(F.col("c") - F.col("med")).alias("ad"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med") / 100.0, 2).alias("median_value"),
+            F.round(F.max("mad") / 100.0, 2).alias("mad_value"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+            F.count("*").cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )

@@ -10,7 +10,7 @@ before any join, never a naive O(n²) cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
@@ -2096,4 +2096,137 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(-avg_lp), 4).alias("ppl"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_js_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    st AS (SELECT source, token, count(*) AS sc FROM tok GROUP BY source, token),
+    ct AS (SELECT token, count(*) AS cc FROM tok GROUP BY token),
+    stot AS (SELECT source, sum(sc) AS sn FROM st GROUP BY source),
+    ctot AS (SELECT sum(cc) AS cn FROM ct),
+    grid AS (
+      SELECT s.source, c.token, c.cc FROM ct c
+      CROSS JOIN (SELECT DISTINCT source FROM documents) s),
+    terms AS (
+      SELECT g.source,
+             COALESCE(st.sc, 0) * 1.0 / stot.sn AS ps,
+             g.cc * 1.0 / ctot.cn AS pc
+      FROM grid g
+      LEFT JOIN st ON st.source = g.source AND st.token = g.token
+      JOIN stot ON stot.source = g.source
+      CROSS JOIN ctot)
+    SELECT source,
+           round(sum(
+             CASE WHEN ps > 0
+                  THEN 0.5 * ps * ln(ps / ((ps + pc) / 2)) ELSE 0.0 END
+             + 0.5 * pc * ln(pc / ((ps + pc) / 2))), 6) AS jsd
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between each source's token
+    distribution and the whole-corpus distribution — the drift metric
+    that flags a crawl slice whose vocabulary stopped looking like the
+    mixture it feeds. Token counting is partial+final hash aggregation;
+    the corpus-vocabulary table is fanned out per source via a cross
+    join against the (bounded, handful-of-rows) source list and the
+    per-source counts come back through a plain shuffle equi-join on
+    (source, token) — the vocabulary is NEVER broadcast (the r3
+    lesson). Natural log pinned on both engines; zero-support tokens
+    contribute only their corpus half, exactly as the formula demands."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count("*").alias("sc"))
+    ct = tok.groupBy("token").agg(F.count("*").alias("cc"))
+    stot = st.groupBy("source").agg(F.sum("sc").alias("sn"))
+    cn = float(ct.agg(F.sum("cc")).first()[0])  # one scalar, driver-side
+    sources = load(spark, sf_dir, "documents").select("source").distinct()
+    grid = ct.crossJoin(F.broadcast(sources))
+    terms = (
+        grid.join(st, ["source", "token"], "left")
+        .join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            (F.coalesce("sc", F.lit(0)) * 1.0 / F.col("sn")).alias("ps"),
+            (F.col("cc") * 1.0 / F.lit(cn)).alias("pc"),
+        )
+    )
+    ps, pc = F.col("ps"), F.col("pc")
+    m = (ps + pc) / 2
+    return (
+        terms.select(
+            "source",
+            (
+                F.when(ps > 0, F.lit(0.5) * ps * F.log(ps / m)).otherwise(0.0)
+                + F.lit(0.5) * pc * F.log(pc / m)
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("jsd"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_vocab_growth",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    firsts AS (SELECT token, min(doc_id) AS fd FROM tok GROUP BY token),
+    bydec AS (
+      SELECT (f.fd * 10) // (mx.mid + 1) AS decile, count(*) AS new_tokens
+      FROM firsts f, mx GROUP BY 1),
+    spine AS (SELECT unnest(range(0, 10)) AS decile)
+    SELECT CAST(s.decile AS BIGINT) AS decile,
+           CAST(COALESCE(b.new_tokens, 0) AS BIGINT) AS new_tokens,
+           CAST(sum(COALESCE(b.new_tokens, 0)) OVER (
+             ORDER BY s.decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
+    FROM spine s LEFT JOIN bydec b ON b.decile = s.decile
+    ORDER BY decile
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: distinct tokens accumulated
+    after each tenth of the corpus (by doc_id order) — the saturation
+    diagnostic that says whether more crawl still buys new vocabulary.
+    An expanding COUNT(DISTINCT) re-scans every prefix, so the scalable
+    identity is first-seen attribution (each token counts once, at its
+    min doc_id) — the same trick as ``win_cumulative_users``. One hash
+    aggregate over tokens, a 1-row max broadcast for the decile bound,
+    and the cumulative window runs over exactly ten rows. Decile
+    assignment is exact integer arithmetic (fd·10 // (max+1))."""
+    d = load(spark, sf_dir, "documents")
+    mid = d.agg(F.max("doc_id").alias("mid"))
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    firsts = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    bydec = (
+        firsts.crossJoin(F.broadcast(mid))
+        .select(F.expr("(fd * 10) div (mid + 1)").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count("*").alias("new_tokens"))
+    )
+    spine = spark.range(0, 10).select(F.col("id").alias("decile"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(bydec, "decile", "left")
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.coalesce("new_tokens", F.lit(0)).cast("long").alias("new_tokens"),
+        )
+        .withColumn("cum_vocab", F.sum("new_tokens").over(w).cast("long"))
+        .orderBy("decile")
     )

@@ -849,3 +849,110 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "win_streak_longest",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    n AS (
+      SELECT user_id, day,
+             datediff('day', DATE '1970-01-01', day)
+             - row_number() OVER (PARTITION BY user_id ORDER BY day) AS isl
+      FROM du),
+    s AS (SELECT user_id, isl, count(*) AS len FROM n GROUP BY user_id, isl)
+    SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the engagement
+    metric every retention team asks for. Classic gaps-and-islands: the
+    corpus first collapses to DISTINCT (user, day) — the only
+    corpus-sized shuffle — then day-number minus row_number is constant
+    within a run of consecutive days, so a hash aggregate on that island
+    key yields streak lengths without comparing neighbouring rows. The
+    window partitions by user and holds at most one row per calendar
+    day, so its size is calendar-bounded regardless of event volume."""
+    du = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    n = du.select(
+        "user_id",
+        (F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(w)).alias(
+            "isl"
+        ),
+    )
+    s = n.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "win_drawdown_max",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             sum(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM events),
+    r AS (
+      SELECT user_id, cum,
+             max(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      FROM s)
+    SELECT user_id,
+           round(max(peak - cum) / 100.0, 2) AS max_drawdown,
+           round(max(peak) / 100.0, 2) AS peak_value
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative metric series (largest
+    peak-to-trough drop of the running cent sum, ordered by time) — the
+    risk statistic for any monotone-hope curve: engagement scores, ad
+    spend, account balance. Two ordered windows on the SAME per-user
+    partitioning (one exchange, Catalyst folds them): a running int64
+    cent sum, then a running max of that sum; the drawdown is their
+    row-local difference and everything stays exact-integer until the
+    final divide. Per-user partitions are one user's history — never
+    corpus-sized. Ordering pinned by (ts, event_id)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).alias("cum"),
+    )
+    r = s.select(
+        "user_id",
+        "cum",
+        F.max("cum").over(w).alias("peak"),
+    )
+    return (
+        r.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("cum")) / 100.0, 2).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak") / 100.0, 2).alias("peak_value"),
+        )
+        .orderBy("user_id")
+    )
