@@ -453,3 +453,123 @@ def test_not_in_plans_null_aware_anti_join(spark):
     assert joins and any(
         "LeftAnti, BuildRight, true" in ln for ln in joins
     ), joins
+
+
+def test_churn_self_join_is_shuffle_equi(spark):
+    """The week-over-week churn self-join must plan as a shuffle
+    equi-join on (user, week+1) — never a nested loop — with the only
+    broadcast being the 1-row last-week bound."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["agg_churn_rate"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    n_bcast = len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("(") and ln.strip().endswith("BroadcastExchange")
+        ]
+    )
+    assert n_bcast == 1  # the 1-row max-week bound, nothing corpus-sized
+
+
+def test_js_divergence_vocab_never_broadcast(spark):
+    """JSD joins the corpus vocabulary back per source. The vocab-sized
+    join must be a shuffle equi-join; the only broadcasts are the two
+    bounded frames (the source list and the per-source totals)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["text_js_divergence"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+    n_bcast = len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("(") and ln.strip().endswith("BroadcastExchange")
+        ]
+    )
+    assert n_bcast == 2
+
+
+def test_drawdown_reuses_single_user_exchange(spark):
+    """Running sum, running max AND the per-user aggregate must all ride
+    ONE user_id hash exchange (the second Exchange is the final
+    presentation sort) — re-shuffling between the windows would double
+    the corpus movement."""
+    df = sparkgraft.QUERIES["win_drawdown_max"](spark, SF_DIR)
+    plan = _plan(df)
+    exchanges = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip().startswith("(") and ln.strip().endswith("Exchange")
+    ]
+    assert len(exchanges) == 2
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_growth_no_expanding_distinct(spark):
+    """Heaps-curve construction: first-seen attribution means no
+    corpus-sized table is ever broadcast (the 1-row max-doc bound is the
+    only BroadcastExchange) and the cumulative window runs over the
+    10-row decile spine only."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["text_vocab_growth"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    n_bcast = len(
+        [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("(") and ln.strip().endswith("BroadcastExchange")
+        ]
+    )
+    assert n_bcast == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_outliers_joins_stay_equi(spark):
+    """Both median join-backs key on event_type — equi-joins under any
+    planner mode, never a nested loop over the corpus."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["agg_mad_outliers"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_markov_windows_are_keyed(spark):
+    """Both windows (per-user lead, per-src normalising) are keyed —
+    no global single-partition window anywhere in the transition
+    matrix plan."""
+    df = sparkgraft.QUERIES["agg_markov_transition"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan  # pair counting map-side combines
+
+
+def test_gini_partial_aggregates_before_calendar_window(spark):
+    """The (priority, day) cent rollup must map-side combine before its
+    shuffle; the rank window partitions by priority (calendar-bounded),
+    never globally."""
+    df = sparkgraft.QUERIES["agg_gini_daily"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_sum" in plan
+    assert "SinglePartition" not in plan
