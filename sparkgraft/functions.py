@@ -670,3 +670,42 @@ def fn_sequence_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@query(
+    "fn_round_modes",
+    oracle="""
+    WITH v AS (
+      SELECT DISTINCT CAST(o_orderkey % 40 AS DOUBLE) / 4.0 AS v FROM orders)
+    SELECT v,
+           round(v, 1) AS half_up,
+           round_even(v, 1) AS half_even,
+           ceil(v * 10) / 10 AS ceil_1,
+           floor(v * 10) / 10 AS floor_1
+    FROM v ORDER BY v
+    """,
+)
+def fn_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-mode parity audit: HALF_UP (``round``) vs banker's
+    HALF_EVEN (``bround``) vs directed ceil/floor at one decimal — the
+    dialect trap behind every cross-engine financial reconciliation.
+    The probe domain is quarters (k/4: exactly representable dyadic
+    doubles), so every tie (x.25 / x.75) sits EXACTLY on the boundary
+    in both engines and the modes must visibly disagree (…25 → HALF_UP
+    up, HALF_EVEN down). Pure row-local map + one distinct over a
+    40-value domain; ceil/floor take the scaled-integer route
+    (ceil(v·10)/10) because DuckDB's ceil has no scale argument."""
+    v = (
+        load(spark, sf_dir, "orders")
+        .select(
+            ((F.col("o_orderkey") % 40).cast("double") / 4.0).alias("v")
+        )
+        .distinct()
+    )
+    return v.select(
+        "v",
+        F.round("v", 1).alias("half_up"),
+        F.bround("v", 1).alias("half_even"),
+        (F.ceil(F.col("v") * 10) / 10).alias("ceil_1"),
+        (F.floor(F.col("v") * 10) / 10).alias("floor_1"),
+    ).orderBy("v")

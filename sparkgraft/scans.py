@@ -566,3 +566,50 @@ def sink_clustered_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id % 8 AS bucket,
+             string_agg(text, chr(10) ORDER BY doc_id) || chr(10) AS content
+      FROM documents GROUP BY doc_id % 8)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(octet_length(encode(content)) AS BIGINT) AS n_bytes,
+           md5(content) AS digest
+    FROM c ORDER BY bucket
+    """,
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``binaryFile`` source — Spark's whole-file ingestion path for
+    opaque payloads (images, audio, model shards), the `hadoop fs -get |
+    md5sum` audit. Documents are spilled to eight bucket-partitioned
+    text files (one file per bucket: each bucket lives in exactly one
+    task, rows sorted by doc_id, so the bytes are deterministic), then
+    read back as whole binary blobs whose per-file length and MD5 are
+    proven against the oracle's reconstruction of the same bytes. The
+    partition column rides directory discovery exactly as it would on a
+    100 TB media lake; file contents never pass through the driver."""
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("bucket"), "doc_id", "text"
+    )
+    path = _scratch(sf_dir, "binary_files")
+    (
+        d.repartition(8, "bucket")
+        .sortWithinPartitions("bucket", "doc_id")
+        .select("text", "bucket")  # text source allows 1 data column
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .partitionBy("bucket")
+        .text(path)
+    )
+    files = spark.read.format("binaryFile").load(path)
+    return (
+        files.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.md5("content").alias("digest"),
+        )
+        .orderBy("bucket")
+    )

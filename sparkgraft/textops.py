@@ -2230,3 +2230,54 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_vocab", F.sum("new_tokens").over(w).cast("long"))
         .orderBy("decile")
     )
+
+
+@query(
+    "text_mix_rebalance",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, count(*) AS n_tokens
+      FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents) t
+      GROUP BY lang),
+    d AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    m AS (SELECT min(n_tokens) AS mn FROM tok)
+    SELECT t.lang, CAST(d.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           round(m.mn * 1.0 / t.n_tokens, 6) AS sample_weight,
+           CAST(m.mn AS BIGINT) AS target_tokens
+    FROM tok t JOIN d ON t.lang = d.lang CROSS JOIN m
+    ORDER BY t.lang
+    """,
+)
+def text_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture rebalancing weights: the per-language sampling
+    rate that equalises TOKEN budgets across languages (downsample every
+    language to the smallest — the low-resource-language fairness
+    baseline). Two hash aggregates (per-lang token and doc counts) do
+    all corpus-sized work; the 1-row minimum broadcasts. The weight is a
+    ratio of exact int64 token counts, so the only float is the final
+    rounded divide — a downstream sampler applies it with the same
+    deterministic key-arithmetic as ``sample_stratified``."""
+    d = load(spark, sf_dir, "documents")
+    tok = (
+        d.select("lang", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_tokens"))
+    )
+    docs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    mn = tok.agg(F.min("n_tokens").alias("mn"))
+    return (
+        tok.join(docs, "lang")
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "lang",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("mn") * 1.0 / F.col("n_tokens"), 6).alias(
+                "sample_weight"
+            ),
+            F.col("mn").cast("long").alias("target_tokens"),
+        )
+        .orderBy("lang")
+    )

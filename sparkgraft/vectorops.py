@@ -1060,3 +1060,53 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_gram_matrix",
+    oracle=f"""
+    SELECT CAST(i.i AS BIGINT) AS i, CAST(j.j AS BIGINT) AS j,
+           round(sum(CAST(embedding[i.i + 1] AS DOUBLE)
+                     * CAST(embedding[j.j + 1] AS DOUBLE)), 4) AS g
+    FROM embeddings,
+         (SELECT unnest(range(0, {_DIM})) AS i) i,
+         (SELECT unnest(range(0, {_DIM})) AS j) j
+    WHERE i.i <= j.j
+    GROUP BY i.i, j.j ORDER BY i, j
+    """,
+)
+def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix XᵀX of the embedding corpus (upper
+    triangle) — the 64×64 sufficient statistic behind PCA / whitening /
+    covariance-based drift detection, and the textbook 100 TB linear
+    algebra shape: each row contributes its outer product via a pure
+    generator (no join, no driver), and partial aggregation collapses
+    every task to at most dim·(dim+1)/2 = 2,080 cells BEFORE the
+    shuffle, so the exchanged volume is constant in corpus size. The
+    per-cell float sum is rounded at 4 dp — two orders of magnitude
+    above summation-order ulp drift between engines."""
+    e = load(spark, sf_dir, "embeddings")
+    cells = e.select(
+        F.explode(
+            F.expr(
+                """
+                filter(
+                  flatten(transform(embedding, (xi, i) ->
+                    transform(embedding, (xj, j) ->
+                      struct(i AS i, j AS j,
+                             CAST(xi AS DOUBLE) * CAST(xj AS DOUBLE) AS p)))),
+                  s -> s.i <= s.j)
+                """
+            )
+        ).alias("s")
+    ).select("s.i", "s.j", "s.p")
+    return (
+        cells.groupBy("i", "j")
+        .agg(F.round(F.sum("p"), 4).alias("g"))
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "g",
+        )
+        .orderBy("i", "j")
+    )

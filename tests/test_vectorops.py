@@ -84,3 +84,32 @@ def test_matryoshka_overlap_bounds_and_signal(spark):
     assert all(0 <= r.overlap <= 5 for r in rows)
     mean = sum(r.overlap for r in rows) / len(rows)
     assert mean >= 0.5, f"prefix retrieval carries no signal (mean={mean})"
+
+
+def test_gram_matrix_is_psd_and_trace_consistent(spark):
+    """XᵀX must be symmetric positive semi-definite, and its trace must
+    equal the sum of squared vector norms — ties the distributed
+    outer-product aggregation to an independent per-row computation."""
+    import numpy as np
+
+    rows = sparkgraft.QUERIES["sim_gram_matrix"](spark, SF_DIR_MID).collect()
+    dim = 64
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r.i, r.j] = r.g
+        g[r.j, r.i] = r.g
+    eig = np.linalg.eigvalsh(g)
+    assert eig.min() >= -1e-6 * max(eig.max(), 1.0)
+    sq = (
+        load(spark, SF_DIR_MID, "embeddings")
+        .select(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ).alias("sq")
+        )
+        .agg(F.sum("sq"))
+        .first()[0]
+    )
+    assert abs(np.trace(g) - sq) < 1e-2
