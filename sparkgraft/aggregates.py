@@ -1927,3 +1927,56 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    firsts AS (SELECT user_id, min(day) AS fday FROM du GROUP BY user_id)
+    SELECT strftime(du.day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(sum(CASE WHEN du.day = f.fday THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN du.day = f.fday THEN 0 ELSE 1 END) AS BIGINT)
+             AS returning_users,
+           round(sum(CASE WHEN du.day = f.fday THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS pct_new
+    FROM du JOIN firsts f ON du.user_id = f.user_id
+    GROUP BY du.day ORDER BY day
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into first-timers vs returners — the
+    acquisition-vs-retention dashboard row. First-seen attribution
+    again: DISTINCT (day, user) and a per-user min-day aggregate are the
+    only corpus-sized shuffles, rejoined on user_id as a plain shuffle
+    equi-join (users grow with the corpus — never broadcast). Every
+    output number is an exact integer count; the mix ratio is the one
+    rounded float."""
+    du = (
+        load(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    firsts = du.groupBy("user_id").agg(F.min("day").alias("fday"))
+    is_new = F.when(F.col("day") == F.col("fday"), 1).otherwise(0)
+    return (
+        du.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").cast("long").alias("dau"),
+            F.sum(is_new).cast("long").alias("new_users"),
+            F.sum(1 - is_new).cast("long").alias("returning_users"),
+            F.round(F.sum(is_new) * 1.0 / F.count("*"), 6).alias("pct_new"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "new_users",
+            "returning_users",
+            "pct_new",
+        )
+        .orderBy("day")
+    )

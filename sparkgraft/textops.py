@@ -496,8 +496,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_ids").alias("ids_b"),
     )
     cross = (
-        cand.join(sa, "skey_a")
-        .join(sb, "skey_b")
+        # Verify join-backs ride SHUFFLE-HASH joins: sort-merge would
+        # range-sort millions of candidate rows (and re-sort the array-
+        # carrying intermediate) just to probe a narrow per-partition
+        # hash map of set metadata. Hash build side is the sets table
+        # partition slice — bounded by partition count, never sorted.
+        # Measured at sf0.1: 34.9 s -> 20.6 s for the full query.
+        cand.join(sa.hint("shuffle_hash"), "skey_a")
+        .join(sb.hint("shuffle_hash"), "skey_b")
         .withColumn(
             "overlap",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
@@ -2280,4 +2286,61 @@ def text_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mn").cast("long").alias("target_tokens"),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               AS ngram
+      FROM t WHERE len(toks) >= 3),
+    f AS (SELECT ngram, min(doc_id) AS fd FROM grams GROUP BY ngram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(CASE WHEN f.fd = g.doc_id THEN 1 END) AS BIGINT)
+             AS n_novel,
+           round(count(CASE WHEN f.fd = g.doc_id THEN 1 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM grams g JOIN f ON g.ngram = f.ngram
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a doc's distinct
+    shingles whose FIRST corpus occurrence (min doc_id) is that doc —
+    the freshness/contamination signal that separates new contributions
+    from recombinations of already-crawled text. Shingles collapse to
+    64-bit hashes inside a row-local ``array_distinct(transform(...))``
+    (zero-shuffle per-doc dedup, the ``text_dup_ngram_coverage``
+    discipline); first-seen attribution is ONE min-window keyed on the
+    8-byte hash, so the corpus never joins against itself and nothing
+    vocabulary-sized is broadcast."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).filter(F.size("toks") >= 3)
+    grams3 = F.expr(
+        "array_distinct(transform(sequence(1, size(toks) - 2),"
+        " i -> xxhash64(concat_ws(' ', element_at(toks, i),"
+        " element_at(toks, i + 1), element_at(toks, i + 2)))))"
+    )
+    grams = base.select("doc_id", F.explode(grams3).alias("g"))
+    novel = F.when(
+        F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("g")), 1
+    )
+    return (
+        grams.withColumn("is_novel", novel)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.count("is_novel").cast("long").alias("n_novel"),
+            F.round(F.count("is_novel") * 1.0 / F.count("*"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
     )

@@ -1110,3 +1110,81 @@ def sim_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("i", "j")
     )
+
+
+@query(
+    "sim_kmeans_update",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_sql_cosine('e.embedding', 'c.cvec')} AS cos
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored),
+    assign AS (SELECT vec_id, embedding, cid FROM best WHERE rn = 1),
+    pos AS (
+      SELECT a.cid, i.i AS pos,
+             avg(CAST(a.embedding[i.i + 1] AS DOUBLE)) AS m
+      FROM assign a, (SELECT unnest(range(0, {_DIM})) AS i) i
+      GROUP BY a.cid, i.i),
+    newc AS (
+      SELECT cid, list(m ORDER BY pos) AS nvec, count(*) AS _d
+      FROM pos GROUP BY cid),
+    sizes AS (SELECT cid, count(*) AS n_assigned FROM assign GROUP BY cid)
+    SELECT c.cid AS centroid_id,
+           CAST(s.n_assigned AS BIGINT) AS n_assigned,
+           round({_sql_cosine('c.cvec', 'n.nvec')}, 6) AS shift_cos
+    FROM c JOIN newc n ON c.cid = n.cid JOIN sizes s ON c.cid = s.cid
+    ORDER BY centroid_id
+    """,
+)
+def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means UPDATE step: after assigning every vector to its
+    nearest seed centroid (the ``sim_kmeans_assign`` fold), recompute
+    each centroid as the member mean and report how far it moved
+    (cosine between old and new centroid — the Lloyd convergence
+    monitor). The mean comes from a posexplode + (cid, pos) partial+
+    final aggregate — shuffle rows ≤ k·dim, constants of the engine —
+    re-assembled with an ordered collect and joined back to the k-row
+    centroid table. Nothing corpus-proportional is ever broadcast or
+    collected; the corpus is touched exactly twice (assign, mean), the
+    minimum any Lloyd iteration needs."""
+    assigned = (
+        sim_kmeans_assign(spark, sf_dir)
+        .select("vec_id", F.col("centroid_id").alias("cid"))
+        .join(load(spark, sf_dir, "embeddings"), "vec_id")
+    )
+    newc = (
+        assigned.select("cid", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("nvec")
+        )
+    )
+    sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_assigned"))
+    old = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    return (
+        old.join(newc, "cid")
+        .join(sizes, "cid")
+        .select(
+            F.col("cid").cast("long").alias("centroid_id"),
+            F.col("n_assigned").cast("long").alias("n_assigned"),
+            F.round(cosine(F.col("cvec"), F.col("nvec")), 6).alias("shift_cos"),
+        )
+        .orderBy("centroid_id")
+    )

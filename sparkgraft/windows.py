@@ -956,3 +956,142 @@ def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "win_rank_delta",
+    oracle="""
+    WITH wk AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wi,
+             event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    rk AS (
+      SELECT wi, event_type, cnt,
+             row_number() OVER (PARTITION BY wi
+                                ORDER BY cnt DESC, event_type) AS rnk
+      FROM wk),
+    dl AS (
+      SELECT wi, event_type, cnt, rnk,
+             lag(rnk) OVER (PARTITION BY event_type ORDER BY wi) AS prev_rnk
+      FROM rk)
+    SELECT strftime(DATE '1970-01-01' + CAST(wi * 7 AS INT), '%Y-%m-%d')
+             AS week_start,
+           event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(rnk AS BIGINT) AS rnk,
+           CAST(COALESCE(prev_rnk - rnk, 0) AS BIGINT) AS rank_delta
+    FROM dl ORDER BY week_start, rnk
+    """,
+)
+def win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly leaderboard movement: each event type's rank by volume
+    within the week, and how many places it moved since the previous
+    week (positive = climbed) — the trending-categories query. The
+    corpus collapses to one (week, type) hash aggregate; both windows
+    then run over BOUNDED partitions (≤ |types| rows per week for the
+    rank, ≤ |weeks| rows per type for the lag), so there is no
+    corpus-sized window state anywhere. Rank ties are pinned by
+    (cnt DESC, event_type); first-week deltas are zero-filled."""
+    wk = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7"
+            ).alias("wi"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = wk.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("wi").orderBy(F.desc("cnt"), "event_type")
+        ),
+    )
+    dl = rk.withColumn(
+        "prev_rnk",
+        F.lag("rnk").over(Window.partitionBy("event_type").orderBy("wi")),
+    )
+    return dl.select(
+        F.expr(
+            "date_format(date_add(DATE '1970-01-01', CAST(wi * 7 AS INT)),"
+            " 'yyyy-MM-dd')"
+        ).alias("week_start"),
+        "event_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.coalesce(F.col("prev_rnk") - F.col("rnk"), F.lit(0))
+        .cast("long")
+        .alias("rank_delta"),
+    ).orderBy("week_start", "rnk")
+
+
+@query(
+    "win_pareto_days",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT priority, rev,
+             row_number() OVER (PARTITION BY priority
+                                ORDER BY rev DESC, day) AS i,
+             sum(rev) OVER (PARTITION BY priority
+                            ORDER BY rev DESC, day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(rev) OVER (PARTITION BY priority) AS tot,
+             count(*) OVER (PARTITION BY priority) AS n
+      FROM d),
+    hit AS (
+      SELECT priority, i, n, cum * 1.0 / tot AS cumshare
+      FROM r WHERE cum * 1.0 / tot >= 0.8)
+    SELECT priority,
+           CAST(max(n) AS BIGINT) AS total_days,
+           CAST(min(i) AS BIGINT) AS k_days_80,
+           round(min_by(cumshare, i), 6) AS share_at_k
+    FROM hit GROUP BY priority ORDER BY priority
+    """,
+)
+def win_pareto_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the smallest number of (highest-revenue)
+    calendar days that cover ≥ 80 % of each priority's revenue — the
+    "how concentrated is demand" readout that pairs with
+    ``agg_gini_daily``. Same scale shape as Gini: one corpus-sized hash
+    aggregate to (priority, day) cent sums, then rank/cumsum windows
+    over CALENDAR-bounded partitions. Cumulative sums stay exact int64;
+    the share is one float divide, identical both sides, and the
+    boundary row is picked by min_by on the pinned (rev DESC, day)
+    order."""
+    o = load(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    wo = Window.partitionBy("priority").orderBy(F.desc("rev"), "day")
+    wp = Window.partitionBy("priority")
+    r = d.select(
+        "priority",
+        "rev",
+        F.row_number().over(wo).alias("i"),
+        F.sum("rev")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("rev").over(wp).alias("tot"),
+        F.count("*").over(wp).alias("n"),
+    )
+    hit = r.select(
+        "priority", "i", "n", (F.col("cum") * 1.0 / F.col("tot")).alias("cumshare")
+    ).filter(F.col("cumshare") >= 0.8)
+    return (
+        hit.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("total_days"),
+            F.min("i").cast("long").alias("k_days_80"),
+            F.round(F.min_by("cumshare", "i"), 6).alias("share_at_k"),
+        )
+        .orderBy("priority")
+    )

@@ -100,6 +100,9 @@ def test_ngram_jaccard_is_prefix_filtered_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastExchange" not in plan
     assert "SortMergeJoin" in plan
+    # The verify join-backs ride shuffle-hash joins (narrow metadata
+    # probe — no sort of the candidate stream).
+    assert "ShuffledHashJoin" in plan
 
 
 def test_cosine_topk_is_blocked_gemm(spark):
