@@ -1980,3 +1980,168 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_cohort_ltv",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wi,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    firsts AS (SELECT user_id, min(wi) AS cw FROM ev GROUP BY user_id),
+    sizes AS (SELECT cw, count(*) AS n_users FROM firsts GROUP BY cw),
+    wk AS (
+      SELECT f.cw, e.wi - f.cw AS age_weeks, sum(e.cents) AS week_cents
+      FROM ev e JOIN firsts f ON e.user_id = f.user_id
+      GROUP BY f.cw, e.wi - f.cw),
+    cum AS (
+      SELECT cw, age_weeks, week_cents,
+             sum(week_cents) OVER (PARTITION BY cw ORDER BY age_weeks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+      FROM wk)
+    SELECT strftime(DATE '1970-01-01' + CAST(c.cw * 7 AS INT), '%Y-%m-%d')
+             AS cohort_week,
+           CAST(c.age_weeks AS BIGINT) AS age_weeks,
+           CAST(s.n_users AS BIGINT) AS n_users,
+           round(c.week_cents / 100.0, 2) AS week_rev,
+           round(c.cum_cents / 100.0, 2) AS cum_rev,
+           round(c.cum_cents / (100.0 * s.n_users), 6) AS ltv_per_user
+    FROM cum c JOIN sizes s ON c.cw = s.cw
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: cumulative revenue per signup-week
+    cohort by week age, per member — the LTV curve finance projects
+    from. First-seen attribution pins each user to a cohort (one
+    per-user min aggregate); revenue rolls up to (cohort, age) — a
+    calendar² bounded key space — and the cumulative window runs inside
+    each cohort over ≤ |weeks| rows. Cents stay exact int64 through the
+    cumsum; the per-user divide is the only float. The user join is a
+    plain shuffle equi-join (users grow with the corpus — never
+    broadcast)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01') div 7").alias("wi"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wi").alias("cw"))
+    sizes = firsts.groupBy("cw").agg(F.count("*").alias("n_users"))
+    wk = (
+        ev.join(firsts, "user_id")
+        .groupBy("cw", (F.col("wi") - F.col("cw")).alias("age_weeks"))
+        .agg(F.sum("cents").alias("week_cents"))
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wk.withColumn("cum_cents", F.sum("week_cents").over(w))
+    return (
+        cum.join(sizes, "cw")
+        .select(
+            F.expr(
+                "date_format(date_add(DATE '1970-01-01', CAST(cw * 7 AS INT)),"
+                " 'yyyy-MM-dd')"
+            ).alias("cohort_week"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("week_cents") / 100.0, 2).alias("week_rev"),
+            F.round(F.col("cum_cents") / 100.0, 2).alias("cum_rev"),
+            F.round(F.col("cum_cents") / (100.0 * F.col("n_users")), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+@query(
+    "agg_hist_percentiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+    h AS (
+      SELECT length(format('{:b}', cents)) - 1 AS bucket, count(*) AS cnt
+      FROM v GROUP BY 1),
+    c AS (
+      SELECT bucket,
+             (1::BIGINT << bucket) AS lo, (1::BIGINT << (bucket + 1)) AS hi,
+             cnt,
+             sum(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n
+      FROM h),
+    p AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+    hit AS (
+      SELECT p.p, c.lo, c.hi, c.cnt, c.cum - c.cnt AS prev, p.p * c.n AS target,
+             row_number() OVER (PARTITION BY p.p ORDER BY c.bucket) AS rn
+      FROM p JOIN c ON c.cum >= p.p * c.n)
+    SELECT p,
+           round((lo + (target - prev) * (hi - lo) / cnt) / 100.0, 2)
+             AS est_value
+    FROM hit WHERE rn = 1 ORDER BY p
+    """,
+)
+def agg_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles estimated from the power-of-two histogram (p50 / p90 /
+    p99 of order value by within-bucket linear interpolation) — the
+    mergeable-sketch percentile path: at 100 TB the full histogram is a
+    few dozen int64 cells that partial-aggregate map-side and merge
+    associatively, so percentile serving costs one bounded reduction
+    instead of a quantile sort. Bucket boundaries are exact integer
+    powers of two (bit-length bucketing); the interpolation arithmetic
+    runs in oracle-identical operation order."""
+    v = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    h = (
+        v.select((F.length(F.bin("cents")) - 1).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.select(
+        "bucket",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))").alias("lo"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket + 1 AS INT))").alias(
+            "hi"
+        ),
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    p = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+    hit = (
+        p.join(c, F.col("cum") >= F.col("p") * F.col("n"))
+        .select(
+            "p",
+            "lo",
+            "hi",
+            "cnt",
+            (F.col("cum") - F.col("cnt")).alias("prev"),
+            (F.col("p") * F.col("n")).alias("target"),
+            F.row_number()
+            .over(Window.partitionBy("p").orderBy("bucket"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return hit.select(
+        "p",
+        F.round(
+            (
+                F.col("lo")
+                + (F.col("target") - F.col("prev"))
+                * (F.col("hi") - F.col("lo"))
+                / F.col("cnt")
+            )
+            / 100.0,
+            2,
+        ).alias("est_value"),
+    ).orderBy("p")

@@ -709,3 +709,34 @@ def fn_round_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.ceil(F.col("v") * 10) / 10).alias("ceil_1"),
         (F.floor(F.col("v") * 10) / 10).alias("floor_1"),
     ).orderBy("v")
+
+
+@query(
+    "fn_regex_extract_all",
+    oracle=r"""
+    SELECT doc_id,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{7,}'), '|'),
+                    '') AS long_words,
+           CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS INT) AS n_long,
+           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]{7,}')))
+                AS INT) AS n_unique
+    FROM documents
+    """,
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all — the multi-match extraction surface
+    (`fn_string_regex` covers only first-match). Matches arrive in
+    document order in both engines (leftmost scan of the same RE2/Java-
+    compatible pattern); the match array is projected to a '|'-joined
+    string at the query surface (the driver's canonicalizer can't hash
+    list cells — the `fn_array_ops` discipline). Pure row-local map,
+    zero shuffle; distinct-counting uses an order-insensitive set
+    size."""
+    d = load(spark, sf_dir, "documents")
+    all_words = F.expr("regexp_extract_all(text, '[a-z]{7,}', 0)")
+    return d.select(
+        "doc_id",
+        F.array_join(all_words, "|").alias("long_words"),
+        F.size(all_words).alias("n_long"),
+        F.size(F.array_distinct(all_words)).alias("n_unique"),
+    )
