@@ -2145,3 +2145,115 @@ def agg_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("est_value"),
     ).orderBy("p")
+
+
+@query(
+    "agg_conversion_latency",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_buy
+      FROM events GROUP BY user_id),
+    lat AS (
+      SELECT epoch_us(first_buy) - epoch_us(first_click) AS lat_us
+      FROM per_user
+      WHERE first_click IS NOT NULL AND first_buy IS NOT NULL
+        AND first_buy >= first_click)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(lat_us, 0.5) / 1e6, 3) AS p50_sec,
+           round(quantile_cont(lat_us, 0.9) / 1e6, 3) AS p90_sec,
+           round(avg(lat_us) / 1e6, 3) AS mean_sec
+    FROM lat
+    """,
+)
+def agg_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-click → first-purchase conversion latency distribution —
+    the funnel-speed metric growth teams watch. ONE conditional-min
+    hash aggregate per user collapses the corpus (no ordering, no
+    window, no self-join); latency is exact integer microseconds, and
+    the exact percentiles run over the already-reduced converted-user
+    set. Users who purchased before ever clicking (direct-entry) are
+    excluded on both sides."""
+    pu = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+                "first_click"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_buy"
+            ),
+        )
+    )
+    lat = pu.filter(
+        F.col("first_click").isNotNull()
+        & F.col("first_buy").isNotNull()
+        & (F.col("first_buy") >= F.col("first_click"))
+    ).select(
+        (F.unix_micros("first_buy") - F.unix_micros("first_click")).alias(
+            "lat_us"
+        )
+    )
+    return lat.agg(
+        F.count("*").cast("long").alias("n_converted"),
+        F.round(F.percentile("lat_us", F.lit(0.5)) / 1e6, 3).alias("p50_sec"),
+        F.round(F.percentile("lat_us", F.lit(0.9)) / 1e6, 3).alias("p90_sec"),
+        F.round(F.avg("lat_us") / 1e6, 3).alias("mean_sec"),
+    )
+
+
+@query(
+    "agg_benford_first_digit",
+    oracle="""
+    WITH v AS (
+      SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                    1, 1) AS d
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT d, count(*) AS n FROM v GROUP BY d),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.d AS digit, CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1.0 / t.total, 6) AS observed,
+           round(log10(1.0 + 1.0 / CAST(c.d AS INT)), 6) AS benford,
+           round((c.n * 1.0 / t.total - log10(1.0 + 1.0 / CAST(c.d AS INT)))
+                 * (c.n * 1.0 / t.total - log10(1.0 + 1.0 / CAST(c.d AS INT)))
+                 / log10(1.0 + 1.0 / CAST(c.d AS INT)), 6) AS chi2_term
+    FROM c, t ORDER BY digit
+    """,
+)
+def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order values — the classic
+    anomaly/fraud screen: natural multiplicative data follows
+    P(d) = log₁₀(1 + 1/d), fabricated numbers don't. The first digit is
+    taken from the exact integer cent value's decimal string (never
+    float log10-mantissa arithmetic, which disagrees at powers of ten);
+    everything reduces to a 9-row digit histogram via one hash
+    aggregate, and the χ² deviation terms are row-local doubles in
+    oracle-identical operation order."""
+    v = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+                1,
+                1,
+            ).alias("d")
+        )
+    )
+    c = v.groupBy("d").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    obs = F.col("n") * 1.0 / F.col("total")
+    ben = F.log10(F.lit(1.0) + 1.0 / F.col("d").cast("int"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round(obs, 6).alias("observed"),
+            F.round(ben, 6).alias("benford"),
+            F.round((obs - ben) * (obs - ben) / ben, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

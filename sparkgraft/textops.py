@@ -2344,3 +2344,67 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_source_matrix",
+    oracle="""
+    WITH g AS (
+      SELECT sha256(substr(lower(trim(text)), 1, 60)) AS h, source,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(CASE WHEN a.source = b.source
+                      THEN a.n * (a.n - 1) // 2
+                      ELSE a.n * b.n END) AS n_pairs
+      FROM g a JOIN g b
+        ON a.h = b.h AND a.source <= b.source
+      WHERE a.source < b.source OR a.source = b.source
+      GROUP BY a.source, b.source)
+    SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs
+    FROM pairs WHERE n_pairs > 0
+    ORDER BY source_a, source_b
+    """,
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of sources, how
+    many near-duplicate DOCUMENT pairs they share (60-char normalized
+    prefix digest — the ``dedup_keep_best`` cluster key) — the overlap audit
+    that says which crawls re-collected the same pages. Never expands
+    pairs row-by-row: per (digest, source) counts collapse first (one
+    hash aggregate on the 32-byte digest), then pair counts come from
+    the closed forms n·(n−1)/2 within a source and nₐ·n_b across — a
+    digest-keyed equi-join of two tiny-per-key count tables, arithmetic
+    instead of explosion, so a million-copy document costs one multiply, not
+    10⁸ rows. Output is bounded by |sources|²."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy(
+            F.sha2(F.substring(F.lower(F.trim("text")), 1, 60), 256).alias("h"),
+            "source",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    a = g.select(F.col("h"), F.col("source").alias("source_a"), F.col("n").alias("na"))
+    b = g.select(F.col("h"), F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("source_a") <= F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.when(
+                F.col("source_a") == F.col("source_b"),
+                F.expr("na * (na - 1) div 2"),
+            )
+            .otherwise(F.col("na") * F.col("nb"))
+            .alias("pc"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pc").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
+    )
+    return pairs.select(
+        "source_a", "source_b", F.col("n_pairs").cast("long").alias("n_pairs")
+    ).orderBy("source_a", "source_b")

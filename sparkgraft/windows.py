@@ -1095,3 +1095,56 @@ def win_pareto_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "win_gap_regularity",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events),
+    s AS (
+      SELECT user_id, count(*) AS n_gaps,
+             avg(gap_us) AS mean_us, stddev_samp(gap_us) AS sd_us
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY user_id HAVING count(*) >= 5)
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mean_us / 1e6, 3) AS mean_gap_sec,
+           round(sd_us / mean_us, 6) AS gap_cv,
+           (sd_us / mean_us < 0.1) AS suspiciously_regular
+    FROM s ORDER BY user_id
+    """,
+)
+def win_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap regularity per user: coefficient of variation of
+    the gaps (σ/μ) — the bot detector's first cut, since humans are
+    bursty (CV ≈ 1+) and schedulers are metronomes (CV → 0). One lag()
+    over per-user ordered windows produces exact integer-µs gaps; the
+    CV comes from a streaming-moment hash aggregate. Users with < 5
+    gaps are excluded (CV of a handful of points is noise). The
+    boundary flag compares the same IEEE expression both sides."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = load(spark, sf_dir, "events").select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    s = (
+        g.filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.avg("gap_us").alias("mean_us"),
+            F.stddev_samp("gap_us").alias("sd_us"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    cv = F.col("sd_us") / F.col("mean_us")
+    return s.select(
+        "user_id",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.round(F.col("mean_us") / 1e6, 3).alias("mean_gap_sec"),
+        F.round(cv, 6).alias("gap_cv"),
+        (cv < 0.1).alias("suspiciously_regular"),
+    ).orderBy("user_id")
