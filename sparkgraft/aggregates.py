@@ -2257,3 +2257,87 @@ def agg_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "agg_geo_mean",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(exp(avg(ln(o_totalprice))), 2) AS geo_mean,
+           round(avg(o_totalprice), 2) AS arith_mean
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority ORDER BY priority
+    """,
+)
+def agg_geo_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of order value per priority (exp of the log-mean)
+    beside the arithmetic mean — the right-skew-robust center that
+    pricing and latency dashboards should use and rarely do. ln/avg/exp
+    is a single streaming hash aggregate (map-side combinable — the
+    log-sum is associative); libm's last ulp differs per engine so both
+    outputs round at 2 decimal cents precision."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.exp(F.avg(F.log("o_totalprice"))), 2).alias("geo_mean"),
+            F.round(F.avg("o_totalprice"), 2).alias("arith_mean"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
+    "agg_autocorr_daily",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1, 2),
+    j AS (
+      SELECT a.priority, a.rev AS rev_t, b.rev AS rev_next
+      FROM d a JOIN d b
+        ON a.priority = b.priority AND b.day = a.day + 1)
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(rev_t * 1.0, rev_next * 1.0), 6) AS lag1_autocorr
+    FROM j GROUP BY priority ORDER BY priority
+    """,
+)
+def agg_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily revenue series per priority —
+    does today's demand predict tomorrow's? The corpus reduces to
+    (priority, day) cent sums (hash agg); the lag pairing is a self
+    equi-join on (priority, day+1) over the CALENDAR-bounded day table —
+    no window, no corpus-sized state — and corr() is a streaming
+    five-moment aggregate, rounded for cross-engine moment-accumulation
+    drift."""
+    o = load(spark, sf_dir, "orders")
+    d = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    )
+    b = d.select(
+        F.col("priority").alias("bp"),
+        F.col("day").alias("bday"),
+        F.col("rev").alias("rev_next"),
+    )
+    j = d.join(
+        b,
+        (F.col("bp") == F.col("priority"))
+        & (F.col("bday") == F.expr("date_add(day, 1)")),
+    )
+    return (
+        j.groupBy("priority")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.corr(F.col("rev") * 1.0, F.col("rev_next") * 1.0), 6
+            ).alias("lag1_autocorr"),
+        )
+        .orderBy("priority")
+    )

@@ -2408,3 +2408,113 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "source_a", "source_b", F.col("n_pairs").cast("long").alias("n_pairs")
     ).orderBy("source_a", "source_b")
+
+
+@query(
+    "text_casing_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+    c AS (
+      SELECT source,
+             count(*) AS n_tokens,
+             sum(CASE WHEN t <> '' AND t = upper(t) AND t <> lower(t)
+                      THEN 1 ELSE 0 END) AS n_allcaps,
+             sum(CASE WHEN length(t) >= 2
+                       AND substr(t, 1, 1) = upper(substr(t, 1, 1))
+                       AND substr(t, 1, 1) <> lower(substr(t, 1, 1))
+                       AND substr(t, 2) = lower(substr(t, 2))
+                      THEN 1 ELSE 0 END) AS n_title,
+             sum(CASE WHEN t = lower(t) THEN 1 ELSE 0 END) AS n_lower
+      FROM tok GROUP BY source)
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_allcaps * 1.0 / n_tokens, 6) AS allcaps_ratio,
+           round(n_title * 1.0 / n_tokens, 6) AS title_ratio,
+           round(n_lower * 1.0 / n_tokens, 6) AS lower_ratio
+    FROM c ORDER BY source
+    """,
+)
+def text_casing_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source casing mix: ALLCAPS / TitleCase / lowercase token
+    ratios — the shoutiness signal that separates forum rant crawls from
+    edited prose (a standard quality-filter feature alongside
+    ``text_quality_score``'s length/punct ratios). Case tests are pure
+    string comparisons (t = upper(t) etc. — no Unicode tables beyond
+    what both engines share on ASCII-dominated corpora), in ONE
+    conditional hash aggregate; ratios are exact-int64 count divides."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    t = F.col("t")
+    first = F.substring("t", 1, 1)
+    rest = F.expr("substr(t, 2)")
+    is_caps = (t != "") & (t == F.upper(t)) & (t != F.lower(t))
+    is_title = (
+        (F.length(t) >= 2)
+        & (first == F.upper(first))
+        & (first != F.lower(first))
+        & (rest == F.lower(rest))
+    )
+    is_lower = t == F.lower(t)
+    c = tok.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(is_caps, 1).otherwise(0)).alias("n_allcaps"),
+        F.sum(F.when(is_title, 1).otherwise(0)).alias("n_title"),
+        F.sum(F.when(is_lower, 1).otherwise(0)).alias("n_lower"),
+    )
+    return c.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("n_allcaps") * 1.0 / F.col("n_tokens"), 6).alias(
+            "allcaps_ratio"
+        ),
+        F.round(F.col("n_title") * 1.0 / F.col("n_tokens"), 6).alias(
+            "title_ratio"
+        ),
+        F.round(F.col("n_lower") * 1.0 / F.col("n_tokens"), 6).alias(
+            "lower_ratio"
+        ),
+    ).orderBy("source")
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tc AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS hapax_ratio
+    FROM tc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena ratio per language: the share of the vocabulary
+    occurring exactly once — the lexical-richness / OCR-noise indicator
+    (clean prose ≈ 0.4–0.6; shattered encodings push it toward 1). Two
+    stacked hash aggregates — (lang, token) counts, then a per-lang
+    conditional rollup — both partial+final map-side combinable; the
+    vocabulary table is grouped, never broadcast or collected."""
+    tok = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+    tc = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    return (
+        tc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.round(
+                F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) * 1.0
+                / F.count("*"),
+                6,
+            ).alias("hapax_ratio"),
+        )
+        .orderBy("lang")
+    )
