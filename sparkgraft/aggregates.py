@@ -2341,3 +2341,66 @@ def agg_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "agg_wow_growth",
+    oracle="""
+    WITH wk AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7
+               AS wi,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT strftime(DATE '1970-01-01' + CAST(a.wi * 7 AS INT), '%Y-%m-%d')
+             AS week_start,
+           round(a.cents / 100.0, 2) AS revenue,
+           CAST(a.n_orders AS BIGINT) AS n_orders,
+           round((a.cents - b.cents) * 100.0 / b.cents, 4) AS wow_pct
+    FROM wk a LEFT JOIN wk b ON b.wi = a.wi - 1
+    ORDER BY week_start
+    """,
+)
+def agg_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth — the Δ% every business review
+    opens with. One hash aggregate to weekly int64 cent totals, then the
+    previous week arrives via a self LEFT JOIN on the exact integer week
+    index over the CALENDAR-bounded weekly table (no window needed, no
+    corpus re-scan); the first week's delta is NULL by construction.
+    The growth ratio divides two exact integers in oracle-identical
+    order."""
+    wk = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') div 7"
+            ).alias("wi")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    b = wk.select(
+        F.col("wi").alias("bwi"), F.col("cents").alias("prev_cents")
+    )
+    return (
+        wk.join(b, F.col("bwi") == F.col("wi") - 1, "left")
+        .select(
+            F.expr(
+                "date_format(date_add(DATE '1970-01-01', CAST(wi * 7 AS INT)),"
+                " 'yyyy-MM-dd')"
+            ).alias("week_start"),
+            F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(
+                (F.col("cents") - F.col("prev_cents"))
+                * 100.0
+                / F.col("prev_cents"),
+                4,
+            ).alias("wow_pct"),
+        )
+        .orderBy("week_start")
+    )

@@ -1188,3 +1188,88 @@ def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+_SWEEP_PROBES = (8, 16, 48)
+
+
+@query("sim_ivf_probe_sweep")  # rows-only: centroid choice is engine-specific
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-cost tuning sweep: recall@5 and candidate fraction
+    at probes ∈ {8, 16, 48} against the exact kNN baseline — the table
+    an ANN operator publishes so users pick their accuracy/cost point
+    instead of trusting a default. One corpus pass scores ALL probe
+    levels (each vector's cell assignment is computed once per Arrow
+    batch; membership tests differ only in the probed-cell sets, which
+    are driver-side constants: C×Q floats for the fixed 100-query set).
+    Recall is invariant-pinned monotone in probes with the production
+    floor at the top level (tests/test_vectorops.py)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c_mat = _ivf_centroids(spark, sf_dir)
+    q_pdf = e.filter(F.col("vec_id") < _KNN_QUERIES).toPandas()
+    q_ids, q_mat = _pdf_matrix(q_pdf)
+    qc = q_mat @ c_mat.T
+    order = np.argsort(-qc, axis=1, kind="stable")
+    probe_sets = {
+        p: {int(q_ids[i]): set(int(c) for c in order[i, :p]) for i in range(len(q_ids))}
+        for p in _SWEEP_PROBES
+    }
+    bc = spark.sparkContext.broadcast((c_mat, q_ids, q_mat, probe_sets))
+
+    def score_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmat, qids, qmat, psets = bc.value
+        for pdf in batches:
+            v_ids = pdf["vec_id"].to_numpy()
+            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            cells = np.argmax(block @ cmat.T, axis=1)
+            sims = np.round(block @ qmat.T, 6)
+            out = {"probes": [], "qid": [], "vec_id": [], "cos_sim": []}
+            for p, probes in psets.items():
+                for qi, qid in enumerate(qids):
+                    hit = np.isin(cells, list(probes[int(qid)])) & (v_ids != qid)
+                    n = int(hit.sum())
+                    out["probes"].extend([p] * n)
+                    out["qid"].extend([qid] * n)
+                    out["vec_id"].extend(v_ids[hit])
+                    out["cos_sim"].extend(sims[hit, qi])
+            yield pd.DataFrame(out)
+
+    cand = e.mapInPandas(
+        score_cells, "probes int, qid long, vec_id long, cos_sim double"
+    )
+    w = Window.partitionBy("probes", "qid").orderBy(
+        F.desc("cos_sim"), "vec_id"
+    )
+    topk = cand.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _KNN_K
+    )
+    exact = sim_knn_per_query(spark, sf_dir).select(
+        "qid", F.col("vec_id").alias("evec")
+    )
+    hits = topk.join(
+        exact,
+        (topk.qid == exact.qid) & (topk.vec_id == exact.evec),
+        "left_semi",
+    )
+    n_total = _corpus_count(spark, sf_dir)
+    denom_recall = float(_KNN_QUERIES * _KNN_K)
+    denom_cand = float(_KNN_QUERIES * (n_total - 1))
+    n_cand = cand.groupBy("probes").agg(F.count("*").alias("n_cand"))
+    n_hit = hits.groupBy("probes").agg(F.count("*").alias("n_hit"))
+    return (
+        n_cand.join(n_hit, "probes")
+        .select(
+            F.col("probes").cast("long").alias("probes"),
+            F.round(F.col("n_hit") / F.lit(denom_recall), 4).alias("recall_at_5"),
+            F.round(F.col("n_cand") / F.lit(denom_cand), 4).alias(
+                "candidate_fraction"
+            ),
+        )
+        .orderBy("probes")
+    )

@@ -113,3 +113,22 @@ def test_gram_matrix_is_psd_and_trace_consistent(spark):
         .first()[0]
     )
     assert abs(np.trace(g) - sq) < 1e-2
+
+
+def test_ivf_probe_sweep_monotone_recall(spark):
+    """More probes must never hurt recall; the production level (48)
+    keeps the ≥ 0.9 floor and every level actually prunes."""
+    rows = {
+        r.probes: r
+        for r in sparkgraft.QUERIES["sim_ivf_probe_sweep"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    levels = sorted(rows)
+    assert levels == [8, 16, 48]
+    recalls = [rows[p].recall_at_5 for p in levels]
+    fracs = [rows[p].candidate_fraction for p in levels]
+    assert recalls == sorted(recalls)
+    assert fracs == sorted(fracs)
+    assert recalls[-1] >= 0.9
+    assert all(f <= 0.35 for f in fracs)
