@@ -576,3 +576,33 @@ def test_gini_partial_aggregates_before_calendar_window(spark):
     plan = _plan(df)
     assert "partial_sum" in plan
     assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "agg_cohort_ltv",
+        "dedup_source_matrix",
+        "agg_wow_growth",
+        "agg_autocorr_daily",
+        "text_hapax_ratio",
+        "text_casing_profile",
+        "win_gap_regularity",
+    ],
+)
+def test_r4_wave_ops_stay_equi_and_keyed(spark, key):
+    """The r4 analytics waves: every join must stay a hash-joinable
+    equi-join (no nested loop, no cartesian) and every window keyed —
+    even with stats-based auto-broadcast disabled. dedup_source_matrix
+    in particular must COUNT pairs (digest-keyed join of per-source
+    count tables), never explode them."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
