@@ -69,6 +69,19 @@ GROUP2 = [
     "agg_window_funnel",        # ordered-window funnel + (user, ts) hop join
 ]
 
+# Third group (late round 4): representative fourth-wave operators —
+# linear algebra via aggregation, hashed first-seen attribution, cohort
+# rollups, closed-form dup counting, double-window drawdown, and the
+# drift divergence. Same protocol, own total.
+GROUP3 = [
+    "sim_gram_matrix",        # outer-product generator + 2,080-cell agg
+    "text_ngram_novelty",     # hashed-shingle min-window attribution
+    "agg_cohort_ltv",         # first-seen cohort + calendar² rollup
+    "dedup_source_matrix",    # closed-form pair counting on digests
+    "win_drawdown_max",       # two windows + agg on ONE user exchange
+    "text_js_divergence",     # per-source JSD, shuffle-joined vocab
+]
+
 TIMED_REPS = 7
 # Heavy queries (the output-bound dedup family runs ~30 s at sf0.1) stop
 # at min-of-3 so the whole bench stays inside the driver's window; the
@@ -112,6 +125,9 @@ def main() -> int:
     timings2, traces2 = _time_group(
         spark, sf_dir, [k for k in GROUP2 if k in sparkgraft.QUERIES], loadavg_samples
     )
+    timings3, traces3 = _time_group(
+        spark, sf_dir, [k for k in GROUP3 if k in sparkgraft.QUERIES], loadavg_samples
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -125,6 +141,9 @@ def main() -> int:
         "group2_total": round(sum(timings2.values()), 4),
         "group2_queries": timings2,
         "group2_runs": traces2,
+        "group3_total": round(sum(timings3.values()), 4),
+        "group3_queries": timings3,
+        "group3_runs": traces3,
         "loadavg": loadavg_samples,
     }
     print(json.dumps(result))
