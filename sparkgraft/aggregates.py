@@ -2404,3 +2404,181 @@ def agg_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_start")
     )
+
+
+@query(
+    "agg_regression_residuals",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_mktsegment AS seg, c.c_custkey AS custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey, round(c.c_acctbal * 100)),
+    fit AS (
+      SELECT seg,
+             (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
+              - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS slope,
+             CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS my,
+             CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mx
+      FROM spend GROUP BY seg),
+    resid AS (
+      SELECT s.seg, s.custkey,
+             (CAST(s.y AS DOUBLE)
+              - (f.my + f.slope * (CAST(s.x AS DOUBLE) - f.mx))) / 100.0
+               AS residual
+      FROM spend s JOIN fit f ON f.seg = s.seg),
+    ranked AS (
+      SELECT seg, custkey, residual,
+             row_number() OVER (PARTITION BY seg
+                                ORDER BY abs(residual) DESC, custkey) AS rnk
+      FROM resid)
+    SELECT seg, CAST(custkey AS BIGINT) AS custkey,
+           round(residual, 2) AS residual, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY seg, rnk
+    """,
+)
+def agg_regression_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS residual outliers: fit spend ~ account balance
+    within each market segment, then surface the 3 customers whose spend
+    deviates most from the segment's own line — the 'who is off-trend'
+    audit behind every churn/fraud review. Float-parity discipline: x
+    and y enter as EXACT int64 cents, every OLS sum (Σx Σy Σxy Σx²) is
+    therefore exact, and both engines evaluate the identical double
+    expression over those integers (slope in centered form ŷ = ȳ +
+    b(x−x̄) to avoid catastrophic cancellation in the intercept). Scale:
+    one equi-shuffle join + hash agg to per-customer spend, a ≤|segments|
+    fit table joined back BROADCAST (bounded by the segment domain, not
+    the corpus), and the top-3 rank runs per segment over residuals —
+    window keyed by segment, with the heavy reduction already done."""
+    spend = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_custkey").alias("custkey"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+    )
+    n = F.count("*").cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    fit = spend.groupBy("seg").agg(
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope"),
+        (sy / n).alias("my"),
+        (sx / n).alias("mx"),
+    )
+    resid = spend.join(F.broadcast(fit), "seg").select(
+        "seg",
+        "custkey",
+        (
+            (
+                F.col("y").cast("double")
+                - (
+                    F.col("my")
+                    + F.col("slope") * (F.col("x").cast("double") - F.col("mx"))
+                )
+            )
+            / 100.0
+        ).alias("residual"),
+    )
+    w = Window.partitionBy("seg").orderBy(
+        F.desc(F.abs(F.col("residual"))), "custkey"
+    )
+    return (
+        resid.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "seg",
+            F.col("custkey").cast("long").alias("custkey"),
+            F.round("residual", 2).alias("residual"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("seg", "rnk")
+    )
+
+
+@query(
+    "agg_gap_survival",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day', CAST(o_orderdate AS DATE),
+                      lead(CAST(o_orderdate AS DATE))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey)) AS gap_days
+      FROM orders),
+    g AS (SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL),
+    h AS (SELECT unnest([7, 14, 30, 60, 90, 180]) AS horizon_days)
+    SELECT CAST(h.horizon_days AS INT) AS horizon_days,
+           count(*) AS n_gaps,
+           CAST(sum(CASE WHEN g.gap_days >= h.horizon_days
+                         THEN 1 ELSE 0 END) AS BIGINT) AS surviving,
+           round(CAST(sum(CASE WHEN g.gap_days >= h.horizon_days
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS survival_rate
+    FROM g, h
+    GROUP BY h.horizon_days ORDER BY horizon_days
+    """,
+)
+def agg_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase-gap survival curve: P(next order takes ≥ d days)
+    for a grid of horizons — the empirical survival function behind
+    reorder-window and churn-definition choices. The corpus-sized work
+    is ONE keyed window (lead over each customer's order dates — keyed
+    by custkey, never global); the surviving-gap counts then come from a
+    single pass that fans each gap out to the CONSTANT 6-row horizon
+    grid (a broadcast nested-loop over a 6-row literal table — bounded
+    at any corpus size) and hash-aggregates per horizon into 6 rows."""
+    day = F.col("o_orderdate").cast("date")
+    gaps = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.lead(day).over(
+                    Window.partitionBy("o_custkey").orderBy(
+                        "o_orderdate", "o_orderkey"
+                    )
+                ),
+                day,
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    horizons = F.array(*[F.lit(d) for d in (7, 14, 30, 60, 90, 180)])
+    return (
+        gaps.select(
+            "gap_days", F.explode(horizons).alias("horizon_days")
+        )
+        .groupBy("horizon_days")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum(
+                F.when(F.col("gap_days") >= F.col("horizon_days"), 1).otherwise(
+                    0
+                )
+            ).alias("surviving"),
+        )
+        .select(
+            F.col("horizon_days").cast("int").alias("horizon_days"),
+            "n_gaps",
+            "surviving",
+            F.round(
+                F.col("surviving").cast("double")
+                / F.col("n_gaps").cast("double"),
+                6,
+            ).alias("survival_rate"),
+        )
+        .orderBy("horizon_days")
+    )

@@ -315,3 +315,82 @@ def mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "mm_payload_entropy",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             hex(encode(text)) AS h
+      FROM documents),
+    pos AS (
+      SELECT doc_id, n_bytes, h,
+             unnest(range(1, n_bytes + 1)) AS i
+      FROM b),
+    bytes AS (
+      SELECT doc_id, n_bytes,
+             (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS BIGINT), 1))
+                - 1) * 16
+             + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS BIGINT), 1))
+                - 1 AS bv
+      FROM pos),
+    c AS (
+      SELECT doc_id, n_bytes, bv, count(*) * 1.0 AS cnt
+      FROM bytes GROUP BY doc_id, n_bytes, bv)
+    SELECT doc_id,
+           CAST(any_value(n_bytes) AS INT) AS n_bytes,
+           count(*) AS n_distinct_bytes,
+           round(log2(CAST(any_value(n_bytes) AS DOUBLE))
+                 - sum(cnt * log2(cnt)) / CAST(any_value(n_bytes) AS DOUBLE),
+                 6) AS byte_entropy
+    FROM c GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-distribution Shannon entropy per payload — the corruption /
+    compressibility probe a multimodal ingest runs before decode (true
+    media bytes sit near 8 bits/byte; text-masquerading or zero-padded
+    payloads sit far lower). ENTIRELY JVM-side despite operating on
+    binary: the payload is hexed ONCE per row behind a projection
+    boundary, a `transform(sequence(...))` lambda converts each 2-hex
+    window back to its byte value (no Python, no UDF — whole-stage
+    codegen end to end), and entropy comes out of two hash aggregates in
+    the algebraic form log2(n) − Σc·log2(c)/n, so only exact integer
+    counts are aggregated across the cluster before the single float
+    divide per document. Scale: the explode fans out n_bytes rows per
+    doc — the same linear blow-up every byte-level scan pays — and both
+    groupBys are keyed by doc_id, so the work is embarrassingly
+    partition-parallel with no corpus-wide shuffle key."""
+    mm = with_payload(load(spark, sf_dir, "documents"))
+    b = mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.hex("payload").alias("h"),
+    )
+    bytes_ = b.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, n_bytes),"
+                " i -> conv(substring(h, 2*i-1, 2), 16, 10))"
+            )
+        ).alias("bv"),
+    )
+    counts = bytes_.groupBy("doc_id", "n_bytes", "bv").agg(
+        F.count("*").cast("double").alias("cnt")
+    )
+    n = F.any_value("n_bytes").cast("double")
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.any_value("n_bytes").cast("int").alias("n_bytes"),
+            F.count("*").alias("n_distinct_bytes"),
+            F.round(
+                F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n, 6
+            ).alias("byte_entropy"),
+        )
+        .orderBy("doc_id")
+    )

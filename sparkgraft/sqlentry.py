@@ -147,3 +147,86 @@ def sql_entry_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs first."""
     register_tables(spark, sf_dir, ["orders"])
     return spark.sql(_PIVOT_SQL)
+
+
+_Q8_SQL = """
+WITH rev AS (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents,
+         r.r_name AS supp_region
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_region = 'ASIA' THEN cents ELSE 0 END)
+                  AS DOUBLE) / CAST(SUM(cents) AS DOUBLE), 6) AS asia_share,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total_revenue
+FROM rev
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@query("sql_entry_market_share", oracle=_Q8_SQL)
+def sql_entry_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the yearly revenue share
+    supplied from one region, as ONE dialect-portable text that is its
+    own oracle. Exact-arithmetic discipline: line revenue is rounded to
+    int64 CENTS before any aggregation, so both engines sum identical
+    integers in any order and the share divides two exact integers —
+    no float-accumulation drift at any parallelism. Plan shape at scale:
+    the fact-fact lineitem⋈orders equi-shuffles on orderkey; supplier,
+    nation and region are dimension tables under the AQE auto-broadcast
+    threshold (nation/region bounded by geography at ANY corpus size),
+    so the plan is one shuffle chain plus broadcast hash probes, then a
+    7-group hash aggregate."""
+    register_tables(
+        spark, sf_dir, ["lineitem", "orders", "supplier", "nation", "region"]
+    )
+    return spark.sql(_Q8_SQL)
+
+
+_Q7_SQL = """
+WITH flows AS (
+  SELECT cn.n_name AS cust_nation,
+         sn.n_name AS supp_nation,
+         CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l
+  JOIN orders o    ON l.l_orderkey = o.o_orderkey
+  JOIN customer c  ON o.o_custkey = c.c_custkey
+  JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+  WHERE cn.n_nationkey <> sn.n_nationkey
+)
+SELECT cust_nation, supp_nation,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS trade_volume,
+       COUNT(*) AS n_items
+FROM flows
+GROUP BY cust_nation, supp_nation
+ORDER BY trade_volume DESC, cust_nation, supp_nation
+LIMIT 20
+"""
+
+
+@query("sql_entry_nation_trade", oracle=_Q7_SQL)
+def sql_entry_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): cross-border trade volume per
+    (customer nation, supplier nation) pair, top-20 lanes — ONE
+    dialect-portable text that is its own oracle, with the same int64
+    CENTS discipline as the Q8 twin so both engines aggregate exact
+    integers. The self-referenced nation dimension appears under two
+    aliases; Catalyst broadcasts both probes (25 rows each at any data
+    scale) while the two fact hops (lineitem⋈orders on orderkey, then
+    ⋈customer on custkey) stay equi-shuffles. The ≤ n²−n lane space is
+    bounded by geography, so the final aggregate and the top-20 sort
+    never grow with the corpus."""
+    register_tables(
+        spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"]
+    )
+    return spark.sql(_Q7_SQL)

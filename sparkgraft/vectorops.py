@@ -1288,3 +1288,92 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probes")
     )
+
+
+_SWEEP_TAUS = (0.2, 0.3, 0.4, 0.45, 0.5)
+
+
+@query(
+    "sim_threshold_sweep",
+    oracle=f"""
+    WITH sims AS (
+      SELECT round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+    taus AS (SELECT unnest([{', '.join(str(t) for t in _SWEEP_TAUS)}])
+               AS threshold),
+    n AS (SELECT count(*) AS total FROM sims)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN s.cos_sim >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           round(CAST(sum(CASE WHEN s.cos_sim >= t.threshold
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(any_value(n.total) AS DOUBLE), 6) AS pair_frac
+    FROM sims s, taus t, n
+    GROUP BY t.threshold ORDER BY t.threshold
+    """,
+)
+def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-threshold calibration sweep: how many embedding pairs
+    would a cosine dedup collapse at each candidate threshold τ — the
+    curve a pipeline owner reads before committing to a semantic-dedup
+    cutoff. Runs as the SAME distributed grid of block gemms as
+    `sim_cosine_topk` (hash-bucketed block pairs, one BLAS multiply per
+    task), but each block emits only its |τ|-row COUNT vector — the
+    shuffle after the O(n²) flops is |blocks|·|τ| rows, and the final
+    per-τ hash aggregate is constant-sized. Counting happens on the
+    round-6 values, matching the oracle's left-to-right double kernel
+    under the module precision contract; no pair list is ever
+    materialized, so the output stays bounded even where a τ captures
+    half the pair space."""
+    import numpy as np
+    import pandas as pd
+
+    n = _corpus_count(spark, sf_dir)
+    n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
+    taus = list(_SWEEP_TAUS)
+    total_pairs = n * (n - 1) // 2
+
+    def count_block(key, pdf):
+        bi, bj = key
+        l_pdf = pdf[pdf["bucket"] == bi]
+        r_pdf = pdf[pdf["bucket"] == bj]
+        if l_pdf.empty or r_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "threshold": pd.Series([], dtype="float64"),
+                    "n_pairs": pd.Series([], dtype="int64"),
+                }
+            )
+        ids_l, ml = _pdf_matrix(l_pdf)
+        ids_r, mr = _pdf_matrix(r_pdf)
+        sims = np.round(ml @ mr.T, 6)
+        valid = (
+            ids_r[None, :] > ids_l[:, None]
+            if bi == bj
+            else np.ones(sims.shape, dtype=bool)
+        )
+        vals = sims[valid]
+        return pd.DataFrame(
+            {
+                "threshold": taus,
+                "n_pairs": [int((vals >= t).sum()) for t in taus],
+            }
+        )
+
+    counts = _grid_blocks(
+        spark,
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        n_blocks,
+    ).applyInPandas(count_block, "threshold double, n_pairs long")
+    return (
+        counts.groupBy("threshold")
+        .agg(F.sum("n_pairs").alias("n_pairs"))
+        .select(
+            "threshold",
+            "n_pairs",
+            F.round(
+                F.col("n_pairs").cast("double") / F.lit(float(total_pairs)), 6
+            ).alias("pair_frac"),
+        )
+        .orderBy("threshold")
+    )

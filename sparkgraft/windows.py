@@ -1148,3 +1148,153 @@ def win_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("gap_cv"),
         (cv < 0.1).alias("suspiciously_regular"),
     ).orderBy("user_id")
+
+
+@query(
+    "win_cusum_shift",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    tot AS (
+      SELECT event_type, day, cents,
+             sum(cents) OVER (PARTITION BY event_type) AS s,
+             count(*)   OVER (PARTITION BY event_type) AS n,
+             sum(cents) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS prefix,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      FROM daily),
+    scored AS (
+      SELECT event_type, day, n,
+             abs(n * prefix - t * s) AS a
+      FROM tot),
+    mx AS (
+      SELECT event_type, max(a) AS mx_a, any_value(n) AS n
+      FROM scored GROUP BY event_type)
+    SELECT m.event_type,
+           strftime(min(s.day), '%Y-%m-%d') AS shift_day,
+           round(CAST(m.mx_a AS DOUBLE)
+                 / (CAST(m.n AS DOUBLE) * 100.0), 2) AS max_abs_cusum,
+           CAST(m.n AS BIGINT) AS n_days
+    FROM mx m JOIN scored s
+      ON s.event_type = m.event_type AND s.a = m.mx_a
+    GROUP BY m.event_type, m.mx_a, m.n ORDER BY m.event_type
+    """,
+)
+def win_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative sum of deviations from the series mean peaks — the
+    standard level-shift locator for metric monitoring. EXACT integer
+    arithmetic end to end: daily totals are int64 cents, and instead of
+    subtracting the (fractional) mean per step, the cusum is kept in the
+    cross-multiplied form n·prefix_t − t·S (all int64, exact), whose
+    argmax is identical to argmax |prefix_t − t·S/n|; the floating
+    divide happens once, on the final reported maximum. Scale: one hash
+    aggregate to (type, day) cents — the only corpus-sized shuffle —
+    then every window runs keyed by event_type over calendar-bounded
+    daily rows (≤ types × days), never over raw events."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+    wk = Window.partitionBy("event_type")
+    wo = wk.orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.count("*").over(wk).alias("n"),
+        (
+            F.count("*").over(wk)
+            * F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+            - F.row_number().over(wo) * F.sum("cents").over(wk)
+        ).alias("cusum_scaled"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.date_format(
+                F.min_by(
+                    "day",
+                    F.struct(
+                        (-F.abs(F.col("cusum_scaled"))).alias("neg"),
+                        F.col("day").alias("d"),
+                    ),
+                ),
+                "yyyy-MM-dd",
+            ).alias("shift_day"),
+            F.round(
+                F.max(F.abs("cusum_scaled")).cast("double")
+                / (F.any_value("n").cast("double") * 100.0),
+                2,
+            ).alias("max_abs_cusum"),
+            F.any_value("n").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "win_seasonal_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    sm AS (
+      SELECT day, cents,
+             sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS wsum,
+             count(*)   OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                              AND 3 FOLLOWING) AS wcnt
+      FROM daily)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(wsum AS DOUBLE) / (CAST(wcnt AS DOUBLE) * 100.0), 2)
+             AS trend,
+           round(CAST(cents AS DOUBLE) / 100.0
+                 - CAST(wsum AS DOUBLE) / (CAST(wcnt AS DOUBLE) * 100.0), 2)
+             AS detrended
+    FROM sm
+    WHERE wcnt = 7
+    ORDER BY day
+    """,
+)
+def win_seasonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition of the daily revenue series: a
+    7-day centered moving average as the trend, and the detrended
+    residual that exposes day-of-week seasonality. Exact int64-cent
+    daily totals feed the window, so the moving sum is exact and both
+    engines divide the same integers; edge days without a full 7-day
+    frame are dropped (wcnt = 7) rather than averaged over a shorter
+    frame. Scale: the corpus-sized work is ONE hash aggregate to daily
+    cents; the unpartitioned ordered window then runs over
+    CALENDAR-BOUNDED rows (one per day — thousands at a century), the
+    documented bounded-input exception of this module's no-global-window
+    rule."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    sm = daily.select(
+        "day",
+        "cents",
+        F.sum("cents").over(w).alias("wsum"),
+        F.count("*").over(w).alias("wcnt"),
+    ).filter(F.col("wcnt") == 7)
+    rev = F.col("cents").cast("double") / 100.0
+    trend = F.col("wsum").cast("double") / (F.col("wcnt").cast("double") * 100.0)
+    return sm.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(rev, 2).alias("revenue"),
+        F.round(trend, 2).alias("trend"),
+        F.round(rev - trend, 2).alias("detrended"),
+    ).orderBy("day")
