@@ -80,6 +80,11 @@ GROUP3 = [
     "dedup_source_matrix",    # closed-form pair counting on digests
     "win_drawdown_max",       # two windows + agg on ONE user exchange
     "text_js_divergence",     # per-source JSD, shuffle-joined vocab
+    # fifth-wave additions (group3 totals grow vs earlier r4 runs;
+    # compare per-query across rounds — BASELINE.md round-delta note):
+    "sim_threshold_sweep",    # grid-gemm count vectors, 5-τ calibration
+    "sql_entry_nation_trade", # TPC-H Q7 shape, 6-table SQL-entry text
+    "mm_payload_entropy",     # JVM-only byte histogram entropy
 ]
 
 TIMED_REPS = 7

@@ -2582,3 +2582,113 @@ def agg_gap_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon_days")
     )
+
+
+@query(
+    "agg_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             datediff('day', max(CAST(o_orderdate AS DATE)),
+                      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+               AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey),
+    n AS (SELECT count(*) AS n_cust FROM base),
+    ranked AS (
+      SELECT b.*, n.n_cust,
+             row_number() OVER (ORDER BY b.recency_days, b.custkey) AS r_rnk,
+             row_number() OVER (ORDER BY b.frequency DESC, b.custkey) AS f_rnk,
+             row_number() OVER (ORDER BY b.cents DESC, b.custkey) AS m_rnk
+      FROM base b, n),
+    seg AS (
+      SELECT CAST((r_rnk - 1) * 5 // n_cust + 1 AS INT) AS r_q,
+             CAST((f_rnk - 1) * 5 // n_cust + 1 AS INT) AS f_q,
+             CAST((m_rnk - 1) * 5 // n_cust + 1 AS INT) AS m_q,
+             cents
+      FROM ranked)
+    SELECT r_q, f_q, m_q, count(*) AS n_customers,
+           CAST((2 * CAST(sum(cents) AS BIGINT) + count(*))
+                // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_monetary
+    FROM seg GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quintile segmentation — the
+    classic CRM cube. Each customer is ranked on all three axes and
+    bucketed by the EXPLICIT integer formula (rank−1)·5 div n + 1 (the
+    same text on both engines — ntile()'s uneven-bucket convention is
+    not portable), then the ≤125 segment cells are counted. The per-axis
+    global rankings use the engine's sampled range-bucketed rank
+    (ranking.with_global_rank) — NO single-partition window touches the
+    per-customer frame, which at 100 TB is itself corpus-sized. Monetary
+    stays int64 cents until the one output divide."""
+    from .ranking import with_global_rank
+
+    o = load(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("corpus_max"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+            F.count("*").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "custkey",
+            F.datediff("corpus_max", "last_day").alias("recency_days"),
+            "frequency",
+            "cents",
+        )
+    )
+    # materialize the per-customer frame ONCE (same pattern as
+    # dedup_cluster_cc): the three rank constructions each re-evaluate
+    # their input several times — without this the orders aggregate
+    # would run ~8× (ruinous when orders is the 100 TB fact)
+    base = base.localCheckpoint()
+    n_cust = base.count()
+    ranked = with_global_rank(
+        base, [("recency_days", "asc"), ("custkey", "asc")], rank_col="r_rnk"
+    )
+    ranked = with_global_rank(
+        ranked, [("frequency", "desc"), ("custkey", "asc")], rank_col="f_rnk"
+    )
+    ranked = with_global_rank(
+        ranked, [("cents", "desc"), ("custkey", "asc")], rank_col="m_rnk"
+    )
+
+    def quint(rnk):
+        # exact int64 division (both engines' `/` is FLOAT division —
+        # an epsilon-under quotient would truncate into the wrong bucket)
+        return (
+            F.expr(f"({rnk} - 1) * 5 div {n_cust}").cast("int") + 1
+        )
+
+    return (
+        ranked.select(
+            quint("r_rnk").alias("r_q"),
+            quint("f_rnk").alias("f_q"),
+            quint("m_rnk").alias("m_q"),
+            "cents",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # exact integer half-up division to whole cents, ONE float
+            # divide at the end — round(S/(100n), 2) on the raw double
+            # is engine-dependent when the quotient lands on a .xx5
+            (
+                F.expr(
+                    "CAST((2 * sum(cents) + count(*))"
+                    " div (2 * count(*)) AS DOUBLE)"
+                )
+                / 100.0
+            ).alias("avg_monetary"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )

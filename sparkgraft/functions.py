@@ -740,3 +740,59 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(all_words).alias("n_long"),
         F.size(F.array_distinct(all_words)).alias("n_unique"),
     )
+
+
+@query(
+    "fn_haversine",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey,
+             (c_custkey * 7919 % 17000) / 100.0 - 85.0 AS lat1,
+             (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon1,
+             (c_nationkey * 7919 % 17000) / 100.0 - 85.0 AS lat2,
+             (c_nationkey * 104729 % 36000) / 100.0 - 180.0 AS lon2
+      FROM customer),
+    hv AS (
+      SELECT c_custkey, lat1, lon1, lat2, lon2,
+             sin(radians(lat2 - lat1) / 2)
+               * sin(radians(lat2 - lat1) / 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+               * sin(radians(lon2 - lon1) / 2)
+               * sin(radians(lon2 - lon1) / 2) AS a
+      FROM pts)
+    SELECT c_custkey, round(lat1, 2) AS lat1, round(lon1, 2) AS lon1,
+           round(2 * 6371.0088 * asin(least(1.0, sqrt(a))), 3) AS dist_km
+    FROM hv ORDER BY c_custkey
+    """,
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance scalar family — radians/trig/
+    asin/sqrt composed row-locally, the geo primitive behind any
+    store-to-customer or geo-dedup query. Coordinates are derived
+    DETERMINISTICALLY from integer keys (prime-modulus spread — the
+    corpus carries no geo columns), clamped off the poles; the asin
+    argument is clamped to 1.0 on both engines so a last-ulp excursion
+    can never produce NaN. Pure codegen map — no shuffle, no UDF; both
+    engines evaluate the identical expression tree on exact integer
+    inputs, and the ~1e-11 km transcendental drift is far below the
+    3-decimal output rounding."""
+    c = load(spark, sf_dir, "customer")
+    lat1 = (F.col("c_custkey") * 7919 % 17000) / 100.0 - 85.0
+    lon1 = (F.col("c_custkey") * 104729 % 36000) / 100.0 - 180.0
+    lat2 = (F.col("c_nationkey").cast("long") * 7919 % 17000) / 100.0 - 85.0
+    lon2 = (
+        F.col("c_nationkey").cast("long") * 104729 % 36000
+    ) / 100.0 - 180.0
+    dphi = F.radians(lat2 - lat1) / 2
+    dlmb = F.radians(lon2 - lon1) / 2
+    a = F.sin(dphi) * F.sin(dphi) + F.cos(F.radians(lat1)) * F.cos(
+        F.radians(lat2)
+    ) * F.sin(dlmb) * F.sin(dlmb)
+    return c.select(
+        "c_custkey",
+        F.round(lat1, 2).alias("lat1"),
+        F.round(lon1, 2).alias("lon1"),
+        F.round(
+            2 * 6371.0088 * F.asin(F.least(F.lit(1.0), F.sqrt(a))), 3
+        ).alias("dist_km"),
+    ).orderBy("c_custkey")

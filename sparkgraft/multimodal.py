@@ -369,13 +369,17 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.hex("payload").alias("h"),
     )
+    # ONE linear regexp pass splits the hex string into byte pairs —
+    # substring(h, 2i−1, 2) per position would re-scan the string to
+    # find each codepoint offset: O(len²) per document, which dies on
+    # megabyte media payloads even though it looks innocent at 300 B.
     bytes_ = b.select(
         "doc_id",
         "n_bytes",
         F.explode(
             F.expr(
-                "transform(sequence(1, n_bytes),"
-                " i -> conv(substring(h, 2*i-1, 2), 16, 10))"
+                "transform(regexp_extract_all(h, '(..)', 1),"
+                " p -> conv(p, 16, 10))"
             )
         ).alias("bv"),
     )

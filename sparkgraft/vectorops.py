@@ -1377,3 +1377,82 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "sim_centroid_outliers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS m
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i
+      GROUP BY label, i.i),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid
+      FROM pos GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             {_SQL_DOT.format(a="e.embedding", b="c.centroid")}
+               / (sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})
+                  * sqrt({_SQL_DOT.format(a="c.centroid", b="c.centroid")}))
+               AS cos_to_centroid
+      FROM embeddings e JOIN cent c ON e.label = c.label),
+    ranked AS (
+      SELECT label, vec_id, cos_to_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_to_centroid, vec_id) AS rnk
+      FROM scored)
+    SELECT label, vec_id, round(cos_to_centroid, 6) AS cos_to_centroid,
+           CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    ORDER BY label, rnk
+    """,
+)
+def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mislabel/outlier screen: the 5 vectors FARTHEST from
+    their own class centroid — what an embedding-QA pass reviews before
+    trusting labels for mixture decisions. Same bounded centroid
+    construction as `sim_centroid_per_label` (labels × dim aggregate,
+    broadcast back), then a TWO-PHASE bottom-k: rank within (label,
+    input partition) first and keep ≤ 5, so the per-label window in the
+    second phase sees ≤ 5·P survivors instead of the label's full
+    corpus slice — the same funnel-avoidance as `_topk_per_query`.
+    Ranking compares UNROUNDED cosines (bit-identical on both engines
+    under the module's left-to-right double contract) with vec_id
+    tie-break; rounding happens only in the projection."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("centroid")).alias("cos_to_centroid"),
+    )
+    w_local = Window.partitionBy("label", "pid").orderBy(
+        "cos_to_centroid", "vec_id"
+    )
+    w_global = Window.partitionBy("label").orderBy("cos_to_centroid", "vec_id")
+    return (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("lrnk", F.row_number().over(w_local))
+        .filter(F.col("lrnk") <= 5)
+        .drop("pid", "lrnk")
+        .withColumn("rnk", F.row_number().over(w_global))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            F.round("cos_to_centroid", 6).alias("cos_to_centroid"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("label", "rnk")
+    )

@@ -1298,3 +1298,145 @@ def win_seasonal_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(trend, 2).alias("trend"),
         F.round(rev - trend, 2).alias("detrended"),
     ).orderBy("day")
+
+
+@query(
+    "win_path_sequences",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS nxt1,
+             lead(event_type, 2) OVER w AS nxt2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    paths AS (
+      SELECT event_type || '>' || nxt1 || '>' || nxt2 AS path
+      FROM seq WHERE nxt2 IS NOT NULL)
+    SELECT path, count(*) AS n_journeys
+    FROM paths GROUP BY path
+    ORDER BY n_journeys DESC, path
+    LIMIT 15
+    """,
+)
+def win_path_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral trigram paths (A>B>C event sequences) — the
+    journey-mining query behind funnel discovery. ONE keyed ordered
+    window (user_id; ts with event_id tiebreak) produces both lookahead
+    steps, then a hash aggregate counts paths whose DOMAIN is bounded
+    by |event types|³ — 125 possible paths at any corpus size, so the
+    aggregate output, the sort and the top-15 cut are all constants.
+    The corpus-sized work is exactly one shuffle on user_id."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("nxt1"),
+        F.lead("event_type", 2).over(w).alias("nxt2"),
+    )
+    return (
+        seq.filter(F.col("nxt2").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "nxt1", "nxt2").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), "path")
+        .limit(15)
+    )
+
+
+@query(
+    "win_bollinger_breakout",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events),
+    fr AS (
+      SELECT event_id, user_id, value, x,
+             sum(x)     OVER w AS s,
+             sum(x * x) OVER w AS q,
+             count(*)   OVER w AS n
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    full_fr AS (
+      SELECT *, n * x - s AS dev_scaled,
+             n * q - s * s AS var_scaled
+      FROM fr WHERE n = 20)
+    SELECT event_id, user_id, value,
+           round(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0), 4)
+             AS band_mid,
+           round(sqrt(CAST(var_scaled AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+                 / 100.0, 4) AS band_sigma,
+           CASE WHEN dev_scaled > 0 THEN 'high' ELSE 'low' END AS breakout
+    FROM full_fr
+    WHERE dev_scaled * dev_scaled * (n - 1) > 4 * n * var_scaled
+    ORDER BY user_id, event_id
+    """,
+)
+def win_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakouts: events outside ±2σ of their user's
+    TRAILING 20-event band (vs `win_zscore_anomaly`'s whole-history
+    frame — this one adapts to drift). EXACT integer decision rule:
+    values enter as int64 cents, the frame keeps only Σx and Σx², and
+    the breakout predicate is the cross-multiplied form
+    (n·x−S)²·(n−1) > 4n·(nΣx²−S²) — pure int64 comparisons, so the
+    flagged set is bit-identical on every engine and no float boundary
+    can flip an event; the reported band mid/σ are the only float
+    divides, done per emitted row. One keyed ordered window over the
+    user shuffle, partial frames (< 20 events) excluded."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    x = F.round(F.col("value") * 100).cast("long")
+    fr = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value", x.alias("x"))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            "x",
+            F.sum("x").over(w).alias("s"),
+            F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+            F.count("*").over(w).alias("n"),
+        )
+        .filter(F.col("n") == 20)
+        .withColumn("dev_scaled", F.col("n") * F.col("x") - F.col("s"))
+        .withColumn(
+            "var_scaled", F.col("n") * F.col("q") - F.col("s") * F.col("s")
+        )
+    )
+    return (
+        fr.filter(
+            F.col("dev_scaled") * F.col("dev_scaled") * (F.col("n") - 1)
+            > 4 * F.col("n") * F.col("var_scaled")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round(
+                F.col("s").cast("double") / (F.col("n").cast("double") * 100.0),
+                4,
+            ).alias("band_mid"),
+            F.round(
+                F.sqrt(
+                    F.col("var_scaled").cast("double")
+                    / (
+                        F.col("n").cast("double")
+                        * (F.col("n") - 1).cast("double")
+                    )
+                )
+                / 100.0,
+                4,
+            ).alias("band_sigma"),
+            F.when(F.col("dev_scaled") > 0, "high")
+            .otherwise("low")
+            .alias("breakout"),
+        )
+        .orderBy("user_id", "event_id")
+    )
