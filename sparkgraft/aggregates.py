@@ -2692,3 +2692,194 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@query(
+    "agg_stickiness_ratio",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    days AS (SELECT DISTINCT day FROM du),
+    cov AS (
+      SELECT du.day + (o.off)::INT AS cover_day, du.user_id
+      FROM du, (SELECT unnest(range(0, 7)) AS off) o),
+    wau AS (
+      SELECT d.day, count(DISTINCT c.user_id) AS wau
+      FROM days d JOIN cov c ON c.cover_day = d.day
+      GROUP BY d.day)
+    SELECT strftime(w.day, '%Y-%m-%d') AS day,
+           CAST(a.dau AS BIGINT) AS dau,
+           CAST(w.wau AS BIGINT) AS wau,
+           round(CAST(a.dau AS DOUBLE) / CAST(w.wau AS DOUBLE), 6)
+             AS stickiness
+    FROM wau w JOIN dau a ON a.day = w.day
+    ORDER BY day
+    """,
+)
+def agg_stickiness_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-frequency ratio every
+    growth review tracks. Same scale-correct WAU construction as
+    `agg_rolling_active_users` (distinct (day, user) → bounded ×7
+    offset fan-out → day-keyed exact distinct; no range window, no
+    self-join), joined to the direct DAU count on the calendar-bounded
+    day key; the ratio divides two exact integers once per output
+    row."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.count("*").alias("dau"))
+    cov = du.withColumn(
+        "off", F.explode(F.sequence(F.lit(0), F.lit(6)))
+    ).select(F.expr("date_add(day, off)").alias("cover_day"), "user_id")
+    days = du.select("day").distinct()
+    wau = (
+        days.join(cov, days.day == cov.cover_day)
+        .groupBy(days.day)
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        wau.join(dau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "agg_iqr_outlier_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    q AS (
+      SELECT quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.75) AS q3
+      FROM daily)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           round(CAST(d.cents AS DOUBLE) / 100.0, 2) AS revenue,
+           CASE WHEN CAST(d.cents AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+                THEN 'high' ELSE 'low' END AS side
+    FROM daily d, q
+    WHERE CAST(d.cents AS DOUBLE) > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR CAST(d.cents AS DOUBLE) < q.q1 - 1.5 * (q.q3 - q.q1)
+    ORDER BY day
+    """,
+)
+def agg_iqr_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier days: daily revenue beyond 1.5×IQR of the
+    day-level distribution — the robust anomaly screen that, unlike a
+    z-score, is immune to the outliers it hunts. Daily totals are exact
+    int64 cents; Q1/Q3 are exact linear-interpolated percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, parity pinned by
+    `agg_percentiles`) computed over the CALENDAR-bounded daily frame,
+    and the 2-value fence table rides a broadcast nested-loop that is
+    bounded (1 row) by construction. Both engines evaluate the same
+    fence arithmetic on the same exact inputs."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    q = daily.agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    c = F.col("cents").cast("double")
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        daily.crossJoin(F.broadcast(q))
+        .filter((c > hi) | (c < lo))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(c / 100.0, 2).alias("revenue"),
+            F.when(c > hi, "high").otherwise("low").alias("side"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "agg_pareto_front",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y,
+             count(DISTINCT c.c_custkey) AS n_customers
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, round(c.c_acctbal * 100))
+    , grp AS (
+      SELECT x, CAST(y AS BIGINT) AS y,
+             CAST(sum(n_customers) AS BIGINT) AS n_customers
+      FROM pts GROUP BY x, y)
+    SELECT round(CAST(p.x AS DOUBLE) / 100.0, 2) AS acctbal,
+           round(CAST(p.y AS DOUBLE) / 100.0, 2) AS spend,
+           p.n_customers
+    FROM grp p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM grp q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+    ORDER BY acctbal DESC
+    """,
+)
+def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto front (skyline) of customers on (account balance,
+    total spend) — 'who is undominated on both axes', the classic
+    skyline query. Distributed as the textbook TWO-PHASE skyline: a
+    per-partition sweep (sort by x desc, y desc; a point survives iff
+    its y strictly exceeds the running max of everything before it)
+    prunes each partition to its LOCAL front, and only those survivors
+    — a tiny fraction of the corpus, since most points are dominated
+    locally — enter the global sweep. Coordinates are exact int64
+    cents, points are first deduped on (x, y) (duplicates never
+    dominate each other, so both engines keep them symmetric), and the
+    sweep's strict y comparison is exact, so the front is bit-identical
+    to the oracle's O(n²) NOT-EXISTS definition."""
+    pts = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.countDistinct("c_custkey").cast("long").alias("n_customers"))
+    )
+
+    def sweep(df, part_cols):
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.desc("x"), F.desc("y"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max("y").over(w)
+        return df.withColumn("prev_max", prev).filter(
+            F.col("prev_max").isNull() | (F.col("y") > F.col("prev_max"))
+        ).drop("prev_max")
+
+    local = sweep(
+        pts.withColumn("pid", F.spark_partition_id()), ["pid"]
+    ).drop("pid")
+    front = sweep(local.withColumn("g", F.lit(0)), ["g"]).drop("g")
+    return front.select(
+        F.round(F.col("x").cast("double") / 100.0, 2).alias("acctbal"),
+        F.round(F.col("y").cast("double") / 100.0, 2).alias("spend"),
+        "n_customers",
+    ).orderBy(F.desc("acctbal"))

@@ -1440,3 +1440,52 @@ def win_bollinger_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_attribution_last_touch",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events)
+    SELECT event_id, user_id, coalesce(touch, 'direct') AS attributed_to
+    FROM tagged
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, event_id
+    """,
+)
+def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding NON-purchase event type ('direct' if none) —
+    the marketing-attribution primitive. ONE keyed ordered window with
+    an explicit UNBOUNDED..1-PRECEDING frame (excluding the current row
+    — the default frame would let a purchase attribute to itself) and
+    last_value(... IGNORE NULLS) carrying only the non-purchase types;
+    the corpus-sized work is the single user shuffle, and the purchase
+    filter happens after tagging so mid-stream purchases don't reset
+    the lookback."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("touch", F.lit("direct")).alias("attributed_to"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -759,3 +759,51 @@ def test_haversine_is_shuffle_free_map(spark):
 
     exchanges = re.findall(r"Arguments: (\w+)partitioning", plan)
     assert all(e == "range" for e in exchanges), exchanges
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "agg_stickiness_ratio",
+        "win_attribution_last_touch",
+    ],
+)
+def test_r4_wave7_ops_stay_equi_and_keyed(spark, key):
+    """Seventh-wave ops with corpus-sized windows/joins: equi-joins
+    only, keyed windows, no single-partition funnel."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pareto_front_is_two_phase(spark):
+    """The local sweep must be keyed by spark_partition_id (a real
+    partition key — the corpus never funnels); only the survivor sweep
+    runs single-partition, and the local sweep's window must appear
+    below it in execution order."""
+    import re
+
+    df = sparkgraft.QUERIES["agg_pareto_front"](spark, SF_DIR)
+    plan = _plan(df)
+    wins = re.findall(r"\((\d+)\) Window", plan)
+    assert len(wins) == 2  # local + survivor sweep
+    # the pid-keyed window executes first (smaller node id)
+    pid_win = [ln for ln in plan.splitlines() if "windowspecdefinition(pid" in ln]
+    assert pid_win
+
+
+def test_iqr_fence_broadcast_is_one_row(spark):
+    """The fence table is a global 2-value aggregate — its broadcast
+    nested loop is bounded by construction (the documented 1-row
+    crossJoin exception)."""
+    df = sparkgraft.QUERIES["agg_iqr_outlier_days"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
