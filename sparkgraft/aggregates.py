@@ -2883,3 +2883,125 @@ def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y").cast("double") / 100.0, 2).alias("spend"),
         "n_customers",
     ).orderBy(F.desc("acctbal"))
+
+
+@query(
+    "agg_mutual_information",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS x, CAST(EXTRACT(HOUR FROM ts) AS INT) AS y,
+             count(*) * 1.0 AS n_xy
+      FROM events GROUP BY event_type, EXTRACT(HOUR FROM ts)),
+    t AS (SELECT sum(n_xy) AS n FROM c),
+    mx AS (SELECT x, sum(n_xy) AS n_x FROM c GROUP BY x),
+    my AS (SELECT y, sum(n_xy) AS n_y FROM c GROUP BY y)
+    SELECT round(sum((c.n_xy / t.n)
+                     * ln(c.n_xy * t.n / (mx.n_x * my.n_y))), 6) AS mi_nats,
+           round(-sum((c.n_xy / t.n) * ln(c.n_xy / t.n)), 6) AS h_xy,
+           count(*) AS n_cells
+    FROM c JOIN mx ON mx.x = c.x JOIN my ON my.y = c.y CROSS JOIN t
+    """,
+)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour-of-day — the
+    dependence probe behind 'is this metric seasonal' questions, in
+    nats with the joint entropy alongside. The corpus-sized work is ONE
+    hash aggregate to the ≤ |types|×24 contingency cells; margins and
+    the total are re-aggregated from that bounded frame (never a second
+    corpus pass), joined back as bounded equi/broadcast probes. Natural
+    log pinned on both engines; the cell sum is over a CONSTANT-bounded
+    domain, so the round-6 output is deterministic in practice (same
+    discipline as agg_entropy)."""
+    e = load(spark, sf_dir, "events")
+    c = (
+        e.groupBy(
+            F.col("event_type").alias("x"),
+            F.hour("ts").cast("int").alias("y"),
+        )
+        .agg(F.count("*").cast("double").alias("n_xy"))
+    )
+    t = c.agg(F.sum("n_xy").alias("n"))
+    mx = c.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
+    my = c.groupBy("y").agg(F.sum("n_xy").alias("n_y"))
+    j = (
+        c.join(mx, "x")
+        .join(my, "y")
+        .crossJoin(F.broadcast(t))
+    )
+    p = F.col("n_xy") / F.col("n")
+    return j.agg(
+        F.round(
+            F.sum(
+                p
+                * F.log(
+                    F.col("n_xy") * F.col("n") / (F.col("n_x") * F.col("n_y"))
+                )
+            ),
+            6,
+        ).alias("mi_nats"),
+        F.round(-F.sum(p * F.log(p)), 6).alias("h_xy"),
+        F.count("*").alias("n_cells"),
+    )
+
+
+@query(
+    "agg_chi_square",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, count(*) * 1.0 AS o
+      FROM documents GROUP BY source, lang),
+    t AS (SELECT sum(o) AS n FROM c),
+    ms AS (SELECT source, sum(o) AS n_s FROM c GROUP BY source),
+    ml AS (SELECT lang, sum(o) AS n_l FROM c GROUP BY lang),
+    cells AS (
+      SELECT c.o, ms.n_s * ml.n_l / t.n AS e
+      FROM c JOIN ms ON ms.source = c.source
+             JOIN ml ON ml.lang = c.lang CROSS JOIN t),
+    dims AS (
+      SELECT count(DISTINCT source) AS r, count(DISTINCT lang) AS k
+      FROM documents)
+    SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((SELECT (r - 1) * (k - 1) FROM dims) AS BIGINT) AS dof,
+           count(*) AS n_observed_cells
+    FROM cells
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test on the source × language
+    contingency table — the drift alarm a corpus-intake pipeline runs
+    to catch a source whose language mix shifted. Same bounded-cell
+    shape as agg_mutual_information: one corpus-sized hash aggregate to
+    the observed cells, margins re-aggregated from that tiny frame,
+    expected counts from exact margin products, and a constant-domain
+    sum for the statistic (dof from the margin cardinalities). Note the
+    statistic sums only OBSERVED cells — zero-observed cells contribute
+    their expectation; for a drift alarm on the same corpus the
+    convention is pinned identically in both engines."""
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(
+        F.count("*").cast("double").alias("o")
+    )
+    t = c.agg(F.sum("o").alias("n"))
+    ms = c.groupBy("source").agg(F.sum("o").alias("n_s"))
+    ml = c.groupBy("lang").agg(F.sum("o").alias("n_l"))
+    dims = d.agg(
+        F.countDistinct("source").alias("r"), F.countDistinct("lang").alias("k")
+    )
+    e = F.col("n_s") * F.col("n_l") / F.col("n")
+    cells = (
+        c.join(ms, "source").join(ml, "lang").crossJoin(F.broadcast(t))
+    )
+    return (
+        cells.agg(
+            F.round(
+                F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4
+            ).alias("chi2"),
+            F.count("*").alias("n_observed_cells"),
+        )
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2",
+            ((F.col("r") - 1) * (F.col("k") - 1)).cast("long").alias("dof"),
+            "n_observed_cells",
+        )
+    )

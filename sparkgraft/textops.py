@@ -2518,3 +2518,132 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_tfidf_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+            FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    tfq AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df)
+                        * 1000) AS BIGINT) AS q
+      FROM tf JOIN dfq ON dfq.token = tf.token CROSS JOIN n),
+    norms AS (SELECT doc_id, sum(q * q) AS nrm FROM tfq GROUP BY doc_id),
+    sig AS (
+      SELECT token, doc_id FROM (
+        SELECT token, doc_id,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY q DESC, token) AS rn
+        FROM tfq) s WHERE rn <= 3),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM sig a JOIN sig b
+        ON a.token = b.token AND a.doc_id < b.doc_id),
+    dots AS (
+      SELECT c.da, c.db, sum(ta.q * tb.q) AS dot,
+             count(*) AS n_shared
+      FROM cand c
+      JOIN tfq ta ON ta.doc_id = c.da
+      JOIN tfq tb ON tb.doc_id = c.db AND tb.token = ta.token
+      GROUP BY c.da, c.db)
+    SELECT d.da AS doc_a, d.db AS doc_b,
+           CAST(d.n_shared AS BIGINT) AS n_shared,
+           round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nrm AS DOUBLE))
+                    * sqrt(CAST(nb.nrm AS DOUBLE))), 6) AS cos_tfidf
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.da
+    JOIN norms nb ON nb.doc_id = d.db
+    WHERE na.nrm > 0 AND nb.nrm > 0
+    ORDER BY CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nrm AS DOUBLE))
+                * sqrt(CAST(nb.nrm AS DOUBLE))) DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine similarity — the lexical complement of the
+    dense-embedding `sim_*` family: top-20 most-similar document pairs
+    under the bag-of-words model. Candidate generation is SIGNATURE
+    BLOCKING (each doc contributes its 3 highest-TF-IDF tokens; pairs
+    must share a signature token — an equi-join whose fan-out per token
+    is bounded by that token's signature popularity, never the corpus),
+    and the exact dot product then runs ONLY over candidates via two
+    composite-key equi-joins. Weights are QUANTIZED to int64
+    (round(tf·idf·1000)) so dots and norms aggregate exact integers in
+    any order — the ranking needs no rounding tolerance; the cosine
+    divides exact ints once per candidate. All five joins are
+    shuffle-hashable equi-joins; skew in a hot signature token salts
+    like any hot key."""
+    tok = _tokens(spark, sf_dir).select("doc_id", "token")
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()
+    tfq = tf.join(dfq, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1000
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    norms = tfq.groupBy("doc_id").agg(F.sum(F.col("q") * F.col("q")).alias("nrm"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("q"), "token")
+    sig = (
+        tfq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("token", "doc_id")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    ta = tfq.select(
+        F.col("doc_id").alias("da"), "token", F.col("q").alias("qa")
+    )
+    tb = tfq.select(
+        F.col("doc_id").alias("db"), "token", F.col("q").alias("qb")
+    )
+    dots = (
+        cand.join(ta, "da")
+        .join(tb, ["db", "token"])
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.col("qa") * F.col("qb")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    return (
+        dots.join(na, "da")
+        .join(nb, "db")
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .orderBy(cos.desc(), "da", "db")
+        .limit(20)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(cos, 6).alias("cos_tfidf"),
+        )
+    )

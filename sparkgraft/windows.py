@@ -1489,3 +1489,83 @@ def win_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_momentum_rsi",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+    d AS (
+      SELECT prio, day, cents,
+             cents - lag(cents) OVER (PARTITION BY prio ORDER BY day)
+               AS delta
+      FROM daily),
+    g AS (
+      SELECT prio, day,
+             sum(CASE WHEN delta > 0 THEN delta ELSE 0 END)
+               OVER w AS gains,
+             sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END)
+               OVER w AS losses,
+             count(delta) OVER w AS n
+      FROM d
+      WINDOW w AS (PARTITION BY prio ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+           round(100.0 * CAST(gains AS DOUBLE)
+                 / CAST(gains + losses AS DOUBLE), 4) AS rsi
+    FROM g
+    WHERE n = 14 AND gains + losses > 0
+    ORDER BY prio, day
+    """,
+)
+def win_momentum_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period RSI of the daily revenue series per order priority —
+    the momentum oscillator, in its cut-over form RSI = 100·G/(G+L)
+    (simple averages, not Wilder smoothing — the recursive form has no
+    closed window expression; the identity avoids the avg-of-avg
+    divide). G and L are trailing sums of EXACT int64 cent deltas, so
+    the only float op is the single output divide; flat 14-day stretches
+    (G+L = 0, RSI undefined) are excluded identically on both engines.
+    One hash aggregate to (priority, day) cents, then two keyed windows
+    over the calendar-bounded daily frame."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    wl = Window.partitionBy("prio").orderBy("day")
+    wf = wl.rowsBetween(-13, 0)
+    d = daily.select(
+        "prio", "day", (F.col("cents") - F.lag("cents").over(wl)).alias("delta")
+    )
+    g = d.select(
+        "prio",
+        "day",
+        F.sum(F.when(F.col("delta") > 0, F.col("delta")).otherwise(0))
+        .over(wf)
+        .alias("gains"),
+        F.sum(F.when(F.col("delta") < 0, -F.col("delta")).otherwise(0))
+        .over(wf)
+        .alias("losses"),
+        F.count("delta").over(wf).alias("n"),
+    )
+    return (
+        g.filter((F.col("n") == 14) & (F.col("gains") + F.col("losses") > 0))
+        .select(
+            "prio",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(
+                100.0
+                * F.col("gains").cast("double")
+                / (F.col("gains") + F.col("losses")).cast("double"),
+                4,
+            ).alias("rsi"),
+        )
+        .orderBy("prio", "day")
+    )

@@ -807,3 +807,47 @@ def test_iqr_fence_broadcast_is_one_row(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "agg_mutual_information",
+        "agg_chi_square",
+        "win_momentum_rsi",
+        "text_tfidf_pairs",
+    ],
+)
+def test_r4_wave8_ops_stay_equi_and_keyed(spark, key):
+    """Eighth-wave ops: equi-joins only (the contingency margins and the
+    tfidf-pair joins must all hash), keyed windows, no single-partition
+    funnel, with auto-broadcast disabled. The 1-row total tables ride
+    explicit bounded broadcasts (nested-loop over ONE row — the
+    documented exception), so BroadcastNestedLoopJoin is allowed only
+    for those; cartesian never."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    if key == "text_tfidf_pairs":
+        # the flagship scale property: zero broadcast of anything
+        # corpus-derived, no nested loop at all
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastExchange" not in plan
+
+
+def test_tfidf_pairs_joins_are_all_hashable(spark):
+    """Every join in the candidate/dot pipeline must be a hash-family
+    join on equi keys."""
+    df = sparkgraft.QUERIES["text_tfidf_pairs"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "TakeOrderedAndProject" in plan
