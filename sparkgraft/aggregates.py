@@ -3005,3 +3005,54 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_observed_cells",
         )
     )
+
+
+@query(
+    "agg_lead_time_percentiles",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority AS prio,
+             datediff('day', CAST(o.o_orderdate AS DATE),
+                      CAST(l.l_shipdate AS DATE)) AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+    SELECT prio,
+           count(*) AS n_lines,
+           round(quantile_cont(lead_days, 0.50), 4) AS p50,
+           round(quantile_cont(lead_days, 0.90), 4) AS p90,
+           round(quantile_cont(lead_days, 0.99), 4) AS p99,
+           CAST(max(lead_days) AS BIGINT) AS worst
+    FROM lt GROUP BY prio ORDER BY prio
+    """,
+)
+def agg_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time SLA percentiles per priority class — the
+    fulfillment-latency review. Lead times are exact integer day diffs
+    (order date → line ship date), the fact-fact join equi-shuffles on
+    orderkey, and the interpolated percentiles run per priority (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, parity pinned by
+    agg_percentiles) over exact integer inputs."""
+    lt = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lead_days"),
+        )
+    )
+    return (
+        lt.groupBy("prio")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.expr("percentile(lead_days, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(lead_days, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(lead_days, 0.99)"), 4).alias("p99"),
+            F.max("lead_days").cast("long").alias("worst"),
+        )
+        .orderBy("prio")
+    )

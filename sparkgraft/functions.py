@@ -796,3 +796,63 @@ def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             2 * 6371.0088 * F.asin(F.least(F.lit(1.0), F.sqrt(a))), 3
         ).alias("dist_km"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "fn_luhn_check",
+    oracle="""
+    WITH nums AS (
+      SELECT o_orderkey,
+             (o_orderkey * 37 + 11) % 1000000000000 AS card_num
+      FROM orders),
+    digits AS (
+      SELECT o_orderkey, card_num,
+             list_sum(list_transform(range(0, 12), i ->
+               CASE WHEN i % 2 = 1
+                    THEN CASE WHEN ((card_num // CAST(pow(10, i) AS BIGINT))
+                                    % 10) * 2 > 9
+                              THEN ((card_num // CAST(pow(10, i) AS BIGINT))
+                                    % 10) * 2 - 9
+                              ELSE ((card_num // CAST(pow(10, i) AS BIGINT))
+                                    % 10) * 2 END
+                    ELSE (card_num // CAST(pow(10, i) AS BIGINT)) % 10
+               END)) AS luhn_sum
+      FROM nums)
+    SELECT o_orderkey, card_num,
+           CAST(luhn_sum AS BIGINT) AS luhn_sum,
+           (luhn_sum % 10 = 0) AS is_valid
+    FROM digits ORDER BY o_orderkey
+    """,
+)
+def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum validation over synthetic 12-digit
+    account numbers — the array-lambda showcase for EXACT integer
+    digit manipulation: digits come from integer div/mod (never string
+    parsing), the every-second-digit doubling and the 9-subtraction
+    run inside a transform() lambda, and the fold is a plain
+    aggregate over 12 constants — all whole-stage codegen, no shuffle,
+    bit-identical across engines by construction."""
+    o = load(spark, sf_dir, "orders")
+    card = (F.col("o_orderkey") * 37 + 11) % F.lit(1000000000000)
+    digits = F.expr(
+        "aggregate(transform(sequence(0, 11), i -> "
+        " CASE WHEN i % 2 = 1"
+        "      THEN CASE WHEN ((card_num div CAST(pow(10, i) AS BIGINT))"
+        "                      % 10) * 2 > 9"
+        "                THEN ((card_num div CAST(pow(10, i) AS BIGINT))"
+        "                      % 10) * 2 - 9"
+        "                ELSE ((card_num div CAST(pow(10, i) AS BIGINT))"
+        "                      % 10) * 2 END"
+        "      ELSE (card_num div CAST(pow(10, i) AS BIGINT)) % 10"
+        " END), 0L, (acc, x) -> acc + x)"
+    )
+    return (
+        o.select("o_orderkey", card.alias("card_num"))
+        .select(
+            "o_orderkey",
+            "card_num",
+            digits.alias("luhn_sum"),
+            (digits % 10 == 0).alias("is_valid"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -2647,3 +2647,117 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_tfidf"),
         )
     )
+
+
+@query(
+    "text_lang_logprob_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    doc_tf AS (
+      SELECT doc_id, any_value(lang) AS labeled_lang, token,
+             count(*) AS tf
+      FROM tok GROUP BY doc_id, token),
+    model AS (
+      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token),
+    tot AS (SELECT lang, sum(c) AS t FROM model GROUP BY lang),
+    vocab AS (SELECT count(DISTINCT token) AS v FROM tok),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    q AS (
+      SELECT m.lang, m.token,
+             CAST(round(ln((m.c + 1.0) / (tt.t + vv.v)) * 1e6) AS BIGINT)
+               AS q
+      FROM model m JOIN tot tt ON tt.lang = m.lang CROSS JOIN vocab vv),
+    q0 AS (
+      SELECT tt.lang,
+             CAST(round(ln(1.0 / (tt.t + vv.v)) * 1e6) AS BIGINT) AS q0
+      FROM tot tt CROSS JOIN vocab vv),
+    scored AS (
+      SELECT d.doc_id, d.labeled_lang, l.lang,
+             sum(d.tf * coalesce(q.q, q0.q0)) AS score
+      FROM doc_tf d
+      CROSS JOIN langs l
+      JOIN q0 ON q0.lang = l.lang
+      LEFT JOIN q ON q.lang = l.lang AND q.token = d.token
+      GROUP BY d.doc_id, d.labeled_lang, l.lang),
+    best AS (
+      SELECT doc_id, labeled_lang, lang AS best_lang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rn
+      FROM scored),
+    own AS (
+      SELECT doc_id, score AS own_score FROM scored
+      WHERE lang = labeled_lang)
+    SELECT b.doc_id, b.labeled_lang, b.best_lang,
+           round((b.score - o.own_score) / 1e6, 4) AS margin_nats
+    FROM best b JOIN own o ON o.doc_id = b.doc_id
+    WHERE b.rn = 1 AND b.best_lang <> b.labeled_lang
+    ORDER BY b.doc_id
+    """,
+)
+def text_lang_logprob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label audit by unigram language models: score every doc
+    under EVERY language's add-one-smoothed unigram LM and flag docs
+    whose labeled language is not their argmax — the mislabel screen
+    run before trusting `lang` for mixture decisions. Determinism the
+    hard way: per-(lang, token) log-probs are QUANTIZED to int64
+    (round(ln p · 1e6)) before any aggregation, so the per-(doc, lang)
+    scores are exact integer sums in any order and the argmax (with
+    lang tie-break) cannot flip across engines. Scale: the LM is a
+    (lang × vocab) table joined back on ``token`` as a plain shuffle
+    equi-join (never broadcast — vocabulary grows with the corpus); the
+    |langs| fan-out per doc token is a CONSTANT of the domain; the
+    unseen-token floor is a |langs|-row broadcast."""
+    tok = _tokens(spark, sf_dir)
+    doc_tf = tok.groupBy("doc_id", "token").agg(
+        F.any_value("lang").alias("labeled_lang"), F.count("*").alias("tf")
+    )
+    model = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    tot = model.groupBy("lang").agg(F.sum("c").alias("t"))
+    v = tok.select("token").distinct().count()  # scalar vocab size
+    q = model.join(tot, "lang").select(
+        "lang",
+        "token",
+        F.round(F.log((F.col("c") + 1.0) / (F.col("t") + F.lit(float(v)))) * 1e6)
+        .cast("long")
+        .alias("q"),
+    )
+    q0 = tot.select(
+        "lang",
+        F.round(F.log(1.0 / (F.col("t") + F.lit(float(v)))) * 1e6)
+        .cast("long")
+        .alias("q0"),
+    )
+    langs = load(spark, sf_dir, "documents").select("lang").distinct()
+    scored = (
+        doc_tf.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(q0), "lang")
+        .join(q, ["lang", "token"], "left")
+        .groupBy("doc_id", "labeled_lang", "lang")
+        .agg(F.sum(F.col("tf") * F.coalesce("q", "q0")).alias("score"))
+    )
+    # best + own in ONE grouped pass (a window + self-reference would
+    # re-evaluate the whole scoring pipeline twice): min_by over the
+    # struct (−score, lang) is argmax-score with lang ASC tie-break
+    agg = scored.groupBy("doc_id", "labeled_lang").agg(
+        F.min_by(
+            "lang", F.struct((-F.col("score")).alias("ns"), F.col("lang"))
+        ).alias("best_lang"),
+        F.max("score").alias("best_score"),
+        F.max(
+            F.when(F.col("lang") == F.col("labeled_lang"), F.col("score"))
+        ).alias("own_score"),
+    )
+    return (
+        agg.filter(F.col("best_lang") != F.col("labeled_lang"))
+        .select(
+            "doc_id",
+            "labeled_lang",
+            "best_lang",
+            F.round((F.col("best_score") - F.col("own_score")) / 1e6, 4).alias(
+                "margin_nats"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -1569,3 +1569,84 @@ def win_momentum_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "day")
     )
+
+
+@query(
+    "win_local_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+    fr AS (
+      SELECT prio, day, cents,
+             max(cents) OVER (PARTITION BY prio ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS max_before,
+             max(cents) OVER (PARTITION BY prio ORDER BY day
+                              ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)
+               AS max_after,
+             count(*) OVER (PARTITION BY prio ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS n_win
+      FROM daily)
+    SELECT prio, strftime(day, '%Y-%m-%d') AS day,
+           round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(cents AS DOUBLE)
+                 / CAST(greatest(max_before, max_after) AS DOUBLE), 4)
+             AS prominence
+    FROM fr
+    WHERE n_win = 7 AND cents > max_before AND cents > max_after
+    ORDER BY prio, day
+    """,
+)
+def win_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak days: strict maxima over a ±3-day neighborhood per
+    priority, with a prominence ratio against the taller shoulder —
+    the spike detector behind 'what happened on the 14th'. The peak
+    PREDICATE compares exact int64 cents (no float can flip a peak);
+    the two one-sided max frames are explicit (a symmetric frame would
+    include the candidate itself and never find a strict peak); edge
+    days without a full ±3 neighborhood are excluded on both engines.
+    One hash aggregate, then keyed calendar-bounded windows."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    wb = Window.partitionBy("prio").orderBy("day").rowsBetween(-3, -1)
+    wa = Window.partitionBy("prio").orderBy("day").rowsBetween(1, 3)
+    wn = Window.partitionBy("prio").orderBy("day").rowsBetween(-3, 3)
+    fr = daily.select(
+        "prio",
+        "day",
+        "cents",
+        F.max("cents").over(wb).alias("max_before"),
+        F.max("cents").over(wa).alias("max_after"),
+        F.count("*").over(wn).alias("n_win"),
+    )
+    return (
+        fr.filter(
+            (F.col("n_win") == 7)
+            & (F.col("cents") > F.col("max_before"))
+            & (F.col("cents") > F.col("max_after"))
+        )
+        .select(
+            "prio",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("revenue"),
+            F.round(
+                F.col("cents").cast("double")
+                / F.greatest("max_before", "max_after").cast("double"),
+                4,
+            ).alias("prominence"),
+        )
+        .orderBy("prio", "day")
+    )

@@ -851,3 +851,59 @@ def test_tfidf_pairs_joins_are_all_hashable(spark):
         "BroadcastHashJoin" in plan
     )
     assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "text_lang_logprob_audit",
+        "agg_lead_time_percentiles",
+        "win_local_peaks",
+        "fn_luhn_check",
+    ],
+)
+def test_r4_wave9_ops_stay_equi_and_keyed(spark, key):
+    """Ninth-wave ops: equi-joins only, keyed windows, no
+    single-partition funnel with auto-broadcast disabled. The logprob
+    audit's |langs| fan-out and unseen-token floor are explicit bounded
+    broadcasts; its LM join on token must stay a shuffle."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_luhn_is_pure_codegen_map(spark):
+    """No shuffle before the output sort; no Python nodes."""
+    import re
+
+    df = sparkgraft.QUERIES["fn_luhn_check"](spark, SF_DIR)
+    plan = _plan(df)
+    exchanges = re.findall(r"Arguments: (\w+)partitioning", plan)
+    assert all(e == "range" for e in exchanges), exchanges
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan
+
+
+def test_lang_audit_lm_join_is_shuffle_not_broadcast(spark):
+    """The (lang × vocab) LM table grows with the corpus: its join back
+    onto doc tokens must NOT be a forced broadcast (the round-2/3
+    scale-killer class); with auto-broadcast disabled the only
+    BroadcastExchanges left must feed the two bounded tables (langs,
+    per-lang floor) — i.e., at most 2."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["text_lang_logprob_audit"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    import re
+
+    n_broadcast = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
+    assert n_broadcast <= 2, n_broadcast
