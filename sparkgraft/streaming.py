@@ -838,3 +838,61 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_table(joined, "lojoin", "append").filter(
         F.col("click_id") >= 0
     )
+
+
+@query(
+    "stream_first_touch",
+    oracle="""
+    with r as (
+      select user_id, ts, event_type,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as rn
+      from events)
+    select user_id, ts as first_ts, event_type as first_type
+    from r where rn = 1
+    """,
+)
+def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch profile per user, maintained INCREMENTALLY over the
+    stream: min(ts) and the event type at that minimum (min_by over the
+    (ts, event_id) struct — the deterministic tie-break the batch twin
+    uses). State is one tiny row per user — the canonical 'profile
+    store fed by a stream' shape; at 100 TB/day the state size is
+    bounded by the user population, not the event volume, and each
+    micro-batch does a partial aggregate before touching state."""
+    src = _events_stream(spark, _stage_events(sf_dir))
+    agg = src.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+    )
+    return _run_to_table(agg, "first_touch", "complete")
+
+
+@query(
+    "stream_windowed_distinct",
+    oracle="""
+    select date_trunc('hour', ts) as window_start,
+           count(distinct user_id) as active_users
+    from events group by 1
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct active users over the stream. COUNT(DISTINCT) is
+    unsupported inside a streaming aggregation, so the scale-correct
+    construction CHAINS two stateful operators: dropDuplicates on the
+    (hour, user) pair — state bounded by active pairs within the
+    watermark — then an ordinary count per hour. This is the streaming
+    twin of the batch first-seen/dedup-then-count identities
+    (`win_cumulative_users`, `agg_rolling_active_users`): distinct work
+    happens in the dedup state store, the aggregate only ever sees each
+    pair once."""
+    src = _events_stream(spark, _stage_events(sf_dir)).withWatermark(
+        "ts", "10 minutes"
+    )
+    dedup = src.withColumn(
+        "window_start", F.date_trunc("hour", "ts")
+    ).dropDuplicates(["window_start", "user_id"])
+    agg = dedup.groupBy("window_start").agg(
+        F.count("*").alias("active_users")
+    )
+    return _run_to_table(agg, "windowed_distinct", "complete")
