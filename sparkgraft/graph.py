@@ -192,3 +192,67 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_triangles"))
         .orderBy("nationkey")
     )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    outd AS (SELECT src AS id, count(*) AS out_degree,
+                    sum(w) AS out_strength FROM edges GROUP BY src),
+    ind AS (SELECT dst AS id, count(*) AS in_degree,
+                   sum(w) AS in_strength FROM edges GROUP BY dst)
+    SELECT n.n_nationkey AS id,
+           CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(coalesce(i.in_degree, 0) AS BIGINT) AS in_degree,
+           CAST(coalesce(o.out_strength, 0) AS BIGINT) AS out_strength,
+           CAST(coalesce(i.in_strength, 0) AS BIGINT) AS in_strength
+    FROM nation n
+    LEFT JOIN outd o ON o.id = n.n_nationkey
+    LEFT JOIN ind i ON i.id = n.n_nationkey
+    ORDER BY id
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree/strength profile of the trade graph (same relational edge
+    derivation as `graph_pagerank`): in/out degree and weighted
+    in/out strength per vertex, with isolated vertices kept at zero via
+    outer joins against the vertex table. The edge aggregation is the
+    only corpus-sized shuffle; degree tables are vertex-sized and join
+    back on the vertex key."""
+    e = (
+        load(spark, sf_dir, "lineitem")
+        .join(load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(load(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outd = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("out_degree"), F.sum("w").alias("out_strength")
+    )
+    ind = e.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").alias("in_degree"), F.sum("w").alias("in_strength")
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    return (
+        n.join(outd, "id", "left")
+        .join(ind, "id", "left")
+        .select(
+            "id",
+            F.coalesce("out_degree", F.lit(0)).cast("long").alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).cast("long").alias("in_degree"),
+            F.coalesce("out_strength", F.lit(0)).cast("long").alias("out_strength"),
+            F.coalesce("in_strength", F.lit(0)).cast("long").alias("in_strength"),
+        )
+        .orderBy("id")
+    )

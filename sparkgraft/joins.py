@@ -940,3 +940,60 @@ def join_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+_PRICE_BANDS = [
+    ("budget", 0, 100000),
+    ("mid", 100000, 200000),
+    ("premium", 200000, 350000),
+    ("luxury", 350000, 10**12),
+]
+
+
+@query(
+    "join_band_lookup",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0, 100000), ('mid', 100000, 200000),
+             ('premium', 200000, 350000), ('luxury', 350000, 1000000000000)),
+    j AS (
+      SELECT b.band, b.lo,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders o JOIN bands b
+        ON CAST(round(o.o_totalprice * 100) AS BIGINT) >= b.lo * 100
+       AND CAST(round(o.o_totalprice * 100) AS BIGINT) <  b.hi * 100)
+    SELECT band, count(*) AS n_orders,
+           round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS revenue
+    FROM j GROUP BY band, lo ORDER BY lo
+    """,
+)
+def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding join: classify every order into a price tier by an
+    INEQUALITY join against a tier table — the lookup-table pattern
+    where the bands live in data (tier tables change without a deploy),
+    not in a CASE expression. This is the one place a broadcast
+    nested-loop join is the RIGHT plan: the inner side is bounded by
+    the band domain (a handful of rows at any corpus size), so the
+    'nested loop' is a constant-length scan per row — O(rows × bands),
+    embarrassingly parallel, zero shuffle. Contrast `join_theta_range`
+    (two corpus-sized sides), which must bin first. Prices compare as
+    exact int64 cents so band edges cannot float-flip."""
+    bands = spark.createDataFrame(
+        _PRICE_BANDS, "band string, lo long, hi long"
+    )
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    j = o.select(cents.alias("cents")).join(
+        F.broadcast(bands),
+        (F.col("cents") >= F.col("lo") * 100)
+        & (F.col("cents") < F.col("hi") * 100),
+    )
+    return (
+        j.groupBy("band", "lo")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("cents").cast("double") / 100.0, 2).alias("revenue"),
+        )
+        .orderBy("lo")
+        .select("band", "n_orders", "revenue")
+    )

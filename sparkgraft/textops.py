@@ -2761,3 +2761,54 @@ def text_lang_logprob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_template_prefixes",
+    oracle="""
+    WITH pre AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(lower(text), ' ')[1:8], ' '))
+               AS template_id,
+             n_chars
+      FROM documents),
+    g AS (
+      SELECT template_id, count(*) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS exemplar_doc,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM pre GROUP BY template_id)
+    SELECT template_id, n_docs, exemplar_doc, total_chars
+    FROM g WHERE n_docs >= 2
+    ORDER BY n_docs DESC, template_id
+    """,
+)
+def text_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate detection by shared 8-token prefixes — the
+    screen that catches mirrored pages, form letters, and scraper
+    artifacts before they skew a training mix. The prefix is digested
+    to a fixed 32-char md5 BEFORE the shuffle (only digests move, never
+    prefix text — the same bounded-payload discipline as the dedup
+    family), one hash aggregate groups them, and only groups with ≥ 2
+    members survive. Flagged groups carry an exemplar doc id (min — the
+    deterministic choice) and their total character mass, which is the
+    number a curation pass weighs before dropping a template."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.split(F.lower("text"), " "), 1, 8)
+            )
+        ).alias("template_id"),
+    )
+    return (
+        base.groupBy("template_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("exemplar_doc"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "template_id")
+    )

@@ -1650,3 +1650,72 @@ def win_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio", "day")
     )
+
+
+@query(
+    "win_vwap_running",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(round(l_quantity) AS BIGINT) AS q
+      FROM lineitem),
+    r AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             sum(pc) OVER w AS run_pc,
+             sum(q)  OVER w AS run_q,
+             row_number() OVER w AS n_fills
+      FROM li
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           CAST(n_fills AS BIGINT) AS n_fills,
+           CAST((2 * run_pc * 100 + run_q) // (2 * run_q) AS DOUBLE) / 10000.0
+             AS vwap
+    FROM r ORDER BY l_partkey, n_fills
+    """,
+)
+def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running volume-weighted average price per part over its shipment
+    history — the VWAP every execution-quality and pricing-drift review
+    uses. Both running sums carry EXACT int64 (price-cents, units), so
+    the only float op is the final per-row divide; the window is keyed
+    by part with a full (shipdate, orderkey, linenumber) tie-break, and
+    the UNBOUNDED PRECEDING frame is a single streaming pass per
+    partition — one shuffle on partkey, no re-sort downstream."""
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wr = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(wr).cast("long").alias("n_fills"),
+        F.sum("pc").over(w).alias("run_pc"),
+        F.sum("q").over(w).alias("run_q"),
+    ).select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "n_fills",
+        # exact integer half-up division to 4 decimals — round() on the
+        # raw double quotient is engine-dependent on a .xxxx5 landing
+        (
+            F.expr("CAST((2 * run_pc * 100 + run_q) div (2 * run_q) AS DOUBLE)")
+            / 10000.0
+        ).alias("vwap"),
+    ).orderBy("l_partkey", "n_fills")

@@ -907,3 +907,44 @@ def test_lang_audit_lm_join_is_shuffle_not_broadcast(spark):
 
     n_broadcast = len(re.findall(r"\(\d+\) BroadcastExchange", plan))
     assert n_broadcast <= 2, n_broadcast
+
+
+def test_band_lookup_bnlj_is_bounded(spark):
+    """The banding join is the documented legitimate BNLJ: the
+    broadcast side must be the literal band table (a LocalTableScan),
+    never anything scanned from the corpus."""
+    df = sparkgraft.QUERIES["join_band_lookup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the broadcast input is the 3-column literal band relation — the
+    # corpus parquet feeds the STREAMED side, never the broadcast
+    seg = plan.split(") BroadcastExchange", 1)[1].splitlines()[1]
+    assert "band" in seg and "parquet" not in seg, seg
+    assert "orders.parquet" in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["graph_degree_stats", "win_vwap_running", "text_template_prefixes"]
+)
+def test_r4_wave10_ops_stay_equi_and_keyed(spark, key):
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_vwap_single_sort_per_partition(spark):
+    """Both windows share one (partkey; shipdate, orderkey, linenumber)
+    spec — the plan must contain exactly ONE Window node (frames fused)
+    and one exchange before it."""
+    import re
+
+    df = sparkgraft.QUERIES["win_vwap_running"](spark, SF_DIR)
+    plan = _plan(df)
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
