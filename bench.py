@@ -85,6 +85,8 @@ GROUP3 = [
     "sim_threshold_sweep",    # grid-gemm count vectors, 5-τ calibration
     "sql_entry_nation_trade", # TPC-H Q7 shape, 6-table SQL-entry text
     "mm_payload_entropy",     # JVM-only byte histogram entropy
+    "text_tfidf_pairs",       # signature-blocked sparse cosine (5 joins)
+    "text_lang_logprob_audit",# quantized unigram-LM scoring, |langs| fan-out
 ]
 
 TIMED_REPS = 7

@@ -3056,3 +3056,59 @@ def agg_lead_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    oracle="""
+    WITH sup AS (
+      SELECT p.p_brand AS brand, l.l_suppkey AS supp,
+             sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_suppkey),
+    tot AS (SELECT brand, sum(cents) AS t FROM sup GROUP BY brand)
+    SELECT s.brand,
+           count(*) AS n_suppliers,
+           round(sum((CAST(s.cents AS DOUBLE) / CAST(t.t AS DOUBLE))
+                     * (CAST(s.cents AS DOUBLE) / CAST(t.t AS DOUBLE)))
+                 * 10000, 4) AS hhi,
+           round(max(CAST(s.cents AS DOUBLE) / CAST(t.t AS DOUBLE)), 6)
+             AS top_share
+    FROM sup s JOIN tot t ON t.brand = s.brand
+    GROUP BY s.brand ORDER BY s.brand
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per part brand
+    — the market-concentration metric behind supply-risk reviews
+    (10000 = single supplier, →0 = fragmented). One corpus-sized hash
+    aggregate to (brand, supplier) int64 cent revenue; brand totals are
+    re-aggregated from that bounded frame and joined back on the brand
+    key; the share squares sum over the per-brand supplier list with
+    the usual round-discipline (exact integer inputs, one divide per
+    share)."""
+    sup = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "part"),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = sup.groupBy("brand").agg(F.sum("cents").alias("t"))
+    share = F.col("cents").cast("double") / F.col("t").cast("double")
+    return (
+        sup.join(tot, "brand")
+        .groupBy("brand")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum(share * share) * 10000, 4).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+        .orderBy("brand")
+    )

@@ -2537,12 +2537,16 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1000) AS BIGINT) AS q
       FROM tf JOIN dfq ON dfq.token = tf.token CROSS JOIN n),
     norms AS (SELECT doc_id, sum(q * q) AS nrm FROM tfq GROUP BY doc_id),
-    sig AS (
+    sig0 AS (
       SELECT token, doc_id FROM (
         SELECT token, doc_id,
                row_number() OVER (PARTITION BY doc_id
                                   ORDER BY q DESC, token) AS rn
         FROM tfq) s WHERE rn <= 3),
+    pop AS (SELECT token, count(*) AS c FROM sig0 GROUP BY token),
+    sig AS (
+      SELECT s.token, s.doc_id FROM sig0 s
+      JOIN pop p ON p.token = s.token WHERE p.c <= 256),
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       FROM sig a JOIN sig b
@@ -2573,16 +2577,17 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF cosine similarity — the lexical complement of the
     dense-embedding `sim_*` family: top-20 most-similar document pairs
     under the bag-of-words model. Candidate generation is SIGNATURE
-    BLOCKING (each doc contributes its 3 highest-TF-IDF tokens; pairs
-    must share a signature token — an equi-join whose fan-out per token
-    is bounded by that token's signature popularity, never the corpus),
-    and the exact dot product then runs ONLY over candidates via two
-    composite-key equi-joins. Weights are QUANTIZED to int64
-    (round(tf·idf·1000)) so dots and norms aggregate exact integers in
-    any order — the ranking needs no rounding tolerance; the cosine
-    divides exact ints once per candidate. All five joins are
-    shuffle-hashable equi-joins; skew in a hot signature token salts
-    like any hot key."""
+    BLOCKING WITH BLOCK PURGING (each doc contributes its 3
+    highest-TF-IDF tokens; pairs must share a signature token; tokens
+    whose signature block exceeds 256 docs are purged from pairing —
+    the record-linkage guard that caps the worst block at 256²/2 pairs
+    at ANY corpus size, without which one hot signature token pairs
+    quadratically), and the exact dot product then runs ONLY over
+    candidates via two composite-key equi-joins. Weights are QUANTIZED
+    to int64 (round(tf·idf·1000)) so dots and norms aggregate exact
+    integers in any order — the ranking needs no rounding tolerance;
+    the cosine divides exact ints once per candidate. All joins are
+    shuffle-hashable equi-joins."""
     tok = _tokens(spark, sf_dir).select("doc_id", "token")
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     dfq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -2598,9 +2603,20 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     norms = tfq.groupBy("doc_id").agg(F.sum(F.col("q") * F.col("q")).alias("nrm"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("q"), "token")
-    sig = (
+    sig0 = (
         tfq.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
+        .select("token", "doc_id")
+    )
+    # BLOCK PURGING (the record-linkage guard): a signature token whose
+    # block exceeds 256 docs is dropped from pairing — without the cap a
+    # single hot signature token pairs quadratically (measured: one
+    # token signed 826 docs at sf0.1 → 4M candidates, 28 s; capped the
+    # worst block costs ≤ 256²/2 pairs at ANY corpus size)
+    pop = sig0.groupBy("token").agg(F.count("*").alias("c"))
+    sig = (
+        sig0.join(pop, "token")
+        .filter(F.col("c") <= 256)
         .select("token", "doc_id")
     )
     a = sig.alias("a")
@@ -2811,4 +2827,59 @@ def text_template_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), "template_id")
+    )
+
+
+@query(
+    "dedup_family_histogram",
+    oracle="""
+    WITH fam AS (
+      SELECT md5(substr(lower(trim(text)), 1, 60)) AS digest,
+             count(*) AS s
+      FROM documents GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT CAST(f.s AS BIGINT) AS family_size,
+           count(*) AS n_families,
+           CAST(f.s * count(*) AS BIGINT) AS n_docs,
+           CAST((f.s - 1) * count(*) AS BIGINT) AS removable_docs,
+           round(CAST(f.s * count(*) AS DOUBLE)
+                 / CAST(any_value(n.n_docs) AS DOUBLE), 6) AS corpus_share
+    FROM fam f CROSS JOIN n
+    GROUP BY f.s ORDER BY family_size
+    """,
+)
+def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-family size histogram — the 'how duplicated is this
+    corpus' summary read before choosing a dedup policy: for each
+    dup-family size s, how many families, how many docs they hold, and
+    how many a keep-one policy would remove. Families are keyed on the
+    60-char normalized PREFIX digest (the same near-dup signature
+    `dedup_keep_best` keys on — strict content equality finds nothing
+    in a near-dup corpus); docs are digested BEFORE the shuffle so only
+    32-char keys move, the family sizes come from one hash aggregate,
+    and the histogram is a second aggregate over the family table (≤
+    one row per distinct size). Everything is exact integers except the
+    one corpus-share divide."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    fam = d.groupBy(
+        F.md5(F.substring(F.lower(F.trim("text")), 1, 60)).alias("digest")
+    ).agg(F.count("*").alias("s"))
+    return (
+        fam.groupBy("s")
+        .agg(F.count("*").alias("n_families"))
+        .select(
+            F.col("s").cast("long").alias("family_size"),
+            "n_families",
+            (F.col("s") * F.col("n_families")).cast("long").alias("n_docs"),
+            ((F.col("s") - 1) * F.col("n_families"))
+            .cast("long")
+            .alias("removable_docs"),
+            F.round(
+                (F.col("s") * F.col("n_families")).cast("double")
+                / F.lit(float(n_docs)),
+                6,
+            ).alias("corpus_share"),
+        )
+        .orderBy("family_size")
     )

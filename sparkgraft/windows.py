@@ -1719,3 +1719,64 @@ def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("vwap"),
     ).orderBy("l_partkey", "n_fills")
+
+
+@query(
+    "win_time_to_conversion",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+             first_value(CASE WHEN event_type = 'purchase'
+                              THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_purchase_us
+      FROM events)
+    SELECT event_id, user_id, event_type,
+           round((next_purchase_us - epoch_us(ts)) / 1e6, 3) AS ttc_sec,
+           (next_purchase_us IS NULL) AS censored
+    FROM t
+    WHERE event_type <> 'purchase'
+    ORDER BY user_id, event_id
+    """,
+)
+def win_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-conversion per touchpoint: for every non-purchase event,
+    the seconds until that user's NEXT purchase (NULL + censored flag
+    if none follows) — the label-generation query behind conversion
+    models. One keyed ordered window with a STRICTLY-FORWARD frame
+    (1 FOLLOWING .. UNBOUNDED) and first_value(... IGNORE NULLS)
+    carrying only purchase timestamps; time arithmetic is exact integer
+    microseconds until the single output divide. The purchase filter
+    runs AFTER tagging so purchases still serve as targets for events
+    before them."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            nxt.alias("next_purchase_us"),
+        )
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(
+                (F.col("next_purchase_us") - F.unix_micros("ts")) / 1e6, 3
+            ).alias("ttc_sec"),
+            F.col("next_purchase_us").isNull().alias("censored"),
+        )
+        .orderBy("user_id", "event_id")
+    )

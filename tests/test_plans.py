@@ -948,3 +948,27 @@ def test_vwap_single_sort_per_partition(spark):
     df = sparkgraft.QUERIES["win_vwap_running"](spark, SF_DIR)
     plan = _plan(df)
     assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "dedup_family_histogram",
+        "win_time_to_conversion",
+        "agg_hhi_concentration",
+        "text_tfidf_pairs",
+    ],
+)
+def test_r4_wave11_ops_stay_equi_and_keyed(spark, key):
+    """Eleventh-wave ops (and the purged tfidf pairs): equi-joins only,
+    keyed windows, no single-partition funnel."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
