@@ -3112,3 +3112,151 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+@query(
+    "agg_basket_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    freq AS (SELECT l_partkey, count(*) AS f FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS together
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT p.part_a, p.part_b,
+           CAST(p.together AS BIGINT) AS together,
+           round(CAST(p.together AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                 / (CAST(fa.f AS DOUBLE) * CAST(fb.f AS DOUBLE)), 4) AS lift
+    FROM pairs p
+    JOIN freq fa ON fa.l_partkey = p.part_a
+    JOIN freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.together >= 2
+    ORDER BY together DESC, lift DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift — 'bought together' at the
+    pair level, the association-rule staple. The pair generator is a
+    SELF EQUI-JOIN ON THE ORDER KEY, so fan-out per order is k²/2 where
+    k is that order's line count — bounded by basket size (single
+    digits), NOT the corpus; there is no corpus-wide pair space
+    anywhere. Lift = P(ab)·N / (P(a)·P(b)·N²) cancels to
+    together·N/(f_a·f_b) — four exact integers and one divide. Support
+    floor ≥ 2 prunes noise pairs before the bounded top-20 cut."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = (
+        load(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    freq = items.groupBy("l_partkey").agg(F.count("*").alias("f"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("together"))
+        .filter(F.col("together") >= 2)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb"))
+    lift = (
+        F.col("together").cast("double")
+        * F.lit(float(n_orders))
+        / (F.col("fa").cast("double") * F.col("fb").cast("double"))
+    )
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("together").cast("long").alias("together"),
+            F.round(lift, 4).alias("lift"),
+        )
+        .orderBy(F.desc("together"), F.desc("lift"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2),
+    j AS (
+      SELECT a.prio, a.cents AS actual, b.cents AS forecast
+      FROM daily a JOIN daily b
+        ON b.prio = a.prio AND b.day = a.day - 7)
+    SELECT prio, count(*) AS n_days,
+           round(CAST(sum(abs(actual - forecast)) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 100.0), 2) AS mae,
+           round(100.0 * sum(CAST(abs(actual - forecast) AS DOUBLE)
+                             / CAST(actual AS DOUBLE))
+                 / CAST(count(*) AS DOUBLE), 4) AS mape_pct
+    FROM j WHERE actual > 0
+    GROUP BY prio ORDER BY prio
+    """,
+)
+def agg_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: ŷ(t) = y(t−7) scored with
+    MAE/MAPE per priority — the baseline every forecasting system must
+    beat, and the query that measures it. The 7-day lag arrives via a
+    SELF EQUI-JOIN on the exact day key over the calendar-bounded daily
+    table (same identity as agg_wow_growth — no window state), errors
+    are exact int64 cent differences, and the two score divides happen
+    once per output row."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    b = daily.select(
+        F.col("prio").alias("bprio"),
+        F.col("day").alias("bday"),
+        F.col("cents").alias("forecast"),
+    )
+    j = daily.join(
+        b,
+        (F.col("bprio") == F.col("prio"))
+        & (F.col("bday") == F.date_sub("day", 7)),
+    ).filter(F.col("cents") > 0)
+    err = F.abs(F.col("cents") - F.col("forecast"))
+    return (
+        j.groupBy("prio")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(
+                F.sum(err).cast("double")
+                / (F.count("*").cast("double") * 100.0),
+                2,
+            ).alias("mae"),
+            F.round(
+                100.0
+                * F.sum(err.cast("double") / F.col("cents").cast("double"))
+                / F.count("*").cast("double"),
+                4,
+            ).alias("mape_pct"),
+        )
+        .orderBy("prio")
+    )

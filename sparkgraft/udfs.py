@@ -211,3 +211,48 @@ def udf_scalar_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.round(model_score("n_chars"), 6).alias("model_score")
     )
+
+
+@query(
+    "udf_struct_return",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderkey,
+             round(1.0 / (1.0 + exp(-((o_totalprice - 200000.0)
+                                      / 100000.0))), 6) AS score
+      FROM orders)
+    SELECT o_orderkey, score,
+           CASE WHEN score >= 0.75 THEN 'A'
+                WHEN score >= 0.5  THEN 'B'
+                ELSE 'C' END AS grade
+    FROM s ORDER BY o_orderkey
+    """,
+)
+def udf_struct_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-returning vectorized pandas UDF — the 'model inference'
+    shape where one Arrow pass emits several derived fields (score +
+    grade) as a single struct column that is then unpacked natively.
+    One batch crossing per row batch, no second UDF call for the second
+    field. The sigmoid is computed in float64 NumPy — bit-identical to
+    the engines' exp() — and the grade thresholds compare the ROUNDED
+    score on both sides so a boundary landing cannot diverge."""
+    import numpy as np
+
+    @pandas_udf("struct<score: double, grade: string>")
+    def score_struct(p: pd.Series) -> pd.DataFrame:
+        score = (1.0 / (1.0 + np.exp(-((p - 200000.0) / 100000.0)))).round(6)
+        grade = pd.Series("C", index=p.index, dtype="object")
+        grade[score >= 0.5] = "B"
+        grade[score >= 0.75] = "A"
+        return pd.DataFrame({"score": score, "grade": grade})
+
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.withColumn("s", score_struct("o_totalprice"))
+        .select(
+            "o_orderkey",
+            F.col("s.score").alias("score"),
+            F.col("s.grade").alias("grade"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -972,3 +972,22 @@ def test_r4_wave11_ops_stay_equi_and_keyed(spark, key):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["agg_basket_lift", "agg_forecast_backtest", "udf_struct_return"]
+)
+def test_r4_wave12_ops_stay_equi_and_keyed(spark, key):
+    """Twelfth-wave ops: the basket pair generator in particular must
+    be an equi-join on orderkey (bounded per-basket fan-out), never a
+    corpus pair product."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
