@@ -3260,3 +3260,110 @@ def agg_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "agg_column_profile",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             count(*) - count(o_orderkey) AS nn_key,
+             count(DISTINCT o_orderkey) AS nd_key,
+             CAST(min(o_orderkey) AS VARCHAR) AS mn_key,
+             CAST(max(o_orderkey) AS VARCHAR) AS mx_key,
+             count(*) - count(o_orderstatus) AS nn_st,
+             count(DISTINCT o_orderstatus) AS nd_st,
+             min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+             count(*) - count(o_totalprice) AS nn_tp,
+             count(DISTINCT o_totalprice) AS nd_tp,
+             CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+               AS mn_tp,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS VARCHAR)
+               AS mx_tp,
+             count(*) - count(o_orderdate) AS nn_dt,
+             count(DISTINCT o_orderdate) AS nd_dt,
+             strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mn_dt,
+             strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS mx_dt,
+             count(*) - count(o_orderpriority) AS nn_pr,
+             count(DISTINCT o_orderpriority) AS nd_pr,
+             min(o_orderpriority) AS mn_pr, max(o_orderpriority) AS mx_pr
+      FROM orders)
+    SELECT 'o_orderkey' AS column_name, n AS n_rows,
+           CAST(nn_key AS BIGINT) AS n_nulls,
+           CAST(nd_key AS BIGINT) AS n_distinct, mn_key AS min_repr,
+           mx_key AS max_repr FROM m
+    UNION ALL SELECT 'o_orderstatus', n, CAST(nn_st AS BIGINT),
+           CAST(nd_st AS BIGINT), mn_st, mx_st FROM m
+    UNION ALL SELECT 'o_totalprice', n, CAST(nn_tp AS BIGINT),
+           CAST(nd_tp AS BIGINT), mn_tp, mx_tp FROM m
+    UNION ALL SELECT 'o_orderdate', n, CAST(nn_dt AS BIGINT),
+           CAST(nd_dt AS BIGINT), mn_dt, mx_dt FROM m
+    UNION ALL SELECT 'o_orderpriority', n, CAST(nn_pr AS BIGINT),
+           CAST(nd_pr AS BIGINT), mn_pr, mx_pr FROM m
+    ORDER BY column_name
+    """,
+)
+def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality column profile of the orders table — row
+    count, null count, EXACT distinct count, and canonical min/max
+    representations per column, the summary every intake dashboard
+    shows. All 5 columns profile in a SINGLE aggregate pass (20 partial
+    aggregates over one scan — not one scan per column), then a
+    row-local stack() unpivots the wide row into the per-column report.
+    Representations are canonicalized per type (ints/cents verbatim,
+    dates ISO) so both engines render identical strings — raw double
+    formatting is NOT portable and never appears."""
+    o = load(spark, sf_dir, "orders")
+    n = F.count("*")
+    m = o.agg(
+        n.alias("n"),
+        (n - F.count("o_orderkey")).alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("string").alias("mn_key"),
+        F.max("o_orderkey").cast("string").alias("mx_key"),
+        (n - F.count("o_orderstatus")).alias("nn_st"),
+        F.countDistinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        (n - F.count("o_totalprice")).alias("nn_tp"),
+        F.countDistinct("o_totalprice").alias("nd_tp"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("string")
+        .alias("mn_tp"),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("string")
+        .alias("mx_tp"),
+        (n - F.count("o_orderdate")).alias("nn_dt"),
+        F.countDistinct("o_orderdate").alias("nd_dt"),
+        F.date_format(F.min(F.col("o_orderdate").cast("date")), "yyyy-MM-dd")
+        .alias("mn_dt"),
+        F.date_format(F.max(F.col("o_orderdate").cast("date")), "yyyy-MM-dd")
+        .alias("mx_dt"),
+        (n - F.count("o_orderpriority")).alias("nn_pr"),
+        F.countDistinct("o_orderpriority").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+    )
+    return (
+        m.select(
+            F.expr(
+                "stack(5,"
+                " 'o_orderkey', nn_key, nd_key, mn_key, mx_key,"
+                " 'o_orderstatus', nn_st, nd_st, mn_st, mx_st,"
+                " 'o_totalprice', nn_tp, nd_tp, mn_tp, mx_tp,"
+                " 'o_orderdate', nn_dt, nd_dt, mn_dt, mx_dt,"
+                " 'o_orderpriority', nn_pr, nd_pr, mn_pr, mx_pr)"
+                " AS (column_name, n_nulls, n_distinct, min_repr, max_repr)"
+            ),
+            F.col("n").alias("n_rows"),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            F.col("n_nulls").cast("long").alias("n_nulls"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            "min_repr",
+            "max_repr",
+        )
+        .orderBy("column_name")
+    )

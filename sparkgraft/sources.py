@@ -315,3 +315,127 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(manifest_rows).cast("long").alias("manifest_rows"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def _eventstream_datasource():
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class EventStreamReader(SimpleDataSourceStreamReader):
+        """Replays events.parquet in _N_CHUNKS deterministic micro-batches
+        (rows ordered by event_id, sliced evenly). The SIMPLE stream
+        reader API reads on the DRIVER — Spark's documented prototyping
+        path; a production source implements the partitioned
+        DataSourceStreamReader instead. Offsets are plain dicts; the
+        engine checkpoints them and calls readBetweenOffsets on replay,
+        which re-slices the same immutable file — exactly-once by
+        determinism."""
+
+        _N_CHUNKS = 4
+
+        def __init__(self, options):
+            self.path = options["path"]
+            self._rows = None
+
+        def _load(self):
+            if self._rows is None:
+                import pyarrow.parquet as pq
+
+                t = pq.read_table(
+                    self.path, columns=["event_id", "event_type", "value"]
+                )
+                rows = sorted(
+                    zip(
+                        t.column("event_id").to_pylist(),
+                        t.column("event_type").to_pylist(),
+                        t.column("value").to_pylist(),
+                    )
+                )
+                self._rows = rows
+            return self._rows
+
+        def _slice(self, i):
+            rows = self._load()
+            n = len(rows)
+            lo = n * i // self._N_CHUNKS
+            hi = n * (i + 1) // self._N_CHUNKS
+            return rows[lo:hi]
+
+        def initialOffset(self):
+            return {"chunk": 0}
+
+        def read(self, start):
+            i = start["chunk"]
+            if i >= self._N_CHUNKS:
+                return iter([]), {"chunk": i}
+            return iter(self._slice(i)), {"chunk": i + 1}
+
+        def readBetweenOffsets(self, start, end):
+            out = []
+            for i in range(start["chunk"], end["chunk"]):
+                out.extend(self._slice(i))
+            return iter(out)
+
+    class EventStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sparkgraft_eventstream"
+
+        def schema(self):
+            return T.StructType(
+                [
+                    T.StructField("event_id", T.LongType()),
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                ]
+            )
+
+        def simpleStreamReader(self, schema):
+            return EventStreamReader(self.options)
+
+    return EventStreamSource
+
+
+@query(
+    "source_python_stream",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(sum(value), 4) AS total
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING data source (Spark 4 `simpleStreamReader`
+    API): events replayed in 4 deterministic micro-batches through a
+    user-defined offset scheme (chunk index), aggregated with a
+    streaming complete-mode query, checked against the plain batch
+    oracle. `processAllAvailable()` drives the stream until the source
+    reports no new offsets (the availableNow trigger falls back to a
+    single batch for Python sources — this path exercises REAL
+    multi-batch offset progression and the readBetweenOffsets replay
+    contract)."""
+    import os
+
+    spark.dataSource.register(_eventstream_datasource())
+    src = (
+        spark.readStream.format("sparkgraft_eventstream")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    agg = src.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    name = f"sg_pystream_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("event_type")

@@ -230,3 +230,26 @@ def sql_entry_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["lineitem", "orders", "customer", "supplier", "nation"]
     )
     return spark.sql(_Q7_SQL)
+
+
+_GBA_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@query("sql_entry_groupby_all", oracle=_GBA_SQL)
+def sql_entry_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (the modern analyst shorthand — every non-aggregate
+    select item becomes a grouping key) as a fifth dialect-portable
+    parser surface: supported natively by both engines (Spark ≥ 3.4,
+    DuckDB), one text is its own oracle. Same int64-cent discipline;
+    plans as the ordinary two-phase hash aggregate — the sugar is
+    purely analysis-time."""
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(_GBA_SQL)
