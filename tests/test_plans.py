@@ -991,3 +991,24 @@ def test_r4_wave12_ops_stay_equi_and_keyed(spark, key):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_groupby_all_plans_as_plain_hash_agg(spark):
+    """GROUP BY ALL is analysis-time sugar: the physical plan must be
+    the ordinary two-phase hash aggregate with map-side partials."""
+    df = sparkgraft.QUERIES["sql_entry_groupby_all"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_column_profile_is_single_scan(spark):
+    """All five column profiles must come from ONE scan of orders —
+    the plan contains exactly one parquet scan node."""
+    import re
+
+    df = sparkgraft.QUERIES["agg_column_profile"](spark, SF_DIR)
+    plan = _plan(df)
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, scans
+    assert "Generate" in plan or "stack" in plan.lower() or "Expand" in plan
