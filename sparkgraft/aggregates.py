@@ -2810,6 +2810,12 @@ def agg_iqr_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Block fan-in of the pareto front's distributed prefix-max; module-level
+# so tests can shrink it to exercise the multi-level recursion on small
+# fixtures (at 1024, two levels only engage beyond ~1M survivors).
+_PARETO_BLK = 1024
+
+
 @query(
     "agg_pareto_front",
     oracle="""
@@ -2839,13 +2845,19 @@ def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     skyline query. Distributed as the textbook TWO-PHASE skyline: a
     per-partition sweep (sort by x desc, y desc; a point survives iff
     its y strictly exceeds the running max of everything before it)
-    prunes each partition to its LOCAL front, and only those survivors
-    — a tiny fraction of the corpus, since most points are dominated
-    locally — enter the global sweep. Coordinates are exact int64
-    cents, points are first deduped on (x, y) (duplicates never
-    dominate each other, so both engines keep them symmetric), and the
-    sweep's strict y comparison is exact, so the front is bit-identical
-    to the oracle's O(n²) NOT-EXISTS definition."""
+    prunes each partition to its LOCAL front; the global sweep over the
+    survivors then runs WITHOUT a single-partition window (in
+    anti-correlated data the whole corpus is on the front, so the
+    survivor set — and the answer — can be corpus-sized): survivors get
+    a range-bucketed global rank (the sort_global machinery), and the
+    prefix-max decomposes into a block-KEYED window plus a carry-in of
+    block maxima, recursing on the 1024×-smaller block-max table until
+    the top level is constant-sized — only that ≤1024-row table is ever
+    scanned unpartitioned. Coordinates are exact int64 cents, points
+    are first deduped on (x, y) (duplicates never dominate each other,
+    so both engines keep them symmetric), and the sweep's strict y
+    comparison is exact, so the front is bit-identical to the oracle's
+    O(n²) NOT-EXISTS definition."""
     pts = (
         load(spark, sf_dir, "customer")
         .join(
@@ -2877,7 +2889,86 @@ def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = sweep(
         pts.withColumn("pid", F.spark_partition_id()), ["pid"]
     ).drop("pid")
-    front = sweep(local.withColumn("g", F.lit(0)), ["g"]).drop("g")
+    # Global sweep WITHOUT a single-partition window: in anti-correlated
+    # data every point is on the front, so the survivor set (and the
+    # answer itself) is corpus-sized and a global `Window.orderBy` would
+    # funnel it into one task. Instead: range-bucketed global rank
+    # (ranking.with_global_rank — the sort_global machinery), then the
+    # prefix-max splits into a KEYED per-block window plus a carry-in of
+    # block maxima, recursing on the block-max table (1024× smaller per
+    # level) until it is driver-trivial — the classic distributed scan
+    # composition.
+    from .ranking import with_global_rank
+
+    _BLK = _PARETO_BLK
+    ranked = with_global_rank(
+        local, [("x", "desc"), ("y", "desc")], rank_col="r"
+    ).localCheckpoint()
+    level = ranked.select(F.expr(f"(r - 1) div {_BLK}").alias("blk"), "y")
+    carries = []  # (level_df of blk -> carry_in) lowest level last
+    while level.count() > _BLK:
+        blk_max = level.groupBy("blk").agg(F.max("y").alias("y"))
+        carries.append(blk_max)
+        level = blk_max.select(
+            F.expr(f"blk div {_BLK}").alias("blk"), "y"
+        )
+    # Fold carry-ins back down, top level first. The loop exit condition
+    # bounds carries[-1] at ≤ _BLK rows, so only the TOPMOST prefix scan
+    # runs unpartitioned (over ≤ _BLK rows — a constant); every lower
+    # level's prefix is a window KEYED by the parent block plus an
+    # equi-join of the parent carry (AQE broadcasts it when small; it is
+    # never forced — at extreme survivor counts it stays a shuffle).
+    carry_df = None
+    for i in range(len(carries) - 1, -1, -1):
+        cur = carries[i]  # blk -> max y of that block (bottom level i=0)
+        if carry_df is None:
+            w = Window.orderBy("blk").rowsBetween(
+                Window.unboundedPreceding, -1
+            )
+            carry_df = cur.select(
+                "blk", F.max("y").over(w).alias("carry_in")
+            )
+        else:
+            parent = carry_df.select(
+                F.col("blk").alias("pblk"), F.col("carry_in").alias("pc")
+            )
+            wk = (
+                Window.partitionBy("pblk")
+                .orderBy("blk")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            carry_df = (
+                cur.withColumn("pblk", F.expr(f"blk div {_BLK}"))
+                .join(parent, "pblk", "left")
+                .select(
+                    "blk",
+                    F.greatest(F.max("y").over(wk), F.col("pc")).alias(
+                        "carry_in"
+                    ),
+                )
+            )
+    if carry_df is None:
+        # survivors fit in one block — plain bounded sweep
+        front = sweep(ranked.withColumn("g", F.lit(0)), ["g"]).drop("g", "r")
+    else:
+        blocked = ranked.withColumn("blk", F.expr(f"(r - 1) div {_BLK}"))
+        wloc = (
+            Window.partitionBy("blk")
+            .orderBy("r")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        front = (
+            blocked.join(carry_df, "blk", "left")
+            .withColumn(
+                "prev_max",
+                F.greatest(
+                    F.coalesce(F.max("y").over(wloc), F.lit(-(10**18))),
+                    F.coalesce("carry_in", F.lit(-(10**18))),
+                ),
+            )
+            .filter(F.col("y") > F.col("prev_max"))
+            .drop("prev_max", "carry_in", "blk", "r")
+        )
     return front.select(
         F.round(F.col("x").cast("double") / 100.0, 2).alias("acctbal"),
         F.round(F.col("y").cast("double") / 100.0, 2).alias("spend"),

@@ -295,3 +295,31 @@ def test_heavy_hitters_partitioning_invariant(spark):
         .collect()
     )
     assert [tuple(r) for r in base] == [tuple(r) for r in alt]
+
+
+def test_pareto_front_recursive_prefix_max_matches_bounded_path(spark):
+    """Force the distributed prefix-max recursion (block size 4 → several
+    carry levels even on the sf0.001 fixture) and assert the front is
+    IDENTICAL to the default path (block size 1024, which at this scale
+    takes the bounded single-block sweep). Catches any carry-in
+    off-by-one across block and level boundaries."""
+    import sparkgraft.aggregates as agg
+    from conftest import SF_DIR
+
+    base = sorted(
+        tuple(r) for r in sparkgraft.QUERIES["agg_pareto_front"](
+            spark, SF_DIR
+        ).collect()
+    )
+    old = agg._PARETO_BLK
+    agg._PARETO_BLK = 4
+    try:
+        forced = sorted(
+            tuple(r) for r in sparkgraft.QUERIES["agg_pareto_front"](
+                spark, SF_DIR
+            ).collect()
+        )
+    finally:
+        agg._PARETO_BLK = old
+    assert forced == base
+    assert len(base) > 0
