@@ -3458,3 +3458,130 @@ def agg_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query(
+    "agg_growth_accounting",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    lagd AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM du),
+    staged AS (
+      SELECT day,
+             CASE WHEN prev_day IS NULL THEN 'new'
+                  WHEN day - prev_day <= 7 THEN 'retained'
+                  ELSE 'resurrected' END AS stage
+      FROM lagd)
+    SELECT strftime(day, '%Y-%m-%d') AS day, stage,
+           count(*) AS n_users
+    FROM staged GROUP BY day, stage
+    ORDER BY day, stage
+    """,
+)
+def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active user-day classified as NEW
+    (first ever), RETAINED (active within the last 7 days) or
+    RESURRECTED (returning after a 7+ day gap) — the standard DAU
+    decomposition every growth team reports. One distinct (user, day)
+    pass — the only corpus-sized shuffle — then a user-keyed lag()
+    window over each user's ACTIVE DAYS (≤ calendar days per user, far
+    smaller than raw events) and a bounded (days × 3 stages) hash
+    aggregate. Day arithmetic is exact integer days on both engines."""
+    du = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    staged = du.select(
+        "day",
+        F.when(F.lag("day").over(w).isNull(), "new")
+        .when(F.datediff("day", F.lag("day").over(w)) <= 7, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("day", "stage")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "stage",
+            "n_users",
+        )
+        .orderBy("day", "stage")
+    )
+
+
+@query(
+    "agg_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS both_users
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b,
+           CAST(p.both_users AS BIGINT) AS both_users,
+           round(CAST(p.both_users AS DOUBLE)
+                 / CAST(sa.n + sb.n - p.both_users AS DOUBLE), 6) AS jaccard
+    FROM pairs p
+    JOIN sz sa ON sa.event_type = p.type_a
+    JOIN sz sb ON sb.event_type = p.type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard between the user sets of
+    every event-type pair — 'how much do clickers and purchasers
+    overlap'. The pair generator is a self EQUI-JOIN ON user_id, so
+    fan-out per user is bounded by |event types|² (a domain constant,
+    ~25 pairs), never the corpus; set sizes re-aggregate from the same
+    distinct (type, user) frame and join back on the bounded type key.
+    |A∪B| comes from the inclusion–exclusion identity on exact
+    integers — no union is ever materialized."""
+    tu = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sz = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("both_users"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("both_users").cast("long").alias("both_users"),
+            F.round(
+                F.col("both_users").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("both_users")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )

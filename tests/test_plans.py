@@ -1012,3 +1012,19 @@ def test_column_profile_is_single_scan(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, scans
     assert "Generate" in plan or "stack" in plan.lower() or "Expand" in plan
+
+
+@pytest.mark.parametrize(
+    "key", ["agg_growth_accounting", "agg_audience_overlap"]
+)
+def test_r4_wave14_ops_stay_equi_and_keyed(spark, key):
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
