@@ -3585,3 +3585,65 @@ def agg_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "agg_control_chart",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+      FROM events GROUP BY CAST(ts AS DATE)),
+    pbar AS (
+      SELECT CAST(sum(errs) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS p
+      FROM daily)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.n AS BIGINT) AS n_events,
+           round(CAST(d.errs AS DOUBLE) / CAST(d.n AS DOUBLE), 6) AS err_rate,
+           round(pb.p + 3 * sqrt(pb.p * (1 - pb.p) / CAST(d.n AS DOUBLE)), 6)
+             AS ucl,
+           (CAST(d.errs AS DOUBLE) / CAST(d.n AS DOUBLE)
+            > pb.p + 3 * sqrt(pb.p * (1 - pb.p) / CAST(d.n AS DOUBLE)))
+             AS out_of_control
+    FROM daily d CROSS JOIN pbar pb
+    ORDER BY day
+    """,
+)
+def agg_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p-chart (attribute control chart) of the daily error rate with
+    3σ binomial control limits — the SPC alarm an operations review
+    runs on failure metrics. Daily numerators/denominators are exact
+    integer counts from ONE hash aggregate; the center line p̄ is a
+    1-row aggregate over the calendar-bounded daily frame, broadcast
+    back (the documented bounded crossJoin); the out-of-control flag
+    compares the SAME double expressions on both engines (exact
+    integer inputs → identical doubles → identical booleans)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errs"),
+        )
+    )
+    pbar = daily.agg(
+        (F.sum("errs").cast("double") / F.sum("n").cast("double")).alias("p")
+    )
+    rate = F.col("errs").cast("double") / F.col("n").cast("double")
+    ucl = F.col("p") + 3 * F.sqrt(
+        F.col("p") * (1 - F.col("p")) / F.col("n").cast("double")
+    )
+    return (
+        daily.crossJoin(F.broadcast(pbar))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round(rate, 6).alias("err_rate"),
+            F.round(ucl, 6).alias("ucl"),
+            (rate > ucl).alias("out_of_control"),
+        )
+        .orderBy("day")
+    )
