@@ -398,3 +398,102 @@ def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_MM_PACK_BUDGET = 1024  # tokens per packed multimodal training sequence
+
+
+@query(
+    "mm_interleaved_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_MODALITY_SQL} AS modality,
+             len(string_split(lower(text), ' ')) AS text_tokens,
+             (octet_length(encode(text)) + 255) // 256 AS patch_tokens
+      FROM documents),
+    cum AS (
+      SELECT modality, text_tokens, patch_tokens,
+             sum(text_tokens + patch_tokens)
+               OVER (PARTITION BY modality ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS cum_before
+      FROM toks)
+    SELECT modality,
+           CAST(COALESCE(cum_before, 0) // {_MM_PACK_BUDGET} AS BIGINT)
+             AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+           CAST(sum(patch_tokens) AS BIGINT) AS patch_tokens,
+           CAST(sum(text_tokens + patch_tokens) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY modality, COALESCE(cum_before, 0) // {_MM_PACK_BUDGET}
+    ORDER BY modality, seq_id
+    """,
+)
+def mm_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved MULTIMODAL sequence packing: each document costs its
+    text tokens PLUS the patch tokens its media payload decodes to
+    (⌈bytes/256⌉ — the ViT-style patch budget), and documents pack
+    into fixed 1024-token training sequences per modality shard — the
+    manifest a multimodal trainer reads. Same scale shape as
+    `text_pack_sequences`: the running offset partitions by the shard
+    key (NO global window), slot = floor(offset/budget) with a
+    power-of-two budget so the double division is exact, and the
+    manifest is a bounded keyed rollup. Patch counts are exact integer
+    arithmetic on the metadata — payload bytes are never touched."""
+    d = load(spark, sf_dir, "documents")
+    mm = with_payload(d).select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    toks = mm.join(
+        d.select(
+            "doc_id",
+            F.size(F.split(F.lower("text"), " ")).cast("long").alias(
+                "text_tokens"
+            ),
+        ),
+        "doc_id",
+    ).select(
+        "doc_id",
+        "modality",
+        "text_tokens",
+        F.expr("CAST((n_bytes + 255) div 256 AS BIGINT)").alias(
+            "patch_tokens"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("modality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "modality",
+        "text_tokens",
+        "patch_tokens",
+        (
+            F.coalesce(
+                F.sum(F.col("text_tokens") + F.col("patch_tokens")).over(w),
+                F.lit(0),
+            )
+            / F.lit(_MM_PACK_BUDGET)
+        )
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return (
+        packed.groupBy("modality", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("text_tokens").cast("long").alias("text_tokens"),
+            F.sum("patch_tokens").cast("long").alias("patch_tokens"),
+            F.sum(F.col("text_tokens") + F.col("patch_tokens"))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .orderBy("modality", "seq_id")
+    )
