@@ -613,3 +613,47 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT event_type,
+           CAST(CASE WHEN event_type = 'click'
+                     THEN sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                     ELSE count(*) END AS BIGINT) AS n_rows
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite — the table-maintenance semantics
+    every partitioned lake table depends on: a second overwrite write
+    containing only 'click' rows (even event_ids) must replace ONLY the
+    click partition and leave every other partition byte-identical
+    (static mode would silently truncate them — THE classic data-loss
+    footgun this key pins). Read-back counts per partition prove it,
+    against an oracle computing the expected post-overwrite state from
+    the source table. Second write + read-back touch one partition's
+    files only (partition pruning on both paths)."""
+    out = _scratch(sf_dir, "dyn_overwrite")
+    e = load(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            e.filter(
+                (F.col("event_type") == "click") & (F.col("event_id") % 2 == 0)
+            )
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("event_type")
+    )
