@@ -3647,3 +3647,56 @@ def agg_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)),
+    c AS (
+      SELECT sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+             count(*) AS n
+      FROM assigned)
+    SELECT CAST(na AS BIGINT) AS n_a,
+           CAST(n - na AS BIGINT) AS n_b,
+           round((CAST(na AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+                 / sqrt(CAST(n AS DOUBLE) / 4), 4) AS z_score,
+           (abs(CAST(na AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+            > 3 * sqrt(CAST(n AS DOUBLE) / 4)) AS srm_flag
+    FROM c
+    """,
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio-Mismatch check for a hash-based 50/50 experiment
+    split — the FIRST validity gate any A/B analysis runs (a biased
+    assignment invalidates everything downstream). Assignment uses the
+    same engine-portable md5-prefix rule as `text_split_assign`
+    (reproducible, growth-stable, no random()); the binomial z-score
+    against the exact 50% expectation comes from exact integer counts,
+    and the 3σ flag compares the SAME double expression on both
+    engines. One distinct pass + one 1-row aggregate."""
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    arm = F.when(
+        F.substring(
+            F.md5(F.encode(F.col("user_id").cast("string"), "UTF-8")), 1, 1
+        )
+        < "8",
+        "A",
+    ).otherwise("B")
+    c = users.select(arm.alias("arm")).agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.count("*").alias("n"),
+    )
+    na = F.col("na").cast("double")
+    n = F.col("n").cast("double")
+    dev = na - n / 2
+    sd = F.sqrt(n / 4)
+    return c.select(
+        F.col("na").cast("long").alias("n_a"),
+        (F.col("n") - F.col("na")).cast("long").alias("n_b"),
+        F.round(dev / sd, 4).alias("z_score"),
+        (F.abs(dev) > 3 * sd).alias("srm_flag"),
+    )

@@ -2883,3 +2883,53 @@ def dedup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family_size")
     )
+
+
+@query(
+    "text_tokenizer_fertility",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             len(string_split(lower(text), ' ')) AS n_words,
+             len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS n_pretokens
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_pretokens) AS BIGINT) AS total_pretokens,
+           round(CAST(sum(n_pretokens) AS DOUBLE)
+                 / CAST(sum(n_words) AS DOUBLE), 6) AS fertility
+    FROM t GROUP BY lang ORDER BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — pretokens emitted per
+    whitespace word, the compression metric that decides whether a
+    tokenizer is fair to a language (high fertility = more compute per
+    word). Reuses the BPE pretoken alphabet from
+    `text_bpe_pretokenize`; both counts are row-local regexp/split
+    sizes feeding one bounded per-language aggregate — one scan, one
+    shuffle of \|langs\| partial rows, and the ratio divides two exact
+    integers per output row."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0))
+        .cast("long")
+        .alias("n_pretokens"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_pretokens").cast("long").alias("total_pretokens"),
+            F.round(
+                F.sum("n_pretokens").cast("double")
+                / F.sum("n_words").cast("double"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
