@@ -657,3 +657,54 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_cache_reuse",
+    oracle="""
+    WITH agg AS (
+      SELECT c_nationkey, count(*) AS n_cust,
+             sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents
+      FROM customer GROUP BY c_nationkey)
+    SELECT a.c_nationkey,
+           CAST(a.n_cust AS BIGINT) AS n_cust,
+           round(CAST(a.cents AS DOUBLE) / 100.0, 2) AS balance,
+           CAST(b.n_cust AS BIGINT) AS n_cust_again
+    FROM agg a JOIN agg b ON b.c_nationkey = a.c_nationkey
+    ORDER BY a.c_nationkey
+    """,
+)
+def scan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit dataset caching: an aggregated frame is `.cache()`d and
+    consumed TWICE (self-join of two readers) — the second consumer
+    must hit the in-memory columnar store (InMemoryTableScan in the
+    plan, asserted in tests), not re-run the aggregate against the
+    parquet. The cache-or-recompute answer is identical by
+    construction; what this key pins is the REUSE surface — the
+    workhorse of iterative/interactive workloads. The cached frame is
+    the small aggregate (bounded by the nation key domain), never the
+    raw corpus; unpersist happens via Spark's LRU as usual."""
+    agg = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+        .cache()
+    )
+    b = agg.select(
+        F.col("c_nationkey").alias("bk"), F.col("n_cust").alias("n_cust_again")
+    )
+    return (
+        agg.join(b, F.col("bk") == F.col("c_nationkey"))
+        .select(
+            "c_nationkey",
+            F.col("n_cust").cast("long").alias("n_cust"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("balance"),
+            F.col("n_cust_again").cast("long").alias("n_cust_again"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -237,3 +237,41 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("customer").alias("src"),
     )
     return a.unionByName(b, allowMissingColumns=True).orderBy("src", "id")
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT ALL
+    SELECT user_id FROM events WHERE event_type = 'view'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG intersection (INTERSECT ALL): each user survives min(count
+    in A, count in B) times — the multiset semantics DISTINCT-based
+    intersect silently loses. Spark plans `intersectAll` as a
+    count-and-replicate aggregate (two partial counts + a generator),
+    not a join of duplicates — one shuffle per side on the value key."""
+    a = _event_slice(spark, sf_dir, ["click"]).select("user_id")
+    b = _event_slice(spark, sf_dir, ["view"]).select("user_id")
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT ALL
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG difference (EXCEPT ALL): each user survives max(0, count in
+    A − count in B) times — the dedup-aware removal semantics (e.g.
+    'remove one quarantined copy per matched record, not every
+    occurrence'). Same count-and-replicate physical shape as the
+    intersectAll twin."""
+    a = _event_slice(spark, sf_dir, ["click"]).select("user_id")
+    b = _event_slice(spark, sf_dir, ["error"]).select("user_id")
+    return a.exceptAll(b)

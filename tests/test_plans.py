@@ -1028,3 +1028,23 @@ def test_r4_wave14_ops_stay_equi_and_keyed(spark, key):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_cache_reuse_hits_inmemory_store(spark):
+    """The second consumer of the cached aggregate must read the
+    in-memory columnar store, not re-scan parquet: the executed plan
+    carries InMemoryTableScan and only ONE parquet scan lineage."""
+    df = sparkgraft.QUERIES["scan_cache_reuse"](spark, SF_DIR)
+    df.collect()  # materialize the cache + final plan
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+
+
+def test_bag_set_ops_are_aggregates_not_joins(spark):
+    """intersectAll/exceptAll plan as count-and-replicate aggregates
+    (plus the generator) — never a join of duplicate rows."""
+    for key in ("set_intersect_all", "set_except_all"):
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+        assert "Generate" in plan
+        assert "CartesianProduct" not in plan
