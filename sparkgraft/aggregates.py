@@ -3700,3 +3700,58 @@ def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dev / sd, 4).alias("z_score"),
         (F.abs(dev) > 3 * sd).alias("srm_flag"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    WITH top5 AS (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             row_number() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey)
+               AS rn
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey)
+    SELECT n_name,
+           string_agg(c_name, ',' ORDER BY rn) AS top_customers,
+           count(*) AS n_listed
+    FROM top5 WHERE rn <= 5
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg (SQL:2016) — the ordered string
+    concatenation every report footer needs, with the two disciplines
+    that make it scale-sane and portable: the input is CUT to a bounded
+    top-5 per group BEFORE aggregation (an unbounded listagg
+    concatenates the whole corpus into one value — the classic OOM),
+    and the ordering inside the aggregate is EXPLICIT (engines differ
+    on default aggregation order). Spark spells it
+    array_join(sort-collected structs); DuckDB spells it
+    string_agg(... ORDER BY) — same contract."""
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), "c_custkey"
+    )
+    top5 = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select("n_name", "c_name", "c_acctbal", "c_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    return (
+        top5.groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("rn", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top_customers"),
+            F.count("*").alias("n_listed"),
+        )
+        .orderBy("n_name")
+    )

@@ -1780,3 +1780,50 @@ def win_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_nth_value",
+    oracle="""
+    SELECT o_custkey,
+           nth_value(o_orderkey, 2)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS second_best_order,
+           nth_value(o_totalprice, 2)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING) AS second_best_price
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) = 1
+    ORDER BY o_custkey
+    """,
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value — the 'runner-up' accessor (second-highest order per
+    customer, NULL for single-order customers): the frame is PINNED to
+    the whole partition (the default …AND CURRENT ROW frame can't see
+    forward to the 2nd row while positioned on the 1st — the same
+    cross-engine trap as first/last), the ordering carries a unique
+    tie-break, and one row per customer survives via the rank filter.
+    The oracle says QUALIFY (DuckDB); Spark filters on the ranked
+    column — same semantics, one shuffle + local sort either way."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_best_order"),
+            F.nth_value("o_totalprice", 2).over(wf).alias("second_best_price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )
