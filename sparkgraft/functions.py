@@ -856,3 +856,67 @@ def fn_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "fn_business_days",
+    oracle="""
+    WITH lt AS (
+      SELECT l_orderkey, l_linenumber,
+             datediff('day', DATE '1970-01-05',
+                      CAST(o.o_orderdate AS DATE)) AS d1,
+             datediff('day', DATE '1970-01-05',
+                      CAST(l.l_shipdate AS DATE)) AS d2
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    f AS (
+      SELECT l_orderkey, l_linenumber, d2 - d1 AS cal_days,
+             (5 * (d2 // 7) + least(d2 % 7, 5))
+             - (5 * (d1 // 7) + least(d1 % 7, 5)) AS biz_days
+      FROM lt)
+    SELECT l_orderkey, l_linenumber,
+           CAST(cal_days AS INT) AS cal_days,
+           CAST(biz_days AS INT) AS biz_days
+    FROM f ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon–Fri) lead time per line item — the SLA
+    arithmetic finance and logistics actually bill in. NO calendar
+    table and NO per-day iteration: days are numbered from a MONDAY
+    epoch (1970-01-05), and the closed form f(d) = 5·⌊d/7⌋ +
+    min(d mod 7, 5) counts business days in [epoch, d) — the
+    difference f(d2) − f(d1) is the answer in O(1) exact integer ops
+    per row, identical on both engines (day-of-week never consults the
+    engines' differing DOW numbering). Codegen map; the only shuffle
+    is the orderkey equi-join."""
+    d1 = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-05").cast("date")
+    )
+    d2 = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1970-01-05").cast("date")
+    )
+
+    def f(d):
+        return 5 * F.expr(f"({d}) div 7") + F.least(
+            F.expr(f"({d}) % 7"), F.lit(5)
+        )
+
+    j = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            d1.alias("d1"),
+            d2.alias("d2"),
+        )
+    )
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("d2") - F.col("d1")).cast("int").alias("cal_days"),
+        (f("d2") - f("d1")).cast("int").alias("biz_days"),
+    ).orderBy("l_orderkey", "l_linenumber")

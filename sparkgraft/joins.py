@@ -997,3 +997,78 @@ def join_band_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lo")
         .select("band", "n_orders", "revenue")
     )
+
+
+@query(
+    "join_dim_grid",
+    oracle="""
+    WITH grid AS (
+      SELECT r.r_name, p.prio
+      FROM region r,
+           (SELECT DISTINCT o_orderpriority AS prio FROM orders) p),
+    obs AS (
+      SELECT r.r_name, o.o_orderpriority AS prio,
+             count(*) AS n_orders,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, o.o_orderpriority)
+    SELECT g.r_name, g.prio,
+           CAST(COALESCE(ob.n_orders, 0) AS BIGINT) AS n_orders,
+           round(CAST(COALESCE(ob.cents, 0) AS DOUBLE) / 100.0, 2)
+             AS revenue
+    FROM grid g
+    LEFT JOIN obs ob ON ob.r_name = g.r_name AND ob.prio = g.prio
+    ORDER BY g.r_name, g.prio
+    """,
+)
+def join_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense dimension grid (region × priority) with zero-filled cells —
+    the scaffolding join every dashboard matrix needs so EMPTY
+    combinations still render. This is the one legitimate CARTESIAN:
+    both sides are bounded dimension domains (geography × a 5-value
+    enum), so the product is a constant-size scaffold at any corpus
+    size; the observed aggregate then LEFT-joins onto the grid (never
+    the reverse — an inner join would silently drop the empty cells the
+    grid exists to surface)."""
+    grid = load(spark, sf_dir, "region").select("r_name").crossJoin(
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("prio"))
+        .distinct()
+    )
+    obs = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            load(spark, sf_dir, "region"),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy("r_name", F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+        )
+    )
+    return (
+        grid.join(obs, ["r_name", "prio"], "left")
+        .select(
+            "r_name",
+            "prio",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.round(
+                F.coalesce("cents", F.lit(0)).cast("double") / 100.0, 2
+            ).alias("revenue"),
+        )
+        .orderBy("r_name", "prio")
+    )
