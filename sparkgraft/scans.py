@@ -708,3 +708,39 @@ def scan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "scan_recursive_lookup",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recursiveFileLookup: data landed in NESTED subdirectories (the
+    date-sharded landing-zone layout upstream jobs produce) read back
+    with one option instead of a glob-per-level — and WITHOUT partition
+    discovery treating the directory names as columns. Files are staged
+    two levels deep; the read must see every row exactly once."""
+    out = _scratch(sf_dir, "nested_events")
+    done = os.path.join(out, "_staged")
+    if not os.path.exists(done):
+        e = load(spark, sf_dir, "events")
+        for i, sub in enumerate(("2024/w1", "2024/w2", "2023/w9")):
+            (
+                e.filter(F.col("event_id") % 3 == i)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, sub))
+            )
+        open(done, "w").close()
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(load(spark, sf_dir, "events").schema)
+        .parquet(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )

@@ -2933,3 +2933,94 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source),
+    lc AS (
+      SELECT source, lang, count(*) AS c
+      FROM documents GROUP BY source, lang),
+    toplang AS (
+      SELECT source, lang AS top_lang, c
+      FROM (SELECT source, lang, c,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY c DESC, lang) AS rn
+            FROM lc) t WHERE rn = 1),
+    fam AS (
+      SELECT source, md5(substr(lower(trim(text)), 1, 60)) AS digest,
+             count(*) AS s
+      FROM documents GROUP BY source, 2),
+    dup AS (
+      SELECT source, CAST(sum(s - 1) AS BIGINT) AS removable
+      FROM fam GROUP BY source)
+    SELECT b.source, b.n_docs, b.total_tokens,
+           CAST((2 * b.total_tokens + b.n_docs)
+                // (2 * b.n_docs) AS BIGINT) AS mean_tokens,
+           t.top_lang,
+           round(CAST(t.c AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6)
+             AS top_lang_share,
+           round(CAST(d.removable AS DOUBLE) / CAST(b.n_docs AS DOUBLE), 6)
+             AS dup_rate
+    FROM base b
+    JOIN toplang t ON t.source = b.source
+    JOIN dup d ON d.source = b.source
+    ORDER BY b.source
+    """,
+)
+def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD table — per-source doc count, token mass, exact
+    half-up mean length, dominant language + its share, and the
+    near-dup rate (prefix-60 families, the corpus's dup signature) —
+    the one-page summary every published training corpus ships. Three
+    keyed aggregates over the corpus (base stats, language mode with
+    deterministic tie-break, dup families on pre-shuffled digests) join
+    back on the bounded source key; every ratio divides exact
+    integers."""
+    d = load(spark, sf_dir, "documents")
+    base = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), " ")))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    lc = d.groupBy("source", "lang").agg(F.count("*").alias("c"))
+    toplang = lc.groupBy("source").agg(
+        F.min_by("lang", F.struct((-F.col("c")).alias("nc"), F.col("lang")))
+        .alias("top_lang"),
+        F.max("c").alias("top_c"),
+    )
+    fam = d.groupBy(
+        "source", F.md5(F.substring(F.lower(F.trim("text")), 1, 60)).alias("dg")
+    ).agg(F.count("*").alias("s"))
+    dup = fam.groupBy("source").agg(
+        F.sum(F.col("s") - 1).cast("long").alias("removable")
+    )
+    return (
+        base.join(toplang, "source")
+        .join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "CAST((2 * total_tokens + n_docs) div (2 * n_docs) AS BIGINT)"
+            ).alias("mean_tokens"),
+            "top_lang",
+            F.round(
+                F.col("top_c").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("top_lang_share"),
+            F.round(
+                F.col("removable").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
