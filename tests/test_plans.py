@@ -1048,3 +1048,50 @@ def test_bag_set_ops_are_aggregates_not_joins(spark):
         plan = _plan(df)
         assert "Generate" in plan
         assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "key",
+    [
+        "text_tokenizer_fertility",
+        "agg_srm_check",
+        "agg_string_agg",
+        "win_nth_value",
+        "fn_business_days",
+        "text_dataset_card",
+        "agg_control_chart",
+        "mm_interleaved_pack",
+    ],
+)
+def test_r4_wave16_20_ops_stay_equi_and_keyed(spark, key):
+    """Waves 16-20: equi-joins only, keyed windows, no single-partition
+    funnel with auto-broadcast disabled. (join_dim_grid is excluded —
+    its bounded dims × dims cartesian is the documented legitimate
+    case and is asserted separately; the 1-row center-line broadcast in
+    agg_control_chart plans as a bounded BNLJ and is allowed there.)"""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES[key](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    if key not in ("agg_srm_check", "agg_control_chart"):
+        # those two END in a global 1-row aggregate whose final exchange
+        # is SinglePartition by definition — it carries one partial row
+        # per task, the standard bounded 2-phase global agg
+        assert "SinglePartition" not in plan
+    if key not in ("agg_control_chart",):
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dim_grid_cartesian_is_bounded_dims_only(spark):
+    """The grid's cartesian multiplies two DIMENSION domains (region ×
+    priority enum) — assert the product's inputs are the 1-column dim
+    projections, and the corpus-side aggregate arrives via the LEFT
+    equi-join, never through the product."""
+    df = sparkgraft.QUERIES["join_dim_grid"](spark, SF_DIR)
+    plan = _plan(df)
+    # region side of the scaffold reads ONE column
+    assert "ReadSchema: struct<r_name:string>" in plan
