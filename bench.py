@@ -87,6 +87,7 @@ GROUP3 = [
     "mm_payload_entropy",     # JVM-only byte histogram entropy
     "text_tfidf_pairs",       # signature-blocked sparse cosine (5 joins)
     "text_lang_logprob_audit",# quantized unigram-LM scoring, |langs| fan-out
+    "text_dataset_card",      # three keyed corpus aggs joined per source
 ]
 
 TIMED_REPS = 7

@@ -3755,3 +3755,98 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "agg_ks_test",
+    oracle="""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_a
+      FROM documents WHERE source IN ('src0', 'src1')),
+    tot AS (
+      SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM s),
+    v AS (
+      SELECT n_chars,
+             sum(is_a) AS ca, sum(1 - is_a) AS cb
+      FROM s GROUP BY n_chars),
+    c AS (
+      SELECT n_chars,
+             sum(ca) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_a,
+             sum(cb) OVER (ORDER BY n_chars
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_b
+      FROM v),
+    d AS (
+      SELECT c.n_chars,
+             abs(c.cum_a * t.nb - c.cum_b * t.na) AS d_scaled,
+             t.na, t.nb
+      FROM c CROSS JOIN tot t),
+    mx AS (SELECT max(d_scaled) AS mx FROM d)
+    SELECT CAST(min(d.n_chars) AS INT) AS ks_at_value,
+           round(CAST(any_value(mx.mx) AS DOUBLE)
+                 / (CAST(any_value(d.na) AS DOUBLE)
+                    * CAST(any_value(d.nb) AS DOUBLE)), 6) AS ks_d,
+           CAST(any_value(d.na) AS BIGINT) AS n_a,
+           CAST(any_value(d.nb) AS BIGINT) AS n_b
+    FROM d JOIN mx ON d.d_scaled = mx.mx
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    sources' document-length distributions — the distribution-shift
+    alarm run between corpus snapshots. EXACT end-to-end: the supremum
+    of |ECDF_A − ECDF_B| is kept in the cross-multiplied integer form
+    |cumA·N_B − cumB·N_A| (no per-step float divide can reorder the
+    argmax), evaluated on the DISTINCT value domain (bounded by the
+    length domain, not the corpus — same boundedness argument as the
+    histogram family), with min-value tie-break; the single float
+    divide reports D at the end. One corpus pass to per-value counts,
+    then windows over the bounded value table."""
+    s = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select(
+            "n_chars",
+            F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_a"),
+        )
+    )
+    v = s.groupBy("n_chars").agg(
+        F.sum("is_a").alias("ca"), F.sum(1 - F.col("is_a")).alias("cb")
+    )
+    tot = s.agg(
+        F.sum("is_a").alias("na"), F.sum(1 - F.col("is_a")).alias("nb")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    c = v.select(
+        "n_chars",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        F.abs(
+            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+        ).alias("d_scaled"),
+        "na",
+        "nb",
+    )
+    mx = d.agg(F.max("d_scaled").alias("mx"))
+    return (
+        d.join(F.broadcast(mx), F.col("d_scaled") == F.col("mx"))
+        .agg(
+            F.min("n_chars").cast("int").alias("ks_at_value"),
+            F.round(
+                F.any_value("mx").cast("double")
+                / (
+                    F.any_value("na").cast("double")
+                    * F.any_value("nb").cast("double")
+                ),
+                6,
+            ).alias("ks_d"),
+            F.any_value("na").cast("long").alias("n_a"),
+            F.any_value("nb").cast("long").alias("n_b"),
+        )
+    )
