@@ -3850,3 +3850,125 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.any_value("nb").cast("long").alias("n_b"),
         )
     )
+
+
+@query(
+    "agg_cvar_tail",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+    q AS (SELECT quantile_cont(cents, 0.05) AS var5 FROM daily),
+    tail AS (
+      SELECT d.cents, q.var5 FROM daily d CROSS JOIN q
+      WHERE CAST(d.cents AS DOUBLE) <= q.var5)
+    SELECT count(*) AS n_tail_days,
+           round(CAST(any_value(var5) AS DOUBLE) / 100.0, 2) AS var_5pct,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * 100.0), 2) AS cvar_5pct
+    FROM tail
+    """,
+)
+def agg_cvar_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk and Conditional VaR (expected shortfall) of the
+    daily revenue series: the 5th-percentile day and the MEAN of the
+    days at or below it — the tail-risk number a finance review reads
+    past the average. Daily totals are exact int64 cents; the VaR
+    threshold is the exact interpolated percentile over the
+    calendar-bounded daily frame (parity pinned by agg_percentiles),
+    broadcast back as ONE row; the tail mean aggregates exact integers
+    with one divide per output."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    q = daily.agg(F.expr("percentile(cents, 0.05)").alias("var5"))
+    tail = daily.crossJoin(F.broadcast(q)).filter(
+        F.col("cents").cast("double") <= F.col("var5")
+    )
+    return tail.agg(
+        F.count("*").alias("n_tail_days"),
+        F.round(F.any_value("var5").cast("double") / 100.0, 2).alias(
+            "var_5pct"
+        ),
+        F.round(
+            F.sum("cents").cast("double")
+            / (F.count("*").cast("double") * 100.0),
+            2,
+        ).alias("cvar_5pct"),
+    )
+
+
+@query(
+    "agg_spearman_corr",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_custkey AS custkey,
+             CAST(round(c.c_acctbal * 100) AS BIGINT) AS x,
+             sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS y
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, round(c.c_acctbal * 100)),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY x, custkey) AS rx,
+             row_number() OVER (ORDER BY y, custkey) AS ry
+      FROM spend),
+    n AS (SELECT count(*) AS n FROM spend)
+    SELECT CAST(any_value(n.n) AS BIGINT) AS n_customers,
+           round(1.0 - 6.0 * CAST(sum((rx - ry) * (rx - ry)) AS DOUBLE)
+                 / (CAST(any_value(n.n) AS DOUBLE)
+                    * (CAST(any_value(n.n) AS DOUBLE)
+                       * CAST(any_value(n.n) AS DOUBLE) - 1.0)), 6)
+             AS spearman_rho
+    FROM ranked CROSS JOIN n
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between account balance and total
+    spend — the monotone-association complement to `agg_corr`'s
+    Pearson (robust to the heavy right tail both variables have). Ranks
+    are deterministic row_numbers with a custkey tie-break (identical
+    on both engines — the classical tie-correction is deliberately NOT
+    applied; the tie-break IS the declared semantics), assigned by the
+    engine's sampled range-bucketed rank so NO single-partition window
+    touches the corpus-sized customer frame; Σd² sums exact integers
+    and ρ evaluates in one closed-form expression."""
+    from .ranking import with_global_rank
+
+    spend = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "orders"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+        )
+        .localCheckpoint()
+    )
+    ranked = with_global_rank(
+        spend, [("x", "asc"), ("custkey", "asc")], rank_col="rx"
+    )
+    ranked = with_global_rank(
+        ranked, [("y", "asc"), ("custkey", "asc")], rank_col="ry"
+    )
+    n = spend.count()
+    d2 = F.sum(
+        (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+    ).cast("double")
+    nn = float(n)
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_customers"),
+        F.round(
+            1.0 - 6.0 * d2 / (F.lit(nn) * (F.lit(nn) * F.lit(nn) - 1.0)), 6
+        ).alias("spearman_rho"),
+    )
