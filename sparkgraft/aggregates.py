@@ -3972,3 +3972,58 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - 6.0 * d2 / (F.lit(nn) * (F.lit(nn) * F.lit(nn) - 1.0)), 6
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH q AS (
+      SELECT o_orderpriority AS prio,
+             quantile_cont(o_totalprice, 0.05) AS p5,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority),
+    w AS (
+      SELECT o.o_orderpriority AS prio,
+             least(greatest(o.o_totalprice, q.p5), q.p95) AS wv,
+             o.o_totalprice AS rv
+      FROM orders o JOIN q ON q.prio = o.o_orderpriority)
+    SELECT prio, count(*) AS n,
+           round(avg(rv), 4) AS raw_mean,
+           round(avg(wv), 4) AS winsorized_mean,
+           round(avg(rv) - avg(wv), 4) AS tail_influence
+    FROM w GROUP BY prio ORDER BY prio
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per priority — the robust-preprocessing step
+    that clips each group's values into its own [p5, p95] band before
+    averaging, reported against the raw mean so the tail influence is
+    visible. The per-group clip thresholds are exact interpolated
+    percentiles over each group (parity pinned by agg_percentiles),
+    joined back on the BOUNDED priority key (AQE broadcasts the
+    ≤\|priorities\|-row threshold table); clipping is row-local
+    least/greatest and the means follow the repo rounding discipline."""
+    o = load(spark, sf_dir, "orders")
+    q = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p5"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    w = o.join(
+        F.broadcast(q), F.col("prio") == F.col("o_orderpriority")
+    ).select(
+        "prio",
+        F.col("o_totalprice").alias("rv"),
+        F.least(
+            F.greatest(F.col("o_totalprice"), F.col("p5")), F.col("p95")
+        ).alias("wv"),
+    )
+    return (
+        w.groupBy("prio")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("rv"), 4).alias("raw_mean"),
+            F.round(F.avg("wv"), 4).alias("winsorized_mean"),
+            F.round(F.avg("rv") - F.avg("wv"), 4).alias("tail_influence"),
+        )
+        .orderBy("prio")
+    )

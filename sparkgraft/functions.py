@@ -920,3 +920,66 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("d2") - F.col("d1")).cast("int").alias("cal_days"),
         (f("d2") - f("d1")).cast("int").alias("biz_days"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "fn_multiformat_timestamp",
+    oracle="""
+    WITH rendered AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                  ELSE strftime(ts, '%m/%d/%Y %H:%M:%S') END AS raw,
+             CASE WHEN event_id % 2 = 0 THEN 'iso' ELSE 'us' END AS fmt
+      FROM events),
+    parsed AS (
+      SELECT event_id, fmt,
+             coalesce(try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),
+                      try_strptime(raw, '%m/%d/%Y %H:%M:%S')) AS ts2
+      FROM rendered)
+    SELECT fmt, count(*) AS n,
+           CAST(sum(CASE WHEN ts2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unparsed,
+           strftime(min(ts2), '%Y-%m-%d %H:%M:%S') AS first_ts,
+           strftime(max(ts2), '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM parsed GROUP BY fmt ORDER BY fmt
+    """,
+)
+def fn_multiformat_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format timestamp ingestion: raw strings arrive in TWO
+    layouts (ISO-8601 and US slash-dates — the reality of any log
+    merge), and a coalesce(try_parse, try_parse) chain recovers every
+    row without a single task-killing parse exception (`try_` variants
+    return NULL, never throw). Each engine states the format in its own
+    pattern dialect (JDK vs strptime) with identical semantics — pinned
+    by round-tripping to second precision and comparing the canonical
+    rendering; the unparsed count must be zero on both."""
+    e = load(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 2 == 0,
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+    ).otherwise(F.date_format("ts", "MM/dd/yyyy HH:mm:ss"))
+    fmt = F.when(F.col("event_id") % 2 == 0, "iso").otherwise("us")
+    parsed = e.select(
+        fmt.alias("fmt"),
+        F.coalesce(
+            F.try_to_timestamp(raw, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+            F.try_to_timestamp(raw, F.lit("MM/dd/yyyy HH:mm:ss")),
+        ).alias("ts2"),
+    )
+    return (
+        parsed.groupBy("fmt")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("ts2").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unparsed"),
+            F.date_format(F.min("ts2"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("ts2"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
+        )
+        .orderBy("fmt")
+    )
