@@ -4027,3 +4027,79 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+_MIGRATION_SPLIT = "1998-01-01"
+
+
+@query(
+    "agg_band_migration",
+    oracle=f"""
+    WITH halves AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '{_MIGRATION_SPLIT}'
+                  THEN 'h1' ELSE 'h2' END AS half,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1, 2),
+    banded AS (
+      SELECT custkey, half,
+             CASE WHEN cents < 20000000 THEN 'low'
+                  WHEN cents < 60000000 THEN 'mid'
+                  ELSE 'high' END AS band
+      FROM halves),
+    m AS (
+      SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+             COALESCE(a.band, 'inactive') AS band_h1,
+             COALESCE(b.band, 'inactive') AS band_h2
+      FROM (SELECT * FROM banded WHERE half = 'h1') a
+      FULL OUTER JOIN (SELECT * FROM banded WHERE half = 'h2') b
+        ON b.custkey = a.custkey)
+    SELECT band_h1, band_h2, count(*) AS n_customers
+    FROM m GROUP BY band_h1, band_h2
+    ORDER BY band_h1, band_h2
+    """,
+)
+def agg_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-band MIGRATION MATRIX between the two halves of
+    the timeline (who upgraded, who lapsed into 'inactive') — the
+    period-over-period movement table behind every retention deck,
+    entity-level where `agg_markov_transition` is event-level. Exact
+    int64-cent half-totals band through FIXED thresholds (quantile
+    banding would entangle the two periods), the halves re-join FULL
+    OUTER on the customer key so appearing/disappearing customers land
+    in the 'inactive' margin instead of vanishing, and the matrix
+    output is bounded by (bands+1)² cells."""
+    o = load(spark, sf_dir, "orders")
+    halves = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.when(
+                F.col("o_orderdate") < F.lit(_MIGRATION_SPLIT).cast("timestamp"),
+                "h1",
+            )
+            .otherwise("h2")
+            .alias("half"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    band = (
+        F.when(F.col("cents") < 20000000, "low")
+        .when(F.col("cents") < 60000000, "mid")
+        .otherwise("high")
+    )
+    banded = halves.select("custkey", "half", band.alias("band"))
+    a = banded.filter(F.col("half") == "h1").select(
+        F.col("custkey").alias("ck_a"), F.col("band").alias("band_a")
+    )
+    b = banded.filter(F.col("half") == "h2").select(
+        F.col("custkey").alias("ck_b"), F.col("band").alias("band_b")
+    )
+    m = a.join(b, F.col("ck_a") == F.col("ck_b"), "full_outer").select(
+        F.coalesce("band_a", F.lit("inactive")).alias("band_h1"),
+        F.coalesce("band_b", F.lit("inactive")).alias("band_h2"),
+    )
+    return (
+        m.groupBy("band_h1", "band_h2")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("band_h1", "band_h2")
+    )
