@@ -4103,3 +4103,81 @@ def agg_band_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("band_h1", "band_h2")
     )
+
+
+@query(
+    "agg_revenue_waterfall",
+    oracle="""
+    WITH t AS (
+      SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS gross,
+             sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+               AS disc,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100)
+                      AS BIGINT)) AS tax
+      FROM lineitem)
+    SELECT step, amount, running_total FROM (
+      SELECT 1 AS ord, 'gross_revenue' AS step,
+             round(CAST(gross AS DOUBLE) / 100.0, 2) AS amount,
+             round(CAST(gross AS DOUBLE) / 100.0, 2) AS running_total
+      FROM t
+      UNION ALL
+      SELECT 2, 'discounts',
+             round(CAST(-disc AS DOUBLE) / 100.0, 2),
+             round(CAST(gross - disc AS DOUBLE) / 100.0, 2)
+      FROM t
+      UNION ALL
+      SELECT 3, 'tax_collected',
+             round(CAST(tax AS DOUBLE) / 100.0, 2),
+             round(CAST(gross - disc + tax AS DOUBLE) / 100.0, 2)
+      FROM t) s
+    ORDER BY ord
+    """,
+)
+def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue waterfall: gross → −discounts → +tax with running
+    totals — the finance bridge chart as a table. Each component is
+    rounded to int64 cents AT THE LINE LEVEL before summation (the
+    invoicing convention — summing raw products then rounding once
+    would differ by accumulated sub-cent drift and is also
+    order-dependent), so one corpus aggregate yields three exact
+    integers and the waterfall rows are pure arithmetic re-projections
+    of that single row."""
+    t = load(spark, sf_dir, "lineitem").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "gross"
+        ),
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                "long"
+            )
+        ).alias("disc"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * F.col("l_tax")
+                * 100
+            ).cast("long")
+        ).alias("tax"),
+    )
+    d = F.col("amount_cents").cast("double") / 100.0
+    rt = F.col("running_cents").cast("double") / 100.0
+    return (
+        t.select(
+            F.expr(
+                "stack(3,"
+                " 1, 'gross_revenue', gross, gross,"
+                " 2, 'discounts', -disc, gross - disc,"
+                " 3, 'tax_collected', tax, gross - disc + tax)"
+                " AS (ord, step, amount_cents, running_cents)"
+            )
+        )
+        .select(
+            "step",
+            F.round(d, 2).alias("amount"),
+            F.round(rt, 2).alias("running_total"),
+            "ord",
+        )
+        .orderBy("ord")
+        .drop("ord")
+    )
