@@ -4181,3 +4181,52 @@ def agg_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
     )
+
+
+@query(
+    "agg_dispersion_index",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (
+      SELECT event_type,
+             count(*) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total,
+             CAST(sum(n * n) AS BIGINT) AS total_sq
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n_days, total,
+           round((CAST(n_days AS DOUBLE) * CAST(total_sq AS DOUBLE)
+                  - CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(total AS DOUBLE)), 6)
+             AS dispersion_index
+    FROM s ORDER BY event_type
+    """,
+)
+def agg_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type — the Poisson-ness probe: ≈1 means memoryless
+    arrivals, ≫1 means bursty/contagious traffic (bot waves,
+    incident retries). The population-variance/mean ratio is evaluated
+    in the cross-multiplied form (n·Σx² − (Σx)²)/(n·Σx) over EXACT
+    integer daily counts — one corpus hash aggregate, one bounded
+    re-aggregate, one divide per output row."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").cast("long").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("total_sq"),
+    )
+    nd = F.col("n_days").cast("double")
+    t = F.col("total").cast("double")
+    tq = F.col("total_sq").cast("double")
+    return s.select(
+        "event_type",
+        "n_days",
+        "total",
+        F.round((nd * tq - t * t) / (nd * t), 6).alias("dispersion_index"),
+    ).orderBy("event_type")

@@ -983,3 +983,55 @@ def fn_multiformat_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fmt")
     )
+
+
+@query(
+    "fn_id_gap_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             count(*) AS n,
+             min(event_id) AS lo,
+             max(event_id) AS hi,
+             count(DISTINCT event_id) AS n_distinct
+      FROM events GROUP BY CAST(ts AS DATE))
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(lo AS BIGINT) AS first_id,
+           CAST(hi AS BIGINT) AS last_id,
+           CAST(hi - lo + 1 - n_distinct AS BIGINT) AS missing_in_span,
+           CAST(n - n_distinct AS BIGINT) AS duplicate_ids
+    FROM d ORDER BY day
+    """,
+)
+def fn_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-ID integrity audit per day: rows, id span, ids MISSING
+    inside the span (span − distinct) and duplicate ids (rows −
+    distinct) — the exactly-once delivery check run against any
+    monotonically-assigned event stream. Pure arithmetic on exact
+    integer aggregates from ONE hash pass; zero means clean, a nonzero
+    missing count localizes the loss to a day without scanning
+    neighbors."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("lo").cast("long").alias("first_id"),
+            F.col("hi").cast("long").alias("last_id"),
+            (F.col("hi") - F.col("lo") + 1 - F.col("n_distinct"))
+            .cast("long")
+            .alias("missing_in_span"),
+            (F.col("n") - F.col("n_distinct")).cast("long").alias(
+                "duplicate_ids"
+            ),
+        )
+        .orderBy("day")
+    )
