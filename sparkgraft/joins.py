@@ -1072,3 +1072,88 @@ def join_dim_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "prio")
     )
+
+
+@query(
+    "join_ri_audit",
+    oracle="""
+    SELECT 'lineitem->part' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'part<-lineitem (dead stock)',
+           (SELECT count(*) FROM part),
+           (SELECT count(*) FROM part p
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_partkey = p.p_partkey))
+    UNION ALL
+    SELECT 'customer<-orders (never ordered)',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey))
+    ORDER BY relation
+    """,
+)
+def join_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema in one
+    table: fact→dim ORPHAN counts (lineitems pointing at missing
+    parts/suppliers, orders at missing customers — broken FK loads) AND
+    the reverse dim←fact DEAD rows (parts never shipped, customers who
+    never ordered — the dead-stock/dormant views). Every probe is a
+    LEFT ANTI join — the exists-negation that plans as one hash
+    equi-join per relation with no row fan-out — and the five bounded
+    audit rows union together. Zero on the orphan rows is the load
+    invariant; nonzero dead-stock is business signal, not error."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+
+    def audit(name, fact, dim, fk, pk):
+        # one lazy 1-row frame per relation: total + anti-join count —
+        # the five frames union into ONE job, nothing driver-side
+        total = fact.agg(F.count("*").alias("n_rows"))
+        orphans = fact.join(dim, F.col(fk) == F.col(pk), "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        return total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"),
+            F.col("n_rows").cast("long"),
+            F.col("n_orphans").cast("long"),
+        )
+
+    frames = [
+        audit("lineitem->part", li, part, "l_partkey", "p_partkey"),
+        audit("lineitem->supplier", li, supp, "l_suppkey", "s_suppkey"),
+        audit("orders->customer", orders, cust, "o_custkey", "c_custkey"),
+        audit(
+            "part<-lineitem (dead stock)", part, li, "p_partkey", "l_partkey"
+        ),
+        audit(
+            "customer<-orders (never ordered)",
+            cust,
+            orders,
+            "c_custkey",
+            "o_custkey",
+        ),
+    ]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("relation")
