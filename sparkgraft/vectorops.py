@@ -1456,3 +1456,112 @@ def sim_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rnk")
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id, a.label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label <> b.label),
+    ranked AS (
+      SELECT vec_id, label, neg_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neg_id) AS rn
+      FROM scored)
+    SELECT vec_id, label, neg_id, neg_label, cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: for every vector,
+    the single most-similar vector carrying a DIFFERENT label — the
+    near-miss that makes a contrastive batch informative (random
+    negatives are trivially easy). Same distributed grid of block gemms
+    as `sim_cosine_topk`, but the per-task reduction keeps each row's
+    best cross-label hit IN BOTH DIRECTIONS of the block pair (≤ one
+    candidate row per vector per block), and a vec_id-keyed max_by —
+    with the (cos desc, neg_id) tie-break pinned via a min_by struct —
+    finishes globally. Output is exactly one row per vector; ranking
+    compares round-6 cosines under the module precision contract."""
+    import numpy as np
+    import pandas as pd
+
+    n = _corpus_count(spark, sf_dir)
+    n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
+
+    def best_block(key, pdf):
+        bi, bj = key
+        l_pdf = pdf[pdf["bucket"] == bi]
+        r_pdf = pdf[pdf["bucket"] == bj]
+        if l_pdf.empty or r_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                    "neg_id": pd.Series([], dtype="int64"),
+                    "neg_label": pd.Series([], dtype="int64"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        ids_l, ml = _pdf_matrix(l_pdf)
+        ids_r, mr = _pdf_matrix(r_pdf)
+        lab_l = l_pdf["label"].to_numpy()
+        lab_r = r_pdf["label"].to_numpy()
+        sims = np.round(ml @ mr.T, 6)
+        cross = lab_l[:, None] != lab_r[None, :]
+        if bi == bj:
+            # keep the full matrix (both directions) but never self-pair
+            np.fill_diagonal(cross, False)
+        out = {k: [] for k in ("vec_id", "label", "neg_id", "neg_label", "cos_sim")}
+
+        def emit(ids_a, lab_a, ids_b, lab_b, mat, mask):
+            # per-row best cross-label hit: maximize cos, tie-break min id
+            masked = np.where(mask, mat, -np.inf)
+            for i in range(masked.shape[0]):
+                row = masked[i]
+                mx = row.max()
+                if mx == -np.inf:
+                    continue
+                js = np.nonzero(row == mx)[0]
+                j = js[np.argmin(ids_b[js])]
+                out["vec_id"].append(ids_a[i])
+                out["label"].append(lab_a[i])
+                out["neg_id"].append(ids_b[j])
+                out["neg_label"].append(lab_b[j])
+                out["cos_sim"].append(mat[i, j])
+
+        emit(ids_l, lab_l, ids_r, lab_r, sims, cross)
+        if bi != bj:
+            emit(ids_r, lab_r, ids_l, lab_l, sims.T, cross.T)
+        return pd.DataFrame(out)
+
+    cand = _grid_blocks(
+        spark,
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label"),
+        n_blocks,
+    ).applyInPandas(
+        best_block,
+        "vec_id long, label long, neg_id long, neg_label long,"
+        " cos_sim double",
+    )
+    best = F.min_by(
+        F.struct("neg_id", "neg_label", "cos_sim"),
+        F.struct((-F.col("cos_sim")).alias("nc"), F.col("neg_id")),
+    ).alias("b")
+    return (
+        cand.groupBy("vec_id", "label")
+        .agg(best)
+        .select(
+            "vec_id",
+            "label",
+            F.col("b.neg_id").alias("neg_id"),
+            F.col("b.neg_label").alias("neg_label"),
+            F.col("b.cos_sim").alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
