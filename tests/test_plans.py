@@ -1095,3 +1095,26 @@ def test_dim_grid_cartesian_is_bounded_dims_only(spark):
     plan = _plan(df)
     # region side of the scaffold reads ONE column
     assert "ReadSchema: struct<r_name:string>" in plan
+
+
+def test_hard_negatives_is_blocked_gemm_single_row_per_vec(spark):
+    """Hard-negative mining rides the grid (FlatMapGroupsInPandas), no
+    all-pairs join, and the finish is a vec-keyed aggregate — exactly
+    one output row per vector."""
+    df = sparkgraft.QUERIES["sim_hard_negatives"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == len({r["vec_id"] for r in rows})
+
+
+def test_ri_audit_is_anti_joins_only(spark):
+    """Every relation probe must be a hash-family LEFT ANTI join; the
+    five 1-row frames union without any corpus-sized exchange after
+    the aggregates."""
+    df = sparkgraft.QUERIES["join_ri_audit"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
