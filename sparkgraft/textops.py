@@ -2706,7 +2706,8 @@ def text_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, score AS own_score FROM scored
       WHERE lang = labeled_lang)
     SELECT b.doc_id, b.labeled_lang, b.best_lang,
-           round((b.score - o.own_score) / 1e6, 4) AS margin_nats
+           CAST((2 * (b.score - o.own_score) + 100) // 200 AS DOUBLE)
+             / 10000.0 AS margin_nats
     FROM best b JOIN own o ON o.doc_id = b.doc_id
     WHERE b.rn = 1 AND b.best_lang <> b.labeled_lang
     ORDER BY b.doc_id
@@ -2771,9 +2772,16 @@ def text_lang_logprob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "labeled_lang",
             "best_lang",
-            F.round((F.col("best_score") - F.col("own_score")) / 1e6, 4).alias(
-                "margin_nats"
-            ),
+            # exact integer half-up to 4 decimals (µnat scores are
+            # exact ints; round() of the raw /1e6 double diverges on a
+            # .xxxx5 landing — caught by the sf0.1 sweep)
+            (
+                F.expr(
+                    "CAST((2 * (best_score - own_score) + 100)"
+                    " div 200 AS DOUBLE)"
+                )
+                / 10000.0
+            ).alias("margin_nats"),
         )
         .orderBy("doc_id")
     )

@@ -1733,7 +1733,8 @@ def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS next_purchase_us
       FROM events)
     SELECT event_id, user_id, event_type,
-           round((next_purchase_us - epoch_us(ts)) / 1e6, 3) AS ttc_sec,
+           CAST((2 * (next_purchase_us - epoch_us(ts)) + 1000) // 2000
+                AS DOUBLE) / 1000.0 AS ttc_sec,
            (next_purchase_us IS NULL) AS censored
     FROM t
     WHERE event_type <> 'purchase'
@@ -1773,8 +1774,14 @@ def win_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.round(
-                (F.col("next_purchase_us") - F.unix_micros("ts")) / 1e6, 3
+            # exact integer half-up µs→ms (round() of the raw /1e6
+            # double diverges on a .xxx5 landing — sf0.1 sweep catch)
+            (
+                F.expr(
+                    "CAST((2 * (next_purchase_us - unix_micros(ts)) + 1000)"
+                    " div 2000 AS DOUBLE)"
+                )
+                / 1000.0
             ).alias("ttc_sec"),
             F.col("next_purchase_us").isNull().alias("censored"),
         )
