@@ -4230,3 +4230,79 @@ def agg_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total",
         F.round((nd * tq - t * t) / (nd * t), 6).alias("dispersion_index"),
     ).orderBy("event_type")
+
+
+@query(
+    "agg_price_index",
+    oracle="""
+    WITH pq AS (
+      SELECT l_partkey,
+             CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN 'base' ELSE 'cur' END AS period,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    j AS (
+      SELECT b.l_partkey, b.cents AS base_cents, b.qty AS base_qty,
+             c.cents AS cur_cents, c.qty AS cur_qty
+      FROM (SELECT * FROM pq WHERE period = 'base') b
+      JOIN (SELECT * FROM pq WHERE period = 'cur') c
+        ON c.l_partkey = b.l_partkey
+      WHERE b.qty > 0 AND c.qty > 0)
+    SELECT count(*) AS n_parts,
+           round(sum(CAST(cur_cents AS DOUBLE) / CAST(cur_qty AS DOUBLE)
+                     * CAST(base_qty AS DOUBLE))
+                 / sum(CAST(base_cents AS DOUBLE)), 6) AS laspeyres_index
+    FROM j
+    """,
+)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index: current unit prices weighted by
+    BASE-period quantities, over parts shipped in both halves of the
+    timeline — the inflation-style 'are the same goods getting more
+    expensive' number, immune to mix shift by construction. Per-part
+    cents/quantities are exact int64 aggregates; the index is
+    Σ(p̄_cur·q_base)/Σ(p̄_base·q_base) where p̄_base·q_base collapses
+    to the exact base cents — the numerator's per-part unit-price
+    doubles derive from exact integers, summed over a bounded
+    catalog-sized frame with the repo rounding discipline. One
+    equi-join on the part key."""
+    pq = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey",
+            F.when(
+                F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"),
+                "base",
+            )
+            .otherwise("cur")
+            .alias("period"),
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+                "cents"
+            ),
+            F.sum(F.round("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    b = pq.filter((F.col("period") == "base") & (F.col("qty") > 0)).select(
+        "l_partkey",
+        F.col("cents").alias("base_cents"),
+        F.col("qty").alias("base_qty"),
+    )
+    c = pq.filter((F.col("period") == "cur") & (F.col("qty") > 0)).select(
+        "l_partkey",
+        F.col("cents").alias("cur_cents"),
+        F.col("qty").alias("cur_qty"),
+    )
+    j = b.join(c, "l_partkey")
+    num = F.sum(
+        F.col("cur_cents").cast("double")
+        / F.col("cur_qty").cast("double")
+        * F.col("base_qty").cast("double")
+    )
+    den = F.sum(F.col("base_cents").cast("double"))
+    return j.agg(
+        F.count("*").alias("n_parts"),
+        F.round(num / den, 6).alias("laspeyres_index"),
+    )

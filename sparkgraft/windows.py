@@ -1834,3 +1834,87 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_custkey")
     )
+
+
+@query(
+    "win_bounce_rate",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_MINUTES} * 60 * 1000000
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id,
+             ts
+      FROM flagged),
+    per AS (
+      SELECT CAST(min(ts) AS DATE) AS day, count(*) AS n_events
+      FROM sess GROUP BY user_id, session_id)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+             AS bounce_rate
+    FROM per GROUP BY day ORDER BY day
+    """,
+)
+def win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions that contain exactly ONE
+    event — the engagement-quality headline. Reuses the module's
+    30-minute gaps-and-islands sessionization (same flags, same
+    tie-break), attributes each session to its START day (min ts), and
+    the ratio divides exact integer session counts. Corpus-sized work:
+    the one user shuffle for the session windows + a session-keyed
+    rollup; the daily output is calendar-bounded."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    flagged = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.when(
+            (us - F.lag(us).over(w) > SESSION_GAP_MINUTES * 60 * 1000000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.select(
+        "user_id", "ts", F.sum("is_new").over(ws).alias("session_id")
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("day"), F.count("*").alias("n_events")
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return (
+        per.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            bounce.cast("long").alias("n_bounces"),
+            F.round(
+                bounce.cast("double") / F.count("*").cast("double"), 6
+            ).alias("bounce_rate"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "n_bounces",
+            "bounce_rate",
+        )
+        .orderBy("day")
+    )
