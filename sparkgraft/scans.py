@@ -744,3 +744,49 @@ def scan_recursive_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_glob_filter",
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events
+    WHERE event_type IN ('click', 'view')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pathGlobFilter: a landing directory holds BOTH real data files
+    and sidecar junk (manifests, temp dumps under other extensions) —
+    the option restricts the scan to `*.parquet` WITHOUT listing-time
+    gymnastics, and unlike a post-hoc filter the junk files are never
+    even opened. Staged: click/view events as parquet + a decoy .json
+    dump of error events in the SAME directory; the glob-filtered read
+    must see exactly the parquet rows."""
+    out = _scratch(sf_dir, "glob_filtered")
+    done = os.path.join(out, "_staged")
+    e = load(spark, sf_dir, "events")
+    if not os.path.exists(done):
+        (
+            e.filter(F.col("event_type").isin("click", "view"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        # decoy sidecars the scan must ignore
+        (
+            e.filter(F.col("event_type") == "error")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(os.path.join(out, "junk_dump"))
+        )
+        open(done, "w").close()
+    back = (
+        spark.read.option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .schema(e.schema)
+        .parquet(out)
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
