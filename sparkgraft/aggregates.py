@@ -4306,3 +4306,53 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(num / den, 6).alias("laspeyres_index"),
     )
+
+
+@query(
+    "agg_freshness_lag",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, max(epoch_us(ts)) AS type_max
+      FROM events GROUP BY event_type),
+    g AS (SELECT max(type_max) AS corpus_max FROM t)
+    SELECT t.event_type,
+           strftime(make_timestamp(t.type_max), '%Y-%m-%d %H:%M:%S')
+             AS last_seen,
+           CAST((g.corpus_max - t.type_max) // 60000000 AS BIGINT)
+             AS lag_minutes,
+           ((g.corpus_max - t.type_max) > CAST(3600000000 AS BIGINT))
+             AS stale_alert
+    FROM t CROSS JOIN g
+    ORDER BY event_type
+    """,
+)
+def agg_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitor: how far each event stream's latest
+    record trails the newest record in the corpus (the pipeline-health
+    panel that catches a stalled producer before dashboards silently
+    flatline). Anchored to the CORPUS max — never wall-clock now(),
+    which would make the answer nondeterministic and untestable; lag is
+    exact integer microseconds floored to minutes, the >1 h alert
+    compares exact integers, and the whole thing is one bounded
+    aggregate + a 1-row broadcast."""
+    t = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.max(F.unix_micros("ts")).alias("type_max"))
+    )
+    g = t.agg(F.max("type_max").alias("corpus_max"))
+    lag_us = F.col("corpus_max") - F.col("type_max")
+    return (
+        t.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format(
+                F.timestamp_micros(F.col("type_max")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("last_seen"),
+            F.expr(
+                "CAST((corpus_max - type_max) div 60000000 AS BIGINT)"
+            ).alias("lag_minutes"),
+            (lag_us > 60 * 60000000).alias("stale_alert"),
+        )
+        .orderBy("event_type")
+    )
