@@ -4356,3 +4356,58 @@ def agg_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_repeat_curve",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey),
+    n AS (SELECT count(*) AS n_cust FROM per),
+    grid AS (SELECT unnest(range(1, 11)) AS k)
+    SELECT CAST(g.k AS INT) AS k,
+           CAST(sum(CASE WHEN p.n_orders >= g.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reaching,
+           round(CAST(sum(CASE WHEN p.n_orders >= g.k THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(any_value(n.n_cust) AS DOUBLE), 6)
+             AS share
+    FROM per p CROSS JOIN grid g CROSS JOIN n
+    GROUP BY g.k ORDER BY k
+    """,
+)
+def agg_repeat_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve: the share of customers reaching at least
+    k orders, k = 1..10 — the DEPTH complement to `agg_gap_survival`'s
+    time-based curve, and the number behind 'what fraction ever comes
+    back'. One hash aggregate to per-customer order counts, a CONSTANT
+    10-row grid fan-out (explode, bounded at any corpus size), and a
+    10-row output of exact integer ratios."""
+    per = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    n_cust = per.count()
+    grid = F.array(*[F.lit(k) for k in range(1, 11)])
+    return (
+        per.select(
+            "n_orders", F.explode(grid).alias("k")
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("n_orders") >= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_reaching")
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_reaching",
+            F.round(
+                F.col("n_reaching").cast("double") / F.lit(float(n_cust)), 6
+            ).alias("share"),
+        )
+        .orderBy("k")
+    )
