@@ -1918,3 +1918,71 @@ def win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "win_recency_feature",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_purchase_us
+      FROM events)
+    SELECT event_id, user_id, event_type,
+           CAST(CASE WHEN prev_purchase_us IS NULL THEN NULL
+                     ELSE (2 * (epoch_us(ts) - prev_purchase_us) + 1000)
+                          // 2000 END AS DOUBLE) / 1000.0 AS recency_sec,
+           (prev_purchase_us IS NULL) AS never_purchased_before
+    FROM t
+    ORDER BY user_id, event_id
+    """,
+)
+def win_recency_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency feature generation: seconds since the user's PREVIOUS
+    purchase, stamped onto every event — the backward-looking twin of
+    `win_time_to_conversion` and the single most predictive feature in
+    most churn/propensity models. Same keyed window discipline: an
+    explicit UNBOUNDED..1-PRECEDING frame (current row excluded so a
+    purchase's own recency refers to the one before it), last_value
+    IGNORE NULLS over purchase timestamps only, exact integer µs with
+    the half-up division to milliseconds, NULL + flag when no purchase
+    precedes."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.last(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            prev.alias("prev_purchase_us"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            (
+                F.expr(
+                    "CAST(CASE WHEN prev_purchase_us IS NULL THEN NULL"
+                    " ELSE (2 * (unix_micros(ts) - prev_purchase_us) + 1000)"
+                    " div 2000 END AS DOUBLE)"
+                )
+                / 1000.0
+            ).alias("recency_sec"),
+            F.col("prev_purchase_us").isNull().alias(
+                "never_purchased_before"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )
