@@ -2419,8 +2419,9 @@ def agg_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT seg,
              (CAST(count(*) AS DOUBLE) * CAST(sum(x * y) AS DOUBLE)
               - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE))
-             / (CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
-                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) AS slope,
+             / nullif(CAST(count(*) AS DOUBLE) * CAST(sum(x * x) AS DOUBLE)
+                - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE), 0.0)
+               AS slope,
              CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS my,
              CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mx
       FROM spend GROUP BY seg),
@@ -2474,7 +2475,12 @@ def agg_regression_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.sum(F.col("x") * F.col("y")).cast("double")
     sxx = F.sum(F.col("x") * F.col("x")).cast("double")
     fit = spend.groupBy("seg").agg(
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("slope"),
+        # nullif guards the degenerate all-same-x segment: Spark's
+        # non-ANSI 0/0 yields NULL while DuckDB yields inf/nan — with
+        # the guard BOTH engines emit NULL and agree (ADVICE r4)
+        (
+            (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
+        ).alias("slope"),
         (sy / n).alias("my"),
         (sx / n).alias("mx"),
     )
@@ -3825,10 +3831,16 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").over(w).alias("cum_a"),
         F.sum("cb").over(w).alias("cum_b"),
     )
+    # decimal(38,0) keeps the cross-multiplied form exact past the int64
+    # wrap point (na*nb > 2^63 at ~3e9 rows/side); DuckDB already
+    # promotes its window sums to HUGEINT, so this is the Spark-side
+    # match at the 100 TB posture (ADVICE r4)
+    dec = "decimal(38,0)"
     d = c.crossJoin(F.broadcast(tot)).select(
         "n_chars",
         F.abs(
-            F.col("cum_a") * F.col("nb") - F.col("cum_b") * F.col("na")
+            F.col("cum_a").cast(dec) * F.col("nb")
+            - F.col("cum_b").cast(dec) * F.col("na")
         ).alias("d_scaled"),
         "na",
         "nb",
@@ -3962,9 +3974,11 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked, [("y", "asc"), ("custkey", "asc")], rank_col="ry"
     )
     n = spend.count()
-    d2 = F.sum(
-        (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
-    ).cast("double")
+    # Σd² in decimal(38,0): a single (rx-ry)² term approaches 2^63 at
+    # ~3e9 rows and the running int64 sum silently wraps in non-ANSI
+    # Spark, while DuckDB promotes to HUGEINT (ADVICE r4)
+    d = (F.col("rx") - F.col("ry")).cast("decimal(38,0)")
+    d2 = F.sum(d * (F.col("rx") - F.col("ry"))).cast("double")
     nn = float(n)
     return ranked.agg(
         F.lit(n).cast("long").alias("n_customers"),
@@ -3984,49 +3998,91 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY o_orderpriority),
     w AS (
       SELECT o.o_orderpriority AS prio,
-             least(greatest(o.o_totalprice, q.p5), q.p95) AS wv,
-             o.o_totalprice AS rv
-      FROM orders o JOIN q ON q.prio = o.o_orderpriority)
-    SELECT prio, count(*) AS n,
-           round(avg(rv), 4) AS raw_mean,
-           round(avg(wv), 4) AS winsorized_mean,
-           round(avg(rv) - avg(wv), 4) AS tail_influence
-    FROM w GROUP BY prio ORDER BY prio
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS rc,
+             o.o_totalprice AS rv, q.p5, q.p95
+      FROM orders o JOIN q ON q.prio = o.o_orderpriority),
+    g AS (
+      SELECT prio, count(*) AS n, sum(rc) AS sum_rc,
+             sum(CASE WHEN rv < p5 THEN 1 ELSE 0 END) AS nlo,
+             sum(CASE WHEN rv > p95 THEN 1 ELSE 0 END) AS nhi,
+             sum(CASE WHEN rv >= p5 AND rv <= p95 THEN rc ELSE 0 END)
+               AS sin_c,
+             any_value(p5) AS p5, any_value(p95) AS p95
+      FROM w GROUP BY prio)
+    SELECT prio, n,
+           CAST((2 * sum_rc * 100 + n) // (2 * n) AS DOUBLE) / 10000.0
+             AS raw_mean,
+           round((CAST(sin_c AS DOUBLE) + nlo * p5 * 100 + nhi * p95 * 100)
+                 / (CAST(n AS DOUBLE) * 100.0), 4) AS winsorized_mean,
+           round(CAST((2 * sum_rc * 100 + n) // (2 * n) AS DOUBLE) / 10000.0
+                 - round((CAST(sin_c AS DOUBLE)
+                          + nlo * p5 * 100 + nhi * p95 * 100)
+                         / (CAST(n AS DOUBLE) * 100.0), 4), 4)
+             AS tail_influence
+    FROM g ORDER BY prio
     """,
 )
 def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winsorized mean per priority — the robust-preprocessing step
+    r"""Winsorized mean per priority — the robust-preprocessing step
     that clips each group's values into its own [p5, p95] band before
     averaging, reported against the raw mean so the tail influence is
     visible. The per-group clip thresholds are exact interpolated
     percentiles over each group (parity pinned by agg_percentiles),
     joined back on the BOUNDED priority key (AQE broadcasts the
-    ≤\|priorities\|-row threshold table); clipping is row-local
-    least/greatest and the means follow the repo rounding discipline."""
+    small threshold table). Int64-cents discipline (ADVICE r4): the
+    raw mean is the exact half-up integer-division idiom; the
+    winsorized mean sums interior rows as exact int64 cents and adds
+    the two clipped tails as count x per-group-constant threshold, so
+    the one double expression per group is partition-order independent
+    and bit-identical in both engines — no float summation anywhere."""
     o = load(spark, sf_dir, "orders")
     q = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
         F.expr("percentile(o_totalprice, 0.05)").alias("p5"),
         F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
     )
+    rv = F.col("o_totalprice")
     w = o.join(
         F.broadcast(q), F.col("prio") == F.col("o_orderpriority")
     ).select(
         "prio",
-        F.col("o_totalprice").alias("rv"),
-        F.least(
-            F.greatest(F.col("o_totalprice"), F.col("p5")), F.col("p95")
-        ).alias("wv"),
+        F.round(rv * 100).cast("long").alias("rc"),
+        rv.alias("rv"),
+        "p5",
+        "p95",
     )
-    return (
-        w.groupBy("prio")
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("rv"), 4).alias("raw_mean"),
-            F.round(F.avg("wv"), 4).alias("winsorized_mean"),
-            F.round(F.avg("rv") - F.avg("wv"), 4).alias("tail_influence"),
+    g = w.groupBy("prio").agg(
+        F.count("*").alias("n"),
+        F.sum("rc").alias("sum_rc"),
+        F.sum(F.when(F.col("rv") < F.col("p5"), 1).otherwise(0)).alias("nlo"),
+        F.sum(F.when(F.col("rv") > F.col("p95"), 1).otherwise(0)).alias("nhi"),
+        F.sum(
+            F.when(
+                (F.col("rv") >= F.col("p5")) & (F.col("rv") <= F.col("p95")),
+                F.col("rc"),
+            ).otherwise(0)
+        ).alias("sin_c"),
+        F.any_value("p5").alias("p5"),
+        F.any_value("p95").alias("p95"),
+    )
+    raw_mean = (
+        F.expr("CAST((2 * sum_rc * 100 + n) div (2 * n) AS DOUBLE)") / 10000.0
+    )
+    wins_mean = F.round(
+        (
+            F.col("sin_c").cast("double")
+            + F.col("nlo") * F.col("p5") * 100
+            + F.col("nhi") * F.col("p95") * 100
         )
-        .orderBy("prio")
+        / (F.col("n").cast("double") * 100.0),
+        4,
     )
+    return g.select(
+        "prio",
+        "n",
+        raw_mean.alias("raw_mean"),
+        wins_mean.alias("winsorized_mean"),
+        F.round(raw_mean - wins_mean, 4).alias("tail_influence"),
+    ).orderBy("prio")
 
 
 _MIGRATION_SPLIT = "1998-01-01"

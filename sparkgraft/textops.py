@@ -2917,7 +2917,7 @@ def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     word). Reuses the BPE pretoken alphabet from
     `text_bpe_pretokenize`; both counts are row-local regexp/split
     sizes feeding one bounded per-language aggregate — one scan, one
-    shuffle of \|langs\| partial rows, and the ratio divides two exact
+    shuffle of |langs| partial rows, and the ratio divides two exact
     integers per output row."""
     d = load(spark, sf_dir, "documents")
     t = d.select(

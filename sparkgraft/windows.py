@@ -1840,7 +1840,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_bounce_rate",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > {SESSION_GAP_MINUTES} * 60 * 1000000
@@ -1850,7 +1850,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sess AS (
       SELECT user_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                AND CURRENT ROW) AS session_id,
              ts
@@ -1881,6 +1881,7 @@ def win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = load(spark, sf_dir, "events").select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             (us - F.lag(us).over(w) > SESSION_GAP_MINUTES * 60 * 1000000)
             | F.lag("ts").over(w).isNull(),
@@ -1889,9 +1890,13 @@ def win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
+    # running-sum window tie-broken by (ts, event_id) to match the
+    # is_new flag window and win_session_ids — with duplicate
+    # (user_id, ts) pairs session membership is otherwise
+    # nondeterministic (ADVICE r4)
     ws = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sess = flagged.select(
