@@ -256,3 +256,106 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str,
+    label_col: str = "label",
+    max_rounds: int = 30,
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014): every vertex ends labeled with the MINIMUM
+    vertex id of its component.
+
+    Why not min-label propagation: propagation converges in O(component
+    diameter) rounds, and chain-shaped dup families at 100 TB make that
+    deep. The two-phase star algorithm contracts every component toward
+    a star rooted at its minimum in O(log n) rounds REGARDLESS of
+    diameter (O(log^2 n) worst case) — each round is two keyed
+    hash-aggregations plus two equi-shuffle joins on vertex ids, no
+    broadcast, no corpus-proportional driver traffic. ``localCheckpoint``
+    per round truncates plan lineage (the iterative-DataFrame
+    discipline shared with ``graph_pagerank``); only scalar convergence
+    counts reach the driver.
+
+    - LARGE-STAR: for each vertex x with full neighborhood N(x), every
+      strictly-larger neighbor y > x is re-pointed at
+      m = min(N(x) + {x}).
+    - SMALL-STAR: on the larger->smaller orientation, each vertex u and
+      all its smaller neighbors are re-pointed at the minimum of that
+      smaller neighborhood.
+
+    Both operations preserve connectivity; the fixpoint is a union of
+    stars whose centers are the component minima. Convergence is
+    detected by exact distinct-edge-set equality (count + one-way
+    subtract — no hash-collision early exit).
+
+    ``edges``: two-column DataFrame, undirected pair list in any
+    orientation/column names; self-loops and duplicates are dropped.
+    ``vertices``: one-column frame of ALL vertex ids (isolated vertices
+    label themselves). Returns (labels[id_col, label_col], rounds_used).
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    e = (
+        edges.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds_used = 0
+    converged = False
+    for rounds_used in range(1, max_rounds + 1):
+        both = e.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+            e.select(F.col("v").alias("x"), F.col("u").alias("y"))
+        )
+        mins = both.groupBy("x").agg(F.min("y").alias("mn"))
+        large = (
+            both.join(mins, "x")
+            .filter(F.col("y") > F.col("x"))
+            .select(
+                F.col("y").alias("u"),
+                F.least(F.col("x"), F.col("mn")).alias("v"),
+            )
+            .distinct()
+        )
+        minv = large.groupBy("u").agg(F.min("v").alias("mn"))
+        j = large.join(minv, "u")
+        small = (
+            j.filter(F.col("v") != F.col("mn"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .unionAll(j.select("u", F.col("mn").alias("v")).distinct())
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        unchanged = (
+            small.count() == e.count() and small.subtract(e).count() == 0
+        )
+        e = small
+        if unchanged:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint within {max_rounds} "
+            "large-star/small-star rounds"
+        )
+    centers = e.groupBy(F.col("u").alias(id_col)).agg(
+        F.min("v").alias(label_col)
+    )
+    vid = vertices.columns[0]
+    labels = (
+        vertices.select(F.col(vid).alias(id_col))
+        .join(centers, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col(label_col), F.col(id_col)).alias(label_col),
+        )
+    )
+    return labels, rounds_used

@@ -634,62 +634,24 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy per dup cluster" step of a training-data pipeline, which pairwise
     dedup alone cannot express (dup pairs chain transitively).
 
-    Iterative min-label propagation: each round, every vertex takes the
-    min of its own label and its neighbors' labels — converges in
-    O(component diameter) rounds (dup clusters are near-cliques, so 2-3
-    rounds in practice; a 20-round cap guards pathological chains).
-    `localCheckpoint` truncates plan lineage per round, the classic
-    iterative-DataFrame discipline; the only driver-side value is the
-    scalar convergence count. At extreme scale the same loop upgrades to
-    the alternating large-star/small-star form (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") without changing the
-    contract. The oracle walks reachability with a recursive CTE —
-    min(reachable) is exactly the component minimum."""
+    Components come from alternating large-star/small-star contraction
+    (`graph.connected_components`, Kiveris et al. SoCC 2014): O(log n)
+    rounds regardless of component diameter — the r4 min-label
+    propagation was O(diameter) rounds, which chain-shaped dup families
+    make deep at 100 TB. Each round is two keyed aggregations + two
+    equi-joins on doc ids with `localCheckpoint` lineage truncation;
+    only scalar convergence counts reach the driver. The oracle walks
+    reachability with a recursive CTE — min(reachable) is exactly the
+    component minimum."""
     from .catalog import load as _load
+    from .graph import connected_components
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()
+    vertices = _load(spark, sf_dir, "documents").select("doc_id")
+    labels, _rounds = connected_components(
+        pairs, vertices, id_col="doc_id", label_col="canonical_id"
     )
-    labels = (
-        _load(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("label"))
-        .localCheckpoint()
-    )
-    converged = False
-    for _ in range(20):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("label").alias("old"),
-            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-        )
-        stepped = stepped.localCheckpoint()
-        changed = stepped.filter(F.col("label") < F.col("old")).count()
-        labels = stepped.select("doc_id", "label")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        # A silent cap-exit would return wrong canonical labels for any
-        # component with diameter > 20; fail loudly instead. (Diameter-20
-        # near-clique dup clusters don't occur in practice; a corpus that
-        # hits this needs the large-star/small-star form cited above.)
-        raise RuntimeError(
-            "dedup_cluster_cc: label propagation did not converge within "
-            "20 rounds — component diameter exceeds cap"
-        )
-    return labels.select(
-        "doc_id", F.col("label").alias("canonical_id")
-    ).orderBy("doc_id")
+    return labels.orderBy("doc_id")
 
 
 @query(

@@ -862,53 +862,25 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise cosine dedup that pairwise output alone can't express,
     because near-dup pairs chain transitively. Edges are the cosine ≥ τ
     pairs from the same distributed grid gemm as `dedup_embedding_cosine`
-    (τ=0.4, sized to this corpus); components come from iterative
-    min-label propagation (O(diameter) rounds, localCheckpoint per round,
-    only the scalar convergence count on the driver — same discipline and
-    scale posture as dedup_cluster_cc in textops.py, which upgrades to
-    large-star/small-star at extreme scale); the keeper is the min vec_id
-    of each cluster (deterministic — a production pipeline would keep
-    min-perplexity instead). n_cluster rides a cluster-keyed window,
-    bounded by the largest dup group, never global."""
+    (τ=0.4, sized to this corpus); components come from alternating
+    large-star/small-star contraction (`graph.connected_components`,
+    Kiveris et al. SoCC 2014 — O(log n) rounds regardless of component
+    diameter, replacing the r4 O(diameter) min-label propagation;
+    localCheckpoint per round, only scalar convergence counts on the
+    driver); the keeper is the min vec_id of each cluster
+    (deterministic — a production pipeline would keep min-perplexity
+    instead). n_cluster rides a cluster-keyed window, bounded by the
+    largest dup group, never global."""
+    from .graph import connected_components
+
     pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
-    edges = (
-        pairs.select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"))
-        )
-        .localCheckpoint()
+    vertices = load(spark, sf_dir, "embeddings").select("vec_id")
+    labels, _rounds = connected_components(
+        pairs, vertices, id_col="vec_id", label_col="cluster_id"
     )
-    labels = (
-        load(spark, sf_dir, "embeddings")
-        .select("vec_id", F.col("vec_id").alias("label"))
-        .localCheckpoint()
-    )
-    converged = False
-    for _ in range(20):
-        nbr_min = (
-            edges.join(labels, edges.src == labels.vec_id)
-            .groupBy(F.col("dst").alias("vec_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr_min, "vec_id", "left").select(
-            "vec_id",
-            F.col("label").alias("old"),
-            F.least("label", F.coalesce("nbr_min", "label")).alias("label"),
-        )
-        stepped = stepped.localCheckpoint()
-        changed = stepped.filter(F.col("label") < F.col("old")).count()
-        labels = stepped.select("vec_id", "label")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            "dedup_semantic_keep: label propagation did not converge "
-            "within 20 rounds — component diameter exceeds cap"
-        )
     w_cluster = Window.partitionBy("cluster_id")
     return (
-        labels.select("vec_id", F.col("label").alias("cluster_id"))
+        labels
         .withColumn("n_cluster", F.count("*").over(w_cluster).cast("long"))
         .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
         .orderBy("vec_id")
