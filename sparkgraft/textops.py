@@ -2994,3 +2994,121 @@ def text_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_BPE_MERGE_ROUNDS = 6
+
+# Each unrolled oracle round: adjacent-pair census over the wrapped-symbol
+# vocab, deterministic top pair (count desc, then lexicographic), then one
+# literal string replace that IS greedy left-to-right BPE merging (see
+# text_bpe_merges docstring for why the wrapping makes replace() exact).
+_BPE_ORACLE_ROUND = """
+pr{i} AS (
+  SELECT l[i] AS x, l[i+1] AS y, cnt
+  FROM (SELECT unnest(generate_series(1, len(l)-1)) AS i, l, cnt
+        FROM (SELECT string_split(trim(s), '  ') AS l, cnt
+              FROM v{p}) q1) q2),
+top{i} AS (
+  SELECT x, y, sum(cnt) AS pc FROM pr{i} GROUP BY x, y
+  ORDER BY pc DESC, x, y LIMIT 1),
+v{i} AS (
+  SELECT replace(s, ' ' || t.x || '  ' || t.y || ' ',
+                 ' ' || t.x || t.y || ' ') AS s, cnt
+  FROM v{p} CROSS JOIN top{i} t)"""
+
+_BPE_ORACLE = (
+    r"""
+    WITH tok AS (
+      SELECT lower(unnest(regexp_extract_all(text, '"""
+    + _PRETOKEN_RE
+    + r"""'))) AS w
+      FROM documents),
+    cen AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+    v0 AS (SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS s, cnt FROM cen),
+"""
+    + ",".join(
+        _BPE_ORACLE_ROUND.format(i=i, p=i - 1)
+        for i in range(1, _BPE_MERGE_ROUNDS + 1)
+    )
+    + "\n    SELECT * FROM (\n"
+    + "\n      UNION ALL\n".join(
+        f"      SELECT CAST({i} AS INTEGER) AS merge_rank, x AS lhs,"
+        f" y AS rhs, x || y AS merged,"
+        f" CAST(pc AS BIGINT) AS pair_count FROM top{i}"
+        for i in range(1, _BPE_MERGE_ROUNDS + 1)
+    )
+    + "\n    ) ORDER BY merge_rank\n    "
+)
+
+
+@query("text_bpe_merges", oracle=_BPE_ORACLE)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING loop — the other half of tokenizer training
+    that `text_bpe_pretokenize`'s vocabulary census starts: k rounds of
+    (adjacent-pair count -> pick the most frequent pair -> re-segment
+    every vocab word), emitting the learned merge table in order. This
+    is the classic iterative-MapReduce shape (same discipline as
+    `graph_pagerank`): after ONE corpus pass builds the pretoken
+    census, every round runs over the VOCAB (|distinct pretokens|, not
+    the corpus), the chosen pair is a 1-row scalar on the driver, and
+    `localCheckpoint` truncates lineage per round.
+
+    The re-segmentation trick that keeps both engines exact: each vocab
+    word is held as its symbol sequence wrapped in single spaces and
+    joined by double spaces (" c1  c2  c3 ", symbols are \\S+ so space
+    is a free separator). Merging pair (x, y) is then ONE literal
+    `replace(s, ' x  y ', ' xy ')`: the flanking spaces force x and y
+    to match complete symbols only, and left-to-right non-overlapping
+    replace semantics (identical in Spark and DuckDB) ARE greedy BPE
+    pair merging — "aaaa" correctly becomes "aa","aa". No lookaround
+    regex (RE2-safe), no per-row Python. Ties on pair count break
+    lexicographically on (left, right) in both engines."""
+    d = load(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(_PRETOKEN_RE), 0)
+            ).alias("w")
+        )
+        .select(F.lower("w").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.regexp_replace("w", "(.)", " $1 ").alias("s"), "cnt")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(1, _BPE_MERGE_ROUNDS + 1):
+        pairs = (
+            vocab.withColumn("syms", F.split(F.trim("s"), "  "))
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (v, i) -> struct(v AS x,"
+                        " element_at(syms, i + 2) AS y))"
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        top = pairs.orderBy(F.desc("pc"), "x", "y").limit(1).collect()
+        if not top:
+            raise RuntimeError(
+                f"text_bpe_merges: vocabulary exhausted at round {rank} — "
+                "no adjacent pairs remain"
+            )
+        x, y, pc = top[0]["x"], top[0]["y"], int(top[0]["pc"])
+        merges.append((rank, x, y, x + y, pc))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(f" {x}  {y} "), F.lit(f" {x}{y} ")
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string,"
+        " pair_count long",
+    )
