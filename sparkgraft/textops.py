@@ -3112,3 +3112,128 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_rank int, lhs string, rhs string, merged string,"
         " pair_count long",
     )
+
+
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "text_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, lang,
+             unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    doc_tf AS (
+      SELECT doc_id, any_value(source) AS source, token, count(*) AS tf
+      FROM tok GROUP BY doc_id, token),
+    raw AS (SELECT token, count(*) AS cr FROM tok GROUP BY token),
+    tgt AS (SELECT token, count(*) AS ct FROM tok
+            WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY token),
+    v AS (SELECT count(*) AS v FROM raw),
+    tr AS (SELECT sum(cr) AS tr FROM raw),
+    tt AS (SELECT sum(ct) AS tt FROM tgt),
+    q AS (
+      SELECT r.token,
+             CAST(round((ln((coalesce(g.ct, 0) + 1.0) / (tt.tt + v.v))
+                         - ln((r.cr + 1.0) / (tr.tr + v.v))) * 1e6)
+                  AS BIGINT) AS q
+      FROM raw r LEFT JOIN tgt g ON g.token = r.token
+      CROSS JOIN v CROSS JOIN tr CROSS JOIN tt),
+    sc AS (
+      SELECT d.doc_id, any_value(d.source) AS source, sum(d.tf * q.q) AS score
+      FROM doc_tf d JOIN q ON q.token = d.token
+      GROUP BY d.doc_id)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           round(CAST(sum(score) AS DOUBLE) / (count(*) * 1e6), 6)
+             AS mean_weight_nats,
+           round(CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS selected_share
+    FROM sc GROUP BY source ORDER BY source
+    """,
+)
+def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by log p_target(d) - log p_raw(d) under add-one-
+    smoothed unigram LMs, where the target distribution is the corpus's
+    own 'en' slice and raw is the full corpus — the principled
+    "upweight data that looks like the target domain" selector that
+    replaces hand-tuned source weights. Reported per source: document
+    count, how many docs importance sampling would SELECT (weight > 0),
+    and the mean weight in nats.
+
+    Determinism discipline (same as `text_lang_logprob_audit`): the
+    per-token log-ratio is quantized to int64 µnats BEFORE any
+    aggregation, so per-doc scores are exact integer sums in any
+    partition order; the per-source mean divides two exact integers
+    once. Scale: both LMs are vocabulary-sized token tables joined back
+    on ``token`` as plain shuffle equi-joins (never broadcast — vocab
+    grows with the corpus); the only broadcast is the 1-row
+    totals/vocab-size frame; output is bounded by |sources|."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    doc_tf = tok.groupBy("doc_id", "token").agg(
+        F.any_value("source").alias("source"), F.count("*").alias("tf")
+    )
+    raw = tok.groupBy("token").agg(F.count("*").alias("cr"))
+    tgt = (
+        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("token")
+        .agg(F.count("*").alias("ct"))
+    )
+    tot = (
+        raw.agg(
+            F.sum("cr").alias("tr"), F.count("*").cast("long").alias("v")
+        )
+        .crossJoin(tgt.agg(F.sum("ct").alias("tt")))
+    )
+    q = (
+        raw.join(tgt, "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("ct", F.lit(0)) + 1.0)
+                        / (F.col("tt") + F.col("v"))
+                    )
+                    - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    sc = (
+        doc_tf.join(q, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum(F.col("tf") * F.col("q")).alias("score"),
+        )
+    )
+    n_sel = F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            n_sel.cast("long").alias("n_selected"),
+            F.round(
+                F.sum("score").cast("double") / (F.count("*") * 1e6), 6
+            ).alias("mean_weight_nats"),
+            F.round(
+                n_sel.cast("double") / F.count("*"), 6
+            ).alias("selected_share"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""10x-scale rehearsal (VERDICT r4 next-round #3): run the headline set
+plus the dedup/sim/text heavy keys ENGINE-SIDE against the synthesized
+sf1 corpus (tools/make_sf1.py) and report per-query wall times.
+
+This is a scale probe, not a parity gate: results are materialized with
+the `noop` sink (full computation of every output column, zero driver
+transfer — `.toPandas()` at sf1 would measure Arrow transfer of e.g.
+~70M dedup pairs instead of the plan), each key runs twice (cold then
+warm), and any task failure surfaces as a raised exception -> nonzero
+exit. Output: one JSON line + a readable table on stderr.
+
+Usage: python tools/rehearsal_sf1.py [--sf-dir .scratch/sf1] [keys...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sparkgraft
+
+HEADLINE = [
+    "agg_groupby_hash",
+    "join_multiway_star",
+    "topk_limit",
+    "agg_count_distinct",
+    "sort_global",
+    "join_asof",
+    "win_row_number_topn",
+    "dedup_exact_docs",
+    "sim_cosine_topk",
+    "text_wordcount",
+]
+
+HEAVY = [
+    "dedup_ngram_jaccard",
+    "dedup_near_minhash",
+    "dedup_cluster_cc",
+    "dedup_embedding_cosine",
+    "dedup_semantic_keep",
+    "sim_ivf_knn",
+    "sim_lsh_buckets",
+    "sim_threshold_sweep",
+    "sim_gram_matrix",
+    "text_tfidf",
+    "text_tfidf_pairs",
+    "text_bigram_perplexity",
+    "text_bpe_merges",
+    "text_dup_ngram_coverage",
+    "mm_payload_entropy",
+    "agg_window_funnel",
+    "win_session_stats",
+    "win_cumulative_users",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("keys", nargs="*")
+    ap.add_argument("--sf-dir", default=".scratch/sf1")
+    args = ap.parse_args()
+    sf_dir = os.path.abspath(args.sf_dir)
+
+    spark = sparkgraft.get_session("sparkgraft-rehearsal-sf1")
+    keys = args.keys or (HEADLINE + HEAVY)
+    results: dict[str, dict] = {}
+    failures = 0
+    for key in keys:
+        fn = sparkgraft.QUERIES[key]
+        runs = []
+        try:
+            for _ in range(2):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.monotonic() - t0, 2))
+            results[key] = {"cold": runs[0], "warm": runs[1]}
+            print(f"ok    {key}: cold {runs[0]:8.2f}s  warm {runs[1]:8.2f}s",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 - probe must keep going
+            failures += 1
+            results[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            print(f"FAIL  {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "sf1_rehearsal",
+        "sf_dir": sf_dir,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "loadavg": list(os.getloadavg()),
+        "failures": failures,
+        "results": results,
+    }))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
