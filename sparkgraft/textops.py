@@ -3193,7 +3193,10 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.agg(
             F.sum("cr").alias("tr"), F.count("*").cast("long").alias("v")
         )
-        .crossJoin(tgt.agg(F.sum("ct").alias("tt")))
+        # both sides are 1-row aggregates; the broadcast hint keeps the
+        # pairing a BNLJ instead of a CartesianProduct when stats-based
+        # auto-broadcast is off
+        .crossJoin(F.broadcast(tgt.agg(F.sum("ct").alias("tt"))))
     )
     q = (
         raw.join(tgt, "token", "left")

@@ -248,6 +248,10 @@ def test_chunk_windows_is_pure_generator(spark):
         # total. The vocab-sized freq join must not add another.
         ("text_unigram_logprob", 1),
         ("text_keyword_extraction", 0),
+        # dsir broadcasts TWO bounded tables: the 1-row target-total and
+        # the 1-row combined totals/vocab-size frame. Both LM joins on
+        # token must stay shuffle equi-joins.
+        ("text_dsir_weights", 2),
     ],
 )
 def test_vocab_joins_never_force_broadcast(spark, key, n_bounded_bcast):
