@@ -4467,3 +4467,147 @@ def agg_repeat_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+_CUPED_SPLIT = "2024-01-16"
+
+
+@query(
+    "agg_cuped_adjusted",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS x,
+             sum(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN CAST(round(value * 100) AS BIGINT)
+                      ELSE 0 END) AS y,
+             max(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      THEN 1 ELSE 0 END) AS has_post
+      FROM events GROUP BY user_id),
+    pop AS (
+      SELECT user_id % 2 AS arm, x, y FROM per_user WHERE has_post = 1),
+    arm_m AS (
+      SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pop GROUP BY arm),
+    pool AS (
+      SELECT sum(n) AS pn, sum(sx) AS psx, sum(sy) AS psy,
+             sum(sxy) AS psxy, sum(sxx) AS psxx
+      FROM arm_m),
+    th AS (
+      SELECT (CAST(pn AS DOUBLE) * CAST(psxy AS DOUBLE)
+              - CAST(psx AS DOUBLE) * CAST(psy AS DOUBLE))
+             / nullif(CAST(pn AS DOUBLE) * CAST(psxx AS DOUBLE)
+                      - CAST(psx AS DOUBLE) * CAST(psx AS DOUBLE), 0.0)
+               AS theta,
+             CAST(psx AS DOUBLE) / CAST(pn AS DOUBLE) AS mx
+      FROM pool)
+    SELECT CAST(a.arm AS BIGINT) AS arm,
+           CAST(a.n AS BIGINT) AS n_users,
+           CAST((2 * a.sy * 100 + a.n) // (2 * a.n) AS DOUBLE) / 10000.0
+             AS mean_y,
+           round((CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE)
+                  - t.theta * (CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+                               - t.mx)) / 100.0, 4) AS mean_adj,
+           round(1.0 - ((CAST(a.n AS DOUBLE) * CAST(a.syy AS DOUBLE)
+                         - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE))
+                        - 2.0 * t.theta
+                          * (CAST(a.n AS DOUBLE) * CAST(a.sxy AS DOUBLE)
+                             - CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE))
+                        + t.theta * t.theta
+                          * (CAST(a.n AS DOUBLE) * CAST(a.sxx AS DOUBLE)
+                             - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE)))
+                 / nullif(CAST(a.n AS DOUBLE) * CAST(a.syy AS DOUBLE)
+                          - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE),
+                          0.0), 6) AS var_reduction,
+           round(t.theta, 6) AS theta
+    FROM arm_m a CROSS JOIN th t
+    ORDER BY arm
+    """,
+)
+def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, "Improving the
+    Sensitivity of Online Controlled Experiments") — the A/B-testing
+    canon piece that `agg_welch_ttest` + `agg_srm_check` lead into:
+    adjust each user's experiment-period metric y by their PRE-period
+    covariate x (adjusted = y − θ(x − x̄), θ = cov(x,y)/var(x) pooled),
+    reporting per deterministic arm (user_id % 2) the raw mean, the
+    CUPED-adjusted mean, and the variance-reduction ratio — how much
+    narrower the confidence interval gets for free.
+
+    Float-parity discipline: x and y are exact int64 cents; all five
+    moments (Σx Σy Σxy Σx² Σy²) are exact integer sums per arm (one hash
+    agg over the user table), so θ, the means, and var(adj) — expanded
+    ALGEBRAICALLY as var(y) − 2θcov + θ²var(x), never a float sum over
+    per-user adjusted values — evaluate as identical double expressions
+    over exact integers in both engines; zero-variance denominators are
+    nullif-guarded. Scale: one user-keyed shuffle to per-user (x, y), a
+    2-row arm-moment table, a 1-row pooled θ broadcast — nothing
+    corpus-proportional past the first aggregation."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    pre = F.col("ts") < F.lit(_CUPED_SPLIT).cast("timestamp")
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, cents).otherwise(0)).alias("x"),
+            F.sum(F.when(~pre, cents).otherwise(0)).alias("y"),
+            F.max(F.when(~pre, 1).otherwise(0)).alias("has_post"),
+        )
+    )
+    pop = per_user.filter(F.col("has_post") == 1).select(
+        (F.col("user_id") % 2).alias("arm"), "x", "y"
+    )
+    arm_m = pop.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    pool = arm_m.agg(
+        F.sum("n").alias("pn"),
+        F.sum("sx").alias("psx"),
+        F.sum("sy").alias("psy"),
+        F.sum("sxy").alias("psxy"),
+        F.sum("sxx").alias("psxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    th = pool.select(
+        (
+            (d("pn") * d("psxy") - d("psx") * d("psy"))
+            / F.nullif(d("pn") * d("psxx") - d("psx") * d("psx"), F.lit(0.0))
+        ).alias("theta"),
+        (d("psx") / d("pn")).alias("mx"),
+    )
+    ny_var = d("n") * d("syy") - d("sy") * d("sy")
+    nxy_cov = d("n") * d("sxy") - d("sx") * d("sy")
+    nx_var = d("n") * d("sxx") - d("sx") * d("sx")
+    t = F.col("theta")
+    return (
+        arm_m.crossJoin(F.broadcast(th))
+        .select(
+            F.col("arm").cast("long").alias("arm"),
+            F.col("n").cast("long").alias("n_users"),
+            (
+                F.expr("CAST((2 * sy * 100 + n) div (2 * n) AS DOUBLE)")
+                / 10000.0
+            ).alias("mean_y"),
+            F.round(
+                (d("sy") / d("n") - t * (d("sx") / d("n") - F.col("mx")))
+                / 100.0,
+                4,
+            ).alias("mean_adj"),
+            F.round(
+                1.0
+                - (ny_var - 2.0 * t * nxy_cov + t * t * nx_var)
+                / F.nullif(ny_var, F.lit(0.0)),
+                6,
+            ).alias("var_reduction"),
+            F.round(t, 6).alias("theta"),
+        )
+        .orderBy("arm")
+    )

@@ -17,9 +17,12 @@ from pyspark.sql import SparkSession
 _DEFAULTS = {
     # Local-mode driver heap: the driver JVM IS the executor in local[N],
     # and Spark's 1g default starves 32 task threads (MemoryStore cache
-    # evictions, OOM under cached iterative queries at sf0.1). 8g is
-    # still <7% of this box; on a cluster executor sizing replaces this.
-    "spark.driver.memory": "8g",
+    # evictions, OOM under cached iterative queries at sf0.1). The sf1
+    # rehearsal showed 8g still OOMs a 32-thread 140M-row shuffle
+    # (~150 MB execution memory per task slot); 32g is 25% of this box
+    # and leaves the task slots ~600 MB each. On a cluster executor
+    # sizing replaces this. Override with $SPARK_GRAFT_DRIVER_MEM.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
     # Shuffle sizing: ~cores locally; AQE coalesces down at tiny SFs and
     # splits skewed partitions at huge ones, so this is a ceiling not a law.
     "spark.sql.shuffle.partitions": "32",

@@ -3240,3 +3240,110 @@ def text_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS toks
+      FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                 toks[i+3] || ' ' || toks[i+4]) AS g
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks) - 4)) AS i
+            FROM t WHERE len(toks) >= 5) q),
+    df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),
+    dup AS (
+      SELECT gr.doc_id, gr.pos FROM grams gr
+      JOIN df ON df.g = gr.g WHERE df.nd > 1),
+    runs AS (
+      SELECT doc_id, pos - row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS grp
+      FROM dup),
+    per_doc AS (
+      SELECT doc_id, max(cnt) AS max_run
+      FROM (SELECT doc_id, grp, count(*) AS cnt
+            FROM runs GROUP BY doc_id, grp) r
+      GROUP BY doc_id)
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(CASE WHEN coalesce(p.max_run, 0) >= 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_spanned,
+           round(CAST(sum(coalesce(p.max_run, 0)) AS DOUBLE)
+                 / count(*), 6) AS avg_max_run,
+           CAST(max(coalesce(p.max_run, 0)) AS BIGINT) AS max_max_run
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication SPANS (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the longest run of CONSECUTIVE 5-gram shingles that also
+    appear in another document — a run of r duplicated shingles is an
+    exact repeated substring of r+4 tokens, which is what substring-
+    level dedup removes and what `text_dup_ngram_coverage`'s unordered
+    coverage ratio cannot see. Reported per source: docs with a
+    ≥3-shingle span (a ≥7-token verbatim repeat), mean and max longest-
+    run — the triage table for WHERE cross-doc boilerplate lives.
+
+    Scale shape: shingles collapse to md5 digests map-side (only
+    digests shuffle), document frequency is one digest-keyed hash agg,
+    the dup flags join back on digest (shuffle equi-join — the digest
+    table grows with the corpus, never broadcast), and the runs resolve
+    with the classic gaps-and-islands pos − row_number() trick inside a
+    doc-keyed window. Docs with no duplicated shingle (or < 5 tokens)
+    re-enter via left join as max_run = 0."""
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.withColumn("toks", F.split(F.lower("text"), " "))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 4),"
+                    " i -> md5(array_join(slice(toks, i, 5), ' ')))"
+                )
+            ).alias("pos0", "g"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "g")
+    )
+    df_counts = grams.groupBy("g").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = (
+        grams.join(df_counts, "g")
+        .filter(F.col("nd") > 1)
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup.select(
+        "doc_id", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    per_doc = (
+        runs.groupBy("doc_id", "grp")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_run"))
+    )
+    mr = F.coalesce("max_run", F.lit(0))
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(mr >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_spanned"),
+            F.round(F.sum(mr).cast("double") / F.count("*"), 6).alias(
+                "avg_max_run"
+            ),
+            F.max(mr).cast("long").alias("max_max_run"),
+        )
+        .orderBy("source")
+    )
