@@ -379,7 +379,17 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The O(n²) pair space is pruned to within-bucket pairs; recall against
     the exact `sim_cosine_topk` is invariant-tested (tests/test_vectorops).
-    """
+
+    Documented scale envelope (measured in the r5 sf1 rehearsal,
+    BASELINE.md): on THIS corpus the prune is a constant ~25% fraction
+    of the pair space, so candidate output grows with n² — forced by
+    the corpus's τ≈0.4 similarity gap, where raising bits-per-band to
+    suppress random collisions collapses true-neighbor recall (0.63⁷
+    per-band match probability) and restoring it needs hundreds of
+    bands. On real corpora with near-dups at cos ≥ 0.8 the identical
+    machinery prunes subquadratically; the parameters are a (τ, recall)
+    trade the operator pins with its recall/prune invariants rather
+    than silently auto-tuning away."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sig = lsh_signatures(spark, e)
     a = sig.alias("a")
