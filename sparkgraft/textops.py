@@ -3347,3 +3347,67 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dedup_soft_weights",
+    oracle="""
+    WITH fam AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS digest
+      FROM documents),
+    sizes AS (SELECT digest, count(*) AS k FROM fam GROUP BY digest),
+    per_sk AS (
+      SELECT f.source, s.k, count(*) AS n_sk
+      FROM fam f JOIN sizes s ON s.digest = f.digest
+      GROUP BY f.source, s.k),
+    agg_ AS (
+      SELECT source, sum(n_sk) AS n_docs,
+             sum(CAST(round(1e6 * n_sk / k) AS BIGINT)) AS micro
+      FROM per_sk GROUP BY source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(CAST(micro AS DOUBLE) / 1e6, 6) AS effective_docs,
+           round(CAST(micro AS DOUBLE) / (1e6 * n_docs), 6) AS mass_ratio
+    FROM agg_ ORDER BY source
+    """,
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT deduplication weights: instead of dropping duplicates, give
+    every document sampling weight 1/k where k is its exact-dup family
+    size (normalized-text digest, corpus-global) — the downweighting
+    scheme production pipelines use when hard dedup would distort the
+    source mix. Reported per source: raw docs, effective (weighted)
+    docs, and the retained mass ratio — the number that says how much a
+    source's apparent size is duplicate inflation.
+
+    Determinism: per-(source, family-size) counts are exact integers
+    from two hash aggregations; each n/k quotient quantizes to int64
+    micro-docs BEFORE the per-source sum (the µnat discipline), so no
+    float accumulates across partitions. Scale: digests move instead of
+    text, the family-size table joins back on digest as a shuffle
+    equi-join (grows with the corpus, never broadcast), and the
+    (source × distinct-family-size) domain is bounded."""
+    fam = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("digest")
+    )
+    sizes = fam.groupBy("digest").agg(F.count("*").alias("k"))
+    per_sk = (
+        fam.join(sizes, "digest")
+        .groupBy("source", "k")
+        .agg(F.count("*").alias("n_sk"))
+    )
+    agg_ = per_sk.groupBy("source").agg(
+        F.sum("n_sk").alias("n_docs"),
+        F.sum(
+            F.round(1e6 * F.col("n_sk") / F.col("k")).cast("long")
+        ).alias("micro"),
+    )
+    return agg_.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("micro").cast("double") / 1e6, 6).alias(
+            "effective_docs"
+        ),
+        F.round(
+            F.col("micro").cast("double") / (1e6 * F.col("n_docs")), 6
+        ).alias("mass_ratio"),
+    ).orderBy("source")

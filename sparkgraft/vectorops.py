@@ -1547,3 +1547,93 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_prototype_prune",
+    oracle=f"""
+    WITH pos AS (
+      SELECT label, i.i AS pos, avg(CAST(embedding[i.i + 1] AS DOUBLE)) AS m
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i
+      GROUP BY label, i.i),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS centroid
+      FROM pos GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             {_SQL_DOT.format(a="e.embedding", b="c.centroid")}
+               / (sqrt({_SQL_DOT.format(a="e.embedding", b="e.embedding")})
+                  * sqrt({_SQL_DOT.format(a="c.centroid", b="c.centroid")}))
+               AS c
+      FROM embeddings e JOIN cent c ON e.label = c.label),
+    ranked AS (
+      SELECT label, vec_id, c,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY c DESC, vec_id) AS rnk,
+             count(*) OVER (PARTITION BY label) AS n
+      FROM scored)
+    SELECT label,
+           CAST(any_value(n) AS BIGINT) AS n_vecs,
+           CAST(any_value(n) // 5 AS BIGINT) AS n_pruned,
+           round(min(CASE WHEN rnk <= n // 5 THEN c END), 6) AS cut_cosine,
+           round(avg(CASE WHEN rnk > n // 5 THEN c END), 6)
+             AS kept_avg_cos
+    FROM ranked GROUP BY label ORDER BY label
+    """,
+)
+def sim_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototype-based data pruning (Sorscher et al. 2022, "Beyond
+    neural scaling laws"): within each label's embedding cluster, the
+    MOST prototypical examples (highest cosine to the class centroid)
+    are the least informative and get pruned first — here the top 20%
+    per label (exact integer cut, n div 5), reporting the cosine
+    threshold at the cut and the kept set's mean cohesion. The
+    diversity-preserving counterpart to `sim_centroid_outliers` (which
+    flags the other tail).
+
+    Same scale shape as `sim_centroid_per_label`: centroids from a
+    (label, pos) partial+final aggregate (≤ labels × dim shuffle rows),
+    broadcast back; scoring row-local; the rank window is keyed per
+    label with the heavy reduction already done. The 20% cut is integer
+    arithmetic on the window count — no float boundary to disagree
+    on."""
+    e = load(spark, sf_dir, "embeddings")
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        )
+    )
+    scored = e.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        cosine(F.col("embedding"), F.col("centroid")).alias("c"),
+    )
+    wl = Window.partitionBy("label")
+    ranked = scored.select(
+        "label",
+        "c",
+        F.row_number()
+        .over(wl.orderBy(F.desc("c"), "vec_id"))
+        .alias("rnk"),
+        F.count("*").over(wl).alias("n"),
+    )
+    pruned = F.col("rnk") <= F.expr("n div 5")
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.any_value("n").cast("long").alias("n_vecs"),
+            F.expr("CAST(any_value(n) div 5 AS BIGINT)").alias("n_pruned"),
+            F.round(F.min(F.when(pruned, F.col("c"))), 6).alias("cut_cosine"),
+            F.round(F.avg(F.when(~pruned, F.col("c"))), 6).alias(
+                "kept_avg_cos"
+            ),
+        )
+        .orderBy("label")
+    )
