@@ -359,3 +359,70 @@ def connected_components(
         )
     )
     return labels, rounds_used
+
+
+@query(
+    "graph_components_copurchase",
+    oracle="""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs),
+    walk(id, reach) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT CAST(id AS BIGINT) AS p_partkey,
+           CAST(min(reach) AS BIGINT) AS component_id
+    FROM walk GROUP BY id ORDER BY p_partkey
+    """,
+)
+def graph_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-purchase graph: parts are linked
+    when they appear together in ≥ 2 distinct orders (the support
+    threshold separates signal from one-off basket noise), every part
+    labeled with its component's minimum partkey — the product-affinity
+    clustering behind "frequently bought together" groups, and the
+    second first-class consumer of `connected_components`' alternating
+    large-star/small-star contraction (O(log n) rounds at any component
+    diameter; `dedup_cluster_cc` is the first).
+
+    Scale shape: pair generation is a self equi-join on the order key
+    (per-order fan-out is bounded by order size — a domain constant, so
+    no skew blow-up), support filtering is one pair-keyed hash agg, and
+    the CC loop shuffles only vertex-id-keyed frames. Parts never
+    co-purchased label themselves via the vertex left join. The oracle
+    walks reachability with a recursive CTE — min(reachable) is exactly
+    the component minimum."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    vertices = load(spark, sf_dir, "part").select("p_partkey")
+    labels, _rounds = connected_components(
+        pairs, vertices, id_col="p_partkey", label_col="component_id"
+    )
+    return labels.orderBy("p_partkey")

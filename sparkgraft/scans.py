@@ -790,3 +790,58 @@ def scan_glob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "scan_bloom_filter_pointlookup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_custkey IN (17, 1700, 170000)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def scan_bloom_filter_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM-FILTER point lookup — the data-skipping layout for
+    high-cardinality keys where min/max row-group stats are useless
+    (customer ids are spread across every row group, so a `custkey IN
+    (...)` filter prunes NOTHING by stats alone; a per-row-group bloom
+    filter rejects row groups that definitely lack the key). The write
+    sets `parquet.bloom.filter.enabled#o_custkey` so parquet-mr embeds
+    a bloom per row group; the read-back pushes the IN filter to the
+    scan (PushedFilters: In(o_custkey, ...)), where the parquet reader
+    consults the bloom before decoding pages. At 100 TB this is the
+    difference between a point lookup touching ~every file and touching
+    only the files whose blooms fire. Results are exact either way —
+    blooms only skip true negatives — so the oracle is the plain
+    filter; the physical proof is the write option + pushed filter
+    (plan-asserted in tests/test_plans.py). Note parquet-mr SKIPS the
+    bloom for chunks whose column fully dictionary-encodes (the dict is
+    already an exact membership filter) — true at the test SFs, false
+    for a 100 TB high-cardinality key, which is when the bloom bitsets
+    actually land (byte-level-asserted with dictionary off in the plan
+    test)."""
+    out = _scratch(sf_dir, "orders_bloom")
+    (
+        load(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("o_custkey").isin(17, 1700, 170000)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1122,3 +1122,44 @@ def test_ri_audit_is_anti_joins_only(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_pointlookup_pushdown_and_physical_bloom(spark):
+    # The IN filter must reach the parquet scan (bloom filters only help
+    # if the reader sees the point predicate). Physical proof of the
+    # write option: parquet-mr SKIPS blooms for fully dictionary-encoded
+    # chunks (the dictionary is already an exact membership filter — at
+    # tiny SF every custkey chunk dict-encodes), so the byte-level check
+    # disables dictionary encoding, which is exactly the regime a
+    # 100 TB high-cardinality key is in: with the option the same rows
+    # must occupy measurably more bytes (the serialized bloom bitsets).
+    import glob
+    import os
+
+    df = sparkgraft.QUERIES["scan_bloom_filter_pointlookup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "In(o_custkey" in plan, plan
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _scratch
+
+    src = load(spark, SF_DIR, "orders")
+    plain = _scratch(SF_DIR, "orders_nobloom")
+    src.write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(plain)
+    bloomed = _scratch(SF_DIR, "orders_bloom_nodict")
+    (
+        src.write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "200000")
+        .parquet(bloomed)
+    )
+
+    def total(path):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
+    assert total(bloomed) > total(plain) + 4096
