@@ -426,3 +426,109 @@ def graph_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, vertices, id_col="p_partkey", label_col="component_id"
     )
     return labels.orderBy("p_partkey")
+
+
+_BFS_SEED_BRAND = "Brand#11"
+_BFS_MAX_HOPS = 20
+
+
+@query(
+    "graph_bfs_copurchase",
+    oracle=f"""
+    WITH RECURSIVE li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    edges AS (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs),
+    walk(id, hop) AS (
+      SELECT p_partkey, 0 FROM part WHERE p_brand = '{_BFS_SEED_BRAND}'
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.hop < {_BFS_MAX_HOPS}),
+    d AS (SELECT id, min(hop) AS depth FROM walk GROUP BY id)
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
+           CAST(d.depth AS INT) AS depth
+    FROM part p LEFT JOIN d ON d.id = p.p_partkey
+    ORDER BY p_partkey
+    """,
+)
+def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the co-purchase graph: every
+    part's minimum hop count from the seed set (all parts of one brand)
+    through support-≥2 co-purchase edges — the "how far is this product
+    from the anchor assortment" reach metric, and the remaining classic
+    iterative-MapReduce shape (frontier expansion) after PageRank
+    (power iteration), connected components (star contraction), k-means
+    (Lloyd), and BPE (merge loop).
+
+    Textbook frontier BFS: each round joins the current frontier to the
+    edge list (vertex-keyed equi-shuffle), anti-joins already-visited
+    vertices, and stamps the hop — rounds = eccentricity of the seed
+    set, each round's driver traffic one scalar count. Unreachable
+    parts keep NULL depth via the final left join. A {_BFS_MAX_HOPS}-hop
+    cap fails loudly (mirrored as the oracle CTE's recursion guard)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    part = load(spark, sf_dir, "part")
+    depth = (
+        part.filter(F.col("p_brand") == _BFS_SEED_BRAND)
+        .select(F.col("p_partkey").alias("id"), F.lit(0).alias("depth"))
+        .localCheckpoint()
+    )
+    frontier = depth.select("id")
+    exhausted = True
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(depth.select("id"), "id", "left_anti")
+            .select("id", F.lit(hop).alias("depth"))
+            .localCheckpoint()
+        )
+        if nxt.count() == 0:
+            exhausted = False
+            break
+        depth = depth.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("id")
+    if exhausted:
+        raise RuntimeError(
+            f"graph_bfs_copurchase: frontier alive past {_BFS_MAX_HOPS} hops"
+        )
+    return (
+        part.select("p_partkey")
+        .join(depth, part.p_partkey == depth.id, "left")
+        .select("p_partkey", F.col("depth").cast("int").alias("depth"))
+        .orderBy("p_partkey")
+    )

@@ -845,3 +845,125 @@ def scan_bloom_filter_pointlookup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+_DQ_DATE_CUTOFF = "2000-01-01"
+
+
+@query(
+    "dq_rule_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nv_null,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nv_price,
+             sum(CASE WHEN o_orderdate >= TIMESTAMP '{_DQ_DATE_CUTOFF}'
+                      THEN 1 ELSE 0 END) AS nv_date,
+             sum(CASE WHEN o_orderpriority NOT IN
+                      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+                      THEN 1 ELSE 0 END) AS nv_prio,
+             sum(CASE WHEN o_orderstatus NOT IN ('P','O','F')
+                      THEN 1 ELSE 0 END) AS nv_status,
+             count(*) - count(DISTINCT o_orderkey) AS nv_unique
+      FROM orders),
+    fk AS (
+      SELECT count(*) AS nv_fk FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)),
+    rules AS (
+      SELECT 'custkey_not_null' AS rule, n, nv_null AS nv FROM base
+      UNION ALL SELECT 'fk_customer_exists', b.n, f.nv_fk
+                FROM base b CROSS JOIN fk f
+      UNION ALL SELECT 'orderdate_in_window', n, nv_date FROM base
+      UNION ALL SELECT 'orderkey_unique', n, nv_unique FROM base
+      UNION ALL SELECT 'price_positive', n, nv_price FROM base
+      UNION ALL SELECT 'priority_in_domain', n, nv_prio FROM base
+      UNION ALL SELECT 'status_in_domain', n, nv_status FROM base)
+    SELECT rule, CAST(n AS BIGINT) AS n_checked,
+           CAST(nv AS BIGINT) AS n_violations, (nv = 0) AS pass
+    FROM rules ORDER BY rule
+    """,
+)
+def dq_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS report (the Great-Expectations-style
+    validation job every Hadoop-era utility belt carried): seven rules
+    over the orders table — null checks, value-domain membership,
+    positivity, a freshness window, key uniqueness, and referential
+    integrity against customer — each reported as (checked, violations,
+    pass). The freshness-window rule genuinely fires on this corpus
+    (orders past {_DQ_DATE_CUTOFF}), so the report exercises both
+    outcomes.
+
+    Scale shape: all row-local rules fold into ONE conditional
+    aggregation pass over the table (single scan, 7-counter reduce);
+    uniqueness rides the same pass as an exact distinct; the FK rule is
+    one anti-join keyed on the customer key (shuffle equi-join — AQE
+    broadcasts the dim when genuinely small). The report itself is a
+    7-row constant assembled with stack(), never a per-rule re-scan."""
+    o = load(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "nv_null"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nv_price"
+        ),
+        F.sum(
+            F.when(
+                F.col("o_orderdate")
+                >= F.lit(_DQ_DATE_CUTOFF).cast("timestamp"),
+                1,
+            ).otherwise(0)
+        ).alias("nv_date"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT",
+                    "2-HIGH",
+                    "3-MEDIUM",
+                    "4-NOT SPECIFIED",
+                    "5-LOW",
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("nv_prio"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("P", "O", "F"), 1).otherwise(
+                0
+            )
+        ).alias("nv_status"),
+        (F.count("*") - F.count_distinct("o_orderkey")).alias("nv_unique"),
+    )
+    fk = (
+        o.join(
+            load(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("o_custkey")
+            ),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("nv_fk"))
+    )
+    stacked = (
+        base.crossJoin(F.broadcast(fk))
+        .select(
+            F.expr(
+                "stack(7,"
+                " 'custkey_not_null', nv_null,"
+                " 'fk_customer_exists', nv_fk,"
+                " 'orderdate_in_window', nv_date,"
+                " 'orderkey_unique', nv_unique,"
+                " 'price_positive', nv_price,"
+                " 'priority_in_domain', nv_prio,"
+                " 'status_in_domain', nv_status) AS (rule, nv)"
+            ),
+            "n",
+        )
+    )
+    return stacked.select(
+        "rule",
+        F.col("n").cast("long").alias("n_checked"),
+        F.col("nv").cast("long").alias("n_violations"),
+        (F.col("nv") == 0).alias("pass"),
+    ).orderBy("rule")
