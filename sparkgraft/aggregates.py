@@ -4611,3 +4611,253 @@ def agg_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@query(
+    "agg_kaplan_meier",
+    oracle=f"""
+    WITH su AS (
+      SELECT user_id, min(ts) AS su FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    pu AS (
+      SELECT e.user_id, min(e.ts) AS pu
+      FROM events e JOIN su ON su.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > su.su
+      GROUP BY e.user_id),
+    mx AS (SELECT max(ts) AS mx FROM events),
+    subj AS (
+      SELECT s.user_id,
+             CASE WHEN p.pu IS NOT NULL
+                  THEN (epoch_us(p.pu) - epoch_us(s.su)) // {_US_PER_DAY}
+                  ELSE (epoch_us(mx.mx) - epoch_us(s.su)) // {_US_PER_DAY}
+             END AS dur,
+             (p.pu IS NOT NULL) AS ev
+      FROM su s LEFT JOIN pu p ON p.user_id = s.user_id CROSS JOIN mx),
+    tot AS (SELECT count(*) AS n FROM subj),
+    hist AS (
+      SELECT dur, sum(CASE WHEN ev THEN 1 ELSE 0 END) AS d,
+             count(*) AS ends
+      FROM subj GROUP BY dur),
+    r AS (
+      SELECT dur, d,
+             t.n - coalesce(sum(ends) OVER (ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS n_risk
+      FROM hist CROSS JOIN tot t),
+    q AS (
+      SELECT dur, d, n_risk,
+             sum(CASE WHEN d < n_risk
+                      THEN CAST(round(ln(CAST(n_risk - d AS DOUBLE)
+                                        / CAST(n_risk AS DOUBLE)) * 1e6)
+                                AS BIGINT)
+                      ELSE 0 END)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cum_q,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS zeroed
+      FROM r)
+    SELECT CAST(dur AS INT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CASE WHEN zeroed = 1 THEN 0.0
+                ELSE round(exp(CAST(cum_q AS DOUBLE) / 1e6), 6) END
+             AS survival
+    FROM q WHERE d > 0 ORDER BY t_days
+    """,
+)
+def agg_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-first-purchase after
+    signup, right-censored at the corpus horizon — THE estimator for
+    "how long until users convert" when many never do (dropping
+    censored users biases the curve optimistic; `agg_gap_survival` is
+    the uncensored gap variant). Each user contributes duration = days
+    from first signup to first SUBSEQUENT purchase (event) or to the
+    max timestamp (censored); S(t) = Π over event days ≤ t of
+    (1 − d/n_risk).
+
+    Determinism discipline: every KM factor is ln((r−d)/r) of EXACT
+    integer risk/death counts, quantized to int64 µnats, summed by an
+    ordered window over the BOUNDED day domain, and exponentiated once
+    per output row — no float product chain whose association order
+    could differ. Scale: two user-keyed aggregations, a 1-row horizon
+    broadcast, and windows over ≤|days| rows."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("su"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("su"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pu"))
+    )
+    mx = ev.agg(F.max("ts").alias("mx"))
+    dur_ev = F.expr(
+        f"(unix_micros(pu) - unix_micros(su)) div {_US_PER_DAY}"
+    )
+    dur_cn = F.expr(
+        f"(unix_micros(mx) - unix_micros(su)) div {_US_PER_DAY}"
+    )
+    subj = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.when(F.col("pu").isNotNull(), dur_ev)
+            .otherwise(dur_cn)
+            .alias("dur"),
+            F.col("pu").isNotNull().alias("ev"),
+        )
+        .localCheckpoint()  # subj feeds both the histogram and the total
+    )
+    tot = subj.agg(F.count("*").alias("n"))
+    hist = subj.groupBy("dur").agg(
+        F.sum(F.when(F.col("ev"), 1).otherwise(0)).alias("d"),
+        F.count("*").alias("ends"),
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = hist.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("ends").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # the final event day can empty the risk set (d == n_risk): the KM
+    # factor is exactly 0 there, so ln() is guarded and a cumulative
+    # flag pins survival to 0.0 from that day on (both engines)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    q = r.select(
+        "dur",
+        "d",
+        "n_risk",
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n_risk"),
+                F.round(
+                    F.log(
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                    * 1e6
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .over(w_cum)
+        .alias("cum_q"),
+        F.max(
+            F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w_cum)
+        .alias("zeroed"),
+    )
+    return (
+        q.filter(F.col("d") > 0)
+        .select(
+            F.col("dur").cast("int").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_events"),
+            F.when(F.col("zeroed") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.col("cum_q").cast("double") / 1e6), 6)
+            )
+            .alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+@query(
+    "agg_diff_in_diff",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id % 2 AS arm,
+             CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT}' THEN 1 ELSE 0 END
+               AS post,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    m AS (
+      SELECT arm, post, count(*) AS n, sum(cents) AS s,
+             CAST((2 * sum(cents) * 100 + count(*))
+                  // (2 * count(*)) AS DOUBLE) / 10000.0 AS mean_v
+      FROM cells GROUP BY arm, post)
+    SELECT CAST(any_value(CASE WHEN arm = 0 AND post = 0 THEN n END)
+                + any_value(CASE WHEN arm = 0 AND post = 1 THEN n END)
+                + any_value(CASE WHEN arm = 1 AND post = 0 THEN n END)
+                + any_value(CASE WHEN arm = 1 AND post = 1 THEN n END)
+                AS BIGINT) AS n_events,
+           any_value(CASE WHEN arm = 0 AND post = 0 THEN mean_v END)
+             AS ctrl_pre,
+           any_value(CASE WHEN arm = 0 AND post = 1 THEN mean_v END)
+             AS ctrl_post,
+           any_value(CASE WHEN arm = 1 AND post = 0 THEN mean_v END)
+             AS treat_pre,
+           any_value(CASE WHEN arm = 1 AND post = 1 THEN mean_v END)
+             AS treat_post,
+           round((any_value(CASE WHEN arm = 1 AND post = 1 THEN mean_v END)
+                  - any_value(CASE WHEN arm = 1 AND post = 0 THEN mean_v END))
+                 - (any_value(CASE WHEN arm = 0 AND post = 1 THEN mean_v END)
+                    - any_value(CASE WHEN arm = 0 AND post = 0 THEN mean_v END)),
+                 4) AS did_estimate
+    FROM m
+    """,
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator: (treatment post − pre) minus
+    (control post − pre) over mean event value, with the same
+    deterministic arm split and period boundary as `agg_cuped_adjusted`
+    — the quasi-experimental workhorse when randomization happened at a
+    time boundary rather than per request. The four cell means are
+    exact half-up integer divisions on the 10⁻⁴-dollar grid, so the DiD
+    estimate is one subtraction of exact grid values — nothing float
+    accumulates. One conditional hash agg over events; the output is a
+    single row."""
+    post = (
+        F.col("ts") >= F.lit(_CUPED_SPLIT).cast("timestamp")
+    ).cast("int")
+    cells = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        post.alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = cells.groupBy("arm", "post").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "CAST((2 * sum(cents) * 100 + count(*))"
+            " div (2 * count(*)) AS DOUBLE) / 10000.0"
+        ).alias("mean_v"),
+    )
+
+    def cell(a, p, col):
+        # max over the single matching cell — any_value would need
+        # ignorenulls to skip the three non-matching NULLs
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("post") == p), F.col(col))
+        )
+
+    return m.agg(
+        (
+            cell(0, 0, "n") + cell(0, 1, "n") + cell(1, 0, "n")
+            + cell(1, 1, "n")
+        )
+        .cast("long")
+        .alias("n_events"),
+        cell(0, 0, "mean_v").alias("ctrl_pre"),
+        cell(0, 1, "mean_v").alias("ctrl_post"),
+        cell(1, 0, "mean_v").alias("treat_pre"),
+        cell(1, 1, "mean_v").alias("treat_post"),
+        F.round(
+            (cell(1, 1, "mean_v") - cell(1, 0, "mean_v"))
+            - (cell(0, 1, "mean_v") - cell(0, 0, "mean_v")),
+            4,
+        ).alias("did_estimate"),
+    )
