@@ -90,6 +90,25 @@ GROUP3 = [
     "text_dataset_card",      # three keyed corpus aggs joined per source
 ]
 
+# Fourth group (round 5): the r5 additions — tokenizer merge training,
+# DSIR weighting, substring dup spans, soft dedup, experimentation
+# (CUPED / DiD / KM), graph CC + BFS, prototype pruning, DQ report,
+# bloom point lookup. Same protocol, own total.
+GROUP4 = [
+    "text_bpe_merges",
+    "text_dsir_weights",
+    "text_dup_spans",
+    "dedup_soft_weights",
+    "agg_cuped_adjusted",
+    "agg_diff_in_diff",
+    "agg_kaplan_meier",
+    "graph_components_copurchase",
+    "graph_bfs_copurchase",
+    "sim_prototype_prune",
+    "dq_rule_report",
+    "scan_bloom_filter_pointlookup",
+]
+
 TIMED_REPS = 7
 # Heavy queries (the output-bound dedup family runs ~30 s at sf0.1) stop
 # at min-of-3 so the whole bench stays inside the driver's window; the
@@ -136,6 +155,9 @@ def main() -> int:
     timings3, traces3 = _time_group(
         spark, sf_dir, [k for k in GROUP3 if k in sparkgraft.QUERIES], loadavg_samples
     )
+    timings4, traces4 = _time_group(
+        spark, sf_dir, [k for k in GROUP4 if k in sparkgraft.QUERIES], loadavg_samples
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Compact stdout line (< 2 KB): group totals + per-query minima only.
@@ -153,12 +175,14 @@ def main() -> int:
         "group2_queries": timings2,
         "group3_total": round(sum(timings3.values()), 4),
         "group3_queries": timings3,
+        "group4_total": round(sum(timings4.values()), 4),
+        "group4_queries": timings4,
         "trace_file": "BENCH_trace.json",
     }
     trace = dict(result)
     trace.update(
         {"runs": traces, "group2_runs": traces2, "group3_runs": traces3,
-         "loadavg": loadavg_samples}
+         "group4_runs": traces4, "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_trace.json")

@@ -4861,3 +4861,84 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_estimate"),
     )
+
+
+# two-sided α=0.05, power 80%: (z_{0.975} + z_{0.8})² — fixed literals in
+# both engines so the only data-dependent inputs are the exact moments
+_POWER_Z_SUM_SQ = (1.959963984540054 + 0.8416212335729143) ** 2
+
+
+@query(
+    "agg_power_analysis",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    m AS (
+      SELECT count(*) AS n, sum(cents) AS s,
+             sum(cents * cents) AS ss
+      FROM c)
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           CAST((2 * s * 100 + n) // (2 * n) AS DOUBLE) / 10000.0
+             AS mean_value,
+           round(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                      / (CAST(n AS DOUBLE)
+                         * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 4)
+             AS sd_value,
+           CAST(ceil(2.0 * {_POWER_Z_SUM_SQ}
+                     * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     / ((0.01 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (0.01 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))))
+                AS BIGINT) AS n_per_arm_mde1pct,
+           CAST(ceil(2.0 * {_POWER_Z_SUM_SQ}
+                     * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     / ((0.05 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (0.05 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))))
+                AS BIGINT) AS n_per_arm_mde5pct
+    FROM m
+    """,
+)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment POWER analysis from observed variance: the sample size
+    per arm needed to detect a 1% (and 5%) relative lift in mean
+    purchase value at two-sided α = 0.05 with 80% power —
+    n = 2σ²(z₀.₉₇₅ + z₀.₈)²/δ², the planning number every A/B review
+    asks for before `agg_welch_ttest` ever runs. The z constants are
+    engine literals; mean and variance come from exact int64-cent
+    moments (n, Σx, Σx²) in ONE hash-agg pass, so both engines evaluate
+    the identical closed-form double and ceil() to the same integer.
+    Completes the experimentation family: SRM gate → power plan → CUPED
+    → Welch test → DiD."""
+    c = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+    )
+    m = c.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    d = lambda col: F.col(col).cast("double")  # noqa: E731
+    var_c = (d("n") * d("ss") - d("s") * d("s")) / (d("n") * (d("n") - 1.0))
+    mean_c = d("s") / d("n")
+
+    def n_req(mde):
+        return F.ceil(
+            2.0 * _POWER_Z_SUM_SQ * var_c / ((mde * mean_c) * (mde * mean_c))
+        ).cast("long")
+
+    return m.select(
+        F.col("n").cast("long").alias("n_obs"),
+        (
+            F.expr("CAST((2 * s * 100 + n) div (2 * n) AS DOUBLE)") / 10000.0
+        ).alias("mean_value"),
+        F.round(F.sqrt(var_c) / 100.0, 4).alias("sd_value"),
+        n_req(0.01).alias("n_per_arm_mde1pct"),
+        n_req(0.05).alias("n_per_arm_mde5pct"),
+    )
