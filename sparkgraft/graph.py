@@ -334,8 +334,11 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
+        # exact set-equality check in ONE job: the union of both set
+        # differences is empty iff the edge sets match; isEmpty() stops
+        # at the first surviving row instead of counting them all
         unchanged = (
-            small.count() == e.count() and small.subtract(e).count() == 0
+            small.subtract(e).unionAll(e.subtract(small)).isEmpty()
         )
         e = small
         if unchanged:
