@@ -3411,3 +3411,122 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("micro").cast("double") / (1e6 * F.col("n_docs")), 6
         ).alias("mass_ratio"),
     ).orderBy("source")
+
+
+_CONTAINMENT_TAU = 0.9
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_DUP_PREFIX_LEN}) AS ckey
+      FROM documents),
+    tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS da, b.doc_id AS db
+      FROM d a JOIN d b ON a.ckey = b.ckey AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT p.da, p.db, count(*) AS o
+      FROM pairs p
+      JOIN tok ta ON ta.doc_id = p.da
+      JOIN tok tb ON tb.doc_id = p.db AND tb.t = ta.t
+      GROUP BY p.da, p.db),
+    c AS (
+      SELECT i.da, i.db, i.o, sa.n AS na, sb.n AS nb
+      FROM inter i
+      JOIN sz sa ON sa.doc_id = i.da
+      JOIN sz sb ON sb.doc_id = i.db
+      WHERE i.o * 10 >= {int(_CONTAINMENT_TAU * 10)} * least(sa.n, sb.n))
+    SELECT CAST(CASE WHEN na = nb THEN least(da, db)
+                     WHEN na > nb THEN da ELSE db END AS BIGINT) AS outer_doc,
+           CAST(CASE WHEN na = nb THEN greatest(da, db)
+                     WHEN na > nb THEN db ELSE da END AS BIGINT) AS inner_doc,
+           round(CAST(o AS DOUBLE) / least(na, nb), 6) AS containment
+    FROM c ORDER BY outer_doc, inner_doc
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup: pairs where the smaller document's
+    token set is ≥ 90% contained in the larger's — the quoted/embedded
+    duplication that symmetric Jaccard MISSES (a tweet quoted inside an
+    article has tiny Jaccard but containment ≈ 1). The containment
+    predicate cross-multiplies to exact integers (o·10 ≥ 9·min(n_a,n_b)
+    — no float threshold), direction is decided by exact set sizes
+    (ties to the lower doc_id as outer), and the reported score is one
+    final divide.
+
+    Candidates come from the corpus's prefix candidate key
+    (`with_candidate_key` discipline, shared with `dedup_keep_best`);
+    verification joins each candidate pair to the two distinct-token
+    inventories and counts the real intersection — all shuffle
+    equi-joins on doc/prefix keys. At 100 TB the candidate generator
+    swaps to `dedup_ngram_jaccard`'s hashed prefix-filter machinery
+    (PPJoin handles containment with the same prefix bound under the
+    |A| ≥ τ·min norm); the verify stage is unchanged."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _DUP_PREFIX_LEN).alias("ckey")
+    )
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), " ")).alias("t"),
+        )
+        .distinct()
+    )
+    tokset = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("t")).alias("toks"),
+        F.count("*").alias("n"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+    )
+    ta = tokset.select(
+        F.col("doc_id").alias("da"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    tb = tokset.select(
+        F.col("doc_id").alias("db"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    o = F.size(F.array_intersect("toks_a", "toks_b"))
+    scored = (
+        pairs.join(ta, "da")
+        .join(tb, "db")
+        .select("da", "db", "na", "nb", o.alias("o"))
+        .filter(
+            F.col("o") * 10
+            >= int(_CONTAINMENT_TAU * 10) * F.least("na", "nb")
+        )
+    )
+    na, nb = F.col("na"), F.col("nb")
+    da, db = F.col("da"), F.col("db")
+    return (
+        scored.select(
+            F.when(na == nb, F.least(da, db))
+            .when(na > nb, da)
+            .otherwise(db)
+            .cast("long")
+            .alias("outer_doc"),
+            F.when(na == nb, F.greatest(da, db))
+            .when(na > nb, db)
+            .otherwise(da)
+            .cast("long")
+            .alias("inner_doc"),
+            F.round(
+                F.col("o").cast("double") / F.least(na, nb), 6
+            ).alias("containment"),
+        )
+        .orderBy("outer_doc", "inner_doc")
+    )
