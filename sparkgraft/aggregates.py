@@ -4942,3 +4942,143 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_req(0.01).alias("n_per_arm_mde1pct"),
         n_req(0.05).alias("n_per_arm_mde5pct"),
     )
+
+
+_TW_HOURS = 6
+_TW_US = _TW_HOURS * 3600 * 1000000
+
+
+@query(
+    "agg_time_window_buckets",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL {_TW_HOURS} HOUR, ts) AS window_start,
+           time_bucket(INTERVAL {_TW_HOURS} HOUR, ts)
+             + INTERVAL {_TW_HOURS} HOUR AS window_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2 ORDER BY window_start
+    """,
+)
+def agg_time_window_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling-time-window aggregation via Spark's `window()`
+    FUNCTION — the same epoch-aligned bucketing primitive the streaming
+    keys use (`stream_tumbling_counts`), exercised on the batch path:
+    group events into 6-hour windows, emit (start, end,
+    count, exact cents). One hash aggregate; the window struct is
+    computed row-local in codegen, so this is exactly a groupBy on
+    floor(epoch/width) with calendar-typed bounds. The oracle's
+    `time_bucket` is epoch-aligned the same way; money follows the
+    int64-cents discipline."""
+    w = F.window("ts", f"{_TW_HOURS} hours")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "cents",
+        )
+        .orderBy("window_start")
+    )
+
+
+_BM25_TERMS = ("scan", "hash", "data")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents),
+    dlen AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, sum(len) AS total_len FROM dlen),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf FROM tok
+      WHERE t IN ('scan', 'hash', 'data') GROUP BY doc_id, t),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.len
+                    / (CAST(s.total_len AS DOUBLE) / s.n)))
+               * 1e6) AS BIGINT) AS q
+      FROM tf
+      JOIN df ON df.t = tf.t
+      JOIN dlen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    agg_ AS (
+      SELECT doc_id, sum(q) AS score_u FROM scored GROUP BY doc_id)
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           round(CAST(score_u AS DOUBLE) / 1e6, 6) AS bm25
+    FROM agg_
+    ORDER BY score_u DESC, doc_id LIMIT {_BM25_TOPN}
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson–Spärck Jones probabilistic IR
+    canon; k1=1.2, b=0.75): top-20 documents for
+    a fixed conjunctive query, the relevance scoring `text_tfidf`'s
+    weights feed in every search stack. Per-(doc, term) scores are
+    closed-form doubles over EXACT integers (tf, df, N, doc length,
+    total length) and QUANTIZE to int64 µ-units before the per-doc sum
+    — so the cross-term addition is an exact integer in any partition
+    order, and the ranking (with doc_id tie-break) cannot flip across
+    engines. Scale: tf/df are token-keyed hash aggs pre-filtered to
+    the query terms (the corpus-wide inverted index never materializes
+    for a |q|-term query), corpus stats ride a 1-row broadcast, and
+    the top-N is a TakeOrdered."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("t")
+    )
+    dlen = tok.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dlen.agg(
+        F.count("*").alias("n"), F.sum("len").alias("total_len")
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").alias("df"))
+    avglen = F.col("total_len").cast("double") / F.col("n")
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tf_norm = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("len") / avglen)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * tf_norm * 1e6).cast("long").alias("q"),
+        )
+    )
+    agg_ = scored.groupBy("doc_id").agg(F.sum("q").alias("score_u"))
+    return (
+        agg_.orderBy(F.desc("score_u"), "doc_id")
+        .limit(_BM25_TOPN)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.round(F.col("score_u").cast("double") / 1e6, 6).alias("bm25"),
+        )
+    )
