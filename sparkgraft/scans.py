@@ -967,3 +967,99 @@ def dq_rule_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nv").cast("long").alias("n_violations"),
         (F.col("nv") == 0).alias("pass"),
     ).orderBy("rule")
+
+
+@query(
+    "dq_table_checksum",
+    oracle="""
+    WITH rows_ AS (
+      SELECT 'customer' AS tbl,
+             CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(c_custkey AS VARCHAR), c_name,
+               CAST(c_nationkey AS VARCHAR),
+               CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+               c_mktsegment)), 1, 15)) AS BIGINT) AS d
+      FROM customer
+      UNION ALL
+      SELECT 'nation',
+             CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(n_nationkey AS VARCHAR), n_name,
+               CAST(n_regionkey AS VARCHAR))), 1, 15)) AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT 'supplier',
+             CAST(concat('0x', substr(md5(concat_ws('|',
+               CAST(s_suppkey AS VARCHAR), s_name,
+               CAST(s_nationkey AS VARCHAR),
+               CAST(CAST(round(s_acctbal * 100) AS BIGINT) AS VARCHAR))),
+               1, 15)) AS BIGINT)
+      FROM supplier)
+    SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(d) AS VARCHAR) AS digest
+    FROM rows_ GROUP BY tbl ORDER BY tbl
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent TABLE CHECKSUMS — the distcp-era "did the copy
+    corrupt anything" audit, run after every format conversion or
+    migration: each row collapses to a canonical '|'-joined string
+    (int keys as decimal text, money as exact int64 cents — never raw
+    float rendering, which differs across engines), md5-digested, the
+    first 15 hex chars parsed to int64, and SUMMED per table in
+    decimal(38,0) so the digest is partition-order independent and
+    wrap-free at any row count. Two tables disagree iff (n_rows,
+    digest) disagree (sum collisions need engineered inputs — this is
+    a corruption tripwire, not a cryptographic commitment). One scan
+    per table, one hash agg each; digests move as 8-byte ints."""
+
+    def row_digest(cols):
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("decimal(38,0)")
+
+    cents = lambda c: F.round(F.col(c) * 100).cast("long").cast("string")  # noqa: E731
+    cust = load(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("tbl"),
+        row_digest(
+            [
+                F.col("c_custkey").cast("string"),
+                F.col("c_name"),
+                F.col("c_nationkey").cast("string"),
+                cents("c_acctbal"),
+                F.col("c_mktsegment"),
+            ]
+        ).alias("d"),
+    )
+    nat = load(spark, sf_dir, "nation").select(
+        F.lit("nation").alias("tbl"),
+        row_digest(
+            [
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            ]
+        ).alias("d"),
+    )
+    sup = load(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("tbl"),
+        row_digest(
+            [
+                F.col("s_suppkey").cast("string"),
+                F.col("s_name"),
+                F.col("s_nationkey").cast("string"),
+                cents("s_acctbal"),
+            ]
+        ).alias("d"),
+    )
+    return (
+        cust.unionByName(nat)
+        .unionByName(sup)
+        .groupBy("tbl")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            # digest rendered as digit STRING: DuckDB's HUGEINT sum
+            # becomes float64 through pandas otherwise, losing exactness
+            F.sum("d").cast("decimal(38,0)").cast("string").alias("digest"),
+        )
+        .orderBy("tbl")
+    )
