@@ -1063,3 +1063,61 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+@query(
+    "sink_manifest_atomic_publish",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_data,
+           CAST(count(*) AS BIGINT) AS n_rows_manifest,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_data,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents_manifest,
+           TRUE AS consistent
+    FROM orders
+    """,
+)
+def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic PUBLISH-with-manifest (the _SUCCESS-file pattern grown
+    up): write the dataset, then write a 1-row manifest carrying the
+    content digest (row count + exact cents total) computed from the
+    SAME DataFrame, and have every consumer read data + manifest and
+    verify they agree before trusting the copy — the handshake that
+    turns "directory of parquet" into "published dataset" (half-written
+    or concurrently-rewritten outputs fail the digest check instead of
+    silently under-counting). The audit re-aggregates the read-back
+    data against the read-back manifest; the oracle pins both sides to
+    the source truth, so a silently lossy write breaks the hash gate.
+    Manifest reads use an explicit schema (no inference pass)."""
+    out = _scratch(sf_dir, "orders_published")
+    mf = _scratch(sf_dir, "orders_published_manifest")
+    o = load(spark, sf_dir, "orders")
+    o.write.mode("overwrite").parquet(out)
+    digest = o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+    digest.write.mode("overwrite").json(mf)
+    back = spark.read.parquet(out).agg(
+        F.count("*").cast("long").alias("n_rows_data"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents_data"),
+    )
+    manifest = spark.read.schema("n_rows long, cents long").json(mf).select(
+        F.col("n_rows").alias("n_rows_manifest"),
+        F.col("cents").alias("cents_manifest"),
+    )
+    return back.crossJoin(F.broadcast(manifest)).select(
+        "n_rows_data",
+        "n_rows_manifest",
+        "cents_data",
+        "cents_manifest",
+        (
+            (F.col("n_rows_data") == F.col("n_rows_manifest"))
+            & (F.col("cents_data") == F.col("cents_manifest"))
+        ).alias("consistent"),
+    )

@@ -3530,3 +3530,85 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outer_doc", "inner_doc")
     )
+
+
+# Fixed, hand-set logistic weights (engine literals — the "apply a
+# trained quality classifier at scale" shape with a deterministic stub
+# model; a real deployment swaps in fastText/logreg coefficients)
+_QC_BIAS = -2.0
+_QC_W_LNTOK = 0.6
+_QC_W_STOP = 3.0
+_QC_W_SHORT = -2.0
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             len(string_split(lower(text), ' ')) AS nt,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains({_STOPWORDS}, x))) AS ns,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) <= 2)) AS nsh
+      FROM documents),
+    logit AS (
+      SELECT source,
+             {_QC_BIAS} + {_QC_W_LNTOK} * ln(1.0 + nt)
+             + {_QC_W_STOP} * (CAST(ns AS DOUBLE) / nt)
+             + {_QC_W_SHORT} * (CAST(nsh AS DOUBLE) / nt) AS z
+      FROM feat),
+    q AS (
+      SELECT source, z,
+             CAST(round(1e6 / (1.0 + exp(-z))) AS BIGINT) AS qs
+      FROM logit)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           round(CAST(sum(qs) AS DOUBLE) / (count(*) * 1e6), 6)
+             AS mean_score
+    FROM q GROUP BY source ORDER BY source
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality FILTER application — the fastText/logreg
+    classifier pass (CCNet, LLaMA data pipelines) that replaces
+    heuristic rules once labels exist: a logistic model over integer
+    document features (log token count, stopword ratio, short-token
+    ratio) scores every doc; reported per source as docs, passing docs
+    (logit > 0 ⇔ score > ½), and mean score. The WEIGHTS are fixed
+    engine literals (a deterministic stub model — swapping in trained
+    coefficients changes nothing structural), so the per-doc logit is
+    one closed-form double over exact integers, identical in both
+    engines; per-doc scores quantize to int64 µ-units before the
+    per-source mean (no float accumulation). One scan, all features
+    row-local in codegen, one bounded hash agg."""
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    nt = F.size(toks)
+    ns = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    nsh = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    z = (
+        F.lit(_QC_BIAS)
+        + _QC_W_LNTOK * F.log(1.0 + nt)
+        + _QC_W_STOP * (ns.cast("double") / nt)
+        + _QC_W_SHORT * (nsh.cast("double") / nt)
+    )
+    scored = load(spark, sf_dir, "documents").select(
+        "source",
+        z.alias("z"),
+        F.round(1e6 / (1.0 + F.exp(-z))).cast("long").alias("qs"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("z") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pass"),
+            F.round(
+                F.sum("qs").cast("double") / (F.count("*") * 1e6), 6
+            ).alias("mean_score"),
+        )
+        .orderBy("source")
+    )
