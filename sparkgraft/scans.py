@@ -1121,3 +1121,80 @@ def sink_manifest_atomic_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("cents_data") == F.col("cents_manifest"))
         ).alias("consistent"),
     )
+
+
+# Fixed (sf-independent) scratch path: the oracle SQL string is built at
+# import time, before any sf_dir is known, and both engines must read the
+# SAME physical files — the pid token keeps concurrent runs isolated.
+_META_AUDIT_DIR = os.path.join(_SCRATCH, f"meta_audit_pid{os.getpid()}")
+
+
+@query(
+    "scan_parquet_metadata_audit",
+    oracle=f"""
+    SELECT path_in_schema AS col,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(total_compressed_size) AS BIGINT) AS compressed,
+           CAST(sum(total_uncompressed_size) AS BIGINT) AS uncompressed
+    FROM parquet_metadata('{_META_AUDIT_DIR}/*.parquet')
+    GROUP BY path_in_schema ORDER BY col
+    """,
+)
+def scan_parquet_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parquet FOOTER audit: per column, how many chunks the
+    dataset carries and its exact compressed/uncompressed byte totals —
+    the storage-health report (compression ratios, bloated columns,
+    chunk fragmentation) an engineer reads before re-encoding 100 TB.
+    The audit must scale like the data: file paths are listed by the
+    binaryFile source (path column only — content pruned) and each
+    executor opens ITS files' footers with pyarrow inside mapInPandas;
+    only (column, bytes) rows shuffle. The oracle is DuckDB's
+    `parquet_metadata()` over the SAME files Spark just wrote — two
+    independent parquet implementations must read identical physical
+    layout, which also pins the writer's chunk accounting."""
+    import pandas as pd
+
+    out = _META_AUDIT_DIR
+    load(spark, sf_dir, "orders").write.mode("overwrite").parquet(out)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(out)
+        .select("path")
+    )
+
+    def audit(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["path"]:
+                p = uri[len("file:"):] if uri.startswith("file:") else uri
+                md = pq.ParquetFile(p).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        rows.append(
+                            (
+                                c.path_in_schema,
+                                c.total_compressed_size,
+                                c.total_uncompressed_size,
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["col", "comp", "uncomp"]
+            )
+
+    meta = files.mapInPandas(
+        audit, "col string, comp long, uncomp long"
+    )
+    return (
+        meta.groupBy("col")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("comp").cast("long").alias("compressed"),
+            F.sum("uncomp").cast("long").alias("uncompressed"),
+        )
+        .orderBy("col")
+    )
