@@ -57,6 +57,14 @@ HEAVY = [
     "agg_window_funnel",
     "win_session_stats",
     "win_cumulative_users",
+    # r5 additions
+    "text_dsir_weights",
+    "text_dup_spans",
+    "dedup_containment",
+    "text_bm25_topk",
+    "text_quality_classifier",
+    "graph_components_copurchase",
+    "graph_bfs_copurchase",
 ]
 
 
