@@ -5082,3 +5082,90 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_u").cast("double") / 1e6, 6).alias("bm25"),
         )
     )
+
+
+@query(
+    "agg_two_proportion_ztest",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id % 2 AS arm,
+             max(CASE WHEN event_type = 'purchase'
+                      AND ts >= TIMESTAMP '{_CUPED_SPLIT}'
+                      AND value >= 450.0
+                      THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    m AS (
+      SELECT arm, count(*) AS n, sum(converted) AS c
+      FROM u GROUP BY arm),
+    w AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN c END) AS c0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN c END) AS c1
+      FROM m)
+    SELECT CAST(n0 AS BIGINT) AS n_ctrl, CAST(c0 AS BIGINT) AS conv_ctrl,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(c1 AS BIGINT) AS conv_treat,
+           round(CAST(c0 AS DOUBLE) / n0, 6) AS rate_ctrl,
+           round(CAST(c1 AS DOUBLE) / n1, 6) AS rate_treat,
+           round((CAST(c1 AS DOUBLE) / n1 - CAST(c0 AS DOUBLE) / n0)
+                 / nullif(sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 0.0), 4) AS z_score
+    FROM w
+    """,
+)
+def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on post-period conversion rates between the
+    deterministic arms — the binary-outcome sibling of
+    `agg_welch_ttest` (means) in the experimentation family: pooled
+    standard error under H₀, one z statistic. Per-user conversion flags
+    and arm counts are exact integers from one user-keyed aggregation;
+    the z expression is a single closed-form double over four exact
+    integers, identical in both engines. Nothing after the first
+    hash agg is corpus-sized."""
+    # conversion = a HIGH-VALUE post-period purchase (>= $450): plain
+    # any-purchase converts 100% of this corpus's users, collapsing the
+    # pooled variance to zero (degenerate z); the guarded nullif below
+    # keeps even that case engine-agreeing (NULL z both sides)
+    converted = F.max(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.lit(_CUPED_SPLIT).cast("timestamp"))
+            & (F.col("value") >= 450.0),
+            1,
+        ).otherwise(0)
+    )
+    u = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(converted.alias("converted"))
+        .select((F.col("user_id") % 2).alias("arm"), "converted")
+    )
+    m = u.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("c")
+    )
+
+    def cell(a, col):
+        return F.max(F.when(F.col("arm") == a, F.col(col)))
+
+    w = m.agg(
+        cell(0, "n").alias("n0"),
+        cell(0, "c").alias("c0"),
+        cell(1, "n").alias("n1"),
+        cell(1, "c").alias("c1"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    pool = (d("c0") + d("c1")) / (d("n0") + d("n1"))
+    z = (d("c1") / d("n1") - d("c0") / d("n0")) / F.nullif(
+        F.sqrt(pool * (1.0 - pool) * (1.0 / d("n0") + 1.0 / d("n1"))),
+        F.lit(0.0),
+    )
+    return w.select(
+        F.col("n0").cast("long").alias("n_ctrl"),
+        F.col("c0").cast("long").alias("conv_ctrl"),
+        F.col("n1").cast("long").alias("n_treat"),
+        F.col("c1").cast("long").alias("conv_treat"),
+        F.round(d("c0") / d("n0"), 6).alias("rate_ctrl"),
+        F.round(d("c1") / d("n1"), 6).alias("rate_treat"),
+        F.round(z, 4).alias("z_score"),
+    )

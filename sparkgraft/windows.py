@@ -1991,3 +1991,68 @@ def win_recency_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+_OHLC_HOURS = 6
+
+
+@query(
+    "win_ohlc_candles",
+    oracle=f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL {_OHLC_HOURS} HOUR, ts) AS bucket,
+             ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    o AS (
+      SELECT bucket,
+             first(cents ORDER BY ts, event_id) AS open_c,
+             max(cents) AS high_c, min(cents) AS low_c,
+             last(cents ORDER BY ts, event_id) AS close_c,
+             count(*) AS n_trades, sum(cents) AS vol_c
+      FROM b GROUP BY bucket)
+    SELECT bucket AS window_start,
+           CAST(open_c AS DOUBLE) / 100.0 AS open,
+           CAST(high_c AS DOUBLE) / 100.0 AS high,
+           CAST(low_c AS DOUBLE) / 100.0 AS low,
+           CAST(close_c AS DOUBLE) / 100.0 AS close,
+           CAST(n_trades AS BIGINT) AS n_trades,
+           CAST(vol_c AS BIGINT) AS volume_cents
+    FROM o ORDER BY window_start
+    """,
+)
+def win_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle resampling — the financial tick→bar aggregation
+    (open/high/low/close/volume per 6-hour bucket over purchase
+    values): the ORDER-SENSITIVE bucket aggregate that plain min/max
+    aggregation can't express, because open and close depend on event
+    order within the bucket. Spark side: `min_by`/`max_by` on the
+    (ts, event_id) tie-broken struct pick the first/last trade in ONE
+    hash-aggregation pass — no window, no sort of the bucket contents;
+    DuckDB's ordered `first()`/`last()` is the oracle twin. Prices are
+    exact int64 cents end-to-end with one final display divide."""
+    b = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.window("ts", f"{_OHLC_HOURS} hours")["start"].alias(
+                "window_start"
+            ),
+            F.struct(F.col("ts"), F.col("event_id")).alias("ord"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    return (
+        b.groupBy("window_start")
+        .agg(
+            (F.min_by("cents", "ord").cast("double") / 100.0).alias("open"),
+            (F.max("cents").cast("double") / 100.0).alias("high"),
+            (F.min("cents").cast("double") / 100.0).alias("low"),
+            (F.max_by("cents", "ord").cast("double") / 100.0).alias(
+                "close"
+            ),
+            F.count("*").cast("long").alias("n_trades"),
+            F.sum("cents").cast("long").alias("volume_cents"),
+        )
+        .orderBy("window_start")
+    )
