@@ -1637,3 +1637,108 @@ def sim_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_PCA_ROUNDS = 8
+_PCA_Q = 1_000_000  # quantization scale for products and loadings
+_PCA_V0 = 125000  # round(1e6 / sqrt(64)) — uniform unit seed, quantized
+
+_PCA_ORACLE_ROUND = """
+w{k} AS (
+  SELECT c.i, sum(c.q * v.q) AS w
+  FROM cq c JOIN v{p} v ON v.i = c.j GROUP BY c.i),
+n{k} AS (
+  SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))
+              AS DOUBLE)) AS nrm
+  FROM w{k}),
+v{k} AS (
+  SELECT w.i,
+         CAST(CASE WHEN CAST(w.w AS DOUBLE) >= 0
+              THEN floor(1e6 * CAST(w.w AS DOUBLE) / n.nrm + 0.5)
+              ELSE -floor(-1e6 * CAST(w.w AS DOUBLE) / n.nrm + 0.5)
+         END AS BIGINT) AS q
+  FROM w{k} w CROSS JOIN n{k} n)"""
+
+_PCA_ORACLE = (
+    f"""
+    WITH cq AS (
+      SELECT i.i AS i, j.j AS j,
+             sum(CAST(round(CAST(embedding[i.i + 1] AS DOUBLE)
+                            * CAST(embedding[j.j + 1] AS DOUBLE)
+                            * 1e6) AS BIGINT)) AS q
+      FROM embeddings,
+           (SELECT unnest(range(0, {_DIM})) AS i) i,
+           (SELECT unnest(range(0, {_DIM})) AS j) j
+      GROUP BY i.i, j.j),
+    v0 AS (SELECT unnest(range(0, {_DIM})) AS i, {_PCA_V0} AS q),
+"""
+    + ",".join(
+        _PCA_ORACLE_ROUND.format(k=k, p=k - 1)
+        for k in range(1, _PCA_ROUNDS + 1)
+    )
+    + f"""
+    SELECT CAST(i AS INT) AS pos,
+           CAST(q AS DOUBLE) / 1e6 AS loading
+    FROM v{_PCA_ROUNDS} ORDER BY pos
+    """
+)
+
+
+@query("sim_pca_power_iteration", oracle=_PCA_ORACLE)
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA: the dominant direction of the embedding second-
+    moment matrix via power iteration — the whitening/debiasing step
+    (all-but-the-top, Arora et al. 2017) run before similarity search on
+    anisotropic embedding spaces. ORACLE-CHECKED iterative linear
+    algebra, which float power iteration cannot be: every per-row
+    product quantizes to int64 (round(x_i·x_j·1e6)) so the 64×64
+    second-moment matrix is an EXACT integer aggregate in any partition
+    order, and each of the 8 iterations renormalizes through one
+    deterministic double (norm² summed exactly in 128-bit, one sqrt,
+    half-away-from-zero requantization) — both engines walk bit-identical
+    states. Scale: the corpus-sized work is ONE pass emitting 64²
+    quantized products per row into a map-side-combined hash agg
+    (production swaps in `sim_gram_matrix`'s per-batch BLAS with the
+    same quantization); the iteration itself touches only the 4,096-cell
+    constant (driver-side exact ints here, the same unrolled CTEs in
+    the oracle). Int bounds: |cell| ≤ n·1e6 keeps w² inside 128 bits up
+    to ~1e9 rows at this dim — rescale the quantization beyond that."""
+    import math
+
+    e = load(spark, sf_dir, "embeddings")
+    cells = (
+        e.select(
+            F.explode(
+                F.expr(
+                    f"""flatten(transform(sequence(0, {_DIM - 1}), i ->
+                      transform(sequence(0, {_DIM - 1}), j ->
+                        struct(i AS i, j AS j,
+                          CAST(round(CAST(embedding[i] AS DOUBLE)
+                                     * CAST(embedding[j] AS DOUBLE)
+                                     * 1e6) AS BIGINT) AS q))))"""
+                )
+            ).alias("c")
+        )
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.q").alias("q"))
+        .collect()  # exactly _DIM² = 4,096 rows — a constant of the engine
+    )
+    cq: dict[tuple[int, int], int] = {(r["i"], r["j"]): r["q"] for r in cells}
+    vq = [_PCA_V0] * _DIM
+
+    def half_away(x: float) -> int:
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    for _ in range(_PCA_ROUNDS):
+        w = [
+            sum(cq[(i, j)] * vq[j] for j in range(_DIM))
+            for i in range(_DIM)
+        ]
+        nrm = math.sqrt(float(sum(x * x for x in w)))  # exact int → double
+        vq = [half_away(1e6 * float(wi) / nrm) for wi in w]
+
+    return spark.createDataFrame(
+        [(i, vq[i] / 1e6) for i in range(_DIM)], "pos int, loading double"
+    )
