@@ -18,7 +18,7 @@ ANSI form; validated against an independent NumPy power iteration.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
@@ -534,4 +534,107 @@ def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(depth, part.p_partkey == depth.id, "left")
         .select("p_partkey", F.col("depth").cast("int").alias("depth"))
         .orderBy("p_partkey")
+    )
+
+
+@query(
+    "graph_copurchase_recs",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey AS p, count(*) AS c FROM li GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    sym AS (
+      SELECT pa AS p, pb AS q, sup FROM pairs
+      UNION ALL SELECT pb, pa, sup FROM pairs),
+    j AS (
+      SELECT s.p, s.q, s.sup,
+             round(CAST(s.sup AS DOUBLE)
+                   / (ca.c + cb.c - s.sup), 6) AS jac
+      FROM sym s
+      JOIN cnt ca ON ca.p = s.p
+      JOIN cnt cb ON cb.p = s.q),
+    ranked AS (
+      SELECT p, q, sup, jac,
+             row_number() OVER (PARTITION BY p
+                                ORDER BY jac DESC, q) AS rnk
+      FROM j)
+    SELECT CAST(p AS BIGINT) AS p_partkey,
+           CAST(q AS BIGINT) AS rec_partkey,
+           CAST(rnk AS INT) AS rnk,
+           CAST(sup AS BIGINT) AS support, jac AS jaccard
+    FROM ranked WHERE rnk <= 3 ORDER BY p_partkey, rnk
+    """,
+)
+def graph_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers also bought"): for
+    each part, the top-3 co-purchased parts ranked by basket Jaccard
+    sup/(|A|+|B|−sup) over support-≥2 pairs — the neighborhood-method
+    recommender that predates embeddings, and the affinity RANKING
+    complement to `agg_basket_lift` (lift) and
+    `graph_components_copurchase` (clusters). The pair generator is the
+    same bounded order-keyed self equi-join; per-part basket counts
+    join back on part keys (shuffle equi-joins, the count table grows
+    with the catalog — never broadcast-forced); the top-3 rides a
+    part-keyed rank window with (jaccard desc, partkey) tie-break, and
+    the reported jaccard rounds an exact-integer ratio once."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    cnt = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count("*").alias("c")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    sym = pairs.select(
+        F.col("pa").alias("p"), F.col("pb").alias("q"), "sup"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("p"), F.col("pa").alias("q"), "sup")
+    )
+    ca = cnt.select(F.col("p"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("p").alias("q"), F.col("c").alias("cb"))
+    j = (
+        sym.join(ca, "p")
+        .join(cb, "q")
+        .select(
+            "p",
+            "q",
+            "sup",
+            F.round(
+                F.col("sup").cast("double")
+                / (F.col("ca") + F.col("cb") - F.col("sup")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.desc("jac"), "q")
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("p").cast("long").alias("p_partkey"),
+            F.col("q").cast("long").alias("rec_partkey"),
+            F.col("rnk").cast("int").alias("rnk"),
+            F.col("sup").cast("long").alias("support"),
+            F.col("jac").alias("jaccard"),
+        )
+        .orderBy("p_partkey", "rnk")
     )

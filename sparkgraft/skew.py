@@ -172,3 +172,61 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_skew_report",
+    oracle="""
+    WITH k AS (
+      SELECT o_custkey AS key, count(*) AS rows_
+      FROM orders GROUP BY o_custkey),
+    s AS (
+      SELECT count(*) AS n_keys, sum(rows_) AS total_rows,
+             max(rows_) AS max_rows,
+             quantile_cont(rows_, 0.99) AS p99_rows
+      FROM k),
+    top_ AS (SELECT max(rows_) AS top_rows FROM k)
+    SELECT CAST(s.n_keys AS BIGINT) AS n_keys,
+           CAST(s.total_rows AS BIGINT) AS total_rows,
+           CAST(s.max_rows AS BIGINT) AS max_rows,
+           round(s.p99_rows, 4) AS p99_rows,
+           round(CAST(s.total_rows AS DOUBLE) / s.n_keys, 4)
+             AS mean_rows,
+           round(CAST(s.max_rows AS DOUBLE)
+                 / (CAST(s.total_rows AS DOUBLE) / s.n_keys), 4)
+             AS skew_factor
+    FROM s CROSS JOIN top_
+    """,
+)
+def agg_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW report for the orders→customer key: per-key row
+    counts reduced to (keys, total, max, p99, mean, max/mean skew
+    factor) — the diagnostic an engineer reads BEFORE deciding whether
+    `join_salted_skew` / `agg_salted_skew` (this module) or AQE skew
+    splitting is needed. A skew factor near 1 means hash partitioning
+    balances; 100× means one task gets the hot key. Two hash
+    aggregations, nothing corpus-sized past the first; the percentile
+    runs over the per-key frame (bounded by key cardinality, not
+    rows)."""
+    k = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("rows_"))
+    )
+    s = k.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("rows_").alias("total_rows"),
+        F.max("rows_").alias("max_rows"),
+        F.expr("percentile(rows_, 0.99)").alias("p99_rows"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("total_rows").cast("long").alias("total_rows"),
+        F.col("max_rows").cast("long").alias("max_rows"),
+        F.round(F.col("p99_rows"), 4).alias("p99_rows"),
+        F.round(d("total_rows") / d("n_keys"), 4).alias("mean_rows"),
+        F.round(
+            d("max_rows") / (d("total_rows") / d("n_keys")), 4
+        ).alias("skew_factor"),
+    )

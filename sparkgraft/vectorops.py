@@ -1742,3 +1742,67 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i, vq[i] / 1e6) for i in range(_DIM)], "pos int, loading double"
     )
+
+
+_WHITEN_ORACLE = (
+    _PCA_ORACLE.rsplit("SELECT CAST(i AS INT)", 1)[0].rstrip()
+    + f""",
+    sc AS (
+      SELECT e.label,
+             {{dot}} AS proj
+      FROM embeddings e CROSS JOIN (
+        SELECT list(CAST(q AS DOUBLE) / 1e6 ORDER BY i) AS v
+        FROM v{_PCA_ROUNDS}) vv)
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(abs(proj)), 6) AS mean_abs_proj,
+           round(max(abs(proj)), 6) AS max_abs_proj
+    FROM sc GROUP BY label ORDER BY label
+    """.format(
+        dot="("
+        + " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * vv.v[{i + 1}]"
+            for i in range(_DIM)
+        )
+        + ")"
+    )
+)
+
+
+@query("sim_whitening_audit", oracle=_WHITEN_ORACLE)
+def sim_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top WHITENING audit: project every embedding onto the
+    dominant second-moment direction learned by
+    `sim_pca_power_iteration` and report the per-label projection mass —
+    the before-picture that tells you how anisotropic the space is
+    (large common-direction components inflate all cosines) and exactly
+    what subtracting the top component would remove. The train→apply
+    composition pattern: the learned 64-float direction broadcasts as a
+    constant; scoring is one row-local dot per vector (`F.aggregate`
+    zip arithmetic, no UDF); the rollup is label-keyed. The mean of
+    |projection| uses avg() over row-local doubles — bounded by the
+    same determinism argument as `sim_centroid_per_label`'s cohesion
+    (identical per-row doubles, label-bounded groups)."""
+    loadings = sim_pca_power_iteration(spark, sf_dir).collect()
+    v = [r["loading"] for r in sorted(loadings, key=lambda r: r["pos"])]
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    e = load(spark, sf_dir, "embeddings")
+    proj = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            varr,
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("label", proj.alias("proj"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.round(F.avg(F.abs("proj")), 6).alias("mean_abs_proj"),
+            F.round(F.max(F.abs("proj")), 6).alias("max_abs_proj"),
+        )
+        .orderBy("label")
+    )
