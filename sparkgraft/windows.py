@@ -2056,3 +2056,176 @@ def win_ohlc_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "win_attribution_position_based",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS first_purchase FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+      SELECT e.user_id, e.event_type, e.ts, e.event_id,
+             row_number() OVER (PARTITION BY e.user_id
+                                ORDER BY e.ts, e.event_id) AS rn,
+             count(*) OVER (PARTITION BY e.user_id) AS n
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.ts < c.first_purchase AND e.event_type <> 'purchase'),
+    credit AS (
+      SELECT event_type,
+             CASE
+               WHEN n = 1 THEN 100
+               WHEN n = 2 THEN 50
+               WHEN rn = 1 OR rn = n THEN 40
+               ELSE 20 / (n - 2)
+             END AS pct
+      FROM touches)
+    SELECT event_type,
+           round(sum(pct) / 100.0, 4) AS conversions_credited
+    FROM credit GROUP BY event_type ORDER BY event_type
+    """,
+)
+def win_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting user's pre-purchase journey credits 40% to the FIRST
+    touch, 40% to the LAST, and splits 20% across the middle (100%/50-50
+    for 1-/2-touch journeys) — the industry-standard middle ground
+    between `win_attribution_last_touch` and linear credit. Per-journey
+    positions come from one user-keyed rank window over the
+    pre-conversion touches ((ts, event_id) tie-break), the credit rule
+    is row-local CASE arithmetic in integer percent (exact except the
+    documented 20/(n−2) middle split, identical expression both
+    engines), and channel totals are one bounded hash agg. Scale: one
+    shuffle on user_id for the windows, one on event_type for the
+    rollup."""
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("first_purchase"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number().over(wu.orderBy("ts", "event_id")).alias("rn"),
+        F.count("*").over(wu).alias("n"),
+    )
+    pct = (
+        F.when(F.col("n") == 1, F.lit(100.0))
+        .when(F.col("n") == 2, F.lit(50.0))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(40.0))
+        .otherwise(20.0 / (F.col("n") - 2))
+    )
+    return (
+        ranked.select("event_type", pct.alias("pct"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("pct") / 100.0, 4).alias("conversions_credited"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "win_penny_allocation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+      FROM lineitem),
+    tot AS (
+      SELECT l_orderkey,
+             sum(w) AS wsum,
+             CAST(round(max(o.o_totalprice) * 100) AS BIGINT) AS target
+      FROM li JOIN (SELECT o_orderkey, o_totalprice FROM orders) o
+        ON o.o_orderkey = li.l_orderkey
+      GROUP BY l_orderkey),
+    base AS (
+      SELECT li.l_orderkey, li.l_linenumber,
+             (li.w * t.target) // t.wsum AS floor_c,
+             (li.w * t.target) % t.wsum AS rem,
+             t.target, t.wsum
+      FROM li JOIN tot t ON t.l_orderkey = li.l_orderkey),
+    short AS (
+      SELECT l_orderkey,
+             any_value(target) - sum(floor_c) AS missing
+      FROM base GROUP BY l_orderkey),
+    ranked AS (
+      SELECT b.l_orderkey, b.l_linenumber, b.floor_c, s.missing,
+             row_number() OVER (PARTITION BY b.l_orderkey
+                                ORDER BY b.rem DESC, b.l_linenumber) AS rr
+      FROM base b JOIN short s ON s.l_orderkey = b.l_orderkey),
+    alloc AS (
+      SELECT l_orderkey, l_linenumber,
+             floor_c + CASE WHEN rr <= missing THEN 1 ELSE 0 END
+               AS alloc_c
+      FROM ranked)
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS INT) AS l_linenumber,
+           CAST(alloc_c AS BIGINT) AS allocated_cents
+    FROM alloc ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def win_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder PENNY ALLOCATION: distribute each order's exact
+    total (int64 cents) across its line items proportionally to
+    extended price so the per-line cents SUM EXACTLY to the order total
+    — the financial-exactness kernel behind invoice splitting, tax
+    apportionment, and revenue share, where naive round(share·total)
+    leaks or double-counts pennies. All integer arithmetic: floor
+    quotas via (w·target) div Σw, the per-order shortfall = target −
+    Σfloors, and the shortfall pennies go to the largest remainders
+    ((w·target) mod Σw, line-number tie-break) via one order-keyed rank
+    window. Every engine-visible number is an exact integer; the
+    invariant Σ allocated = target per order is structural. Scale: one
+    order-keyed shuffle for totals + one for the window."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("w"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("target"),
+    )
+    tot = li.groupBy("l_orderkey").agg(F.sum("w").alias("wsum"))
+    base = (
+        li.join(tot, "l_orderkey")
+        .join(o, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr("(w * target) div wsum").alias("floor_c"),
+            ((F.col("w") * F.col("target")) % F.col("wsum")).alias("rem"),
+            "target",
+        )
+    )
+    wo = Window.partitionBy("l_orderkey")
+    ranked = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "floor_c",
+        (F.col("target") - F.sum("floor_c").over(wo)).alias("missing"),
+        F.row_number()
+        .over(wo.orderBy(F.desc("rem"), "l_linenumber"))
+        .alias("rr"),
+    )
+    return (
+        ranked.select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            (
+                F.col("floor_c")
+                + F.when(F.col("rr") <= F.col("missing"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocated_cents"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
