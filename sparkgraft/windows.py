@@ -2229,3 +2229,97 @@ def win_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "win_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(round(value) AS BIGINT) * 1000000 AS e,
+             event_id
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e, event_id,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY user_id
+                         ORDER BY s, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_grp
+      FROM iv),
+    grp AS (
+      SELECT user_id, s, e,
+             sum(new_grp) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS g
+      FROM flagged),
+    merged AS (
+      SELECT user_id, g, min(s) AS ms, max(e) AS me
+      FROM grp GROUP BY user_id, g)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_merged,
+           CAST((2 * sum(me - ms) + 1000000) // 2000000 AS BIGINT)
+             AS covered_sec
+    FROM merged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-INTERVAL MERGE (the classic coalesce-bookings /
+    machine-uptime problem): each event spans [ts, ts + value seconds];
+    per user, transitively overlapping spans collapse into maximal
+    merged intervals, reported as merged-interval count and total
+    covered seconds. The distributed-SQL solution: a span starts a new
+    group iff its start exceeds the RUNNING MAX of all previous ends
+    (one user-keyed window, (ts, event_id) tie-break — plain
+    sort-by-start misses containment chains that a naive lag(end)
+    comparison breaks on), group ids are the running sum of those
+    flags, and merged bounds are one hash agg. Exact integer µs
+    end-to-end; the covered-seconds report is the half-up integer
+    division idiom. Scale: one shuffle on user_id, windows + agg inside
+    it."""
+    us = F.unix_micros(F.col("ts"))
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        us.alias("s"),
+        (us + F.round("value").cast("long") * 1000000).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        "event_id",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        )
+        .otherwise(0)
+        .alias("new_grp"),
+    )
+    # cumsum tie-broken identically to the flag window — duplicate
+    # (s, e) rows would otherwise shift group ids nondeterministically
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grp = flagged.select(
+        "user_id", "s", "e", F.sum("new_grp").over(w_cum).alias("g")
+    )
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_merged"),
+            F.expr(
+                "CAST((2 * sum(me - ms) + 1000000) div 2000000 AS BIGINT)"
+            ).alias("covered_sec"),
+        )
+        .orderBy("user_id")
+    )
