@@ -3612,3 +3612,104 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "agg_decile_lift",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, (lang = 'en') AS pos,
+             len(string_split(lower(text), ' ')) AS nt,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains({_STOPWORDS}, x))) AS ns,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) <= 2)) AS nsh
+      FROM documents),
+    scored AS (
+      SELECT doc_id, pos,
+             {_QC_BIAS} + {_QC_W_LNTOK} * ln(1.0 + nt)
+             + {_QC_W_STOP} * (CAST(ns AS DOUBLE) / nt)
+             + {_QC_W_SHORT} * (CAST(nsh AS DOUBLE) / nt) AS z
+      FROM feat),
+    ranked AS (
+      SELECT pos,
+             row_number() OVER (ORDER BY z DESC, doc_id) AS rnk,
+             count(*) OVER () AS n
+      FROM scored),
+    dec AS (
+      SELECT ((rnk - 1) * 10) // n AS decile, pos, n FROM ranked),
+    base AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tp,
+                    count(*) AS tn FROM dec)
+    SELECT CAST(d.decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN d.pos THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           round(CAST(sum(CASE WHEN d.pos THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS rate,
+           round((CAST(sum(CASE WHEN d.pos THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*))
+                 / (CAST(b.tp AS DOUBLE) / b.tn), 6) AS lift
+    FROM dec d CROSS JOIN base b
+    GROUP BY d.decile, b.tp, b.tn ORDER BY decile
+    """,
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile GAINS/LIFT table — the model-evaluation canon for ranking
+    models: sort the corpus by the quality classifier's score
+    (`text_quality_classifier`'s fixed logistic model), cut into exact
+    score deciles, and report each decile's positive rate (class:
+    lang='en') against the base rate — the table that says "the top
+    10% of the model's ranking is 1.8× enriched". Ranks come from the
+    engine's sampled range-bucketed global rank (NO single-partition
+    window over the corpus — the same machinery as `sort_global`),
+    decile cuts are exact integer division ((rank−1)·10 div n), and
+    rates/lift divide exact integers once per output row. Output is a
+    fixed 10-row table."""
+    from .ranking import with_global_rank
+
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    nt = F.size(toks)
+    ns = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    nsh = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    z = (
+        F.lit(_QC_BIAS)
+        + _QC_W_LNTOK * F.log(1.0 + nt)
+        + _QC_W_STOP * (ns.cast("double") / nt)
+        + _QC_W_SHORT * (nsh.cast("double") / nt)
+    )
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        (-z).alias("negz"),  # ascending rank on -z == score-descending
+    )
+    ranked = with_global_rank(
+        scored, [("negz", "asc"), ("doc_id", "asc")], rank_col="rnk"
+    )
+    n = ranked.count()  # bounded scalar (corpus count)
+    dec = ranked.select(
+        F.expr(f"CAST((rnk - 1) * 10 div {n} AS INT)").alias("decile"),
+        "pos",
+    )
+    base = dec.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("tp"),
+        F.count("*").alias("tn"),
+    )
+    g = (
+        dec.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        )
+        .crossJoin(F.broadcast(base))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("np").cast("long").alias("n_positive"),
+        F.round(d("np") / d("n_docs"), 6).alias("rate"),
+        F.round(
+            (d("np") / d("n_docs")) / (d("tp") / d("tn")), 6
+        ).alias("lift"),
+    ).orderBy("decile")
