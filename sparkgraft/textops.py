@@ -3713,3 +3713,111 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d("np") / d("n_docs")) / (d("tp") / d("tn")), 6
         ).alias("lift"),
     ).orderBy("decile")
+
+
+@query(
+    "agg_auc_mann_whitney",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, (lang = 'en') AS pos,
+             len(string_split(lower(text), ' ')) AS nt,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains({_STOPWORDS}, x))) AS ns,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) <= 2)) AS nsh
+      FROM documents),
+    scored AS (
+      SELECT doc_id, pos,
+             {_QC_BIAS} + {_QC_W_LNTOK} * ln(1.0 + nt)
+             + {_QC_W_STOP} * (CAST(ns AS DOUBLE) / nt)
+             + {_QC_W_SHORT} * (CAST(nsh AS DOUBLE) / nt) AS z
+      FROM feat),
+    r AS (
+      SELECT pos, z,
+             row_number() OVER (ORDER BY z, doc_id) AS rn
+      FROM scored),
+    tie AS (
+      SELECT pos,
+             min(rn) OVER (PARTITION BY z) AS mn,
+             count(*) OVER (PARTITION BY z) AS cz
+      FROM r),
+    s AS (
+      SELECT sum(CASE WHEN pos THEN 2 * mn + cz - 1 ELSE 0 END) AS r2p,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn_
+      FROM tie)
+    SELECT CAST(np AS BIGINT) AS n_pos,
+           CAST(nn_ AS BIGINT) AS n_neg,
+           CAST(r2p - np * (np + 1) AS BIGINT) AS u_times_2,
+           round(CAST(r2p - np * (np + 1) AS DOUBLE)
+                 / (2.0 * np * nn_), 6) AS auc,
+           round((CAST(r2p - np * (np + 1) AS DOUBLE) / 2.0
+                  - CAST(np AS DOUBLE) * nn_ / 2.0)
+                 / sqrt(CAST(np AS DOUBLE) * nn_
+                        * (np + nn_ + 1.0) / 12.0), 4) AS z_score
+    FROM s
+    """,
+)
+def agg_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC / Mann–Whitney U for the quality classifier's ranking
+    of the lang='en' class — the threshold-free companion to
+    `agg_decile_lift`: AUC = P(score_pos > score_neg) computed from the
+    rank-sum identity, with TIES handled by midranks. The all-integer
+    trick: midrank = min_rank + (count−1)/2 doubles to
+    2·min + count − 1, so the positive rank-sum, U·2, and therefore AUC
+    are exact integers/ratios in any partition order — no float rank
+    averaging. Ranks come from the sampled range-bucketed global rank
+    (no single-partition window); tie groups are a score-keyed window;
+    the z approximation is one closed-form double. Output is a single
+    row."""
+    from .ranking import with_global_rank
+
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    nt = F.size(toks)
+    ns = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    nsh = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    z = (
+        F.lit(_QC_BIAS)
+        + _QC_W_LNTOK * F.log(1.0 + nt)
+        + _QC_W_STOP * (ns.cast("double") / nt)
+        + _QC_W_SHORT * (nsh.cast("double") / nt)
+    )
+    scored = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("lang") == "en").alias("pos"), z.alias("z")
+    )
+    r = with_global_rank(
+        scored, [("z", "asc"), ("doc_id", "asc")], rank_col="rn"
+    )
+    wz = Window.partitionBy("z")
+    tie = r.select(
+        "pos",
+        F.min("rn").over(wz).alias("mn"),
+        F.count("*").over(wz).alias("cz"),
+    )
+    s = tie.agg(
+        F.sum(
+            F.when(F.col("pos"), 2 * F.col("mn") + F.col("cz") - 1).otherwise(
+                0
+            )
+        ).alias("r2p"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn_"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    u2 = F.col("r2p") - F.col("np") * (F.col("np") + 1)
+    return s.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn_").cast("long").alias("n_neg"),
+        u2.cast("long").alias("u_times_2"),
+        F.round(u2.cast("double") / (2.0 * d("np") * d("nn_")), 6).alias(
+            "auc"
+        ),
+        F.round(
+            (u2.cast("double") / 2.0 - d("np") * d("nn_") / 2.0)
+            / F.sqrt(
+                d("np") * d("nn_") * (d("np") + d("nn_") + 1.0) / 12.0
+            ),
+            4,
+        ).alias("z_score"),
+    )
