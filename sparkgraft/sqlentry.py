@@ -253,3 +253,38 @@ def sql_entry_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     purely analysis-time."""
     register_tables(spark, sf_dir, ["orders"])
     return spark.sql(_GBA_SQL)
+
+
+# Spark-side text carries optimizer HINTS (/*+ BROADCAST, MERGE */) —
+# a semantic no-op, so the UNHINTED text is the DuckDB oracle.
+_HINTS_SQL_SPARK = """
+SELECT /*+ BROADCAST(n), MERGE(o) */
+       n.n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+"""
+
+_HINTS_SQL_ORACLE = _HINTS_SQL_SPARK.replace(
+    "/*+ BROADCAST(n), MERGE(o) */", ""
+)
+
+
+@query("sql_entry_join_hints", oracle=_HINTS_SQL_ORACLE)
+def sql_entry_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL optimizer HINTS surface: the query text carries
+    `/*+ BROADCAST(n), MERGE(o) */`, steering the nation dim into a
+    broadcast hash join and the orders-customer join into sort-merge —
+    the escape hatch users reach for when stats mislead Catalyst at
+    100 TB (a hinted plan is reproducible; an auto-planned one depends
+    on collected stats). Hints are semantic no-ops, so the oracle runs
+    the identical text minus the hint comment; the hint's physical
+    effect (BroadcastHashJoin on nation, SortMergeJoin on the fact
+    chain) is asserted in tests/test_plans.py."""
+    register_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(_HINTS_SQL_SPARK)

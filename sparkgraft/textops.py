@@ -3821,3 +3821,107 @@ def agg_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+@query(
+    "agg_calibration_error",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, (lang = 'en') AS pos,
+             len(string_split(lower(text), ' ')) AS nt,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains({_STOPWORDS}, x))) AS ns,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> length(x) <= 2)) AS nsh
+      FROM documents),
+    q AS (
+      SELECT pos,
+             CAST(round(1e6 / (1.0 + exp(-({_QC_BIAS}
+                  + {_QC_W_LNTOK} * ln(1.0 + nt)
+                  + {_QC_W_STOP} * (CAST(ns AS DOUBLE) / nt)
+                  + {_QC_W_SHORT} * (CAST(nsh AS DOUBLE) / nt)))))
+                  AS BIGINT) AS qs
+      FROM feat),
+    b AS (
+      SELECT least(qs // 100000, 9) AS bucket,
+             count(*) AS n, sum(qs) AS sq,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np
+      FROM q GROUP BY 1),
+    tot AS (SELECT sum(n) AS tn FROM b),
+    terms AS (
+      SELECT b.bucket, b.n, b.np,
+             round(CAST(b.sq AS DOUBLE) / (b.n * 1e6), 6) AS avg_pred,
+             round(CAST(b.np AS DOUBLE) / b.n, 6) AS obs_rate,
+             CAST(round(1e6 * (CAST(b.n AS DOUBLE) / t.tn)
+                  * abs(CAST(b.sq AS DOUBLE) / (b.n * 1e6)
+                        - CAST(b.np AS DOUBLE) / b.n)) AS BIGINT) AS term_u
+      FROM b CROSS JOIN tot t)
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(n AS BIGINT) AS n_docs,
+           avg_pred, obs_rate,
+           round(CAST(sum(term_u) OVER () AS DOUBLE) / 1e6, 6) AS ece
+    FROM terms ORDER BY bucket
+    """,
+)
+def agg_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error for the quality classifier against
+    the lang='en' outcome — the third leg of the eval canon after
+    `agg_decile_lift` (ranking) and `agg_auc_mann_whitney`
+    (discrimination): per probability bucket, mean predicted score vs
+    observed rate, plus the weighted |gap| sum (ECE) stamped on every
+    row. Determinism: per-doc sigmoid scores quantize to int64 µ-units
+    (same literals as the classifier key), buckets cut by exact integer
+    division on the quantized score, and each bucket's weighted gap
+    re-quantizes to µ-units before the ≤10-term ECE sum — float
+    accumulation appears nowhere. One scan, one bounded hash agg."""
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    nt = F.size(toks)
+    ns = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    nsh = F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+    z = (
+        F.lit(_QC_BIAS)
+        + _QC_W_LNTOK * F.log(1.0 + nt)
+        + _QC_W_STOP * (ns.cast("double") / nt)
+        + _QC_W_SHORT * (nsh.cast("double") / nt)
+    )
+    q = load(spark, sf_dir, "documents").select(
+        (F.col("lang") == "en").alias("pos"),
+        F.round(1e6 / (1.0 + F.exp(-z))).cast("long").alias("qs"),
+    )
+    b = q.groupBy(
+        F.least(F.expr("qs div 100000"), F.lit(9)).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("qs").alias("sq"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+    )
+    tot = b.agg(F.sum("n").alias("tn"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    avg_pred = F.round(d("sq") / (F.col("n") * 1e6), 6)
+    obs_rate = F.round(d("np") / F.col("n"), 6)
+    term_u = F.round(
+        1e6
+        * (d("n") / d("tn"))
+        * F.abs(d("sq") / (F.col("n") * 1e6) - d("np") / F.col("n"))
+    ).cast("long")
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n").cast("long").alias("n_docs"),
+        avg_pred.alias("avg_pred"),
+        obs_rate.alias("obs_rate"),
+        term_u.alias("term_u"),
+    )
+    w_all = Window.partitionBy()
+    return (
+        terms.select(
+            "bucket",
+            "n_docs",
+            "avg_pred",
+            "obs_rate",
+            F.round(
+                F.sum("term_u").over(w_all).cast("double") / 1e6, 6
+            ).alias("ece"),
+        )
+        .orderBy("bucket")
+    )

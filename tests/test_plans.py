@@ -1163,3 +1163,13 @@ def test_bloom_pointlookup_pushdown_and_physical_bloom(spark):
         )
 
     assert total(bloomed) > total(plain) + 4096
+
+
+def test_sql_join_hints_steer_physical_plan(spark):
+    # the hint comment must survive parsing and steer strategy: nation
+    # broadcasts, the orders-customer equi-join goes sort-merge even
+    # though customer would auto-broadcast at this SF
+    df = sparkgraft.QUERIES["sql_entry_join_hints"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
