@@ -896,3 +896,137 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("active_users")
     )
     return _run_to_table(agg, "windowed_distinct", "complete")
+
+
+def _stream_sink_source():
+    """Build the Python DataSource STREAMING write path (Spark 4
+    `DataSource.streamWriter`): per micro-batch, each task writes one
+    part-file and returns a commit message; the driver-side
+    commit(messages, batchId) appends one line to a batch LEDGER only
+    after every task of that batch reported — exactly-once bookkeeping
+    per micro-batch, the streaming twin of `sink_python_datasource`'s
+    FileOutputCommitter contract. abort() removes that batch's
+    partials."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class PartMsg(WriterCommitMessage):
+        def __init__(self, path: str, n: int, cents: int) -> None:
+            self.path = path
+            self.n = n
+            self.cents = cents
+
+    class LedgerStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options) -> None:
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            part = os.path.join(
+                self.path, f"part-{uuid.uuid4().hex}.txt"
+            )
+            n = 0
+            cents = 0
+            with open(part, "w") as f:
+                for r in iterator:
+                    c = int(round(r[1] * 100))
+                    f.write(f"{r[0]},{c}\n")
+                    n += 1
+                    cents += c
+            return PartMsg(part, n, cents)
+
+        def commit(self, messages, batchId) -> None:
+            import os
+
+            n = sum(m.n for m in messages)
+            cents = sum(m.cents for m in messages)
+            with open(os.path.join(self.path, "_LEDGER"), "a") as f:
+                f.write(f"{batchId},{n},{cents}\n")
+
+        def abort(self, messages, batchId) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)
+
+    class LedgerSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sg_ledger_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return LedgerStreamWriter(self.options)
+
+    return LedgerSink
+
+
+@query(
+    "stream_python_sink",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS ledger_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS ledger_cents
+    FROM events
+    """,
+)
+def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING sink via the Spark 4 Python DataSource
+    `streamWriter` — the per-micro-batch executor-write / driver-commit
+    protocol behind every exactly-once streaming file sink, and the
+    streaming twin of `sink_python_datasource`. Events replay through
+    the bounded file source (availableNow); every batch's tasks write
+    part-files and the driver appends one ledger line per COMMITTED
+    batch (n rows, exact cents). The query then re-reads the part-files
+    AND the ledger and proves both agree with the source truth the
+    oracle states — a dropped or double-written batch breaks the hash
+    gate. Per-pid output dir; money as int64 cents in the sink
+    protocol itself."""
+    import os
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-streamsink-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    spark.dataSource.register(_stream_sink_source())
+    src = _events_stream(spark, _stage_events(sf_dir), max_files=1)
+    q = (
+        src.select("event_id", "value")
+        .writeStream.format("sg_ledger_stream_sink")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(out, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ledger_n = 0
+    ledger_cents = 0
+    with open(os.path.join(out, "_LEDGER")) as f:
+        for line in f:
+            _, n, cents = line.strip().split(",")
+            ledger_n += int(n)
+            ledger_cents += int(cents)
+    back = (
+        spark.read.schema("event_id long, cents long")
+        .option("pathGlobFilter", "part-*.txt")
+        .csv(out)
+    )
+    return back.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.lit(ledger_n).cast("long").alias("ledger_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.lit(ledger_cents).cast("long").alias("ledger_cents"),
+    )
