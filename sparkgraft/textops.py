@@ -3925,3 +3925,83 @@ def agg_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Target mixture weights (engine literals, summing to 100): the kind of
+# hand-tuned source mix a training run pins in its config.
+_BUDGET_WEIGHTS = {
+    "src0": 30,
+    "src1": 25,
+    "src2": 20,
+    "src3": 15,
+    "src4": 10,
+}
+_BUDGET_MULTIPLE = 3  # total budget = 3× the corpus's own token count
+
+
+@query(
+    "text_token_budget_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, len(string_split(lower(text), ' ')) AS nt
+      FROM documents),
+    per AS (SELECT source, sum(nt) AS avail FROM tok GROUP BY source),
+    tot AS (SELECT sum(avail) AS t FROM per),
+    w AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{s}', {w})" for s, w in sorted(_BUDGET_WEIGHTS.items()))}
+      ) AS v(source, wt)),
+    plan AS (
+      SELECT p.source, p.avail, w.wt,
+             ({_BUDGET_MULTIPLE} * t.t * w.wt) // 100 AS target
+      FROM per p JOIN w ON w.source = p.source CROSS JOIN tot t)
+    SELECT source,
+           CAST(avail AS BIGINT) AS tokens_available,
+           CAST(target AS BIGINT) AS tokens_target,
+           CAST((2 * target * 10000 + avail) // (2 * avail) AS DOUBLE)
+             / 10000.0 AS epochs,
+           (target > 4 * avail) AS over_epoch_risk
+    FROM plan ORDER BY source
+    """,
+)
+def text_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BUDGET planner (the data-constrained scaling-law worksheet,
+    Muennighoff et al. 2023): given hand-pinned target mixture weights
+    and a total training budget (3× the corpus's own tokens here), how
+    many tokens each source must contribute, how many EPOCHS of that
+    source that implies, and whether it crosses the ~4-epoch
+    repeated-data degradation threshold — the one-page plan a data lead
+    signs off before a run. Exact integer arithmetic throughout: token
+    inventories are one hash-agg pass, targets are integer
+    `(budget·weight) div 100`, and the epochs ratio is the half-up
+    integer-division idiom to 4 decimals. Output is |sources| rows."""
+    tok = load(spark, sf_dir, "documents").select(
+        "source", F.size(F.split(F.lower("text"), " ")).alias("nt")
+    )
+    per = tok.groupBy("source").agg(F.sum("nt").alias("avail"))
+    tot = per.agg(F.sum("avail").alias("t"))
+    w = spark.createDataFrame(
+        sorted(_BUDGET_WEIGHTS.items()), "source string, wt int"
+    )
+    plan = (
+        per.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail",
+            F.expr(f"({_BUDGET_MULTIPLE} * t * wt) div 100").alias(
+                "target"
+            ),
+        )
+    )
+    return plan.select(
+        "source",
+        F.col("avail").cast("long").alias("tokens_available"),
+        F.col("target").cast("long").alias("tokens_target"),
+        (
+            F.expr("CAST((2 * target * 10000 + avail) div (2 * avail)"
+                   " AS DOUBLE)")
+            / 10000.0
+        ).alias("epochs"),
+        (F.col("target") > 4 * F.col("avail")).alias("over_epoch_risk"),
+    ).orderBy("source")
