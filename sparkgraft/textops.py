@@ -4005,3 +4005,61 @@ def text_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("epochs"),
         (F.col("target") > 4 * F.col("avail")).alias("over_epoch_risk"),
     ).orderBy("source")
+
+
+@query(
+    "agg_effective_sample_size",
+    oracle="""
+    WITH fam AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS digest
+      FROM documents),
+    sizes AS (SELECT digest, count(*) AS k FROM fam GROUP BY digest),
+    wq AS (
+      SELECT f.source,
+             CAST(round(1e6 / s.k) AS BIGINT) AS w_u,
+             CAST(round(1e12 / (s.k * s.k)) AS BIGINT) AS w2_u
+      FROM fam f JOIN sizes s ON s.digest = f.digest),
+    agg_ AS (
+      SELECT source, count(*) AS n, sum(w_u) AS sw, sum(w2_u) AS sw2
+      FROM wq GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sw2 AS DOUBLE) / 1e6, 4) AS ess,
+           round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)
+                 / CAST(sw2 AS DOUBLE) / (1e6 * n), 6) AS ess_ratio
+    FROM agg_ ORDER BY source
+    """,
+)
+def agg_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size (Kish ESS = (Σw)²/Σw²) of the soft-dedup
+    weighting per source — the importance-sampling diagnostic that says
+    how many INDEPENDENT documents a weighted source is really worth
+    (pairs with `dedup_soft_weights`: identical when weights are equal,
+    collapsing toward the family count as duplication concentrates).
+    Weights (1/family-size) and their squares quantize to exact int64
+    µ-units BEFORE summation, so both sums are partition-order-exact
+    and the ESS ratio is one closed-form double per source. Digest
+    machinery identical to the soft-weights key: text moves only as
+    md5, family sizes join back on digest as a shuffle equi-join."""
+    fam = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.lower(F.trim("text"))).alias("digest")
+    )
+    sizes = fam.groupBy("digest").agg(F.count("*").alias("k"))
+    wq = fam.join(sizes, "digest").select(
+        "source",
+        F.round(1e6 / F.col("k")).cast("long").alias("w_u"),
+        F.round(1e12 / (F.col("k") * F.col("k"))).cast("long").alias("w2_u"),
+    )
+    agg_ = wq.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("w_u").alias("sw"),
+        F.sum("w2_u").alias("sw2"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    ess = d("sw") * d("sw") / d("sw2") / 1e6
+    return agg_.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    ).orderBy("source")
