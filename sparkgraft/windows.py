@@ -2323,3 +2323,137 @@ def win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_FM_BRAND = "Brand#11"
+_FM_START = "1997-01-01"  # emitted window
+_FM_END = "1997-03-31"
+_FM_PAD_START = "1996-12-25"  # 7-day lookback pad so Q1 lags are real
+
+
+@query(
+    "win_feature_matrix",
+    oracle=f"""
+    WITH parts AS (
+      SELECT p_partkey FROM part WHERE p_brand = '{_FM_BRAND}'),
+    days AS (
+      SELECT unnest(generate_series(DATE '{_FM_PAD_START}',
+                                    DATE '{_FM_END}',
+                                    INTERVAL 1 DAY))::DATE AS day),
+    demand AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '{_FM_PAD_START}'
+            AND DATE '{_FM_END}'
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT p.p_partkey, d.day, coalesce(dm.qty, 0) AS qty
+      FROM parts p CROSS JOIN days d
+      LEFT JOIN demand dm
+        ON dm.l_partkey = p.p_partkey AND dm.day = d.day),
+    feat AS (
+      SELECT p_partkey, day, qty,
+             lag(qty, 1) OVER w AS lag_1,
+             lag(qty, 7) OVER w AS lag_7,
+             sum(qty) OVER (PARTITION BY p_partkey ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS s7,
+             count(*) OVER (PARTITION BY p_partkey ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+               AS c7,
+             CAST(isodow(day) AS INT) AS dow
+      FROM spine
+      WINDOW w AS (PARTITION BY p_partkey ORDER BY day))
+    SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(qty AS BIGINT) AS qty,
+           CAST(lag_1 AS BIGINT) AS lag_1,
+           CAST(lag_7 AS BIGINT) AS lag_7,
+           CAST((2 * s7 * 10000 + c7) // (2 * c7) AS DOUBLE) / 10000.0
+             AS ma_7,
+           dow
+    FROM feat
+    WHERE day >= DATE '{_FM_START}'
+    ORDER BY p_partkey, day
+    """,
+)
+def win_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand-forecasting FEATURE MATRIX — the canonical ML
+    feature-engineering job: per (part, day) over a dense calendar
+    spine (zero-filled days INCLUDED — training on observed-only rows
+    biases every lag), one quarter's daily demand for one brand with
+    lag-1 / lag-7 / trailing-7-day-mean / ISO-weekday features, plus a
+    7-day lookback pad so the emitted window's lags are real values,
+    not window-edge nulls. Spine = bounded |parts| × |days| dimension
+    grid (both broadcast-sized); demand left-joins onto it keyed on
+    (part, day); all features ride ONE part-keyed ordered window pass.
+    Quantities are exact integers and the trailing mean is the half-up
+    integer-division idiom. The emitted matrix is the training input a
+    gradient-boosted demand model consumes."""
+    parts = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _FM_BRAND)
+        .select("p_partkey")
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(_FM_PAD_START).cast("date"),
+                F.lit(_FM_END).cast("date"),
+            )
+        ).alias("day")
+    )
+    demand = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_shipdate").cast("date").alias("day"),
+            F.round("l_quantity").cast("long").alias("q"),
+        )
+        .filter(
+            F.col("day").between(
+                F.lit(_FM_PAD_START).cast("date"),
+                F.lit(_FM_END).cast("date"),
+            )
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "day")
+        .agg(F.sum("q").alias("qty"))
+    )
+    spine = (
+        parts.crossJoin(F.broadcast(days))
+        .join(demand, ["p_partkey", "day"], "left")
+        .select(
+            "p_partkey", "day", F.coalesce("qty", F.lit(0)).alias("qty")
+        )
+    )
+    w = Window.partitionBy("p_partkey").orderBy("day")
+    w7 = w.rowsBetween(-6, 0)
+    feat = spine.select(
+        "p_partkey",
+        "day",
+        "qty",
+        F.lag("qty", 1).over(w).alias("lag_1"),
+        F.lag("qty", 7).over(w).alias("lag_7"),
+        F.sum("qty").over(w7).alias("s7"),
+        F.count("*").over(w7).alias("c7"),
+        F.dayofweek(F.date_add("day", -1)).alias("_shift"),
+    )
+    # ISO weekday (Mon=1..Sun=7): Spark's dayofweek is Sun=1..Sat=7;
+    # shifting the date back one day maps it exactly
+    return (
+        feat.filter(F.col("day") >= F.lit(_FM_START).cast("date"))
+        .select(
+            F.col("p_partkey").cast("long").alias("p_partkey"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("qty").cast("long").alias("qty"),
+            F.col("lag_1").cast("long").alias("lag_1"),
+            F.col("lag_7").cast("long").alias("lag_7"),
+            (
+                F.expr("CAST((2 * s7 * 10000 + c7) div (2 * c7) AS DOUBLE)")
+                / 10000.0
+            ).alias("ma_7"),
+            F.col("_shift").cast("int").alias("dow"),
+        )
+        .orderBy("p_partkey", "day")
+    )
