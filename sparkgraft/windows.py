@@ -2457,3 +2457,87 @@ def win_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "day")
     )
+
+
+_DECAY_HALFLIFE_H = 24.0
+
+
+@query(
+    "win_attribution_time_decay",
+    oracle=f"""
+    WITH conv AS (
+      SELECT user_id, min(ts) AS cts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+      SELECT e.user_id, e.event_type,
+             CAST(round(1e6 * power(2.0,
+                  -((epoch_us(c.cts) - epoch_us(e.ts)) / 3.6e9)
+                  / {_DECAY_HALFLIFE_H})) AS BIGINT) AS w_u
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE e.ts < c.cts AND e.event_type <> 'purchase'),
+    norm AS (
+      SELECT event_type,
+             CAST(round(1e6 * CAST(w_u AS DOUBLE)
+                  / sum(w_u) OVER (PARTITION BY user_id)) AS BIGINT)
+               AS credit_u
+      FROM touches)
+    SELECT event_type,
+           round(CAST(sum(credit_u) AS DOUBLE) / 1e6, 4)
+             AS conversions_credited
+    FROM norm GROUP BY event_type ORDER BY event_type
+    """,
+)
+def win_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution (24-hour half-life): each
+    pre-conversion touch earns weight 2^(−Δt/halflife) toward the
+    conversion, normalized per journey — completing the attribution
+    trio with `win_attribution_last_touch` and
+    `win_attribution_position_based`. Determinism discipline: the raw
+    decay weight quantizes to int64 µ-units per touch (one pow() of
+    exact µs deltas — identical double both engines), the per-journey
+    normalizer is then an EXACT integer sum over a user-keyed window,
+    each touch's normalized credit re-quantizes to µ-units, and channel
+    totals sum exact integers — float accumulation never crosses rows.
+    Scale: one user shuffle for the window, one bounded channel
+    rollup."""
+    ev = load(spark, sf_dir, "events")
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    dh = (
+        (F.unix_micros("cts") - F.unix_micros("ts")).cast("double") / 3.6e9
+    )
+    touches = (
+        ev.join(conv, "user_id")
+        .filter(
+            (F.col("ts") < F.col("cts"))
+            & (F.col("event_type") != "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.round(1e6 * F.pow(2.0, -dh / _DECAY_HALFLIFE_H))
+            .cast("long")
+            .alias("w_u"),
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    norm = touches.select(
+        "event_type",
+        F.round(
+            1e6 * F.col("w_u").cast("double") / F.sum("w_u").over(wu)
+        )
+        .cast("long")
+        .alias("credit_u"),
+    )
+    return (
+        norm.groupBy("event_type")
+        .agg(
+            F.round(F.sum("credit_u").cast("double") / 1e6, 4).alias(
+                "conversions_credited"
+            )
+        )
+        .orderBy("event_type")
+    )
