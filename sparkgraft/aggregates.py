@@ -5169,3 +5169,65 @@ def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d("c1") / d("n1"), 6).alias("rate_treat"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+@query(
+    "agg_price_elasticity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l.l_partkey, p.p_brand,
+             ln(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                     AS DOUBLE)
+                / sum(CAST(round(l.l_quantity) AS BIGINT))) AS ln_price,
+             ln(CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE))
+               AS ln_qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY l.l_partkey, p.p_brand)
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(regr_slope(ln_qty, ln_price), 6) AS elasticity,
+           round(regr_r2(ln_qty, ln_price), 6) AS r2
+    FROM per_part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY of demand per brand: the log-log OLS slope of
+    per-part quantity on average unit price (elasticity = d ln q /
+    d ln p) — the pricing-economics headline every revenue team
+    estimates, and the economic application of the `regr_*` family
+    `agg_linear_regression` introduces. Each part contributes ONE
+    (ln price, ln qty) point whose inputs are exact int64 cents/units
+    (the ln of a ratio of exact integers is an identical double both
+    engines); the per-brand regression is one regr_slope/regr_r2 hash
+    agg, rounded at 6dp where moment accumulation order can differ in
+    the last ulp (the `agg_linear_regression` precedent). Scale: one
+    part-keyed aggregation, one bounded brand rollup."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "p_brand")
+        .agg(F.sum("pc").alias("spc"), F.sum("q").alias("sq"))
+        .select(
+            "p_brand",
+            F.log(F.col("spc").cast("double") / F.col("sq")).alias(
+                "ln_price"
+            ),
+            F.log(F.col("sq").cast("double")).alias("ln_qty"),
+        )
+    )
+    return (
+        per_part.groupBy("p_brand")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.round(F.regr_slope("ln_qty", "ln_price"), 6).alias(
+                "elasticity"
+            ),
+            F.round(F.regr_r2("ln_qty", "ln_price"), 6).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )
