@@ -5231,3 +5231,83 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    cum AS (
+      SELECT cents,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running
+      FROM rev),
+    tot AS (SELECT sum(cents) AS t FROM rev),
+    classed AS (
+      SELECT c.cents,
+             CASE WHEN 5 * c.running <= 4 * t.t THEN 'A'
+                  WHEN 20 * c.running <= 19 * t.t THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM cum c CROSS JOIN tot t)
+    SELECT abc,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents,
+           round(CAST(sum(cents) AS DOUBLE)
+                 / (SELECT CAST(t AS DOUBLE) FROM tot), 6) AS revenue_share
+    FROM classed GROUP BY abc ORDER BY abc
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory CLASSIFICATION — the 80/95 cumulative-revenue cut
+    every supply-chain review starts with: parts ranked by revenue
+    descending, class A while the running total stays ≤ 80% of total
+    revenue, B to 95%, C after. The running total is the operation that
+    breaks naive Spark (a global ordered cumsum = one-partition window);
+    here it rides the NEW `with_global_prefix_sum` primitive — the same
+    deterministic range-bucketing as the terasort rank, with per-bucket
+    value totals prefix-summed through the bounded triangle join. Class
+    cuts cross-multiply to exact integers (5·cum ≤ 4·T, 20·cum ≤ 19·T
+    on decimal-exact cents) so no float boundary exists; the oracle is
+    the plain single-node window."""
+    from .ranking import with_global_prefix_sum
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    cum = with_global_prefix_sum(
+        rev,
+        [("cents", "desc"), ("l_partkey", "asc")],
+        value_col="cents",
+        out_col="running",
+    )
+    tot = rev.agg(F.sum("cents").cast("decimal(38,0)").alias("t"))
+    classed = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(5 * F.col("running") <= 4 * F.col("t"), "A")
+        .when(20 * F.col("running") <= 19 * F.col("t"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        "t",
+    )
+    return (
+        classed.groupBy("abc")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+            F.round(
+                F.sum("cents").cast("double") / F.any_value("t").cast("double"),
+                6,
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )

@@ -166,3 +166,102 @@ def _bucketed_rank(
         .withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_bkt", "_rn", "_off")
     )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    keys: KeySpec,
+    value_col: str,
+    out_col: str = "prefix_sum",
+    buckets: int = 32,
+    sample_target: int = 2048,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Append the INCLUSIVE running total of ``value_col`` following
+    ``keys`` — SQL's ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` without the single-reducer window (the same
+    range-bucketing as :func:`with_global_rank`): local cumulative sums
+    within each bucket, plus per-bucket VALUE totals prefix-summed by
+    the bounded triangle join and broadcast back. Exactness is the
+    caller's contract: pass an integer/decimal ``value_col`` (cast to
+    decimal(38,0) for wrap-free sums at any scale) — the helper never
+    converts to float. This is the terasort-era distributed prefix-sum
+    primitive behind cumulative-share cuts (ABC/Pareto), quota fills,
+    and capacity packing."""
+    first_name, first_dir = keys[0]
+    rev = first_dir == "desc"
+    if cache_key is not None and cache_key in _BOUNDS_CACHE:
+        boundaries = _BOUNDS_CACHE[cache_key]
+    else:
+        # boundary construction mirrors with_global_rank's
+        numeric = isinstance(
+            df.schema[first_name].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.FloatType, T.DoubleType, T.DecimalType),
+        )
+        if numeric:
+            probs = [i / buckets for i in range(1, buckets)]
+            sample = df.approxQuantile(
+                first_name, probs, 1.0 / (4 * buckets)
+            )
+            sample.sort(reverse=rev)
+            candidates = sample
+        else:
+            n = df.count()
+            if n == 0:
+                return df.withColumn(
+                    out_col, F.lit(None).cast("decimal(38,0)")
+                )
+            m = max(1, n // sample_target)
+            key_cols = [name for name, _ in keys]
+            sample = [
+                r[0]
+                for r in df.filter(
+                    F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0
+                )
+                .select(first_name)
+                .collect()
+                if r[0] is not None
+            ]
+            sample.sort(reverse=rev)
+            step = max(1, len(sample) // buckets)
+            candidates = sample[step::step]
+        boundaries = []
+        for v in candidates:
+            if not boundaries or boundaries[-1] != v:
+                boundaries.append(v)
+        if cache_key is not None:
+            _BOUNDS_CACHE[cache_key] = boundaries
+
+    first = F.col(first_name)
+    bucket = F.lit(0)
+    for b in boundaries:
+        passed = (first < F.lit(b)) if rev else (first > F.lit(b))
+        bucket = bucket + F.when(passed, 1).otherwise(0)
+    bucket = F.when(first.isNull(), F.lit(-1)).otherwise(bucket)
+    bucketed = df.withColumn("_bkt", bucket)
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(*_order_cols(keys))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = bucketed.withColumn(
+        "_cum", F.sum(F.col(value_col)).over(w)
+    )
+    totals = bucketed.groupBy("_bkt").agg(
+        F.sum(F.col(value_col)).alias("_t")
+    )
+    prior = totals.select(
+        F.col("_bkt").alias("_bkt_p"), F.col("_t").alias("_t_p")
+    )
+    offsets = (
+        totals.join(prior, F.col("_bkt_p") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_t_p"), F.lit(0)).alias("_voff"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, F.col("_voff") + F.col("_cum"))
+        .drop("_bkt", "_cum", "_voff")
+    )

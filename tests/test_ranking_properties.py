@@ -57,3 +57,37 @@ def test_rank_with_nulls_first(spark):
     got = {r["id"]: r["rank"] for r in ranked.collect()}
     # asc_nulls_first: null ids 1,3 rank first, then -5, then 5
     assert got == {1: 1, 3: 2, 4: 3, 2: 4}
+
+
+def test_prefix_sum_matches_single_window(spark):
+    # the distributed range-bucketed prefix sum must equal the plain
+    # single-partition window cumsum on the same total order
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    from sparkgraft.catalog import load
+    from sparkgraft.ranking import with_global_prefix_sum
+
+    df = (
+        load(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("v")
+        )
+    )
+    got = with_global_prefix_sum(
+        df, [("v", "desc"), ("o_custkey", "asc")], value_col="v",
+        out_col="ps",
+    )
+    w = (
+        Window.orderBy(F.desc("v"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("ps", F.sum("v").over(w))
+    a = {(r["o_custkey"]): str(r["ps"]) for r in got.collect()}
+    b = {(r["o_custkey"]): str(r["ps"]) for r in want.collect()}
+    assert a == b
