@@ -5311,3 +5311,80 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc")
     )
+
+
+@query(
+    "agg_lorenz_curve",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, l_partkey) AS rnk,
+             sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running
+      FROM rev),
+    n AS (SELECT count(*) AS n, sum(cents) AS t FROM rev),
+    cuts AS (SELECT unnest(range(1, 11)) AS decile)
+    SELECT CAST(c.decile AS INT) AS decile,
+           CAST((c.decile * n.n) // 10 AS BIGINT) AS n_top_parts,
+           round(CAST(r.running AS DOUBLE) / CAST(n.t AS DOUBLE), 6)
+             AS cum_revenue_share
+    FROM cuts c
+    CROSS JOIN n
+    JOIN ranked r ON r.rnk = (c.decile * n.n) // 10
+    ORDER BY decile
+    """,
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ concentration curve over part revenue: for each top-k
+    decile of parts (ranked by revenue descending), the cumulative
+    revenue share — the 10-point curve whose area is `agg_gini_daily`'s
+    coefficient and whose 80% crossing is `agg_abc_classification`'s A
+    cut, read directly. Rank AND running total both come from the
+    distributed range-bucketed primitives (`with_global_rank` +
+    `with_global_prefix_sum` share one bucketing pass — no
+    single-partition window anywhere); the ten cut ranks are exact
+    integer (k·n) div 10 probes equi-joined against the ranked frame,
+    so the corpus-sized work is one shuffle and the output is a fixed
+    10-row table."""
+    from .ranking import with_global_prefix_sum, with_global_rank
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("cents")
+        )
+    )
+    keys = [("cents", "desc"), ("l_partkey", "asc")]
+    ranked = with_global_rank(rev, keys, rank_col="rnk")
+    ranked = with_global_prefix_sum(
+        ranked, keys, value_col="cents", out_col="running"
+    )
+    n_tot = rev.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("t")
+    )
+    cuts = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    probes = cuts.crossJoin(F.broadcast(n_tot)).select(
+        "decile",
+        F.expr("CAST((decile * n) div 10 AS BIGINT)").alias("cut_rnk"),
+        "t",
+    )
+    return (
+        probes.join(ranked, probes.cut_rnk == ranked.rnk)
+        .select(
+            "decile",
+            F.col("cut_rnk").alias("n_top_parts"),
+            F.round(
+                F.col("running").cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
