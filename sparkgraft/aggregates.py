@@ -5388,3 +5388,65 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "agg_gini_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, l_partkey) AS k
+      FROM rev),
+    s AS (
+      SELECT count(*) AS n, sum(cents) AS t,
+             sum(k * cents) AS kt
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_parts,
+           CAST(t AS BIGINT) AS total_cents,
+           round(2.0 * CAST(kt AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM s
+    """,
+)
+def agg_gini_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration ACROSS PARTS — the
+    scalar summary of `agg_lorenz_curve` (its curve's area), computed
+    by the exact rank formula G = 2·Σk·vₖ/(n·Σv) − (n+1)/n over
+    ascending-ranked revenues: Σk·vₖ is an EXACT integer because ranks
+    come from the distributed range-bucketed `with_global_rank`
+    (deterministic ties on partkey) and revenues are int64 cents, so
+    the whole statistic is one closed-form double over three exact
+    integers. The catalog-level twin of `agg_gini_daily` (days): one
+    part-keyed aggregation, one rank shuffle, a 1-row answer."""
+    from .ranking import with_global_rank
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("cents")
+        )
+    )
+    ranked = with_global_rank(
+        rev, [("cents", "asc"), ("l_partkey", "asc")], rank_col="k"
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("t"),
+        F.sum(F.col("k") * F.col("cents")).alias("kt"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return s.select(
+        F.col("n").cast("long").alias("n_parts"),
+        F.col("t").cast("long").alias("total_cents"),
+        F.round(
+            2.0 * d("kt") / (d("n") * d("t")) - (d("n") + 1.0) / d("n"), 6
+        ).alias("gini"),
+    )
