@@ -5007,7 +5007,8 @@ _BM25_TOPN = 20
       SELECT count(*) AS n, sum(len) AS total_len FROM dlen),
     tf AS (
       SELECT doc_id, t, count(*) AS tf FROM tok
-      WHERE t IN ('scan', 'hash', 'data') GROUP BY doc_id, t),
+      WHERE t IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY doc_id, t),
     df AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
     scored AS (
       SELECT tf.doc_id,

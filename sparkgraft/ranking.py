@@ -36,12 +36,28 @@ from pyspark.sql import types as T
 #: the full list must be a total order for a deterministic rank.
 KeySpec = list[tuple[str, str]]
 
-#: boundary lists per caller-supplied cache key — range boundaries are
-#: corpus statistics (like the ANN index in vectorops): computing them is
-#: one bounded pass, reusing them across queries of the same immutable
-#: input is the standard amortization. Only populated when the caller
-#: passes ``cache_key``.
-_BOUNDS_CACHE: dict = {}
+#: boundary lists keyed by (corpus, label) — range boundaries are corpus
+#: statistics (like the ANN index in vectorops): computing them is one
+#: bounded pass, reusing them across queries of the same immutable input
+#: is the standard amortization. The corpus component is MANDATORY
+#: whenever a cache label is supplied (enforced in _cache_id): boundaries
+#: from one corpus applied to another would produce wrong ranks, not slow
+#: ones, so cross-corpus aliasing must be structurally impossible.
+_BOUNDS_CACHE: dict[tuple[str, str], list] = {}
+
+_EMPTY = object()  # sentinel: boundary sampling found an empty frame
+
+
+def _cache_id(corpus: str | None, label: str | None) -> tuple[str, str] | None:
+    if label is None:
+        return None
+    if not corpus:
+        raise ValueError(
+            "ranking cache labels require corpus= (the sf_dir / dataset "
+            "identity); a bare label could silently reuse another "
+            "corpus's range boundaries and corrupt ranks"
+        )
+    return (corpus, label)
 
 
 def _order_cols(keys: KeySpec) -> list[Column]:
@@ -52,33 +68,19 @@ def _order_cols(keys: KeySpec) -> list[Column]:
     return cols
 
 
-def with_global_rank(
-    df: DataFrame,
-    keys: KeySpec,
-    rank_col: str = "rank",
-    buckets: int = 32,
-    sample_target: int = 2048,
-    cache_key: str | None = None,
-) -> DataFrame:
-    """Append a 1-based global row number following ``keys``.
-
-    Equivalent to SQL ``row_number() OVER (ORDER BY ...)`` without the
-    single-reducer bottleneck. ``cache_key`` (when the input is an
-    immutable corpus) memoizes the sampled range boundaries.
-    """
+def _range_boundaries(
+    df: DataFrame, keys: KeySpec, buckets: int, sample_target: int
+) -> list[Any] | object:
+    """Deterministic interior cut points on the first sort key, collected
+    ONCE driver-side and baked as literals — so every downstream job sees
+    the same layout no matter how it re-evaluates (unlike
+    ``repartitionByRange``, which re-samples per job). Numeric keys use
+    one approxQuantile pass; other types fall back to a deterministic
+    hash-modulus sample (needs a count first to bound the collect).
+    Returns the ``_EMPTY`` sentinel when the frame has no rows."""
     first_name, first_dir = keys[0]
     key_cols = [name for name, _ in keys]
     rev = first_dir == "desc"
-
-    if cache_key is not None and cache_key in _BOUNDS_CACHE:
-        return _bucketed_rank(df, keys, _BOUNDS_CACHE[cache_key], rank_col)
-
-    # 1. Range boundaries on the first key, collected ONCE driver-side and
-    #    baked as literals below — so every downstream job sees the same
-    #    layout no matter how it re-evaluates (unlike repartitionByRange,
-    #    which re-samples per job). Numeric keys use one approxQuantile
-    #    pass; other types fall back to a deterministic hash-modulus
-    #    sample (needs a count first to bound the collect).
     numeric = isinstance(
         df.schema[first_name].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -88,7 +90,7 @@ def with_global_rank(
         probs = [i / buckets for i in range(1, buckets)]
         sample = df.approxQuantile(first_name, probs, 1.0 / (4 * buckets))
         if not sample and df.isEmpty():
-            return df.withColumn(rank_col, F.lit(None).cast("long"))
+            return _EMPTY
         sample.sort(reverse=rev)
         # approxQuantile already returns only the buckets-1 interior cut
         # points — take them all (thinning would drop the first boundary).
@@ -96,7 +98,7 @@ def with_global_rank(
     else:
         n = df.count()
         if n == 0:
-            return df.withColumn(rank_col, F.lit(None).cast("long"))
+            return _EMPTY
         m = max(1, n // sample_target)
         sample = [
             r[0]
@@ -115,27 +117,68 @@ def with_global_rank(
     for v in candidates:
         if not boundaries or boundaries[-1] != v:
             boundaries.append(v)
-    if cache_key is not None:
-        _BOUNDS_CACHE[cache_key] = boundaries
+    return boundaries
+
+
+def _bucket_expr(keys: KeySpec, boundaries: list[Any]) -> Column:
+    """Bucket = #boundaries strictly preceding the row's first-key value.
+    NULLs sort first (matching asc_nulls_first/desc_nulls_first)."""
+    first_name, first_dir = keys[0]
+    rev = first_dir == "desc"
+    first = F.col(first_name)
+    bucket = F.lit(0)
+    for b in boundaries:
+        passed = (first < F.lit(b)) if rev else (first > F.lit(b))
+        bucket = bucket + F.when(passed, 1).otherwise(0)
+    return F.when(first.isNull(), F.lit(-1)).otherwise(bucket)
+
+
+def _boundaries_cached(
+    df: DataFrame,
+    keys: KeySpec,
+    buckets: int,
+    sample_target: int,
+    corpus: str | None,
+    cache_key: str | None,
+) -> list[Any] | object:
+    cid = _cache_id(corpus, cache_key)
+    if cid is not None and cid in _BOUNDS_CACHE:
+        return _BOUNDS_CACHE[cid]
+    boundaries = _range_boundaries(df, keys, buckets, sample_target)
+    if cid is not None and boundaries is not _EMPTY:
+        _BOUNDS_CACHE[cid] = boundaries
+    return boundaries
+
+
+def with_global_rank(
+    df: DataFrame,
+    keys: KeySpec,
+    rank_col: str = "rank",
+    buckets: int = 32,
+    sample_target: int = 2048,
+    cache_key: str | None = None,
+    corpus: str | None = None,
+) -> DataFrame:
+    """Append a 1-based global row number following ``keys``.
+
+    Equivalent to SQL ``row_number() OVER (ORDER BY ...)`` without the
+    single-reducer bottleneck. ``cache_key`` (when the input is an
+    immutable corpus) memoizes the sampled range boundaries; it must be
+    accompanied by ``corpus`` (the sf_dir / dataset identity), which
+    namespaces the cache so boundaries can never alias across corpora.
+    """
+    boundaries = _boundaries_cached(
+        df, keys, buckets, sample_target, corpus, cache_key
+    )
+    if boundaries is _EMPTY:
+        return df.withColumn(rank_col, F.lit(None).cast("long"))
     return _bucketed_rank(df, keys, boundaries, rank_col)
 
 
 def _bucketed_rank(
     df: DataFrame, keys: KeySpec, boundaries: list[Any], rank_col: str
 ) -> DataFrame:
-    first_name, first_dir = keys[0]
-    rev = first_dir == "desc"
-
-    # 2. Bucket = #boundaries strictly preceding the row's first-key value.
-    #    NULLs sort first (matching asc_nulls_first/desc_nulls_first).
-    first = F.col(first_name)
-    bucket = F.lit(0)
-    for b in boundaries:
-        passed = (first < F.lit(b)) if rev else (first > F.lit(b))
-        bucket = bucket + F.when(passed, 1).otherwise(0)
-    bucket = F.when(first.isNull(), F.lit(-1)).otherwise(bucket)
-
-    bucketed = df.withColumn("_bkt", bucket)
+    bucketed = df.withColumn("_bkt", _bucket_expr(keys, boundaries))
 
     # 3. Local rank within bucket + bucket offsets, all in ONE action: the
     #    offsets side is a (#buckets)-row aggregate (Catalyst plans it as
@@ -176,70 +219,26 @@ def with_global_prefix_sum(
     buckets: int = 32,
     sample_target: int = 2048,
     cache_key: str | None = None,
+    corpus: str | None = None,
 ) -> DataFrame:
     """Append the INCLUSIVE running total of ``value_col`` following
     ``keys`` — SQL's ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED
     PRECEDING)`` without the single-reducer window (the same
-    range-bucketing as :func:`with_global_rank`): local cumulative sums
-    within each bucket, plus per-bucket VALUE totals prefix-summed by
-    the bounded triangle join and broadcast back. Exactness is the
-    caller's contract: pass an integer/decimal ``value_col`` (cast to
+    range-bucketing as :func:`with_global_rank`, sharing its boundary
+    construction and bucket expression): local cumulative sums within
+    each bucket, plus per-bucket VALUE totals prefix-summed by the
+    bounded triangle join and broadcast back. Exactness is the caller's
+    contract: pass an integer/decimal ``value_col`` (cast to
     decimal(38,0) for wrap-free sums at any scale) — the helper never
     converts to float. This is the terasort-era distributed prefix-sum
     primitive behind cumulative-share cuts (ABC/Pareto), quota fills,
     and capacity packing."""
-    first_name, first_dir = keys[0]
-    rev = first_dir == "desc"
-    if cache_key is not None and cache_key in _BOUNDS_CACHE:
-        boundaries = _BOUNDS_CACHE[cache_key]
-    else:
-        # boundary construction mirrors with_global_rank's
-        numeric = isinstance(
-            df.schema[first_name].dataType,
-            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-             T.FloatType, T.DoubleType, T.DecimalType),
-        )
-        if numeric:
-            probs = [i / buckets for i in range(1, buckets)]
-            sample = df.approxQuantile(
-                first_name, probs, 1.0 / (4 * buckets)
-            )
-            sample.sort(reverse=rev)
-            candidates = sample
-        else:
-            n = df.count()
-            if n == 0:
-                return df.withColumn(
-                    out_col, F.lit(None).cast("decimal(38,0)")
-                )
-            m = max(1, n // sample_target)
-            key_cols = [name for name, _ in keys]
-            sample = [
-                r[0]
-                for r in df.filter(
-                    F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0
-                )
-                .select(first_name)
-                .collect()
-                if r[0] is not None
-            ]
-            sample.sort(reverse=rev)
-            step = max(1, len(sample) // buckets)
-            candidates = sample[step::step]
-        boundaries = []
-        for v in candidates:
-            if not boundaries or boundaries[-1] != v:
-                boundaries.append(v)
-        if cache_key is not None:
-            _BOUNDS_CACHE[cache_key] = boundaries
-
-    first = F.col(first_name)
-    bucket = F.lit(0)
-    for b in boundaries:
-        passed = (first < F.lit(b)) if rev else (first > F.lit(b))
-        bucket = bucket + F.when(passed, 1).otherwise(0)
-    bucket = F.when(first.isNull(), F.lit(-1)).otherwise(bucket)
-    bucketed = df.withColumn("_bkt", bucket)
+    boundaries = _boundaries_cached(
+        df, keys, buckets, sample_target, corpus, cache_key
+    )
+    if boundaries is _EMPTY:
+        return df.withColumn(out_col, F.lit(None).cast("decimal(38,0)"))
+    bucketed = df.withColumn("_bkt", _bucket_expr(keys, boundaries))
 
     w = (
         Window.partitionBy("_bkt")

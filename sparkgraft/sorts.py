@@ -33,7 +33,8 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_global_rank(
         o.select("o_orderkey", "o_totalprice"),
         [("o_totalprice", "desc"), ("o_orderkey", "asc")],
-        cache_key=f"{sf_dir}:orders:totalprice_desc",
+        cache_key="orders:totalprice_desc",
+        corpus=sf_dir,
     )
 
 
@@ -57,7 +58,8 @@ def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         o.select("o_orderkey", "status_or_null", "o_totalprice"),
         [("status_or_null", "asc"), ("o_totalprice", "desc"), ("o_orderkey", "asc")],
-        cache_key=f"{sf_dir}:orders:status_price",
+        cache_key="orders:status_price",
+        corpus=sf_dir,
     )
     return ranked.filter(F.col("rank") <= 1000)
 

@@ -930,11 +930,18 @@ def _stream_sink_source():
             part = os.path.join(
                 self.path, f"part-{uuid.uuid4().hex}.txt"
             )
+            import math
+
             n = 0
             cents = 0
             with open(part, "w") as f:
                 for r in iterator:
-                    c = int(round(r[1] * 100))
+                    # half-away-from-zero to match SQL round(), not
+                    # Python's banker's rounding (half-to-even)
+                    v = r[1] * 100
+                    c = int(math.floor(v + 0.5)) if v >= 0 else -int(
+                        math.floor(-v + 0.5)
+                    )
                     f.write(f"{r[0]},{c}\n")
                     n += 1
                     cents += c

@@ -1645,7 +1645,7 @@ _PCA_V0 = 125000  # round(1e6 / sqrt(64)) — uniform unit seed, quantized
 
 _PCA_ORACLE_ROUND = """
 w{k} AS (
-  SELECT c.i, sum(c.q * v.q) AS w
+  SELECT c.i, sum(CAST(c.q AS HUGEINT) * v.q) AS w
   FROM cq c JOIN v{p} v ON v.i = c.j GROUP BY c.i),
 n{k} AS (
   SELECT sqrt(CAST(sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT))

@@ -91,3 +91,46 @@ def test_prefix_sum_matches_single_window(spark):
     a = {(r["o_custkey"]): str(r["ps"]) for r in got.collect()}
     b = {(r["o_custkey"]): str(r["ps"]) for r in want.collect()}
     assert a == b
+
+
+def test_bounds_cache_is_corpus_namespaced(spark):
+    # Two corpora with the same cache label must never share boundary
+    # entries (sharing would produce wrong ranks, not slow ones), and a
+    # bare label without a corpus identity must be rejected outright.
+    from sparkgraft import ranking
+    from sparkgraft.ranking import with_global_prefix_sum
+
+    a = spark.createDataFrame([(v, v) for v in range(100)], "v int, id long")
+    b = spark.createDataFrame(
+        [(v * 1000, v) for v in range(100)], "v int, id long"
+    )
+    before = {k for k in ranking._BOUNDS_CACHE if k[1] == "t"}
+    assert not before
+    ra = with_global_rank(
+        a, [("v", "asc"), ("id", "asc")], cache_key="t", corpus="corpusA"
+    )
+    rb = with_global_rank(
+        b, [("v", "asc"), ("id", "asc")], cache_key="t", corpus="corpusB"
+    )
+    assert ("corpusA", "t") in ranking._BOUNDS_CACHE
+    assert ("corpusB", "t") in ranking._BOUNDS_CACHE
+    assert (
+        ranking._BOUNDS_CACHE[("corpusA", "t")]
+        != ranking._BOUNDS_CACHE[("corpusB", "t")]
+    )
+    # both still rank correctly with their own boundaries
+    assert {r["id"]: r["rank"] for r in ra.collect()} == {
+        i: i + 1 for i in range(100)
+    }
+    assert {r["id"]: r["rank"] for r in rb.collect()} == {
+        i: i + 1 for i in range(100)
+    }
+    with pytest.raises(ValueError):
+        with_global_rank(a, [("v", "asc"), ("id", "asc")], cache_key="bare")
+    with pytest.raises(ValueError):
+        with_global_prefix_sum(
+            a, [("v", "asc"), ("id", "asc")], value_col="v",
+            cache_key="bare",
+        )
+    for k in [("corpusA", "t"), ("corpusB", "t")]:
+        ranking._BOUNDS_CACHE.pop(k, None)
