@@ -132,3 +132,88 @@ def test_ivf_probe_sweep_monotone_recall(spark):
     assert fracs == sorted(fracs)
     assert recalls[-1] >= 0.9
     assert all(f <= 0.35 for f in fracs)
+
+
+def _planted_corpus(tmp_path):
+    """sf0.001 embeddings + 25 jittered near-copies (cos ≈ 0.958–0.989)
+    written as a standalone corpus dir — the synthetic ground for the
+    candidate-first dedup's recall invariant (the driver corpus's cosine
+    ceiling is ~0.51, far below the production τ=0.95)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    vec_ids = src.column("vec_id").to_numpy()
+    labels = src.column("label").to_numpy()
+    mat = np.stack(
+        [np.asarray(x, dtype=np.float64) for x in src.column("embedding").to_pylist()]
+    )
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    rng = np.random.RandomState(20260814)
+    n_plant = 25
+    planted = []
+    for i in range(n_plant):
+        base = matn[i]
+        delta = 0.15 + 0.15 * (i / n_plant)
+        u = rng.randn(base.shape[0])
+        u -= (u @ base) * base
+        u /= np.linalg.norm(u)
+        v = base + delta * u
+        planted.append(v / np.linalg.norm(v))
+    full = np.vstack([matn, np.array(planted)])
+    ids = np.concatenate([vec_ids, 10_000 + np.arange(n_plant)])
+    labs = np.concatenate([labels, labels[:n_plant]]).astype(np.int32)
+    out = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in full],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labs, pa.int32()),
+        }
+    )
+    pq.write_table(out, str(tmp_path / "embeddings.parquet"))
+    # exact truth at τ=0.95 over the float32-stored values (what the
+    # engine reads back), double-accumulated like the kernel
+    stored = full.astype(np.float32).astype(np.float64)
+    stored /= np.linalg.norm(stored, axis=1, keepdims=True)
+    sims = stored @ stored.T
+    iu = np.triu_indices(len(stored), 1)
+    truth = {
+        (int(min(ids[a], ids[b])), int(max(ids[a], ids[b])))
+        for a, b, s in zip(iu[0], iu[1], sims[iu])
+        if s >= 0.95
+    }
+    return truth
+
+
+def test_dedup_embedding_cosine_candidate_first_recall(spark, tmp_path):
+    truth = _planted_corpus(tmp_path)
+    assert len(truth) >= 20  # the plant must be non-vacuous
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in sparkgraft.QUERIES["dedup_embedding_cosine"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # recall floor pinned at 0.95 (analytic ≥ 0.998 at τ=0.95)
+    assert len(got & truth) / len(truth) >= 0.95
+    # precision is exact by construction: the verify step computes the
+    # true cosine, so nothing below τ can be emitted
+    assert got <= truth
+
+
+def test_dedup_embedding_cosine_plan_has_no_allpairs_grid(spark):
+    # the default key must be candidate-first: no grid-gemm
+    # applyInPandas (FlatMapGroupsInPandas) anywhere in its plan —
+    # that node now belongs only to the exact twin
+    plan = sparkgraft.QUERIES["dedup_embedding_cosine"](
+        spark, SF_DIR_MID
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" not in plan
+    exact_plan = sparkgraft.QUERIES["dedup_embedding_exact"](
+        spark, SF_DIR_MID
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in exact_plan
