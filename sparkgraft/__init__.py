@@ -13,6 +13,7 @@ queries/oracles into ``sparkgraft.registry``.
 from __future__ import annotations
 
 from . import aggregates  # noqa: F401  (registers §2.4)
+from . import avroio  # noqa: F401  (registers scan_avro_roundtrip)
 from . import filters  # noqa: F401  (registers §2.2)
 from . import functions  # noqa: F401  (registers §2.8)
 from . import graph  # noqa: F401  (registers iterative graph analytics)

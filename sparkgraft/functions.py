@@ -1035,3 +1035,51 @@ def fn_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+_SCRIPT_TRANSFORM_SQL = r"""
+  WITH piped AS (
+    SELECT TRANSFORM (o_orderkey, o_orderstatus,
+                      CAST(round(o_totalprice * 100) AS BIGINT))
+      ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+      USING 'awk \'BEGIN {FS=","; OFS=","} {print $2, $1 % 97, $3 * 2}\''
+      AS (status STRING, keymod STRING, dbl_cents STRING)
+      ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+    FROM orders
+  )
+  SELECT status,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(keymod AS BIGINT)) AS BIGINT) AS sum_keymod,
+         CAST(sum(CAST(dbl_cents AS BIGINT)) AS BIGINT) AS sum_dbl_cents
+  FROM piped GROUP BY status ORDER BY status
+"""
+
+
+@query(
+    "fn_script_transform",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey % 97) AS BIGINT) AS sum_keymod,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) * 2)
+                AS BIGINT) AS sum_dbl_cents
+    FROM orders GROUP BY status ORDER BY status
+    """,
+)
+def fn_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hadoop-streaming canon: pipe rows through an external script with
+    `SELECT TRANSFORM ... USING 'awk ...'` (Spark SQL script transform,
+    no Hive needed since 3.0) — THE shape of every streaming-jar mapper
+    (`hadoop jar hadoop-streaming.jar -mapper 'awk ...'`). Each task
+    feeds its partition's rows to one awk process over comma-delimited
+    pipes and reads transformed rows back; the computation (status
+    passthrough, o_orderkey mod 97, cents doubling) is integer-only so
+    awk's number formatting is exact, and the outer aggregate reduces
+    the piped rows to a 3-row summary the pure-SQL oracle states
+    independently. Scale: the script runs inside each task — per-
+    partition pipes, zero driver involvement, parallelism = input
+    partitions, exactly the Hadoop-streaming execution model."""
+    from .catalog import register_tables
+
+    register_tables(spark, sf_dir, ["orders"])
+    return spark.sql(_SCRIPT_TRANSFORM_SQL)

@@ -1198,3 +1198,46 @@ def scan_parquet_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+@query(
+    "scan_sequencefile_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def scan_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SequenceFile round-trip — the literal Hadoop key-value container
+    (`hadoop fs -text part-*` canon): events' (user_id, event_type)
+    pairs → `saveAsSequenceFile` (LongWritable/Text via the built-in
+    Pyrolite converters) → `sc.sequenceFile` read-back → DataFrame
+    aggregate proving nothing was lost. This is the ONE operator class
+    where the RDD API is the genuine article: SequenceFile IS a KV-pair
+    format, its reader/writer are InputFormat/OutputFormat, and each
+    task reads/writes its own split exactly as a MapReduce job would —
+    parallelism = splits, zero driver materialization. The aggregate
+    (and the oracle) runs on the read-back, so the driver's hash check
+    validates the full write→read cycle."""
+    import shutil
+
+    out = _scratch(sf_dir, "events_seq")
+    shutil.rmtree(out, ignore_errors=True)  # RDD saves have no overwrite mode
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .rdd.map(lambda r: (r[0], r[1]))
+    )
+    pairs.saveAsSequenceFile(out)
+    back = spark.sparkContext.sequenceFile(out)
+    return (
+        back.toDF(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("user_id").cast("long").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )

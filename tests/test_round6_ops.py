@@ -1,0 +1,135 @@
+"""Round-6 additions: Avro from-spec codec interop, script transform,
+and the sampled audit forms (VERDICT r5 asks #1-#5)."""
+
+from __future__ import annotations
+
+import uuid
+
+import sparkgraft
+from conftest import SF_DIR, SF_DIR_MID
+
+
+def test_avro_python_reader_roundtrip(tmp_path):
+    from sparkgraft.avroio import (
+        _ORDERS_AVRO_SCHEMA,
+        read_container_file,
+        write_container_file,
+    )
+
+    rows = [
+        (1, "O", 100.25),
+        (-7, "F", -3.5),
+        (2**40, "P", 0.0),
+        (0, "", 1e300),
+    ]
+    path = str(tmp_path / "rt.avro")
+    n = write_container_file(path, rows, _ORDERS_AVRO_SCHEMA, uuid.uuid4().bytes)
+    assert n == len(rows)
+    assert list(read_container_file(path)) == rows
+
+
+def test_avro_java_reference_reader_interop(spark, tmp_path):
+    # the written container file must be readable by the REFERENCE Java
+    # implementation (avro-1.12.1.jar on Spark's JVM classpath) — this is
+    # the proof the from-spec Python writer produces real Avro, not a
+    # private format that merely round-trips through its own reader
+    from sparkgraft.avroio import _ORDERS_AVRO_SCHEMA, write_container_file
+
+    rows = [(i, f"s{i % 3}", i * 1.5 - 7) for i in range(2500)]  # >1 block
+    path = str(tmp_path / "interop.avro")
+    write_container_file(path, rows, _ORDERS_AVRO_SCHEMA, uuid.uuid4().bytes)
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        got.append(
+            (
+                rec.get("o_orderkey"),
+                str(rec.get("o_orderstatus")),
+                rec.get("o_totalprice"),
+            )
+        )
+    reader.close()
+    assert got == rows
+
+
+def test_avro_schema_planning_from_header(tmp_path):
+    from sparkgraft.avroio import (
+        _ORDERS_AVRO_SCHEMA,
+        spark_schema_of,
+        write_container_file,
+    )
+
+    path = str(tmp_path / "hdr.avro")
+    write_container_file(path, [(1, "O", 2.0)], _ORDERS_AVRO_SCHEMA, b"\x00" * 16)
+    assert (
+        spark_schema_of(path)
+        == "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+    )
+
+
+def test_script_transform_runs_external_process(spark):
+    df = sparkgraft.QUERIES["fn_script_transform"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ScriptTransformation" in plan  # a real piped external process
+    rows = {r.status: r for r in df.collect()}
+    assert set(rows) == {"F", "O", "P"}
+    # cents doubling is exact: recompute one group's expectation in Spark
+    from pyspark.sql import functions as F
+
+    from sparkgraft.catalog import load
+
+    want = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long") * 2).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert rows["F"].sum_dbl_cents == want
+
+
+def test_sampled_audits_match_full_on_sampled_subset(spark):
+    # the sampled histogram must equal the full histogram computed over
+    # the same deterministic subset — i.e. sampling is the ONLY change
+    from pyspark.sql import functions as F
+
+    from sparkgraft.catalog import load
+    from sparkgraft.vectorops import _AUDIT_SAMPLE_MOD, _pair_histogram
+
+    vecs = (
+        load(spark, SF_DIR_MID, "embeddings")
+        .filter(F.col("vec_id") % _AUDIT_SAMPLE_MOD == 0)
+        .select("vec_id", "embedding")
+    )
+    direct = {
+        (r.bucket, r.n_pairs)
+        for r in _pair_histogram(spark, vecs, vecs.count()).collect()
+    }
+    sampled = {
+        (r.bucket, r.n_pairs)
+        for r in sparkgraft.QUERIES["sim_pair_histogram_sampled"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    assert direct == sampled
+
+
+def test_lsh_bucket_stats_consistency(spark):
+    # cand_pairs must be consistent with n_buckets/max_bucket per band,
+    # and every band must account for all n vectors
+    from sparkgraft.catalog import load
+
+    n = load(spark, SF_DIR_MID, "embeddings").count()
+    rows = sparkgraft.QUERIES["sim_lsh_bucket_stats"](spark, SF_DIR_MID).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert 1 <= r.n_buckets <= n
+        assert r.max_bucket <= n
+        assert r.cand_pairs <= n * (n - 1) // 2
+        assert r.n_oversize >= 0
