@@ -144,6 +144,13 @@ def _time_group(spark, sf_dir: str, keys: list[str], loadavg_samples):
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = sparkgraft.get_session("sparkgraft-bench")
+    # Quiet the known-benign WindowExec "No Partition Defined" warnings:
+    # every unpartitioned window in the engine is bounded-domain by
+    # construction (distinct calendar days, deciles, ≤ buckets+1 count
+    # rows — the boundedness argument lives in each operator docstring
+    # and is exercised by tests), and at 32 keys × 7 runs the warning
+    # floods the tail the driver captures, burying real signals.
+    spark.sparkContext.setLogLevel("ERROR")
 
     loadavg_samples: list[list[float]] = [list(os.getloadavg())]
     timings, traces = _time_group(

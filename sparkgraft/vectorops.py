@@ -1149,11 +1149,13 @@ def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_histogram(spark, vecs, _corpus_count(spark, sf_dir))
 
 
-def _pair_histogram(spark: SparkSession, vecs: DataFrame, n: int) -> DataFrame:
+def _pair_histogram(
+    spark: SparkSession, vecs: DataFrame, n: int, min_blocks: int = _MIN_BLOCKS
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
+    n_blocks = max(min_blocks, -(-n // _BLOCK_ROWS))
 
     def hist_block(key, pdf):
         bi, bj = key
@@ -1243,9 +1245,12 @@ def sim_pair_histogram_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf1 vs ~12 s full). The sample predicate is plain modular
     arithmetic on vec_id, so the oracle applies the identical predicate
     and the key stays hash-checked; the full-corpus key remains the
-    verification baseline."""
+    verification baseline. min_blocks=1: the sample is 1/256 of the
+    pair space, so the small-corpus parallelism floor would only fan
+    out fixed job overhead (the block count still grows with n/16 at
+    real scale)."""
     vecs, n = _audit_sample(spark, sf_dir)
-    return _pair_histogram(spark, vecs, n)
+    return _pair_histogram(spark, vecs, n, min_blocks=1)
 
 
 @query(
@@ -1586,11 +1591,13 @@ def sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _threshold_sweep(spark, vecs, _corpus_count(spark, sf_dir))
 
 
-def _threshold_sweep(spark: SparkSession, vecs: DataFrame, n: int) -> DataFrame:
+def _threshold_sweep(
+    spark: SparkSession, vecs: DataFrame, n: int, min_blocks: int = _MIN_BLOCKS
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    n_blocks = max(_MIN_BLOCKS, -(-n // _BLOCK_ROWS))
+    n_blocks = max(min_blocks, -(-n // _BLOCK_ROWS))
     taus = list(_SWEEP_TAUS)
     total_pairs = n * (n - 1) // 2
 
@@ -1664,9 +1671,10 @@ def sim_threshold_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLED pair space, which is the unbiased estimator of the full
     fraction; the full-corpus key remains the verification baseline.
     The modular sample predicate is mirrored verbatim in the oracle, so
-    the key stays hash-checked."""
+    the key stays hash-checked. min_blocks=1 as in
+    `sim_pair_histogram_sampled` — block count still grows with n/16."""
     vecs, n = _audit_sample(spark, sf_dir)
-    return _threshold_sweep(spark, vecs, n)
+    return _threshold_sweep(spark, vecs, n, min_blocks=1)
 
 
 @query(
