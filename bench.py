@@ -109,6 +109,22 @@ GROUP4 = [
     "scan_bloom_filter_pointlookup",
 ]
 
+# Fifth group (round 6): the r6 scale-work keys — candidate-first embedding
+# dedup (+ its exact verification twin), bounded LSH accounting, the
+# sampled audit forms, and the three closed canon gaps (script pipe,
+# SequenceFile, Avro). Same protocol, own total.
+GROUP5 = [
+    "dedup_embedding_cosine",
+    "dedup_embedding_exact",
+    "sim_lsh_bucket_stats",
+    "sim_pair_histogram_sampled",
+    "sim_threshold_sweep_sampled",
+    "sim_hard_negatives_sampled",
+    "fn_script_transform",
+    "scan_sequencefile_roundtrip",
+    "scan_avro_roundtrip",
+]
+
 TIMED_REPS = 7
 # Heavy queries (the output-bound dedup family runs ~30 s at sf0.1) stop
 # at min-of-3 so the whole bench stays inside the driver's window; the
@@ -165,6 +181,9 @@ def main() -> int:
     timings4, traces4 = _time_group(
         spark, sf_dir, [k for k in GROUP4 if k in sparkgraft.QUERIES], loadavg_samples
     )
+    timings5, traces5 = _time_group(
+        spark, sf_dir, [k for k in GROUP5 if k in sparkgraft.QUERIES], loadavg_samples
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Compact stdout line (< 2 KB): group totals + per-query minima only.
@@ -184,12 +203,15 @@ def main() -> int:
         "group3_queries": timings3,
         "group4_total": round(sum(timings4.values()), 4),
         "group4_queries": timings4,
+        "group5_total": round(sum(timings5.values()), 4),
+        "group5_queries": timings5,
         "trace_file": "BENCH_trace.json",
     }
     trace = dict(result)
     trace.update(
         {"runs": traces, "group2_runs": traces2, "group3_runs": traces3,
-         "group4_runs": traces4, "loadavg": loadavg_samples}
+         "group4_runs": traces4, "group5_runs": traces5,
+         "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_trace.json")

@@ -10,7 +10,7 @@ IEEE engine, so the DuckDB oracle uses the identical element-cast formula
 in the 7th decimal — never use it in an oracle).
 
 Scale posture (100 TB):
-- The exact all-pairs kernels (`sim_cosine_topk`, `dedup_embedding_cosine`)
+- The exact all-pairs kernels (`sim_cosine_topk`, `dedup_embedding_exact`)
   run as a DISTRIBUTED grid block self-join: vectors are hash-bucketed into
   B blocks, each row is replicated to its B(B+1)/2 upper-triangle block
   pairs in one shuffle, and each task gemms one bounded block pair.
@@ -485,7 +485,12 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands. On real corpora with near-dups at cos ≥ 0.8 the identical
     machinery prunes subquadratically; the parameters are a (τ, recall)
     trade the operator pins with its recall/prune invariants rather
-    than silently auto-tuning away."""
+    than silently auto-tuning away.
+
+    Scale mode (r6): read `sim_lsh_bucket_stats` — the bounded,
+    hash-checked per-band bucket accounting — BEFORE materializing this
+    key's pairs at scale; at the production τ≈0.95 regime the
+    candidate-first `dedup_embedding_cosine` is the working path."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sig = lsh_signatures(spark, e)
     a = sig.alias("a")
@@ -1093,8 +1098,10 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     one representative per embedding-similarity cluster — the step after
     pairwise cosine dedup that pairwise output alone can't express,
     because near-dup pairs chain transitively. Edges are the cosine ≥ τ
-    pairs from the same distributed grid gemm as `dedup_embedding_cosine`
-    (τ=0.4, sized to this corpus); components come from alternating
+    pairs from `dedup_embedding_exact`'s distributed grid gemm (τ=0.4,
+    sized to this corpus — at the production τ=0.95 the candidate-first
+    `dedup_embedding_cosine` is the drop-in edge source, same (vec_a,
+    vec_b) contract); components come from alternating
     large-star/small-star contraction (`graph.connected_components`,
     Kiveris et al. SoCC 2014 — O(log n) rounds regardless of component
     diameter, replacing the r4 O(diameter) min-label propagation;
@@ -1105,7 +1112,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     largest dup group, never global."""
     from .graph import connected_components
 
-    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    pairs = dedup_embedding_exact(spark, sf_dir).select("vec_a", "vec_b")
     vertices = load(spark, sf_dir, "embeddings").select("vec_id")
     labels, _rounds = connected_components(
         pairs, vertices, id_col="vec_id", label_col="cluster_id"
@@ -1785,7 +1792,15 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate row per vector per block), and a vec_id-keyed max_by —
     with the (cos desc, neg_id) tie-break pinned via a min_by struct —
     finishes globally. Output is exactly one row per vector; ranking
-    compares round-6 cosines under the module precision contract."""
+    compares round-6 cosines under the module precision contract.
+    `sim_hard_negatives_sampled` is the routine-runnable per-batch form
+    at scale."""
+    return _hard_negatives(spark, sf_dir, sample_mod=None)
+
+
+def _hard_negatives(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -1796,47 +1811,55 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi, bj = key
         l_pdf = pdf[pdf["bucket"] == bi]
         r_pdf = pdf[pdf["bucket"] == bj]
+        empty = pd.DataFrame(
+            {
+                "vec_id": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64"),
+                "neg_id": pd.Series([], dtype="int64"),
+                "neg_label": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
+            }
+        )
         if l_pdf.empty or r_pdf.empty:
-            return pd.DataFrame(
-                {
-                    "vec_id": pd.Series([], dtype="int64"),
-                    "label": pd.Series([], dtype="int64"),
-                    "neg_id": pd.Series([], dtype="int64"),
-                    "neg_label": pd.Series([], dtype="int64"),
-                    "cos_sim": pd.Series([], dtype="float64"),
-                }
-            )
+            return empty
         ids_l, ml = _pdf_matrix(l_pdf)
         ids_r, mr = _pdf_matrix(r_pdf)
         lab_l = l_pdf["label"].to_numpy()
         lab_r = r_pdf["label"].to_numpy()
-        sims = np.round(ml @ mr.T, 6)
-        cross = lab_l[:, None] != lab_r[None, :]
-        if bi == bj:
-            # keep the full matrix (both directions) but never self-pair
-            np.fill_diagonal(cross, False)
         out = {k: [] for k in ("vec_id", "label", "neg_id", "neg_label", "cos_sim")}
 
-        def emit(ids_a, lab_a, ids_b, lab_b, mat, mask):
-            # per-row best cross-label hit: maximize cos, tie-break min id
-            masked = np.where(mask, mat, -np.inf)
+        def emit(ids_q, lab_q, mq, ids_c, lab_c, mc, self_block):
+            # per-QUERY-row best cross-label hit: max cos, tie-break min
+            # id. The sampled form restricts the query side BEFORE the
+            # gemm (the candidate side stays the full block — hardest
+            # negatives must still be searched over everything).
+            if sample_mod is not None:
+                qsel = ids_q % sample_mod == 0
+                if not qsel.any():
+                    return
+                ids_q, lab_q, mq = ids_q[qsel], lab_q[qsel], mq[qsel]
+            sims = np.round(mq @ mc.T, 6)
+            cross = lab_q[:, None] != lab_c[None, :]
+            if self_block:
+                cross &= ids_q[:, None] != ids_c[None, :]
+            masked = np.where(cross, sims, -np.inf)
             for i in range(masked.shape[0]):
                 row = masked[i]
                 mx = row.max()
                 if mx == -np.inf:
                     continue
                 js = np.nonzero(row == mx)[0]
-                j = js[np.argmin(ids_b[js])]
-                out["vec_id"].append(ids_a[i])
-                out["label"].append(lab_a[i])
-                out["neg_id"].append(ids_b[j])
-                out["neg_label"].append(lab_b[j])
-                out["cos_sim"].append(mat[i, j])
+                j = js[np.argmin(ids_c[js])]
+                out["vec_id"].append(ids_q[i])
+                out["label"].append(lab_q[i])
+                out["neg_id"].append(ids_c[j])
+                out["neg_label"].append(lab_c[j])
+                out["cos_sim"].append(sims[i, j])
 
-        emit(ids_l, lab_l, ids_r, lab_r, sims, cross)
+        emit(ids_l, lab_l, ml, ids_r, lab_r, mr, bi == bj)
         if bi != bj:
-            emit(ids_r, lab_r, ids_l, lab_l, sims.T, cross.T)
-        return pd.DataFrame(out)
+            emit(ids_r, lab_r, mr, ids_l, lab_l, ml, False)
+        return pd.DataFrame(out) if out["vec_id"] else empty
 
     cand = _grid_blocks(
         spark,
@@ -1863,6 +1886,38 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_hard_negatives_sampled",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id, a.label,
+             b.vec_id AS neg_id, b.label AS neg_label,
+             round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label <> b.label
+      WHERE a.{_AUDIT_SAMPLE_SQL}),
+    ranked AS (
+      SELECT vec_id, label, neg_id, neg_label, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, neg_id) AS rn
+      FROM scored)
+    SELECT vec_id, label, neg_id, neg_label, cos_sim
+    FROM ranked WHERE rn = 1
+    ORDER BY vec_id
+    """,
+)
+def sim_hard_negatives_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sim_hard_negatives` for the deterministic 1/16 QUERY subset —
+    the per-training-batch mining shape at 100 TB: you mine hardest
+    negatives for the batch you are about to train on, not for the
+    whole corpus at once. Only the query side is sampled (inside the
+    kernel, BEFORE the gemm — 16× fewer FLOPs); the negative search
+    still spans the ENTIRE corpus, so each mined negative is exactly as
+    hard as the full key would find. The modular predicate is mirrored
+    in the oracle's WHERE, keeping the key hash-checked."""
+    return _hard_negatives(spark, sf_dir, sample_mod=_AUDIT_SAMPLE_MOD)
 
 
 @query(

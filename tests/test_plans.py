@@ -1173,3 +1173,28 @@ def test_sql_join_hints_steer_physical_plan(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan
+
+
+def test_lsh_bucket_stats_is_linear_plus_bounded_aggs(spark):
+    # the scale-mode accounting key: one linear Arrow pass (MapInPandas),
+    # map-side-combined bucket census, and NO gemm grid anywhere
+    df = sparkgraft.QUERIES["sim_lsh_bucket_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "MapInPandas" in plan
+    assert "partial_count" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_candidate_first_dedup_plans_as_equi_joins(spark):
+    # dedup_embedding_cosine v2: bucket self-join + verify joins must all
+    # be hash/merge EQUI joins (a nested-loop join here would mean the
+    # candidate predicate degenerated), and the gemm grid must be absent
+    df = sparkgraft.QUERIES["dedup_embedding_cosine"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
