@@ -133,3 +133,34 @@ def test_lsh_bucket_stats_consistency(spark):
         assert r.max_bucket <= n
         assert r.cand_pairs <= n * (n - 1) // 2
         assert r.n_oversize >= 0
+
+
+def test_avro_python_reader_reads_java_written_file(spark, tmp_path):
+    # reverse interop: a file produced by the reference Java writer
+    # (which uses deflate-capable framing, its own sync marker, and the
+    # canonical metadata layout) must decode through the from-spec
+    # Python reader — together with the forward test this pins both
+    # directions of spec conformance
+    import json
+
+    from sparkgraft.avroio import _ORDERS_AVRO_SCHEMA, read_container_file
+
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(
+        json.dumps(_ORDERS_AVRO_SCHEMA)
+    )
+    path = str(tmp_path / "java_written.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.create(schema, jvm.java.io.File(path))
+    want = []
+    for i in range(1500):  # java default block size → multiple blocks
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("o_orderkey", jvm.java.lang.Long(i * 1000))
+        rec.put("o_orderstatus", f"S{i % 3}")
+        rec.put("o_totalprice", float(i) * 1.25 - 2)
+        writer.append(rec)
+        want.append((i * 1000, f"S{i % 3}", float(i) * 1.25 - 2))
+    writer.close()
+    assert list(read_container_file(path)) == want
