@@ -1,13 +1,15 @@
 """UDF / UDAF / UDTF extension surface (SURVEY.md §2.10).
 
 Policy: every relational operator in the engine is pure
-``pyspark.sql.functions`` (Catalyst-optimizable, codegen-able). These four
-queries exist to prove the *extension* path for logic Spark genuinely
-cannot express — and they use only the Arrow-vectorized variants
-(``pandas_udf`` / ``applyInPandas`` / Python UDTF), never row-at-a-time
+``pyspark.sql.functions`` (Catalyst-optimizable, codegen-able). The
+queries here exist to prove the *extension* path for logic Spark
+genuinely cannot express — and they use only the Arrow-vectorized
+variants (``pandas_udf`` / ``applyInPandas`` / cogrouped
+``applyInPandas`` / ``mapInArrow`` / Python UDTF), never row-at-a-time
 Python UDFs. Each mirrors its logic in plain SQL for the oracle, so the
 UDF machinery itself (Arrow batch transfer, grouped-map schema contract,
-lateral UDTF expansion) is what's under test.
+co-grouped two-frame alignment, zero-copy RecordBatch crossing, lateral
+UDTF expansion) is what's under test.
 
 Scale posture: pandas UDFs stream Arrow batches per partition (no
 driver-side collection); grouped-map state is bounded by the largest
@@ -255,4 +257,137 @@ def udf_struct_return(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.grade").alias("grade"),
         )
         .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "udf_cogroup_asof",
+    oracle="""
+    WITH p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+         m AS (
+           SELECT p.user_id, epoch_us(p.ts) AS purchase_us,
+                  (SELECT max(epoch_us(c.ts)) FROM c
+                   WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_us
+           FROM p)
+    SELECT user_id, purchase_us, click_us,
+           purchase_us - click_us AS lag_us
+    FROM m
+    """,
+)
+def udf_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUP surface (`groupBy().cogroup().applyInPandas` — the custom
+    merge-join extension point §2.10 previously lacked): per user, the
+    purchase stream and the click stream arrive as two aligned pandas
+    frames in ONE task, and a binary-search as-of merge labels every
+    purchase with its latest at-or-before click — the pattern for custom
+    stream-alignment logic (sessions ⋈ bids, trades ⋈ quotes) when the
+    windowed `join_asof` construction can't express the per-group logic.
+    Scale: one co-partitioned shuffle on user_id; task memory is bounded
+    by the largest single user's two streams; the merge is O(n log m)
+    NumPy searchsorted, no pandas merge machinery. Ties (click exactly
+    at purchase ts) match, like the oracle's `c.ts <= p.ts`; users with
+    clicks but no purchases produce empty frames and vanish."""
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+
+    def asof_merge(key, purchases: pd.DataFrame, clicks: pd.DataFrame):
+        if purchases.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_us": pd.Series([], dtype="int64"),
+                    "click_us": pd.Series([], dtype="Int64"),
+                    "lag_us": pd.Series([], dtype="Int64"),
+                }
+            )
+        t = np.sort(purchases["ts_us"].to_numpy())
+        if clicks.empty:
+            has = np.zeros(len(t), dtype=bool)
+            click = np.zeros(len(t), dtype=np.int64)
+        else:
+            ct = np.sort(clicks["ts_us"].to_numpy())
+            idx = np.searchsorted(ct, t, side="right") - 1
+            has = idx >= 0
+            click = ct[np.clip(idx, 0, None)]
+        click_col = pd.array(
+            [int(v) if h else None for v, h in zip(click, has)],
+            dtype="Int64",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": np.repeat(key[0], len(t)),
+                "purchase_us": t,
+                "click_us": click_col,
+                "lag_us": pd.array(
+                    [
+                        int(pv - cv) if h else None
+                        for pv, cv, h in zip(t, click, has)
+                    ],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return (
+        p.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            asof_merge,
+            "user_id long, purchase_us long, click_us long, lag_us long",
+        )
+    )
+
+
+@query(
+    "udf_map_arrow",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mapInArrow` surface — the zero-copy sibling of mapInPandas: the
+    UDF receives raw `pyarrow.RecordBatch`es and computes UTF-8 byte
+    lengths with Arrow compute kernels, never materializing a pandas
+    object column (for wide binary/string payloads this skips the
+    Arrow→pandas→Arrow conversion entirely — the right crossing for
+    byte-level feature extraction at 100 TB). The per-doc lengths then
+    aggregate JVM-side per language; the oracle recomputes them as
+    `octet_length(encode(text))`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def byte_len(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.binary_length(
+                        pc.cast(batch.column(1), pa.large_binary())
+                    ).cast(pa.int64()),
+                ],
+                names=["lang", "n_bytes"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    lens = docs.mapInArrow(byte_len, "lang string, n_bytes long")
+    return (
+        lens.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.max("n_bytes").cast("long").alias("max_bytes"),
+        )
+        .orderBy("lang")
     )
