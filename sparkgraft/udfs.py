@@ -391,3 +391,56 @@ def udf_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "udtf_polymorphic_analyze",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS l
+      FROM documents)
+    SELECT doc_id, l[1] AS t0, l[2] AS t1, l[3] AS t2
+    FROM toks ORDER BY doc_id
+    """,
+)
+def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output schema
+    is computed at PLAN TIME from the call's literal argument — here
+    `k=3` produces columns t0..t2 — the table-function shape for
+    parsers whose width is a parameter (fixed-field extractors, top-k
+    wideners) without hardcoding a schema per call site. The driver
+    runs `analyze()` once during resolution; executors then stream rows
+    against the resolved schema as usual. One row per document (padded
+    with NULLs when fewer tokens), mirrored by the oracle's
+    list-indexing twin, so the dynamic-schema machinery itself is the
+    thing under test."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import udtf as udtf_fn
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, k: AnalyzeArgument
+        ) -> AnalyzeResult:
+            n = k.value
+            return AnalyzeResult(
+                schema=T.StructType(
+                    [T.StructField(f"t{i}", T.StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text, k):  # noqa: D102 — UDTF contract method
+            toks = [t for t in (text or "").split(" ") if t]
+            yield tuple((toks + [None] * k)[:k])
+
+    spark.udtf.register("sg_first_tokens", udtf_fn(FirstTokens))
+    register_tables(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.t0, s.t1, s.t2
+        FROM documents d, LATERAL sg_first_tokens(d.text, 3) s
+        ORDER BY d.doc_id
+        """
+    )

@@ -164,3 +164,46 @@ def test_avro_python_reader_reads_java_written_file(spark, tmp_path):
         want.append((i * 1000, f"S{i % 3}", float(i) * 1.25 - 2))
     writer.close()
     assert list(read_container_file(path)) == want
+
+
+def test_avro_codec_property_roundtrip():
+    # hypothesis sweep of the binary encoding: arbitrary int64 keys
+    # (zigzag edge cases: 0, -1, ±2^62), arbitrary unicode strings
+    # (multi-byte UTF-8 lengths), arbitrary finite doubles — every corpus
+    # must decode to exactly what was written, across block boundaries
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from sparkgraft.avroio import (
+        _ORDERS_AVRO_SCHEMA,
+        read_container_file,
+        write_container_file,
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=40),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        max_size=60,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=rows_strategy)
+    def check(rows):
+        import os
+        import tempfile
+
+        fd, path = tempfile.mkstemp(suffix=".avro")
+        os.close(fd)
+        try:
+            n = write_container_file(
+                path, rows, _ORDERS_AVRO_SCHEMA, b"\x07" * 16
+            )
+            assert n == len(rows)
+            assert list(read_container_file(path)) == rows
+        finally:
+            os.remove(path)
+
+    check()
