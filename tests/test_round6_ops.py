@@ -207,3 +207,51 @@ def test_avro_codec_property_roundtrip():
             os.remove(path)
 
     check()
+
+
+def test_quality_train_learns_the_rule(spark):
+    # the trained distillation must be discriminative, not just
+    # parity-correct: positive weights on the features the keep-rule
+    # thresholds (tokens, stopwords), negative bias, and better-than-
+    # base-rate training accuracy when the weights are applied back
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.catalog import load
+    from sparkgraft.textops import _STOPWORDS
+
+    w = {
+        r.feature: r.weight
+        for r in sparkgraft.QUERIES["text_quality_train"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    assert w["tokens_h"] > 0 and w["stopwords_10"] > 0 and w["bias"] < 0
+
+    d = load(spark, SF_DIR_MID, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    scored = d.select(
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop, x))).alias(
+            "n_stop"
+        ),
+        "n_chars",
+    ).select(
+        ((F.col("n_tokens") >= 20) & (F.col("n_stop") > 0)).alias("y"),
+        (
+            F.lit(w["bias"])
+            + F.lit(w["chars_k"]) * F.col("n_chars") / 1000.0
+            + F.lit(w["tokens_h"]) * F.col("n_tokens") / 100.0
+            + F.lit(w["stopwords_10"]) * F.col("n_stop") / 10.0
+        ).alias("z"),
+    )
+    agg = scored.agg(
+        F.avg(F.when(F.col("y") == (F.col("z") >= 0), 1.0).otherwise(0.0)).alias(
+            "acc"
+        ),
+        F.avg(F.when(F.col("y"), 1.0).otherwise(0.0)).alias("pos"),
+    ).collect()[0]
+    base = max(agg.pos, 1 - agg.pos)
+    assert agg.acc > base + 0.02
