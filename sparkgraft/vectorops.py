@@ -1472,6 +1472,173 @@ def sim_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- oracle-checked k-means TRAINING (sim_kmeans_train) ---
+# assign/update single steps exist above; this is the full multi-round
+# Lloyd loop, oracle-checked — which float k-means cannot be. The
+# sim_pca_power_iteration discipline applied to clustering: embeddings
+# quantize to int64 micro-units ONCE, every distance is an exact integer
+# (argmin unambiguous, ties to the lowest cell), per-cell means are
+# exact integer sums through one deterministic double division, and the
+# new centroids requantize to micro-units — so both engines walk
+# bit-identical centroid states through every round.
+_KMT_K = 8
+_KMT_ROUNDS = 4
+
+_KMT_REQ = (
+    "CAST(CASE WHEN m.mu IS NULL THEN p.q"
+    " WHEN m.mu >= 0 THEN floor(m.mu + 0.5)"
+    " ELSE -floor(-m.mu + 0.5) END AS BIGINT)"
+)
+
+
+def _kmt_round_sql(k: int) -> str:
+    p = k - 1
+    return f"""
+    d{k} AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             sum((e.q - c.q) * (e.q - c.q)) AS dist
+      FROM eq e JOIN c{p} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cell),
+    a{k} AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM d{k}) t WHERE rn = 1),
+    c{k} AS MATERIALIZED (
+      SELECT p.cell, p.pos, {_KMT_REQ} AS q
+      FROM c{p} p LEFT JOIN (
+        SELECT a.cell, e.pos,
+               CAST(sum(e.q) AS DOUBLE) / count(*) AS mu
+        FROM a{k} a JOIN eq e ON e.vec_id = a.vec_id
+        GROUP BY a.cell, e.pos) m
+      ON m.cell = p.cell AND m.pos = p.pos)"""
+
+
+_KMT_ORACLE = (
+    f"""
+    WITH eq AS MATERIALIZED (
+      SELECT vec_id, i.i AS pos,
+             CAST(CASE WHEN CAST(embedding[i.i + 1] AS DOUBLE) >= 0
+                  THEN floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  ELSE -floor(-CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  END AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i),
+    c0 AS MATERIALIZED (
+      SELECT CAST(vec_id AS INT) AS cell, pos, q
+      FROM eq WHERE vec_id < {_KMT_K}),"""
+    + ",".join(_kmt_round_sql(k) for k in range(1, _KMT_ROUNDS + 1))
+    + f"""
+    SELECT c.cell, CAST(c.pos AS INT) AS pos,
+           round(CAST(c.q AS DOUBLE) / 1e6, 6) AS centroid,
+           CAST(coalesce(n.n, 0) AS BIGINT) AS n_members
+    FROM c{_KMT_ROUNDS} c LEFT JOIN (
+      SELECT cell, count(*) AS n FROM a{_KMT_ROUNDS} GROUP BY cell) n
+    ON n.cell = c.cell
+    ORDER BY c.cell, pos
+    """
+)
+
+
+@query("sim_kmeans_train", oracle=_KMT_ORACLE)
+def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means TRAINING (4 full Lloyd rounds, K=8 Euclidean),
+    ORACLE-CHECKED end to end — `sim_kmeans_assign`/`sim_kmeans_update`
+    prove one step each; this is the converging loop, with bit-identical
+    states in both engines (see the module constants' discipline note:
+    quantized int64 distances → unambiguous argmin with ties to the
+    lowest cell; exact integer per-cell sums → one deterministic double
+    mean → requantize; empty cells keep their previous centroid).
+
+    Scale: each round is one linear mapInPandas pass (distances per
+    Arrow batch against the broadcast K×dim int matrix) emitting
+    per-batch PARTIAL (cell, pos, sum) rows + one count row per cell —
+    ≤ (K·(dim+1)) rows per batch into a map-side-combined decimal
+    aggregate, wrap-free to ~1e12 rows per cell. Driver state is the
+    K×dim integer centroid matrix; rounds = jobs, the PageRank/BPE
+    amortization."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        e.filter(F.col("vec_id") < _KMT_K)
+        .orderBy("vec_id")
+        .toPandas()  # exactly K rows
+    )
+    cq = _round_half_away(
+        np.stack(seeds["embedding"].to_numpy()).astype(np.float64) * 1e6
+    ).astype(np.int64)
+
+    counts = None
+    for _ in range(_KMT_ROUNDS):
+        bc = spark.sparkContext.broadcast(cq)
+
+        def partials(batches):
+            cmat = bc.value
+            for pdf in batches:
+                block = _round_half_away(
+                    np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                    * 1e6
+                ).astype(np.int64)
+                diff = block[:, None, :] - cmat[None, :, :]
+                asg = np.argmin((diff * diff).sum(axis=2), axis=1)
+                out_c, out_p, out_s = [], [], []
+                for cell in np.unique(asg):
+                    members = block[asg == cell]
+                    sums = members.sum(axis=0, dtype=np.int64)
+                    out_c.extend([int(cell)] * (_DIM + 1))
+                    out_p.extend(list(range(_DIM)) + [-1])
+                    out_s.extend(list(sums) + [len(members)])
+                yield pd.DataFrame(
+                    {"cell": out_c, "pos": out_p, "s": out_s}
+                )
+
+        agg = (
+            e.mapInPandas(partials, "cell int, pos int, s long")
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("t"))
+            .collect()
+        )
+        sums = {}
+        cnts = {}
+        for r in agg:
+            if r.pos == -1:
+                cnts[r.cell] = int(r.t)
+            else:
+                sums[(r.cell, r.pos)] = int(r.t)
+        new_cq = cq.copy()  # empty cells keep their previous centroid
+        for cell, n_cell in cnts.items():
+            for pos in range(_DIM):
+                # two-step conversion mirrors CAST(sum AS DOUBLE)/count
+                mu = float(sums[(cell, pos)]) / float(n_cell)
+                new_cq[cell, pos] = int(
+                    np.floor(mu + 0.5) if mu >= 0 else -np.floor(-mu + 0.5)
+                )
+        cq = new_cq
+        counts = cnts
+
+    rows = [
+        (
+            int(cell),
+            int(pos),
+            int(cq[cell, pos]),
+            int(counts.get(cell, 0)),
+        )
+        for cell in range(_KMT_K)
+        for pos in range(_DIM)
+    ]
+    out = spark.createDataFrame(
+        rows, "cell int, pos int, q long, n_members long"
+    )
+    return out.select(
+        "cell",
+        "pos",
+        F.round(F.col("q").cast("double") / 1e6, 6).alias("centroid"),
+        "n_members",
+    ).orderBy("cell", "pos")
+
+
 _SWEEP_PROBES = (8, 16, 48)
 
 

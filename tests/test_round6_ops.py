@@ -255,3 +255,28 @@ def test_quality_train_learns_the_rule(spark):
     ).collect()[0]
     base = max(agg.pos, 1 - agg.pos)
     assert agg.acc > base + 0.02
+
+
+def test_kmeans_train_clusters_everything_and_moves(spark):
+    import numpy as np
+
+    from sparkgraft.catalog import load
+
+    rows = sparkgraft.QUERIES["sim_kmeans_train"](spark, SF_DIR_MID).collect()
+    n = load(spark, SF_DIR_MID, "embeddings").count()
+    assert len(rows) == 8 * 64
+    # every vector is in exactly one cluster
+    per_cell = {r.cell: r.n_members for r in rows}
+    assert sum(per_cell.values()) == n
+    # training moved the centroids off their seed vectors
+    cent = np.zeros((8, 64))
+    for r in rows:
+        cent[r.cell, r.pos] = r.centroid
+    seeds = (
+        load(spark, SF_DIR_MID, "embeddings")
+        .filter("vec_id < 8")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    seed_mat = np.stack(seeds["embedding"].to_numpy()).astype(np.float64)
+    assert np.abs(cent - seed_mat).max() > 0.01
