@@ -123,6 +123,11 @@ GROUP5 = [
     "fn_script_transform",
     "scan_sequencefile_roundtrip",
     "scan_avro_roundtrip",
+    "text_quality_train",
+    "sim_kmeans_train",
+    "udf_cogroup_asof",
+    "udf_map_arrow",
+    "udtf_polymorphic_analyze",
 ]
 
 TIMED_REPS = 7

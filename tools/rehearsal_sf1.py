@@ -65,6 +65,18 @@ HEAVY = [
     "text_quality_classifier",
     "graph_components_copurchase",
     "graph_bfs_copurchase",
+    # r6 additions (dedup_embedding_cosine above is now candidate-first;
+    # dedup_embedding_exact keeps the old all-pairs measurement lineage)
+    "dedup_embedding_exact",
+    "sim_lsh_bucket_stats",
+    "sim_pair_histogram_sampled",
+    "sim_threshold_sweep_sampled",
+    "sim_hard_negatives_sampled",
+    "text_quality_train",
+    "sim_kmeans_train",
+    "udf_cogroup_asof",
+    "fn_script_transform",
+    "scan_avro_roundtrip",
 ]
 
 
