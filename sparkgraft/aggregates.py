@@ -5451,3 +5451,148 @@ def agg_gini_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * d("kt") / (d("n") * d("t")) - (d("n") + 1.0) / d("n"), 6
         ).alias("gini"),
     )
+
+
+_APRIORI_MINSUP = 0.023  # fraction of baskets; splits the brand lattice
+#                          nontrivially at every SF (129/109/73 of the 300
+#                          possible pairs at sf0.001/0.01/0.1)
+
+
+@query(
+    "agg_itemsets_apriori",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM b),
+    f1 AS MATERIALIZED (
+      SELECT br, count(*) AS s FROM b GROUP BY br
+      HAVING CAST(count(*) AS DOUBLE) >= {_APRIORI_MINSUP} * (SELECT n FROM n)),
+    f2 AS MATERIALIZED (
+      SELECT a.br AS x, c.br AS y, count(*) AS s
+      FROM b a JOIN b c ON a.o = c.o AND a.br < c.br
+      GROUP BY a.br, c.br
+      HAVING CAST(count(*) AS DOUBLE) >= {_APRIORI_MINSUP} * (SELECT n FROM n)),
+    f3 AS MATERIALIZED (
+      SELECT a.br AS x, c.br AS y, d.br AS z, count(*) AS s
+      FROM b a
+      JOIN b c ON c.o = a.o AND a.br < c.br
+      JOIN b d ON d.o = a.o AND c.br < d.br
+      GROUP BY a.br, c.br, d.br
+      HAVING CAST(count(*) AS DOUBLE) >= {_APRIORI_MINSUP} * (SELECT n FROM n))
+    SELECT CAST(1 AS INT) AS k, br AS i1, CAST(NULL AS VARCHAR) AS i2,
+           CAST(NULL AS VARCHAR) AS i3, CAST(s AS BIGINT) AS support,
+           round(CAST(s AS DOUBLE) / (SELECT n FROM n), 6) AS supp_frac
+    FROM f1
+    UNION ALL
+    SELECT 2, x, y, NULL, CAST(s AS BIGINT),
+           round(CAST(s AS DOUBLE) / (SELECT n FROM n), 6)
+    FROM f2
+    UNION ALL
+    SELECT 3, x, y, z, CAST(s AS BIGINT),
+           round(CAST(s AS DOUBLE) / (SELECT n FROM n), 6)
+    FROM f3
+    ORDER BY k, i1, i2, i3
+    """,
+)
+def agg_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent itemsets via A-PRIORI (Agrawal–Srikant VLDB'94) — the
+    market-basket canon `agg_basket_lift`'s pairwise lift presupposes,
+    run to the 3-itemset level at brand grain over order baskets with a
+    2.3%-of-baskets support floor. The Spark path is the real
+    level-wise algorithm, not the oracle's brute-force joins: baskets
+    are first restricted to frequent ITEMS, level-2 enumerates pairs
+    within basket and keeps the frequent ones, and level-3 only EXTENDS
+    frequent pairs — each extension is semi-joined against the
+    broadcast frequent-pair set twice ((x,z) and (y,z)), the downward-
+    closure prune that keeps the candidate key space (and the final
+    hash agg) bounded by the frequent lattice instead of the raw
+    combination space. Scale: the item vocabulary is a bounded domain
+    (brands), so freq1/freq2 are ≤ V/V² rows — broadcast constants at
+    any corpus size; every per-basket enumeration is bounded by basket
+    size (≤ 17 brands here); the heavy operations are two shuffle
+    equi-joins on the basket key with map-side-combined counting.
+    Monotonicity guarantees the pruned result equals the oracle's
+    unpruned HAVING-filtered joins."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    pt = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("br")
+    )
+    b = li.join(pt, "l_partkey").select("o", "br").distinct()
+    n = float(b.select("o").distinct().count())
+    thr = _APRIORI_MINSUP * n
+
+    f1 = (
+        b.groupBy("br")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s").cast("double") >= thr)
+    )
+    # restrict baskets to frequent items before any pair work
+    bf = b.join(F.broadcast(f1.select("br")), "br").select("o", "br")
+    pairs = (
+        bf.alias("a")
+        .join(
+            bf.alias("c"),
+            (F.col("a.o") == F.col("c.o")) & (F.col("a.br") < F.col("c.br")),
+        )
+        .select(
+            F.col("a.o").alias("o"),
+            F.col("a.br").alias("x"),
+            F.col("c.br").alias("y"),
+        )
+    )
+    f2 = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s").cast("double") >= thr)
+    )
+    f2b = F.broadcast(f2.select("x", "y"))
+    # level 3: extend frequent pairs within basket; downward-closure
+    # prune via two semi-joins against the broadcast frequent-pair set
+    p2 = pairs.join(f2b, ["x", "y"])
+    t3 = (
+        p2.alias("p")
+        .join(
+            bf.alias("d"),
+            (F.col("p.o") == F.col("d.o")) & (F.col("p.y") < F.col("d.br")),
+        )
+        .select("p.o", "p.x", "p.y", F.col("d.br").alias("z"))
+        .join(
+            F.broadcast(f2.select(F.col("x"), F.col("y").alias("z"))),
+            ["x", "z"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(f2.select(F.col("x").alias("y"), F.col("y").alias("z"))),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+    f3 = (
+        t3.groupBy("x", "y", "z")
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s").cast("double") >= thr)
+    )
+
+    def level(df, k, cols):
+        sel = [F.lit(k).cast("int").alias("k")]
+        for i, c in enumerate(["i1", "i2", "i3"]):
+            sel.append(
+                (F.col(cols[i]) if i < len(cols) else F.lit(None))
+                .cast("string")
+                .alias(c)
+            )
+        sel.append(F.col("s").cast("long").alias("support"))
+        sel.append(
+            F.round(F.col("s").cast("double") / F.lit(n), 6).alias("supp_frac")
+        )
+        return df.select(*sel)
+
+    return (
+        level(f1, 1, ["br"])
+        .unionByName(level(f2, 2, ["x", "y"]))
+        .unionByName(level(f3, 3, ["x", "y", "z"]))
+        .orderBy("k", "i1", "i2", "i3")
+    )
