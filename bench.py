@@ -128,6 +128,7 @@ GROUP5 = [
     "udf_cogroup_asof",
     "udf_map_arrow",
     "udtf_polymorphic_analyze",
+    "agg_itemsets_apriori",
 ]
 
 TIMED_REPS = 7

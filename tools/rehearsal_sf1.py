@@ -77,6 +77,7 @@ HEAVY = [
     "udf_cogroup_asof",
     "fn_script_transform",
     "scan_avro_roundtrip",
+    "agg_itemsets_apriori",
 ]
 
 
