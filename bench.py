@@ -129,6 +129,7 @@ GROUP5 = [
     "udf_map_arrow",
     "udtf_polymorphic_analyze",
     "agg_itemsets_apriori",
+    "agg_association_rules",
 ]
 
 TIMED_REPS = 7

@@ -5596,3 +5596,105 @@ def agg_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(level(f3, 3, ["x", "y", "z"]))
         .orderBy("k", "i1", "i2", "i3")
     )
+
+
+_RULES_MINCONF = 0.152  # splits the rule set nontrivially at every SF
+#                         (187/258, 158/218, 87/146 rules kept)
+
+
+@query(
+    "agg_association_rules",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS br
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+    n AS (SELECT CAST(count(DISTINCT o) AS DOUBLE) AS n FROM b),
+    f1 AS MATERIALIZED (SELECT br, count(*) AS s FROM b GROUP BY br),
+    f2 AS MATERIALIZED (
+      SELECT a.br AS x, c.br AS y, count(*) AS s
+      FROM b a JOIN b c ON a.o = c.o AND a.br < c.br
+      GROUP BY a.br, c.br
+      HAVING CAST(count(*) AS DOUBLE) >= {_APRIORI_MINSUP} * (SELECT n FROM n)),
+    rules AS (
+      SELECT f2.x AS antecedent, f2.y AS consequent,
+             f2.s AS s, fa.s AS s_ant, fb.s AS s_con
+      FROM f2 JOIN f1 fa ON fa.br = f2.x JOIN f1 fb ON fb.br = f2.y
+      UNION ALL
+      SELECT f2.y, f2.x, f2.s, fb.s, fa.s
+      FROM f2 JOIN f1 fa ON fa.br = f2.x JOIN f1 fb ON fb.br = f2.y)
+    SELECT antecedent, consequent, CAST(s AS BIGINT) AS support,
+           round(CAST(s AS DOUBLE) / s_ant, 6) AS confidence,
+           round((CAST(s AS DOUBLE) / s_ant)
+                 / (CAST(s_con AS DOUBLE) / (SELECT n FROM n)), 6) AS lift
+    FROM rules
+    WHERE CAST(s AS DOUBLE) / s_ant >= {_RULES_MINCONF}
+    ORDER BY antecedent, consequent
+    """,
+)
+def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-RULE generation — phase 2 of the Agrawal–Srikant
+    canon `agg_itemsets_apriori` runs phase 1 of: every frequent pair
+    yields both directed rules antecedent→consequent, kept when
+    confidence = s(ab)/s(a) clears the {_RULES_MINCONF} floor, with
+    lift = confidence / (s(b)/N) reported alongside (`agg_basket_lift`
+    reports undirected pair lift at part grain; this key is the
+    DIRECTED rule form at the frequent-lattice grain, with confidence —
+    what a recommender actually consumes). Scale: rule generation runs
+    entirely over the frequent-pair set — a bounded-vocabulary constant
+    (≤ V² rows) — joined twice against the ≤ V-row item-frequency
+    table; the only corpus-scale work is the same basket self-join the
+    itemset key does, map-side-combined. Confidence filtering happens
+    on the UNROUNDED ratio in both engines; outputs round at 6dp."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey"
+    )
+    pt = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("br")
+    )
+    b = li.join(pt, "l_partkey").select("o", "br").distinct()
+    n = float(b.select("o").distinct().count())
+    thr = _APRIORI_MINSUP * n
+
+    f1 = b.groupBy("br").agg(F.count("*").alias("s"))
+    f2 = (
+        b.alias("a")
+        .join(
+            b.alias("c"),
+            (F.col("a.o") == F.col("c.o")) & (F.col("a.br") < F.col("c.br")),
+        )
+        .groupBy(F.col("a.br").alias("x"), F.col("c.br").alias("y"))
+        .agg(F.count("*").alias("s"))
+        .filter(F.col("s").cast("double") >= thr)
+    )
+    fa = F.broadcast(f1.select(F.col("br").alias("x"), F.col("s").alias("s_a")))
+    fb = F.broadcast(f1.select(F.col("br").alias("y"), F.col("s").alias("s_b")))
+    joined = f2.join(fa, "x").join(fb, "y")
+    fwd = joined.select(
+        F.col("x").alias("antecedent"),
+        F.col("y").alias("consequent"),
+        "s",
+        F.col("s_a").alias("s_ant"),
+        F.col("s_b").alias("s_con"),
+    )
+    rev = joined.select(
+        F.col("y").alias("antecedent"),
+        F.col("x").alias("consequent"),
+        "s",
+        F.col("s_b").alias("s_ant"),
+        F.col("s_a").alias("s_con"),
+    )
+    conf = F.col("s").cast("double") / F.col("s_ant")
+    return (
+        fwd.unionByName(rev)
+        .filter(conf >= _RULES_MINCONF)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("s").cast("long").alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(
+                conf / (F.col("s_con").cast("double") / F.lit(n)), 6
+            ).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -78,6 +78,7 @@ HEAVY = [
     "fn_script_transform",
     "scan_avro_roundtrip",
     "agg_itemsets_apriori",
+    "agg_association_rules",
 ]
 
 
