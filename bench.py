@@ -132,6 +132,12 @@ GROUP5 = [
     "agg_association_rules",
 ]
 
+# Sixth group (round 7): the r7 additions — the sampled routine form of
+# the heaviest audit. Same protocol, own total.
+GROUP6 = [
+    "dedup_ngram_jaccard_sampled",
+]
+
 TIMED_REPS = 7
 # Heavy queries (the output-bound dedup family runs ~30 s at sf0.1) stop
 # at min-of-3 so the whole bench stays inside the driver's window; the
@@ -191,12 +197,19 @@ def main() -> int:
     timings5, traces5 = _time_group(
         spark, sf_dir, [k for k in GROUP5 if k in sparkgraft.QUERIES], loadavg_samples
     )
+    timings6, traces6 = _time_group(
+        spark, sf_dir, [k for k in GROUP6 if k in sparkgraft.QUERIES], loadavg_samples
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Compact stdout line (< 2 KB): group totals + per-query minima only.
-    # BENCH_r04.json was recorded `parsed: null` because the full per-run
-    # + loadavg traces (32 keys x 7 runs) overflowed the driver's tail
-    # capture; the traces now land in a side file a judge can still read.
+    # Compact stdout line (< 1 KB, stable as groups grow): the contract's
+    # headline fields (metric/value/unit/queries/sf) plus ONE total per
+    # extra group. BENCH_r04.json and again BENCH_r06.json were recorded
+    # `parsed: null` because per-run traces (r4) and then the per-query
+    # dicts of five groups (r6) outgrew the driver's tail capture — the
+    # headline was truncated off the FRONT of the line. All per-query
+    # dicts and per-run traces now land ONLY in BENCH_trace.json; adding
+    # a future group adds ~30 bytes to stdout, not kilobytes.
     result = {
         "metric": "headline_queries_total_warm",
         "value": round(sum(timings.values()), 4),
@@ -205,19 +218,20 @@ def main() -> int:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stat": f"min_of_{TIMED_REPS}",
         "group2_total": round(sum(timings2.values()), 4),
-        "group2_queries": timings2,
         "group3_total": round(sum(timings3.values()), 4),
-        "group3_queries": timings3,
         "group4_total": round(sum(timings4.values()), 4),
-        "group4_queries": timings4,
         "group5_total": round(sum(timings5.values()), 4),
-        "group5_queries": timings5,
+        "group6_total": round(sum(timings6.values()), 4),
         "trace_file": "BENCH_trace.json",
     }
     trace = dict(result)
     trace.update(
-        {"runs": traces, "group2_runs": traces2, "group3_runs": traces3,
+        {"group2_queries": timings2, "group3_queries": timings3,
+         "group4_queries": timings4, "group5_queries": timings5,
+         "group6_queries": timings6,
+         "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
+         "group6_runs": traces6,
          "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -229,7 +243,7 @@ def main() -> int:
     except OSError:
         pass  # trace file is best-effort; the stdout line is the contract
     line = json.dumps(result)
-    assert len(line) < 4096, f"bench stdout line too long: {len(line)}"
+    assert len(line) < 1024, f"bench stdout line too long: {len(line)}"
     print(line)
     return 0
 

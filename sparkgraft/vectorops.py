@@ -305,11 +305,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle equi-join on vec_id + one zip_with/aggregate kernel per
     candidate. Analytic recall at τ: ≥ 0.998 (see constants above),
     pinned empirically ≥ 0.95 on a planted-near-dup corpus in
-    tests/test_vectorops.py. The oracle is the exact all-pairs SQL at
-    the same τ: parity holds because verification is exact and the
-    synthetic corpus's cosine ceiling (~0.51 at every SF, measured) sits
-    far below τ — on it the true answer is empty, which the invariant
-    test complements with planted dups at cos 0.96–0.995."""
+    tests/test_vectorops.py.
+
+    ORACLE IS CORPUS-CONDITIONAL: the registered twin is the exact
+    all-pairs SQL at the same τ, and this key is an LSH candidate-first
+    ALGORITHM whose recall is ≥ 0.998, not 1. The hash check is exact on
+    this corpus because (a) verification is exact, so false positives
+    are impossible on ANY corpus, and (b) the synthetic corpus's cosine
+    ceiling (~0.51 at every SF, measured) sits far below τ, so the true
+    answer is empty and recall cannot bite. On a corpus with true
+    near-dup pairs grazing τ the exact twin could nondeterministically
+    exceed this key by the ≤ 0.2% of pairs every band misses — there the
+    planted-recall invariant test is the real guarantee, and the
+    verification baseline is `dedup_embedding_exact`."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sig = lsh_signatures(
         spark,
@@ -1564,8 +1572,17 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         e.filter(F.col("vec_id") < _KMT_K)
         .orderBy("vec_id")
-        .toPandas()  # exactly K rows
+        .toPandas()
     )
+    # Seeding (and the oracle's cell labeling) requires vec_ids 0..K-1 to
+    # exist exactly: cells are indexed by argmin position, the oracle
+    # labels them by vec_id value. A corpus whose ids start elsewhere
+    # must fail loudly here, not mislabel cells downstream.
+    if list(seeds["vec_id"]) != list(range(_KMT_K)):
+        raise ValueError(
+            f"sim_kmeans_train seeding needs vec_ids 0..{_KMT_K - 1}; "
+            f"got {list(seeds['vec_id'])}"
+        )
     cq = _round_half_away(
         np.stack(seeds["embedding"].to_numpy()).astype(np.float64) * 1e6
     ).astype(np.int64)

@@ -1198,3 +1198,26 @@ def test_candidate_first_dedup_plans_as_equi_joins(spark):
         j in plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+def test_ngram_jaccard_sampled_same_shape_with_scan_side_sample(spark):
+    # The sampled twin must keep the full key's structural guarantees
+    # (equi-join candidates, no corpus broadcast, no nested loop) with
+    # the modular sample applied at the documents scan — BEFORE the
+    # token explode — so every downstream stage shrinks with it.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = sparkgraft.QUERIES["dedup_ngram_jaccard_sampled"](spark, SF_DIR)
+        plan = _plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "ShuffledHashJoin" in plan
+    # The sample predicate sits in the scan stage's filter (modulo is
+    # not a parquet row-group predicate, so it cannot appear in
+    # PushedFilters — scan-stage codegen is the right place).
+    assert "% 16) = 0" in plan

@@ -129,3 +129,25 @@ def test_candidate_key_rejects_unknown_method(spark):
     d = load(spark, SF_DIR, "documents")
     with pytest.raises(ValueError):
         with_candidate_key(d, "bogus")
+
+
+def test_ngram_jaccard_sampled_is_full_restricted_to_sample(spark):
+    """The sampled key's output must be EXACTLY the full key's pairs
+    whose both endpoints survive the deterministic 1/16 doc sample —
+    the property that makes the sampled dup-rate an unbiased pair-space
+    estimate (and what the mirrored oracle predicate encodes)."""
+    from sparkgraft.textops import _DOC_SAMPLE_MOD
+
+    full = sparkgraft.QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    sampled = sparkgraft.QUERIES["dedup_ngram_jaccard_sampled"](spark, SF_DIR)
+    expect = {
+        (r["doc_a"], r["doc_b"], r["overlap"], r["jaccard"])
+        for r in full.collect()
+        if r["doc_a"] % _DOC_SAMPLE_MOD == 0 and r["doc_b"] % _DOC_SAMPLE_MOD == 0
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["overlap"], r["jaccard"])
+        for r in sampled.collect()
+    }
+    assert got == expect
+    assert got, "sf0.001 sample should still surface dup pairs"
