@@ -136,6 +136,7 @@ GROUP5 = [
 # the heaviest audit. Same protocol, own total.
 GROUP6 = [
     "dedup_ngram_jaccard_sampled",
+    "scan_avro_deflate_roundtrip",
 ]
 
 TIMED_REPS = 7

@@ -1,0 +1,168 @@
+"""Round-7 additions: Avro deflate codec + logical types (both Java
+interop directions), writer schema derivation, and the sampled
+dedup form's bench contract (VERDICT r6 asks #1, #3; ADVICE #4)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import uuid
+
+import pytest
+
+import sparkgraft
+from conftest import SF_DIR
+
+_EV_SCHEMA = {
+    "type": "record",
+    "name": "ev",
+    "namespace": "sparkgraft",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "v", "type": "double"},
+    ],
+}
+
+
+def _rows(n):
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    return [
+        (
+            i,
+            base + dt.timedelta(seconds=i * 37, microseconds=i * 13 % 1000000),
+            dt.date(2024, 3, 1) + dt.timedelta(days=i % 5),
+            i * 1.25 - 3,
+        )
+        for i in range(n)
+    ]
+
+
+def _micros(ts: dt.datetime) -> int:
+    import calendar
+
+    return calendar.timegm(ts.utctimetuple()) * 1_000_000 + ts.microsecond
+
+
+def test_avro_deflate_logical_python_roundtrip(tmp_path):
+    from sparkgraft.avroio import read_container_file, write_container_file
+
+    rows = _rows(2500)  # > 1 block
+    path = str(tmp_path / "defl.avro")
+    n = write_container_file(
+        path, rows, _EV_SCHEMA, uuid.uuid4().bytes, codec="deflate"
+    )
+    assert n == len(rows)
+    assert list(read_container_file(path)) == rows
+    # deflate must actually compress: the null-codec twin is larger
+    import os
+
+    null_path = str(tmp_path / "null.avro")
+    write_container_file(null_path, rows, _EV_SCHEMA, uuid.uuid4().bytes)
+    assert os.path.getsize(path) < os.path.getsize(null_path)
+
+
+def test_avro_deflate_java_reference_reader_interop(spark, tmp_path):
+    # the deflate + logical-type file must decompress and decode through
+    # the REFERENCE Java implementation; GenericDatumReader without
+    # conversions surfaces the base wire values (epoch-µs long, epoch-day
+    # int), which pins the logical-type encoding exactly
+    from sparkgraft.avroio import write_container_file
+
+    rows = _rows(2500)
+    path = str(tmp_path / "interop_defl.avro")
+    write_container_file(
+        path, rows, _EV_SCHEMA, uuid.uuid4().bytes, codec="deflate"
+    )
+
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    assert str(reader.getMetaString("avro.codec")) == "deflate"
+    got = []
+    while reader.hasNext():
+        rec = reader.next()
+        got.append(
+            (rec.get("id"), rec.get("ts"), rec.get("day"), rec.get("v"))
+        )
+    reader.close()
+    want = [
+        (i, _micros(ts), (day - dt.date(1970, 1, 1)).days, v)
+        for i, ts, day, v in rows
+    ]
+    assert got == want
+
+
+def test_avro_python_reader_reads_java_deflate_file(spark, tmp_path):
+    # reverse interop: Java writer with CodecFactory.deflateCodec and the
+    # same logical-type schema → the from-spec Python reader must inflate
+    # and resolve logical types back to datetime/date objects
+    from sparkgraft.avroio import read_container_file
+
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(_EV_SCHEMA))
+    path = str(tmp_path / "java_defl.avro")
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(schema, jvm.java.io.File(path))
+    want = []
+    for i, ts, day, v in _rows(1500):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put("id", jvm.java.lang.Long(i))
+        rec.put("ts", jvm.java.lang.Long(_micros(ts)))
+        rec.put("day", jvm.java.lang.Integer((day - dt.date(1970, 1, 1)).days))
+        rec.put("v", v)
+        writer.append(rec)
+        want.append((i, ts, day, v))
+    writer.close()
+    assert list(read_container_file(path)) == want
+
+
+def test_avro_writer_schema_derives_from_frame(spark, tmp_path):
+    # ADVICE #4: the registered format must serialize whatever frame is
+    # written (schema from the writer's own schema argument), and fail
+    # loudly on a type the codec does not carry — never silently encode
+    # through a hard-coded layout
+    from sparkgraft.avroio import _avro_datasource, read_container_file
+
+    spark.dataSource.register(_avro_datasource())
+    out = str(tmp_path / "docs_avro")
+    import os
+
+    os.makedirs(out, exist_ok=True)  # usage contract: dir pre-created
+    df = spark.createDataFrame(
+        [(1, "alpha", True), (2, "beta", False)], "k bigint, s string, f boolean"
+    )
+    df.coalesce(1).write.format("sg_avro").option("path", out).mode(
+        "append"
+    ).save()
+    files = [f for f in os.listdir(out) if f.endswith(".avro")]
+    assert len(files) == 1
+    got = sorted(read_container_file(os.path.join(out, files[0])))
+    assert got == [(1, "alpha", True), (2, "beta", False)]
+
+    bad = spark.createDataFrame([(1, [1, 2])], "k bigint, xs array<int>")
+    with pytest.raises(Exception, match="cannot serialize"):
+        bad.write.format("sg_avro").option(
+            "path", str(tmp_path / "bad_avro")
+        ).mode("append").save()
+
+
+def test_avro_unknown_codec_still_rejected(tmp_path):
+    from sparkgraft.avroio import write_container_file
+
+    with pytest.raises(ValueError, match="unsupported Avro codec"):
+        write_container_file(
+            str(tmp_path / "x.avro"), [], _EV_SCHEMA, b"\x00" * 16,
+            codec="snappy",
+        )
+
+
+def test_sampled_jaccard_registered_with_oracle():
+    assert "dedup_ngram_jaccard_sampled" in sparkgraft.QUERIES
+    assert "dedup_ngram_jaccard_sampled" in sparkgraft.ORACLE
