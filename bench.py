@@ -137,6 +137,7 @@ GROUP5 = [
 GROUP6 = [
     "dedup_ngram_jaccard_sampled",
     "scan_avro_deflate_roundtrip",
+    "stream_restart_recovery",
 ]
 
 TIMED_REPS = 7

@@ -1037,3 +1037,131 @@ def stream_python_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("cents"),
         F.lit(ledger_cents).cast("long").alias("ledger_cents"),
     )
+
+
+def _stage_events_quartiles(sf_dir: str) -> list[str]:
+    """Stage events as FOUR time-ordered files (sorted by (ts, event_id),
+    sliced into row quartiles, replay order pinned via mtimes). Because
+    each file's rows are newer than every prior file's, the watermark
+    never drops anything — replaying all four equals the batch
+    aggregate, which is what lets the restart key carry a full oracle.
+    The quartile cuts land mid-hour, so hourly windows straddle the
+    phase-1/phase-2 boundary and checkpointed STATE (not just offsets)
+    is load-bearing for the final counts."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    out = _staging_root(sf_dir, "quartiles")
+    paths = [os.path.join(out, f"00{i}-q.parquet") for i in range(4)]
+    if not all(os.path.exists(p) for p in paths):
+        os.makedirs(out, exist_ok=True)
+        table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        order = pc.sort_indices(
+            table, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        table = table.take(order)
+        n = len(table)
+        cuts = [0, n // 4, n // 2, (3 * n) // 4, n]
+        for i in range(4):
+            pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]), paths[i])
+    for i, p in enumerate(paths):
+        os.utime(p, ((i + 1) * 1_000_000, (i + 1) * 1_000_000))
+    return paths
+
+
+@query(
+    "stream_restart_recovery",
+    oracle="""
+    select date_trunc('hour', ts) as window_start, event_type,
+           count(*) as n
+    from events
+    group by 1, 2
+    """,
+)
+def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint kill-and-restart proof — THE operational streaming
+    property (exactly-once across restart) no run-to-completion key
+    exercises. A watermarked hourly aggregation runs in two phases
+    against ONE ``checkpointLocation``: phase 1 sees the first two
+    time-quartile files (maxFilesPerTrigger=1 → ≥2 committed batches),
+    stops; the remaining two files land and phase 2 restarts the same
+    query from the same checkpoint. The file source's seen-file log must
+    resume (re-reading phase-1 files would double every count and break
+    the oracle hash), and the restored STATE STORE must carry the
+    partial counts of the hour windows straddling the boundary (the
+    quartile cuts land mid-hour by construction). Updates are published
+    per batch through an idempotent ``foreachBatch`` parquet sink keyed
+    by batch id (overwrite-on-replay — the standard exactly-once sink
+    discipline); the final answer takes each key's row from its highest
+    batch id and must equal the PLAIN BATCH AGGREGATE over the whole
+    corpus, stated by the oracle. Batch-id continuity (phase 2 strictly
+    above phase 1's max) is asserted in-key.
+
+    Scale: state is bounded by the watermark exactly as in production;
+    the restart cost is reading the checkpoint's offset/state files,
+    independent of corpus size; the sink writes only per-batch UPDATE
+    rows (changed keys), never snapshots."""
+    staged = _stage_events_quartiles(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-restart-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    os.makedirs(src)
+    os.makedirs(out)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, f"b{batch_id:05d}"))
+        )
+
+    def run_phase() -> None:
+        agg = (
+            _events_stream(spark, src, max_files=1)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def committed_ids() -> list[int]:
+        return sorted(
+            int(d[1:]) for d in os.listdir(out) if d.startswith("b")
+        )
+
+    for p in staged[:2]:
+        shutil.copy2(p, src)
+    run_phase()
+    phase1 = committed_ids()
+    if not phase1:
+        raise RuntimeError("phase 1 committed no batch before stopping")
+
+    for p in staged[2:]:
+        shutil.copy2(p, src)
+    run_phase()
+    phase2_new = [b for b in committed_ids() if b not in phase1]
+    if not phase2_new or min(phase2_new) <= max(phase1):
+        raise RuntimeError(
+            f"restart did not RESUME: phase1={phase1} phase2={phase2_new}"
+        )
+
+    batches = spark.read.parquet(*[
+        os.path.join(out, d) for d in sorted(os.listdir(out))
+    ])
+    return (
+        batches.groupBy("window_start", "event_type")
+        .agg(F.max_by("n", "batch_id").alias("n"))
+    )

@@ -170,3 +170,67 @@ def test_transform_state_typed_path_where_protobuf_exists(spark):
         )
     )
     assert _as_sets(streamed) == _as_sets(batch)
+
+
+def test_restart_recovery_matches_batch_and_resumes_state(spark):
+    """The restart key must equal the plain batch aggregate (re-reading
+    phase-1 files on restart would double counts), AND the checkpointed
+    state must be load-bearing: at least one hourly window straddles the
+    phase boundary, i.e. some (window_start, event_type) key received
+    updates in both a phase-1 batch and a phase-2 batch with a strictly
+    larger count — only possible if the restarted query restored the
+    phase-1 partial count from the state store."""
+    import os
+    import tempfile
+
+    # sf0.01: ~17 events/hour, so the mid-hour quartile cut reliably
+    # splits some (hour, type) count across the phases (at sf0.001 the
+    # corpus is too sparse for the straddle check to be deterministic)
+    from conftest import SF_DIR_MID
+
+    streamed = sparkgraft.QUERIES["stream_restart_recovery"](spark, SF_DIR_MID)
+    batch = (
+        sparkgraft.load(spark, SF_DIR_MID, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    assert _as_sets(streamed) == _as_sets(batch)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-restart-{os.path.basename(SF_DIR_MID.rstrip('/'))}-pid{os.getpid()}",
+    )
+    out = os.path.join(root, "out")
+    ids = sorted(int(d[1:]) for d in os.listdir(out) if d.startswith("b"))
+    # phase 1 = two single-file batches (ids 0, 1); phase 2 continues
+    assert ids[:2] == [0, 1] and ids[2] > 1 and len(ids) >= 4
+    per_batch = {
+        b: {
+            (r["window_start"], r["event_type"]): r["n"]
+            for r in spark.read.parquet(
+                os.path.join(out, f"b{b:05d}")
+            ).collect()
+        }
+        for b in ids
+    }
+    phase1_last = {}
+    for b in ids[:2]:
+        phase1_last.update(per_batch[b])
+    straddled = [
+        k
+        for b in ids[2:]
+        for k, n in per_batch[b].items()
+        if k in phase1_last and n > phase1_last[k]
+    ]
+    assert straddled, "no window straddled the restart boundary"
+
+
+def test_restart_recovery_is_rerunnable_in_process(spark):
+    # a second invocation wipes its scratch root and must still resume
+    # (stale checkpoints from the prior call would otherwise report the
+    # new files as already seen)
+    first = _as_sets(sparkgraft.QUERIES["stream_restart_recovery"](spark, SF_DIR))
+    second = _as_sets(sparkgraft.QUERIES["stream_restart_recovery"](spark, SF_DIR))
+    assert first == second
