@@ -138,6 +138,7 @@ GROUP6 = [
     "dedup_ngram_jaccard_sampled",
     "scan_avro_deflate_roundtrip",
     "stream_restart_recovery",
+    "graph_als_train",
 ]
 
 TIMED_REPS = 7

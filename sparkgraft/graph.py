@@ -638,3 +638,201 @@ def graph_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey", "rnk")
     )
+
+
+# --- oracle-checked ALS matrix-factorization TRAINING (graph_als_train) ---
+# ALS is THE iterative collaborative-filtering canon of the MapReduce era
+# (Zhou et al. 2008, "Large-scale Parallel Collaborative Filtering for
+# the Netflix Prize") — the one classic iterative workload the
+# oracle-checked canon (PageRank / PCA / BPE / logistic / k-means) still
+# lacked. Rank-2 factors over the customer x part purchase matrix, 3
+# alternating rounds; the parity discipline is the established one:
+# per-row normal-equation contributions are exact int64 products of
+# micro-quantized factors, each half-step's per-entity sums are exact
+# integers (decimal(38,0) / HUGEINT) in any partition order, the 2x2
+# ridge solve is a fixed sequence of correctly-rounded double ops
+# (+,*,/ only — no library transcendentals anywhere), and the solved
+# factors requantize to micro-units, so both engines walk bit-identical
+# factor states through every half-step.
+_ALS_ROUNDS = 3
+_ALS_LAMBDA = 0.1
+
+# sign-aware half-up quantization to micro-units (the house idiom)
+_ALS_Q6 = (
+    "CASE WHEN {v} >= 0 THEN CAST(floor(({v}) * 1e6 + 0.5) AS BIGINT)"
+    " ELSE -CAST(floor(-({v}) * 1e6 + 0.5) AS BIGINT) END"
+)
+
+
+def _als_half_sql(name: str, prev: str, out_key: str, in_key: str) -> str:
+    """One unrolled half-step CTE: solve `out_key` factors against the
+    fixed `prev` factor table joined through the ratings on `in_key`."""
+    return f"""
+    {name} AS MATERIALIZED (
+      SELECT {out_key},
+             {_ALS_Q6.format(v='x0')} AS f0q,
+             {_ALS_Q6.format(v='x1')} AS f1q
+      FROM (
+        SELECT {out_key},
+               (A22 * B0 - A12 * B1) / det AS x0,
+               (A11 * B1 - A12 * B0) / det AS x1
+        FROM (
+          SELECT {out_key}, A11, A12, A22, B0, B1,
+                 A11 * A22 - A12 * A12 AS det
+          FROM (
+            SELECT {out_key},
+                   CAST(sa11 AS DOUBLE) / 1e12 + {_ALS_LAMBDA} AS A11,
+                   CAST(sa12 AS DOUBLE) / 1e12 AS A12,
+                   CAST(sa22 AS DOUBLE) / 1e12 + {_ALS_LAMBDA} AS A22,
+                   CAST(sb0 AS DOUBLE) / 1e6 AS B0,
+                   CAST(sb1 AS DOUBLE) / 1e6 AS B1
+            FROM (
+              SELECT r.{out_key} AS {out_key},
+                     sum(CAST(f.f0q * f.f0q AS HUGEINT)) AS sa11,
+                     sum(CAST(f.f0q * f.f1q AS HUGEINT)) AS sa12,
+                     sum(CAST(f.f1q * f.f1q AS HUGEINT)) AS sa22,
+                     sum(CAST(r.q * f.f0q AS HUGEINT)) AS sb0,
+                     sum(CAST(r.q * f.f1q AS HUGEINT)) AS sb1
+              FROM r JOIN {prev} f ON r.{in_key} = f.{in_key}
+              GROUP BY r.{out_key}) s) a) d) v)"""
+
+
+def _als_oracle() -> str:
+    steps = []
+    prev_y = "y0"
+    for k in range(1, _ALS_ROUNDS + 1):
+        steps.append(_als_half_sql(f"x{k}", prev_y, "u", "i"))
+        steps.append(_als_half_sql(f"y{k}", f"x{k}", "i", "u"))
+        prev_y = f"y{k}"
+    xf, yf = f"x{_ALS_ROUNDS}", f"y{_ALS_ROUNDS}"
+    return (
+        """
+    WITH r AS MATERIALIZED (
+      SELECT o.o_custkey AS u, l.l_partkey AS i,
+             CAST(sum(l.l_quantity) AS BIGINT) AS q
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    y0 AS MATERIALIZED (
+      SELECT i,
+             500000 + ((i * 7 + 13) % 1000) * 1000 AS f0q,
+             500000 + ((i * 12 + 13) % 1000) * 1000 AS f1q
+      FROM (SELECT DISTINCT i FROM r)),"""
+        + ",".join(steps)
+        + f"""
+    SELECT 'cust' AS entity, u AS id, 0 AS pos,
+           round(CAST(f0q AS DOUBLE) / 1e6, 6) AS factor FROM {xf}
+    UNION ALL
+    SELECT 'cust', u, 1, round(CAST(f1q AS DOUBLE) / 1e6, 6) FROM {xf}
+    UNION ALL
+    SELECT 'part', i, 0, round(CAST(f0q AS DOUBLE) / 1e6, 6) FROM {yf}
+    UNION ALL
+    SELECT 'part', i, 1, round(CAST(f1q AS DOUBLE) / 1e6, 6) FROM {yf}
+    ORDER BY entity, id, pos"""
+    )
+
+
+def _als_half_step(
+    ratings: DataFrame, factors: DataFrame, out_key: str, in_key: str
+) -> DataFrame:
+    """Solve one side's rank-2 ridge normal equations with the other
+    side fixed. One shuffle equi-join (ratings x factor table on the
+    entity key) + one exact-integer hash aggregate per entity + a
+    row-local 2x2 solve — no corpus-sized broadcast, no driver state."""
+    sums = (
+        ratings.join(factors, in_key)
+        .groupBy(out_key)
+        .agg(
+            F.sum((F.col("f0q") * F.col("f0q")).cast("decimal(38,0)")).alias("sa11"),
+            F.sum((F.col("f0q") * F.col("f1q")).cast("decimal(38,0)")).alias("sa12"),
+            F.sum((F.col("f1q") * F.col("f1q")).cast("decimal(38,0)")).alias("sa22"),
+            F.sum((F.col("q") * F.col("f0q")).cast("decimal(38,0)")).alias("sb0"),
+            F.sum((F.col("q") * F.col("f1q")).cast("decimal(38,0)")).alias("sb1"),
+        )
+    )
+    a = sums.select(
+        out_key,
+        (F.col("sa11").cast("double") / 1e12 + _ALS_LAMBDA).alias("A11"),
+        (F.col("sa12").cast("double") / 1e12).alias("A12"),
+        (F.col("sa22").cast("double") / 1e12 + _ALS_LAMBDA).alias("A22"),
+        (F.col("sb0").cast("double") / 1e6).alias("B0"),
+        (F.col("sb1").cast("double") / 1e6).alias("B1"),
+    )
+    d = a.withColumn(
+        "det", F.col("A11") * F.col("A22") - F.col("A12") * F.col("A12")
+    )
+    x = d.select(
+        out_key,
+        ((F.col("A22") * F.col("B0") - F.col("A12") * F.col("B1")) / F.col("det")).alias("x0"),
+        ((F.col("A11") * F.col("B1") - F.col("A12") * F.col("B0")) / F.col("det")).alias("x1"),
+    )
+
+    def q6(c):
+        return (
+            F.when(c >= 0, F.floor(c * 1e6 + F.lit(0.5)))
+            .otherwise(-F.floor((-c) * 1e6 + F.lit(0.5)))
+            .cast("long")
+        )
+
+    return x.select(out_key, q6(F.col("x0")).alias("f0q"), q6(F.col("x1")).alias("f1q"))
+
+
+@query("graph_als_train", oracle=_als_oracle())
+def graph_als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED ALS matrix-factorization TRAINING: 3 alternating
+    rounds of rank-2 ridge regression (lambda=0.1) over the customer x
+    part purchase-quantity matrix — the MapReduce-era collaborative-
+    filtering canon, joining the oracle-checked iterative family
+    (PageRank / PCA / BPE / logistic / k-means) with the same
+    bit-identical-state discipline (see the module constants' note).
+    Item factors seed deterministically from pure integer arithmetic on
+    the part key (no RNG, identical in any engine).
+
+    Scale: unlike k-means/LR, the model state is CORPUS-SIZED (one
+    factor row per entity), so it never touches the driver — each
+    half-step is one shuffle equi-join of the ratings against the fixed
+    side's factor table plus one exact-integer hash aggregate keyed by
+    the solved side, then a row-local 2x2 solve; `localCheckpoint` per
+    half-step truncates the 6-step lineage (the PageRank discipline).
+    The ratings derive once from orders x lineitem and are checkpointed;
+    rounds = jobs, amortized over billions of cells at real scale."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    ratings = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+        .localCheckpoint()
+    )
+    y = ratings.select("i").distinct().select(
+        "i",
+        (F.lit(500000) + ((F.col("i") * 7 + 13) % 1000) * 1000).alias("f0q"),
+        (F.lit(500000) + ((F.col("i") * 12 + 13) % 1000) * 1000).alias("f1q"),
+    ).localCheckpoint()
+
+    x = None
+    for _ in range(_ALS_ROUNDS):
+        x = _als_half_step(ratings, y, "u", "i").localCheckpoint()
+        y = _als_half_step(ratings, x, "i", "u").localCheckpoint()
+
+    def long_form(df, key, entity):
+        return df.select(
+            F.lit(entity).alias("entity"),
+            F.col(key).cast("long").alias("id"),
+            F.lit(0).alias("pos"),
+            F.round(F.col("f0q").cast("double") / 1e6, 6).alias("factor"),
+        ).unionByName(
+            df.select(
+                F.lit(entity).alias("entity"),
+                F.col(key).cast("long").alias("id"),
+                F.lit(1).alias("pos"),
+                F.round(F.col("f1q").cast("double") / 1e6, 6).alias("factor"),
+            )
+        )
+
+    return (
+        long_form(x, "u", "cust")
+        .unionByName(long_form(y, "i", "part"))
+        .orderBy("entity", "id", "pos")
+    )

@@ -166,3 +166,38 @@ def test_avro_unknown_codec_still_rejected(tmp_path):
 def test_sampled_jaccard_registered_with_oracle():
     assert "dedup_ngram_jaccard_sampled" in sparkgraft.QUERIES
     assert "dedup_ngram_jaccard_sampled" in sparkgraft.ORACLE
+
+
+def test_als_train_beats_mean_baseline(spark):
+    """The trained factorization must actually FIT the matrix, not just
+    hash-match: rank-2 x.y predictions over the observed cells must beat
+    the global-mean baseline RMSE (synthetic quantities carry little
+    structure, so the bar is beats-baseline, not near-zero error)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = sparkgraft.QUERIES["graph_als_train"](spark, SF_DIR).toPandas()
+    x = out[out.entity == "cust"].pivot(index="id", columns="pos", values="factor")
+    y = out[out.entity == "part"].pivot(index="id", columns="pos", values="factor")
+    o = sparkgraft.load(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = sparkgraft.load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    r = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
+        .agg(F.sum("l_quantity").cast("long").alias("q"))
+    ).toPandas()
+    pred = np.array(
+        [
+            x.loc[u, 0] * y.loc[i, 0] + x.loc[u, 1] * y.loc[i, 1]
+            for u, i in zip(r.u, r.i)
+        ]
+    )
+    rmse = float(np.sqrt(np.mean((pred - r.q) ** 2)))
+    base = float(np.sqrt(np.mean((r.q.mean() - r.q) ** 2)))
+    assert rmse < 0.97 * base, (rmse, base)
+    # factors are bounded (the ridge term keeps the alternating solves
+    # from blowing up) and both entity sides are fully covered
+    assert out.factor.abs().max() < 1e3
+    assert set(out.entity) == {"cust", "part"}
