@@ -1,0 +1,1415 @@
+"""textops.corpus — split from the flat textops.py (r7); operator bodies unchanged, see the package __init__."""
+
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import query
+
+
+
+# Tokenized view shared by most operators: (doc_id, lang, token).
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+
+
+@query(
+    "text_wordcount",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+    GROUP BY token
+    """,
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical Hadoop job. explode is map-side; the count is a
+    partial+final aggregate — exactly mapper/combiner/reducer, declared."""
+    return _tokens(spark, sf_dir).groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf,
+           round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, natural log pinned on both sides. The doc-frequency table
+    grows with the corpus vocabulary (web text: typos, URLs, numbers →
+    billions of distinct tokens at 100 TB), so it is joined back as a
+    plain shuffle equi-join on ``token`` — never a forced broadcast.
+    AQE's size-gated auto-broadcast still converts it map-side whenever
+    the vocabulary is genuinely small, which is the only safe time."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = load(spark, sf_dir, "documents").count()  # one scalar, driver-side
+    return tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    SELECT lang, bigram, count(*) AS cnt FROM (
+      SELECT lang,
+             unnest(list_transform(range(1, len(string_split(lower(text), ' '))),
+                                   i -> string_split(lower(text), ' ')[i] || ' ' ||
+                                        string_split(lower(text), ' ')[i+1])) AS bigram
+      FROM documents) t
+    GROUP BY lang, bigram
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts per language — positional array construction, no
+    self-join. Spark's transform lambda exposes the 0-based index; DuckDB
+    subscripts are 1-based, aligned in the oracle."""
+    d = load(spark, sf_dir, "documents")
+    # Guard single-token docs: Spark's sequence(1, 0) counts DOWN instead
+    # of returning empty, unlike DuckDB's range. The token array is
+    # materialized behind a projection boundary first — inlining split()
+    # into each element_at re-evaluates it per element (r4 fix: ~8× on
+    # the 5-gram twin below).
+    base = d.select("lang", F.split(F.lower("text"), " ").alias("toks"))
+    bigrams = F.expr(
+        "CASE WHEN size(toks) < 2 THEN array()"
+        " ELSE transform(sequence(1, size(toks) - 1),"
+        " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) END"
+    )
+    return (
+        base.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "text_inverted_index",
+    oracle="""
+    SELECT token,
+           array_to_string(list(doc_id ORDER BY doc_id), '|') AS doc_ids,
+           count(*) AS df
+    FROM (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+          FROM documents) t
+    GROUP BY token
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index canon: term → sorted posting list. Posting lists are
+    bounded by doc count; at web scale the long tail is fine and hot terms
+    would be delta-encoded downstream — the groupBy shape is unchanged.
+    The posting list sorts as INTs (10 after 2), then the surface projects
+    to a '|'-joined string for driver hashability."""
+    return (
+        _tokens(spark, sf_dir)
+        .select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), "|"
+            ).alias("doc_ids"),
+            F.count("*").alias("df"),
+        )
+    )
+
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(lower(text), ' ') AS toks,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           n_chars // n_tokens AS avg_token_len_floor,
+           len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) AS n_stop,
+           len(list_filter(toks, x -> len(x) <= 2)) AS n_short,
+           CASE WHEN n_tokens >= 20
+                 AND len(list_filter(toks, x -> list_contains({_STOPWORDS}, x))) > 0
+                THEN 'keep' ELSE 'flag' END AS verdict
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring for training-data filtering: token count,
+    stopword presence, short-token count → keep/flag verdict. Integer
+    features only — ratio thresholds stay exact across engines."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars") / n_tokens).cast("long").alias("avg_token_len_floor"),
+        n_stop.alias("n_stop"),
+        F.size(F.filter(toks, lambda x: F.length(x) <= 2)).alias("n_short"),
+        F.when((n_tokens >= 20) & (n_stop > 0), "keep").otherwise("flag").alias("verdict"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))                  AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
+           length(text)                                  AS n_bytes
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex token
+    class — the cheap pre-tokenizer cost estimate for LLM pipelines."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("re_tokens"),
+        F.length("text").alias("n_bytes"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           (list_aggregate(list_transform(range(1, len(toks) + 1),
+                                          i -> ascii(toks[i]) * ((i - 1) % 64 + 1)),
+                           'sum') % 1000000007)::BIGINT AS fingerprint
+    FROM t
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sensitive document fingerprint: Σ ascii(first char of
+    token_i) × (i mod 64 + 1), mod p. Pure integer arithmetic → exact in
+    any engine; order-sensitive, unlike a bag-of-words hash."""
+    d = load(spark, sf_dir, "documents")
+    weighted = F.expr(
+        "transform(split(lower(text), ' '), (x, i) -> ascii(x) * (i % 64 + 1))"
+    )
+    return d.select(
+        "doc_id",
+        (F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % 1000000007)
+        .alias("fingerprint"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                     x -> list_contains({_STOPWORDS}, x))) * 10
+                     >= len(string_split(lower(text), ' '))
+                THEN 'en' ELSE 'other' END AS lang_guess
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-ish language ID heuristic: English stopword density ≥ 10% →
+    'en'. (A real system compares per-language profile sets; the plumbing
+    — token filter, density, argmax-by-threshold — is what scales.)"""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(n_stop * 10 >= F.size(toks), "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT sha256(lower(trim(text))) AS text_hash,
+           min(doc_id)  AS keeper,
+           count(*)     AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized content hash — groupBy on the digest, so
+    the shuffle moves 32-byte keys, not documents. keeper = min(doc_id)
+    makes the survivor deterministic."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2(F.lower(F.trim("text")), 256).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies"))
+    )
+
+
+# MinHash parameters: k = BANDS × ROWS_PER_BAND hash functions.
+_MINHASH_BANDS = 4
+_MINHASH_ROWS = 4
+_SHINGLE_W = 3  # word-shingle width
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — distinct w-word shingles per document. The
+    token array is projected out first so split() runs once per row, not
+    once per shingle position (r4 fix, see text_dup_ngram_coverage)."""
+    base = df.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    sh = F.expr(
+        f"transform(sequence(1, greatest(size(toks) - {_SHINGLE_W - 1}, 1)),"
+        f" i -> array_join(slice(toks, i, {_SHINGLE_W}), ' '))"
+    )
+    return base.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{k-1} (k = bands × rows).
+
+    Hash family: xxhash64(seed_i, shingle) — k independent functions from
+    one primitive by folding the seed into the hash input. The k mins are
+    computed in ONE groupBy pass (k partial-min aggregates), not k passes.
+    """
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    sh = _shingles(docs)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) — one LSH bucket key per (doc, band),
+    band_key = hash of that band's minhash rows. Shared by the candidate
+    pair generator (dedup_near_minhash) and with_candidate_key."""
+    bands = []
+    for b in range(_MINHASH_BANDS):
+        cols = [F.col(f"mh_{b * _MINHASH_ROWS + r}") for r in range(_MINHASH_ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("band_key"),
+            )
+        )
+    bucketed = bands[0]
+    for other in bands[1:]:
+        bucketed = bucketed.unionByName(other)
+    return bucketed
+
+
+@query("dedup_near_minhash")  # rows-only: hash-seed-specific buckets
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH banding.
+
+    Pipeline: shingle → k minhashes (one pass) → band keys → groupBy band
+    → pairs within buckets only. The O(n²) pair space is never formed;
+    work is proportional to bucket sizes. Invariant-tested: every exact
+    duplicate pair must surface as a candidate (tests/test_invariants.py).
+    """
+    bucketed = band_keys(minhash_signatures(load(spark, sf_dir, "documents")))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    size_ AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.overlap,
+           round(i.overlap * 1.0 / (sa.n + sb.n - i.overlap), 6) AS jaccard
+    FROM inter i
+    JOIN size_ sa ON i.doc_a = sa.doc_id
+    JOIN size_ sb ON i.doc_b = sb.doc_id
+    WHERE i.overlap * 1.0 / (sa.n + sb.n - i.overlap) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.6 pairs via set-level deduplication.
+
+    A near-dup corpus has far fewer distinct token SETS than documents
+    (3,935 vs 5,000 at sf0.1), and identical sets pair at jaccard 1.0
+    without any comparison — so work runs over distinct sets only, and
+    doc pairs are expanded afterwards.
+
+    Candidate generation is PREFIX FILTERING (the AllPairs/PPJoin
+    family, Bayardo et al. WWW'07): under any fixed total order on
+    tokens, two sets with Jaccard ≥ τ must share at least one token
+    among the first n − ⌈τ·n⌉ + 1 tokens of each (their required
+    overlap is ≥ ⌈τ·n⌉ given the size bound |A| ≥ τ|B|, so disjoint
+    prefixes would leave too few tokens to reach it). Ordering tokens
+    by ascending document frequency makes prefixes maximally rare, so
+    candidates come from a plain shuffle EQUI-join on the prefix token
+    — exact (zero false negatives), skew-resistant, and with NO
+    corpus-proportional broadcast anywhere in the plan (plan-asserted
+    in tests/test_plans.py). The naive token-join alternative explodes
+    on high-frequency tokens (every stopword contributes df² pairs);
+    prefix filtering is exactly the published fix and is the shape
+    that survives 100 TB. `dedup_ngram_jaccard_sampled` is the
+    routine-runnable form; this full pass is the verification baseline.
+    """
+    # Tokens become 64-bit hashes immediately: set comparisons downstream
+    # are long-array ops, not string ops (collision odds are negligible
+    # and only affect a rows-only-invisible intersect count).
+    tok = (
+        _tokens(spark, sf_dir)
+        .select("doc_id", F.xxhash64("token").alias("tok"))
+        .distinct()
+    )
+    return _jaccard_pairs_ppjoin(tok)
+
+
+def _jaccard_pairs_ppjoin(tok: DataFrame, tau: float = 0.6) -> DataFrame:
+    """Shared PPJoin core: distinct-token frame (doc_id, tok) → exact
+    Jaccard ≥ τ doc pairs. See `dedup_ngram_jaccard` for the algorithm
+    argument; `dedup_ngram_jaccard_sampled` runs the identical plan over
+    the deterministic 1/16 doc sample."""
+    docsets = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("toks")
+    )
+    sets = (
+        docsets.groupBy("toks")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .withColumn("n", F.size("toks"))
+        # Scalar surrogate for "set identity" — orders the pair space with
+        # one long compare instead of an array compare per candidate.
+        .withColumn("skey", F.xxhash64("toks"))
+    )
+
+    # Prefix-filtered candidates: explode each distinct set's rarest
+    # n − ⌈τ·n⌉ + 1 tokens (ascending-df order), equi-join on the token,
+    # prune by the exact size-ratio bound, verify survivors with the
+    # real intersection. Every join below is a shuffle equi-join keyed
+    # on bounded-cardinality columns — nothing scales with corpus size
+    # except partition counts.
+    from pyspark.sql import Window
+
+    stok = sets.select("skey", "n", F.explode("toks").alias("tok"))
+    tok_df = stok.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix = (
+        stok.join(tok_df, "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("skey").orderBy("df", "tok")),
+        )
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
+        .select("skey", "n", "tok", "pos")
+    )
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    na, nb = F.col("pa.n"), F.col("pb.n")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.skey") < F.col("pb.skey"))
+            & (na * F.lit(1.0) >= tau * nb)
+            & (nb * F.lit(1.0) >= tau * na)
+            # PPJoin positional filter: a match at positions (i, j) caps
+            # the overlap at 1 + min(n_a - i, n_b - j); a true pair's
+            # FIRST shared token (provably inside both prefixes, since
+            # overlap ≥ τ·max(n_a, n_b)) always satisfies the bound, so
+            # this prunes ~half the raw matches with zero false negatives
+            # (Xiao et al., WWW'08).
+            & (
+                F.lit(1.0) + F.least(na - F.col("pa.pos"), nb - F.col("pb.pos"))
+                >= F.lit(tau / (1.0 + tau)) * (na + nb)
+            ),
+        )
+        .select(F.col("pa.skey").alias("skey_a"), F.col("pb.skey").alias("skey_b"))
+        .distinct()
+    )
+    sa = sets.select(
+        F.col("skey").alias("skey_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("n_a"),
+        F.col("doc_ids").alias("ids_a"),
+    )
+    sb = sets.select(
+        F.col("skey").alias("skey_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("n_b"),
+        F.col("doc_ids").alias("ids_b"),
+    )
+    cross = (
+        # Verify join-backs ride SHUFFLE-HASH joins: sort-merge would
+        # range-sort millions of candidate rows (and re-sort the array-
+        # carrying intermediate) just to probe a narrow per-partition
+        # hash map of set metadata. Hash build side is the sets table
+        # partition slice — bounded by partition count, never sorted.
+        # Measured at sf0.1: 34.9 s -> 20.6 s for the full query.
+        cand.join(sa.hint("shuffle_hash"), "skey_a")
+        .join(sb.hint("shuffle_hash"), "skey_b")
+        .withColumn(
+            "overlap",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("overlap") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("overlap")),
+        )
+        .filter(F.col("jaccard") >= tau)
+        .select(F.explode("ids_a").alias("id_a"), "ids_b", "overlap", "jaccard")
+        .select("id_a", F.explode("ids_b").alias("id_b"), "overlap", "jaccard")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "overlap",
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+    # Identical sets: every in-group pair is a dup at jaccard exactly 1.
+    within = (
+        sets.filter(F.size("doc_ids") >= 2)
+        .select("n", F.explode("doc_ids").alias("id_a"), F.col("doc_ids"))
+        .select("n", "id_a", F.explode("doc_ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.col("n").cast("long").alias("overlap"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+# Deterministic 1/16 doc sample for the routine-runnable lexical-dup
+# audit: every 16th doc_id — pure modular arithmetic (the
+# sim_pair_histogram_sampled idiom), identical in any engine, applied to
+# the documents scan BEFORE tokenization so everything downstream (token
+# explode, set grouping, prefix join) shrinks 16×; the candidate pair
+# space shrinks ~256×. A 1/256-of-pairs dup-rate estimate is what a
+# daily corpus-health check needs — the full exact key stays as the
+# verification baseline.
+_DOC_SAMPLE_MOD = 16
+_DOC_SAMPLE_SQL = f"doc_id % {_DOC_SAMPLE_MOD} = 0"
+
+
+@query(
+    "dedup_ngram_jaccard_sampled",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents WHERE {_DOC_SAMPLE_SQL}),
+    size_ AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT i.doc_a, i.doc_b, i.overlap,
+           round(i.overlap * 1.0 / (sa.n + sb.n - i.overlap), 6) AS jaccard
+    FROM inter i
+    JOIN size_ sa ON i.doc_a = sa.doc_id
+    JOIN size_ sb ON i.doc_b = sb.doc_id
+    WHERE i.overlap * 1.0 / (sa.n + sb.n - i.overlap) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_ngram_jaccard` over the deterministic 1/16 doc sample —
+    the form you actually schedule at 100 TB. The full exact audit is
+    the single heaviest bench key (~16 s at sf0.1, 77% of its group);
+    a routine lexical dup-rate health check doesn't need every pair, it
+    needs an unbiased estimate, and a uniform 1/16 row sample estimates
+    the pair-dup rate at 1/256 of the candidate volume. The sample
+    predicate is plain modular arithmetic on doc_id fused into the
+    documents scan (everything downstream shrinks with it), mirrored
+    verbatim in the oracle so the key stays HASH-CHECKED: the surviving
+    pairs are exactly the full key's pairs whose BOTH endpoints sample
+    in. Same PPJoin plan, zero corpus-proportional broadcast."""
+    tok = (
+        _tokens_sampled(spark, sf_dir)
+        .select("doc_id", F.xxhash64("token").alias("tok"))
+        .distinct()
+    )
+    return _jaccard_pairs_ppjoin(tok)
+
+
+def _tokens_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _DOC_SAMPLE_MOD == 0
+    )
+    return d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    )
+
+
+@query("dedup_simhash")  # rows-only: hash-seed-specific signatures
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + banded-LSH candidate pairs.
+
+    Each bit b of the signature is sign(Σ_tokens ±1) where the ± comes
+    from bit b of xxhash64(token) — all 64 bits computed as conditional-
+    sum aggregates in ONE pass over the tokens. Candidates = pairs
+    sharing any of the 4 16-bit bands (Hamming-distance LSH). Band width
+    sets the bucket count (2^16 per band), which is what keeps buckets —
+    and therefore the within-bucket pair blow-up — small as the corpus
+    grows; a 16-bit signature with 4-bit bands degenerates to ~all-pairs
+    at merely thousands of documents.
+    """
+    n_bits, band_bits = 64, 16
+    n_bands = n_bits // band_bits
+    tok = _tokens(spark, sf_dir).select("doc_id", "token")
+    h = F.xxhash64("token")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{i}")
+        for i in range(n_bits)
+    ]
+    sig = tok.groupBy("doc_id").agg(*bit_aggs)
+    band_keys = [
+        sum(
+            (
+                F.when(F.col(f"bit_{nb * band_bits + i}") > 0, F.lit(2**i)).otherwise(0)
+                for i in range(band_bits)
+            ),
+            F.lit(0),
+        ).alias(f"band_{nb}")
+        for nb in range(n_bands)
+    ]
+    bucketed = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(nb).alias("band"), band_keys[nb].alias("key"))
+                    for nb in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle="""
+    WITH RECURSIVE tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    size_ AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS overlap
+      FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN size_ sa ON i.doc_a = sa.doc_id
+      JOIN size_ sb ON i.doc_b = sb.doc_id
+      WHERE i.overlap * 1.0 / (sa.n + sb.n - i.overlap) >= 0.6),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+    SELECT doc_id, min(reach) AS canonical_id FROM walk GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the exact
+    Jaccard ≥ 0.6 pair graph (`dedup_ngram_jaccard` edges), each document
+    labeled with the min doc_id of its component — the "pick one canonical
+    copy per dup cluster" step of a training-data pipeline, which pairwise
+    dedup alone cannot express (dup pairs chain transitively).
+
+    Components come from alternating large-star/small-star contraction
+    (`graph.connected_components`, Kiveris et al. SoCC 2014): O(log n)
+    rounds regardless of component diameter — the r4 min-label
+    propagation was O(diameter) rounds, which chain-shaped dup families
+    make deep at 100 TB. Each round is two keyed aggregations + two
+    equi-joins on doc ids with `localCheckpoint` lineage truncation;
+    only scalar convergence counts reach the driver. The oracle walks
+    reachability with a recursive CTE — min(reachable) is exactly the
+    component minimum."""
+    from ..catalog import load as _load
+    from ..graph import connected_components
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    vertices = _load(spark, sf_dir, "documents").select("doc_id")
+    labels, _rounds = connected_components(
+        pairs, vertices, id_col="doc_id", label_col="canonical_id"
+    )
+    return labels.orderBy("doc_id")
+
+
+@query(
+    "text_corpus_pipeline",
+    oracle="""
+    WITH keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY sha256(lower(trim(text))))
+    SELECT d.lang,
+           count(*)                  AS n_docs_kept,
+           round(avg(d.n_chars), 6)  AS avg_chars,
+           round(sum(length(string_split(d.text, ' ')))
+                 * 1.0 / count(*), 6) AS avg_tokens
+    FROM documents d
+    JOIN keepers k ON d.doc_id = k.doc_id
+    WHERE d.n_chars >= 120
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def text_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation, composed from this module's
+    own operators: exact dedup (`dedup_exact_docs` keepers — the
+    normalized-hash survivors) -> quality gate (length floor) ->
+    per-language corpus stats with a whitespace token count. One
+    composite query proving the operators chain the way a real pipeline
+    uses them; every stage stays a shuffle-aware DataFrame program, so
+    the composition inherits the scale posture of its parts. (The
+    harsher near-dup purge is its own operator chain:
+    `dedup_ngram_jaccard` -> `dedup_cluster_cc`, which at jaccard 0.6
+    collapses this synthetic word-salad corpus to ~8% of its docs.)"""
+    d = load(spark, sf_dir, "documents")
+    keepers = dedup_exact_docs(spark, sf_dir).select(
+        F.col("keeper").alias("doc_id")
+    )
+    kept = d.join(keepers, "doc_id").filter(F.col("n_chars") >= 120)
+    tokens = F.size(F.split("text", " "))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.round(F.sum(tokens) / F.count("*"), 6).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_DUP_PREFIX_LEN = 60  # the corpus's built-in dup structure (FIXTURES.md);
+# oracle SQL pairs with this as a literal `substr(text, 1, 60)`
+
+
+def with_candidate_key(d: DataFrame, method: str = "prefix") -> DataFrame:
+    """Attach the near-dup candidate bucket key ``ckey`` to each document
+    — the composition point for everything downstream that needs "docs
+    that might be duplicates share a key": keep-best dedup partitions on
+    it, edit-distance verification equi-joins on it.
+
+    - ``"prefix"`` (default): the corpus's built-in 60-char-prefix dup
+      structure — deterministic, exactly ONE key per doc, expressible in
+      the DuckDB oracle, so the hash-graded registered queries use it.
+    - ``"minhash_band"``: MinHash-LSH band keys (the same generator
+      dedup_near_minhash buckets with) — the content-defined candidate
+      source that holds at 100 TB where no prefix structure exists;
+      emits one row per (doc, band). Pair-generation consumers compose
+      unchanged (equi-join on ckey + distinct); rank-based consumers
+      must aggregate over a doc's buckets (keep iff best in EVERY
+      bucket). Invariant-tested: exact duplicates always share a ckey
+      under both methods (tests/test_textops.py).
+    """
+    if method == "prefix":
+        return d.withColumn("ckey", F.substring("text", 1, _DUP_PREFIX_LEN))
+    if method == "minhash_band":
+        keys = band_keys(minhash_signatures(d)).select(
+            "doc_id", F.concat_ws(":", "band", "band_key").alias("ckey")
+        )
+        return d.join(keys, "doc_id")
+    raise ValueError(f"unknown candidate-key method: {method!r}")
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY substr(text, 1, 60)
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each near-dup cluster (shared
+    candidate key, default = the corpus's prefix structure) keep the
+    LONGEST document, ties to the lowest doc_id — the "pick the best
+    copy, not an arbitrary one" curation step that plain keeper=min(id)
+    dedup (`dedup_exact_docs`) cannot express. One window over the
+    cluster key; the shuffle carries only (ckey, len, id), and a
+    pre-aggregated max_by form drops the window entirely if clusters
+    ever skew. Swap with_candidate_key(..., "minhash_band") to run the
+    same shape over content-defined LSH buckets at scale."""
+    from pyspark.sql import Window
+
+    d = with_candidate_key(load(spark, sf_dir, "documents"))
+    w = Window.partitionBy("ckey").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+@query(
+    "text_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.text, b.text) AS edit_dist,
+           (levenshtein(a.text, b.text) * 100)
+             // greatest(len(a.text), len(b.text)) AS dist_pct_floor
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 60) = substr(b.text, 1, 60)
+     AND a.doc_id < b.doc_id
+    """,
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup CANDIDATES: Levenshtein is
+    O(len²) per pair, so it must never run all-pairs — here it scores
+    only pairs that share a candidate key (with_candidate_key; default =
+    the corpus's prefix structure, and the identical code path runs over
+    MinHash-LSH band keys at scale — tests/test_textops.py exercises
+    that composition). The candidate join is a plain equi-join on the
+    key; integer percent (floor) keeps the ratio exact across
+    engines."""
+    d = with_candidate_key(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    return (
+        a.join(
+            b,
+            (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+            (
+                (dist * 100)
+                / F.greatest(F.length("a.text"), F.length("b.text"))
+            ).cast("long").alias("dist_pct_floor"),
+        )
+    )
+
+
+@query(
+    "text_training_mix",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang, n_chars,
+             len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 20
+    ),
+    dedup AS (
+      SELECT doc_id, lang, n_chars, n_tokens,
+             row_number() OVER (PARTITION BY substr(text, 1, 60)
+                                ORDER BY n_chars DESC, doc_id) AS dup_rn
+      FROM quality
+    ),
+    capped AS (
+      SELECT doc_id, lang, n_chars, n_tokens,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS lang_rn
+      FROM dedup WHERE dup_rn = 1
+    )
+    SELECT lang,
+           count(*)              AS n_docs,
+           sum(n_chars)::BIGINT  AS total_chars,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           min(n_chars)          AS min_chars
+    FROM capped
+    WHERE lang_rn <= 50
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set assembly — the composite every stage above
+    exists for: quality gate (≥ 20 tokens) → keep-best dedup (longest doc
+    per 60-char-prefix cluster) → per-language cap (top-50 by length,
+    curriculum-style) → per-language manifest (doc/char/token budget).
+    Every stage is a narrow filter or a window over a bounded partition
+    key; nothing materializes between stages — Catalyst pipelines the
+    whole thing into two window shuffles plus the final 5-row aggregate,
+    which is exactly the plan you'd want over 100 TB of documents."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), " "))
+    quality = d.select(
+        "doc_id", "text", "lang", "n_chars", n_tokens.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 20)
+    w_dup = Window.partitionBy(F.substring("text", 1, 60)).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    dedup = quality.withColumn("dup_rn", F.row_number().over(w_dup)).filter(
+        F.col("dup_rn") == 1
+    )
+    w_lang = Window.partitionBy("lang").orderBy(F.desc("n_chars"), "doc_id")
+    capped = dedup.withColumn("lang_rn", F.row_number().over(w_lang)).filter(
+        F.col("lang_rn") <= 50
+    )
+    return (
+        capped.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_chars").alias("min_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+                 range(1, len(t) - 3),
+                 i -> array_to_string(t[i:i+4], ' ')))) AS ng
+      FROM toks WHERE len(t) >= 5)
+    SELECT t.doc_id,
+           count(DISTINCT t.ng)::BIGINT     AS shared_ngrams,
+           count(DISTINCT b.doc_id)::BIGINT AS n_bench_docs
+    FROM g t
+    JOIN g b ON t.ng = b.ng
+    WHERE b.doc_id % 97 = 0 AND t.doc_id % 97 <> 0
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT t.ng) >= 3
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 3 distinct
+    5-grams with the held-out benchmark set (doc_id % 97 == 0 stands in
+    for a fixed eval suite). Both sides explode to distinct (doc, ngram)
+    pairs and meet in one equi-join on the ngram — shuffle-bounded,
+    never all-pairs, so it scales like wordcount rather than O(n^2).
+    At 100 TB the bench side is a fixed small table -> broadcast join."""
+    d = load(spark, sf_dir, "documents")
+    # toks behind a projection boundary: split once per row, not once
+    # per shingle position inside the transform lambda (r4 fix class,
+    # see text_dup_ngram_coverage).
+    base = d.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    toks = F.col("toks")
+    ngrams = F.when(
+        F.size(toks) >= 5,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = base.select("doc_id", F.explode(F.array_distinct(ngrams)).alias("ng"))
+    bench = pairs.filter(F.col("doc_id") % 97 == 0).withColumnRenamed("doc_id", "bench_id")
+    train = pairs.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(bench, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ng").alias("shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("shared_ngrams") >= 3)
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(text), ' '))::BIGINT AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS cum_before
+      FROM toks),
+    packed AS (
+      SELECT lang, n_tokens,
+             (COALESCE(cum_before, 0) // {_PACK_BUDGET})::BIGINT AS seq_id
+      FROM cum)
+    SELECT lang, seq_id,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS seq_tokens
+    FROM packed
+    GROUP BY lang, seq_id
+    ORDER BY lang, seq_id
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing — the step that turns a curated corpus into
+    fixed-budget training sequences: docs are laid out in a deterministic
+    order (doc_id) within each shard key (lang) and assigned to sequence
+    slots by their running token offset (slot = floor(offset/budget), so
+    docs straddle boundaries exactly like a real packer's byte offsets).
+    The manifest aggregates docs and tokens per slot.
+
+    Scale shape: the running sum partitions by the shard key — there is
+    NO global window; a 100 TB run packs within shards in parallel,
+    which is how production packers shard anyway. Two keyed shuffles
+    (window + rollup), both skew-bounded by the lang distribution; a
+    heavier-skew corpus would swap lang for a hash-bucket shard key with
+    identical semantics."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(_PACK_BUDGET))
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return (
+        packed.groupBy("lang", "seq_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("seq_tokens"))
+        .orderBy("lang", "seq_id")
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang,
+             list_transform(
+               generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+               i -> string_split(lower(text), ' ')[i] || ' ' ||
+                    string_split(lower(text), ' ')[i+1] || ' ' ||
+                    string_split(lower(text), ' ')[i+2]) AS trigrams
+      FROM documents)
+    SELECT doc_id, lang,
+           len(trigrams)::BIGINT AS n_trigrams,
+           len(list_distinct(trigrams))::BIGINT AS n_distinct,
+           round(1.0 - len(list_distinct(trigrams)) * 1.0 / len(trigrams), 6)
+             AS rep_ratio
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-n-gram quality signal (the Rae et al. Gopher repetition
+    filter): fraction of a doc's word trigrams that are duplicates of an
+    earlier trigram in the same doc. High ratio = boilerplate/looping
+    text a curation pipeline drops. Entirely row-local higher-order
+    array expressions (transform over a sequence + array_distinct) — no
+    shuffle at all until the output sort, so it scales as a pure map."""
+    d = load(spark, sf_dir, "documents")
+    # Two projection boundaries: toks so split() runs once per row, and
+    # tri so the trigram transform isn't evaluated twice (it feeds both
+    # the total and the distinct count).
+    base = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+            " i -> concat_ws(' ', slice(toks, i, 3)))"
+        ).alias("tri"),
+    )
+    return (
+        base.select(
+            "doc_id",
+            "lang",
+            F.size("tri").cast("long").alias("n_trigrams"),
+            F.size(F.array_distinct("tri")).cast("long").alias("n_distinct"),
+        )
+        .withColumn(
+            "rep_ratio",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") * 1.0 / F.col("n_trigrams"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || doc_id ||
+             '@example.org or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents),
+    scrubbed AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+'))::BIGINT
+               + len(regexp_extract_all(raw, '\\+1-[0-9]{3}-[0-9]{4}'))::BIGINT
+               AS n_redactions,
+             regexp_replace(
+               regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+      FROM enriched)
+    SELECT doc_id, lang, n_redactions,
+           len(clean)::BIGINT AS clean_chars, md5(clean) AS clean_md5
+    FROM scrubbed
+    ORDER BY doc_id
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the safety pass every training corpus runs: find
+    email/phone spans, replace with typed placeholders, and count the
+    redactions for the audit manifest. (The corpus carries no real PII,
+    so deterministic contact strings are synthesized per doc first; the
+    scrub path is exactly what production runs.) Pure regexp expressions
+    inside codegen — row-local, zero shuffle; the digest of the scrubbed
+    text lets the oracle verify the transformation byte-for-byte."""
+    d = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    email_re = "[a-z0-9.]+@[a-z0-9.]+"
+    phone_re = r"\+1-[0-9]{3}-[0-9]{4}"
+    clean = F.regexp_replace(
+        F.regexp_replace(raw, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    n_red = (
+        F.regexp_count(raw, F.lit(email_re)) + F.regexp_count(raw, F.lit(phone_re))
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_red.alias("n_redactions"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        F.md5(clean).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang,
+             CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                       x -> list_contains({_STOPWORDS}, x))) * 10
+                       >= len(string_split(lower(text), ' '))
+                  THEN 'en' ELSE 'other' END AS lang_guess
+      FROM documents)
+    SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
+    FROM pred
+    GROUP BY lang, lang_guess
+    ORDER BY lang, lang_guess
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-audit confusion matrix: declared language vs the
+    heuristic lang-ID prediction (text_lang_id), as (truth, predicted)
+    counts — the evaluation table every corpus-curation run publishes
+    next to its filters. One row-local prediction + one hash aggregate;
+    composes on top of the same prediction expression so the audit can
+    never drift from the classifier it audits."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    pred = F.when(n_stop * 10 >= F.size(toks), "en").otherwise("other")
+    return (
+        d.select("lang", pred.alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTPS://WWW.' || source || '.Example.org:443/d/' || (doc_id % 50) ||
+             '/?utm_source=feed&lang=' || lang || '&utm_campaign=x&ref=' || doc_id
+               AS url
+      FROM documents),
+    canon AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^[A-Za-z]+://(?:[Ww][Ww][Ww]\\.)?([^/:?]+)', 1))
+               || regexp_replace(regexp_extract(url, '^[A-Za-z]+://[^/?]*(/[^?]*)', 1),
+                                 '/$', '')
+               || CASE WHEN len(list_filter(string_split(
+                              regexp_extract(url, '\\?(.*)$', 1), '&'),
+                              p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%'))) > 0
+                       THEN '?' || array_to_string(list_filter(string_split(
+                              regexp_extract(url, '\\?(.*)$', 1), '&'),
+                              p -> NOT (p LIKE 'utm_%' OR p LIKE 'ref=%')), '&')
+                       ELSE '' END AS canonical
+      FROM raw)
+    SELECT canonical,
+           min(doc_id) AS keeper,
+           count(*)::BIGINT AS n_urls
+    FROM canon
+    GROUP BY canonical
+    ORDER BY canonical
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the crawl-frontier step that stops a
+    web corpus fetching/storing the same page under cosmetic variants:
+    lowercase scheme-less host, strip leading www. and the port, drop the
+    trailing slash, and remove tracking params (utm_*, ref) while keeping
+    semantic ones, then group by the canonical form (keeper = min id).
+    (URLs are synthesized deterministically with the variants baked in —
+    mixed case, www, :443, utm noise — so the canonicalizer provably
+    collapses them: 500 raw URLs → 50·langs canonical groups.) All
+    row-local regex/filter expressions in codegen; the dedup is one
+    digest-keyed hash aggregate, the same shuffle shape as
+    dedup_exact_docs."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), "source", F.lit(".Example.org:443/d/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("/?utm_source=feed&lang="), "lang",
+        F.lit("&utm_campaign=x&ref="), F.col("doc_id").cast("string"),
+    )
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z]+://(?:[Ww][Ww][Ww]\.)?([^/:?]+)", 1)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?]*(/[^?]*)", 1), r"/$", ""
+    )
+    qparams = F.filter(
+        F.split(F.regexp_extract(url, r"\?(.*)$", 1), "&"),
+        lambda p: ~(p.startswith("utm_") | p.startswith("ref=")),
+    )
+    canonical = F.concat(
+        host,
+        path,
+        F.when(
+            F.size(qparams) > 0, F.concat(F.lit("?"), F.array_join(qparams, "&"))
+        ).otherwise(""),
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_urls"))
+        .orderBy("canonical")
+    )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH clusters AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY sha256(lower(trim(text)))) AS n_copies
+      FROM documents)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           count(CASE WHEN n_copies > 1 THEN 1 END)::BIGINT AS n_dup_docs,
+           round(count(CASE WHEN n_copies > 1 THEN 1 END) * 1.0 / count(*), 6)
+             AS dup_rate
+    FROM clusters
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: which sources deliver duplicated content —
+    per-source doc count, docs that belong to a >1-copy exact-dup
+    cluster, and the dup rate. This is the feedback table that drives
+    source-level sampling weights in a training mix. One digest-keyed
+    window (same shuffle key as dedup_exact_docs — 32-byte hashes, not
+    documents) + one hash aggregate."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    n_copies = F.count("*").over(
+        Window.partitionBy(F.sha2(F.lower(F.trim("text")), 256))
+    )
+    clusters = d.select("doc_id", "source", n_copies.alias("n_copies"))
+    return (
+        clusters.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_copies") > 1, 1)).alias("n_dup_docs"),
+            F.round(
+                F.count(F.when(F.col("n_copies") > 1, 1)) * 1.0 / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_split_assign",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id, n_chars, lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars,
+           count(DISTINCT lang)::BIGINT AS n_langs
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def text_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment — the canonical
+    holdout protocol for a training corpus. The split key is the first
+    md5 byte of the doc id (NOT a random() draw: hash-based assignment is
+    reproducible across runs, engines, and re-partitioning, and stays
+    stable when the corpus grows — the property random sampling lacks).
+    Thresholds are hex-lexicographic on the fixed-width digest prefix
+    ('e6' ≈ 89.8% train, 'f6' ≈ 6.3% val, rest test), identical strings
+    on both engines. Pure map + one 3-group aggregate: zero joins, one
+    shuffle carrying 3 partial rows per task at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2)
+    split = (
+        F.when(prefix < "e6", "train").when(prefix < "f6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "text_chunk_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
+    SELECT doc_id, (start // 48)::INT AS chunk_id,
+           least(64, len(toks) - start)::BIGINT AS n_tokens,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_digest
+    FROM s
+    """,
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for retrieval/training: each document is
+    cut into overlapping 64-token windows with stride 48 (16-token
+    overlap) — the standard RAG chunker. The chunk fan-out is a per-row
+    generator (sequence + explode, no shuffle, no self-join); the chunk
+    payload is verified by digest so the result stays narrow however
+    wide the windows get. At 100 TB this is a pure map stage that
+    pipelines into whatever sink or embedder follows."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    chunks = (
+        d.select("doc_id", toks.alias("toks"))
+        .withColumn("start", F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))))
+    )
+    return chunks.select(
+        "doc_id",
+        F.expr("CAST(start DIV 48 AS INT)").alias("chunk_id"),
+        F.least(F.lit(64), F.size("toks") - F.col("start")).cast("long").alias("n_tokens"),
+        F.md5(
+            F.encode(F.array_join(F.slice("toks", F.col("start") + 1, 64), " "), "UTF-8")
+        ).alias("chunk_digest"),
+    )
+
+
