@@ -86,28 +86,44 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("keys", nargs="*")
     ap.add_argument("--sf-dir", default=".scratch/sf1")
+    ap.add_argument("--all", action="store_true",
+                    help="sweep EVERY registered key (r7 full-registry "
+                         "rehearsal) instead of the headline+heavy probe set")
+    ap.add_argument("--warm-skip-over", type=float, default=120.0,
+                    help="skip the warm rerun when the cold run exceeded "
+                         "this many seconds (bounds total sweep time; the "
+                         "cold number is the scale signal)")
     args = ap.parse_args()
     sf_dir = os.path.abspath(args.sf_dir)
 
     spark = sparkgraft.get_session("sparkgraft-rehearsal-sf1")
-    keys = args.keys or (HEADLINE + HEAVY)
+    keys = (sorted(sparkgraft.QUERIES) if args.all
+            else args.keys or (HEADLINE + HEAVY))
     results: dict[str, dict] = {}
     failures = 0
     for key in keys:
         fn = sparkgraft.QUERIES[key]
-        runs = []
         try:
-            for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold = round(time.monotonic() - t0, 2)
+            if cold <= args.warm_skip_over:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                runs.append(round(time.monotonic() - t0, 2))
-            results[key] = {"cold": runs[0], "warm": runs[1]}
-            print(f"ok    {key}: cold {runs[0]:8.2f}s  warm {runs[1]:8.2f}s",
-                  file=sys.stderr)
+                warm = round(time.monotonic() - t0, 2)
+                results[key] = {"cold": cold, "warm": warm}
+                print(f"ok    {key}: cold {cold:8.2f}s  warm {warm:8.2f}s",
+                      file=sys.stderr, flush=True)
+            else:
+                results[key] = {"cold": cold, "warm": None}
+                print(f"ok    {key}: cold {cold:8.2f}s  warm skipped (>"
+                      f"{args.warm_skip_over:.0f}s)",
+                      file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001 - probe must keep going
             failures += 1
             results[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
-            print(f"FAIL  {key}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            print(f"FAIL  {key}: {type(exc).__name__}: {exc}", file=sys.stderr,
+                  flush=True)
 
     print(json.dumps({
         "metric": "sf1_rehearsal",
