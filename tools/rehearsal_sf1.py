@@ -93,6 +93,11 @@ def main() -> int:
                     help="skip the warm rerun when the cold run exceeded "
                          "this many seconds (bounds total sweep time; the "
                          "cold number is the scale signal)")
+    ap.add_argument("--jsonl", default=None,
+                    help="append one JSON line per key as it completes; on "
+                         "restart, keys already present are skipped — a "
+                         "multi-hour sweep survives a driver crash without "
+                         "losing measurements")
     args = ap.parse_args()
     sf_dir = os.path.abspath(args.sf_dir)
 
@@ -101,6 +106,23 @@ def main() -> int:
             else args.keys or (HEADLINE + HEAVY))
     results: dict[str, dict] = {}
     failures = 0
+    if args.jsonl and os.path.exists(args.jsonl):
+        with open(args.jsonl) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    results[rec.pop("key")] = rec
+        done = [k for k in keys if k in results]
+        failures = sum(1 for k in done if "error" in results[k])
+        keys = [k for k in keys if k not in results]
+        print(f"resume: {len(done)} keys loaded from {args.jsonl}, "
+              f"{len(keys)} to run", file=sys.stderr, flush=True)
+    def record(key: str, rec: dict) -> None:
+        results[key] = rec
+        if args.jsonl:
+            with open(args.jsonl, "a") as f:
+                f.write(json.dumps({"key": key, **rec}) + "\n")
+
     for key in keys:
         fn = sparkgraft.QUERIES[key]
         try:
@@ -111,17 +133,17 @@ def main() -> int:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 warm = round(time.monotonic() - t0, 2)
-                results[key] = {"cold": cold, "warm": warm}
+                record(key, {"cold": cold, "warm": warm})
                 print(f"ok    {key}: cold {cold:8.2f}s  warm {warm:8.2f}s",
                       file=sys.stderr, flush=True)
             else:
-                results[key] = {"cold": cold, "warm": None}
+                record(key, {"cold": cold, "warm": None})
                 print(f"ok    {key}: cold {cold:8.2f}s  warm skipped (>"
                       f"{args.warm_skip_over:.0f}s)",
                       file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001 - probe must keep going
             failures += 1
-            results[key] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+            record(key, {"error": f"{type(exc).__name__}: {exc}"[:300]})
             print(f"FAIL  {key}: {type(exc).__name__}: {exc}", file=sys.stderr,
                   flush=True)
 
