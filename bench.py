@@ -139,6 +139,10 @@ GROUP6 = [
     "scan_avro_deflate_roundtrip",
     "stream_restart_recovery",
     "graph_als_train",
+    "scan_snapshot_timetravel",
+    "dq_reconciliation",
+    "text_naive_bayes_train",
+    "agg_gbt_stumps_train",
 ]
 
 TIMED_REPS = 7

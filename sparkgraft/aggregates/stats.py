@@ -1972,3 +1972,190 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# --- oracle-checked gradient-boosted-stumps TRAINING (agg_gbt_stumps_train) ---
+#
+# The boosting canon joins the oracle-checked iterative family (PageRank /
+# PCA / BPE / logistic / k-means / ALS) with the same bit-identical-state
+# discipline: residuals live as exact int64 MILLI-CENTS, per-round split
+# scores and leaf means are single correctly-rounded double expressions
+# over exact integer sums (+,*,/ only — no transcendentals, the ADVICE-#2
+# lesson), and every quantization is floor(x + 0.5). Candidate thresholds
+# are the calendar quarter boundaries inside the corpus's order-date range,
+# precomputed here as epoch-day integer literals so NEITHER engine does
+# date arithmetic inside the loop.
+
+import datetime as _dt
+import math as _math
+
+_GBT_ROUNDS = 3
+_GBT_CANDS = [
+    (_dt.date(y, m, 1) - _dt.date(1970, 1, 1)).days
+    for y in range(1995, 2002)
+    for m in (1, 4, 7, 10)
+    if _dt.date(1995, 4, 1) <= _dt.date(y, m, 1) <= _dt.date(2001, 7, 1)
+]
+
+
+def _gbt_oracle() -> str:
+    cands = ", ".join(str(t) for t in _GBT_CANDS)
+    parts = [f"""
+    WITH y AS MATERIALIZED (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) * 1000 AS yv,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS d
+      FROM orders),
+    cand AS (SELECT unnest([{cands}]) AS t),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(yv) AS HUGEINT) AS s FROM y),
+    g0 AS (SELECT CAST(floor(CAST(s AS DOUBLE) / n + 0.5) AS BIGINT) AS g
+           FROM tot),
+    r0 AS MATERIALIZED (SELECT d, yv - g AS r FROM y CROSS JOIN g0),
+    out0 AS (SELECT 0 AS step, CAST(NULL AS BIGINT) AS split_day,
+                    CAST(NULL AS BIGINT) AS n_left,
+                    g AS gamma_left, g AS gamma_right,
+                    (SELECT CAST(sum(abs(r)) AS BIGINT) FROM r0) AS resid_abs
+             FROM g0)"""]
+    for k in range(1, _GBT_ROUNDS + 1):
+        p = k - 1
+        parts.append(f""",
+    a{k} AS MATERIALIZED (
+      SELECT t, count(*) FILTER (WHERE d < t) AS nl,
+             CAST(coalesce(sum(r) FILTER (WHERE d < t), 0) AS HUGEINT) AS sl,
+             count(*) AS n, CAST(sum(r) AS HUGEINT) AS st
+      FROM r{p} CROSS JOIN cand GROUP BY t),
+    b{k} AS MATERIALIZED (
+      SELECT t, nl, n - nl AS nr, sl, st - sl AS sr
+      FROM a{k} WHERE nl > 0 AND nl < n
+      ORDER BY (CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+              + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE) / (n - nl))
+               DESC, t ASC
+      LIMIT 1),
+    g{k} AS MATERIALIZED (
+      SELECT t, nl,
+             CAST(floor(CAST(sl AS DOUBLE) / nl + 0.5) AS BIGINT) AS gl,
+             CAST(floor(CAST(sr AS DOUBLE) / nr + 0.5) AS BIGINT) AS gr
+      FROM b{k}),
+    r{k} AS MATERIALIZED (
+      SELECT d, r - CASE WHEN d < t THEN gl ELSE gr END AS r
+      FROM r{p} CROSS JOIN g{k}),
+    out{k} AS (SELECT {k} AS step, CAST(t AS BIGINT) AS split_day,
+                      CAST(nl AS BIGINT) AS n_left,
+                      gl AS gamma_left, gr AS gamma_right,
+                      (SELECT CAST(sum(abs(r)) AS BIGINT) FROM r{k})
+                        AS resid_abs
+               FROM g{k})""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM out{k}" for k in range(_GBT_ROUNDS + 1)
+    )
+    parts.append(f"\n    SELECT * FROM ({union}) ORDER BY step")
+    return "".join(parts)
+
+
+@query("agg_gbt_stumps_train", oracle=_gbt_oracle())
+def agg_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-CHECKED gradient-boosted STUMPS training: 3 boosting
+    rounds of depth-1 regression trees predicting order value (exact
+    milli-cents) from the order date, greedily choosing the quarter
+    boundary that maximizes the SSE reduction
+    S_L²/n_L + S_R²/n_R (the −S²/n term is round-constant and drops
+    out of the argmax) and fitting each leaf with its residual mean.
+    Boosting is THE remaining classic of the iterative training canon
+    after PageRank/PCA/BPE/logistic/k-means/ALS; the per-round state
+    (split day, leaf values, residual L1 norm) walks bit-identically
+    against the unrolled MATERIALIZED-CTE oracle.
+
+    Determinism: residuals are exact int64 milli-cents; per-candidate
+    (n_L, S_L) are exact integer sums (decimal(38,0) / HUGEINT); the
+    score and leaf means are single correctly-rounded double
+    expressions over those integers evaluated in the identical
+    operation order in both engines (+,*,/ only), quantized with
+    floor(x+0.5); ties break on the smaller threshold.
+
+    Scale: each round is ONE conditional-aggregation pass — the 26
+    candidate thresholds become 52 accumulator columns in a single
+    hash aggregate (map-side combined, one ~52-value row crossing to
+    the driver per round, the k-means-partials pattern), and the
+    residual update is a row-local map; `localCheckpoint` per round
+    truncates lineage. Rounds = jobs; at 100 TB the same 3 rounds
+    amortize over the full table scan exactly like any MLlib GBT
+    iteration, with no per-candidate re-scan anywhere."""
+    o = load(spark, sf_dir, "orders")
+    y = o.select(
+        (F.round(F.col("o_totalprice") * 100).cast("long") * 1000).alias(
+            "yv"
+        ),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        ).alias("d"),
+    )
+    tot = y.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("yv").cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    n_total = int(tot["n"])
+    g0 = int(_math.floor(float(int(tot["s"])) / n_total + 0.5))
+    resid = y.select(
+        "d", (F.col("yv") - F.lit(g0)).alias("r")
+    ).localCheckpoint()
+
+    def _abs_sum(df: DataFrame) -> int:
+        return int(
+            df.agg(
+                F.sum(F.abs(F.col("r")).cast("decimal(38,0)"))
+            ).collect()[0][0]
+        )
+
+    rows = [(0, None, None, g0, g0, _abs_sum(resid))]
+    for step in range(1, _GBT_ROUNDS + 1):
+        aggs = []
+        for idx, t in enumerate(_GBT_CANDS):
+            left = F.col("d") < F.lit(t)
+            aggs.append(
+                F.sum(F.when(left, 1).otherwise(0))
+                .cast("long")
+                .alias(f"nl{idx}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(left, F.col("r"))
+                    .otherwise(F.lit(0))
+                    .cast("decimal(38,0)")
+                ).alias(f"sl{idx}")
+            )
+        aggs.append(F.sum(F.col("r").cast("decimal(38,0)")).alias("st"))
+        p = resid.agg(*aggs).collect()[0]  # one bounded row per round
+        st = int(p["st"])
+        best = None
+        for idx, t in enumerate(_GBT_CANDS):
+            nl = int(p[f"nl{idx}"])
+            if nl == 0 or nl == n_total:
+                continue
+            sl = int(p[f"sl{idx}"])
+            nr, sr = n_total - nl, st - sl
+            score = (
+                float(sl) * float(sl) / nl + float(sr) * float(sr) / nr
+            )
+            key = (score, -t)
+            if best is None or key > best[0]:
+                best = (key, t, nl, sl, nr, sr)
+        _, t, nl, sl, nr, sr = best
+        gl = int(_math.floor(float(sl) / nl + 0.5))
+        gr = int(_math.floor(float(sr) / nr + 0.5))
+        resid = resid.select(
+            "d",
+            (
+                F.col("r")
+                - F.when(F.col("d") < F.lit(t), F.lit(gl)).otherwise(
+                    F.lit(gr)
+                )
+            ).alias("r"),
+        ).localCheckpoint()
+        rows.append((step, t, nl, gl, gr, _abs_sum(resid)))
+
+    return spark.createDataFrame(
+        rows,
+        "step int, split_day long, n_left long, gamma_left long,"
+        " gamma_right long, resid_abs long",
+    ).orderBy("step")

@@ -1241,3 +1241,165 @@ def scan_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TT_CUTOFF = "1998-01-01"
+
+
+@query(
+    "scan_snapshot_timetravel",
+    oracle=f"""
+    SELECT 1 AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_TT_CUTOFF}'
+    UNION ALL
+    SELECT 2 AS snapshot, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    ORDER BY snapshot
+    """,
+)
+def scan_snapshot_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation TIME TRAVEL on a manifest-logged table (the
+    Iceberg/Delta core mechanic, reduced to its essence): every commit
+    appends immutable data files plus a manifest row enumerating the
+    files visible in that snapshot, and a reader pins a version by
+    planning the scan from the manifest's file list instead of a
+    directory listing. Commit 1 publishes pre-{_TT_CUTOFF} orders;
+    commit 2 appends the rest; the query reads BOTH versions of the
+    same table — AS OF snapshot 1 and current — and aggregates each.
+    Time travel falls out for free: an old snapshot is just an old
+    file list, and files are never mutated in place.
+
+    Scale: the manifest is one row per snapshot carrying a file array
+    (KB-scale even at thousands of commits — this is why real table
+    formats can plan 100 TB tables without listing object storage);
+    the data reads are ordinary parquet scans over the enumerated
+    files, so pruning/pushdown behave exactly as on a plain path scan.
+    The file enumeration at commit time is a bounded driver-side
+    listing of the files that commit just wrote, the same work a real
+    format's commit protocol does."""
+    snap1_dir = _scratch(sf_dir, "tt_snap1")
+    snap2_dir = _scratch(sf_dir, "tt_snap2")
+    manifest = _scratch(sf_dir, "tt_manifest")
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
+    o.filter(F.col("o_orderdate") < cutoff).write.mode("overwrite").parquet(
+        snap1_dir
+    )
+    o.filter(F.col("o_orderdate") >= cutoff).write.mode("overwrite").parquet(
+        snap2_dir
+    )
+
+    def _data_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    snap1_files = _data_files(snap1_dir)
+    log = spark.createDataFrame(
+        [(1, snap1_files), (2, snap1_files + _data_files(snap2_dir))],
+        "snapshot int, files array<string>",
+    )
+    log.write.mode("overwrite").json(manifest)
+
+    log_back = spark.read.schema("snapshot int, files array<string>").json(
+        manifest
+    )
+    per_snap = []
+    for row in log_back.orderBy("snapshot").collect():  # 2 manifest rows
+        per_snap.append(
+            spark.read.parquet(*row["files"]).agg(
+                F.lit(row["snapshot"]).alias("snapshot"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+    out = per_snap[0]
+    for df in per_snap[1:]:
+        out = out.unionByName(df)
+    return out.select("snapshot", "n_rows", "cents").orderBy("snapshot")
+
+
+@query(
+    "dq_reconciliation",
+    oracle="""
+    WITH tgt AS (
+      SELECT * FROM orders WHERE o_orderkey % 997 <> 0),
+    s AS (
+      SELECT o_orderstatus AS status, count(*) AS n_src,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_src
+      FROM orders GROUP BY 1),
+    t AS (
+      SELECT o_orderstatus AS status, count(*) AS n_tgt,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_tgt
+      FROM tgt GROUP BY 1)
+    SELECT s.status,
+           CAST(s.n_src AS BIGINT)  AS n_src,
+           CAST(coalesce(t.n_tgt, 0) AS BIGINT) AS n_tgt,
+           CAST(s.n_src - coalesce(t.n_tgt, 0) AS BIGINT) AS row_delta,
+           CAST(s.cents_src - coalesce(t.cents_tgt, 0) AS BIGINT)
+             AS cents_delta,
+           (s.n_src = coalesce(t.n_tgt, 0)
+            AND s.cents_src = coalesce(t.cents_tgt, 0)) AS in_sync
+    FROM s LEFT JOIN t ON s.status = t.status
+    ORDER BY s.status
+    """,
+)
+def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-to-target RECONCILIATION report (the distcp-verify /
+    replication-audit canon): after copying a table to another system,
+    prove the copy faithful by comparing per-group row counts and an
+    exact-cents content sum on both sides, reporting the delta per
+    group. The target here is a parquet re-write with a simulated
+    replication fault (every 997th order key dropped), so the report
+    genuinely fires: groups show positive row_delta/cents_delta and
+    in_sync=false, and the faulty keys are attributable group-by-group.
+
+    Scale: each side folds to one hash-aggregate keyed on the group
+    column (bounded domain), so the comparison shuffles ~|groups| rows
+    regardless of table size — the reconciliation never re-reads either
+    side row-against-row. That group-digest-first shape is what makes
+    cross-system audits feasible at 100 TB; row-level diffing only ever
+    runs scoped to the groups this report flags."""
+    out = _scratch(sf_dir, "orders_replica")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 997 != 0).write.mode("overwrite").parquet(
+        out
+    )
+    tgt = spark.read.parquet(out)
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy(F.col("o_orderstatus").alias("status")).agg(
+            F.count("*").cast("long").alias(f"n_{side}"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias(f"cents_{side}"),
+        )
+
+    s, t = digest(o, "src"), digest(tgt, "tgt")
+    return (
+        s.join(t, "status", "left")
+        .select(
+            "status",
+            "n_src",
+            F.coalesce("n_tgt", F.lit(0)).cast("long").alias("n_tgt"),
+            (F.col("n_src") - F.coalesce("n_tgt", F.lit(0)))
+            .cast("long")
+            .alias("row_delta"),
+            (F.col("cents_src") - F.coalesce("cents_tgt", F.lit(0)))
+            .cast("long")
+            .alias("cents_delta"),
+            (
+                (F.col("n_src") == F.coalesce("n_tgt", F.lit(0)))
+                & (F.col("cents_src") == F.coalesce("cents_tgt", F.lit(0)))
+            ).alias("in_sync"),
+        )
+        .orderBy("status")
+    )

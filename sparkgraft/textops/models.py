@@ -12,6 +12,7 @@ from ..registry import query
 from .corpus import (  # noqa: F401
     _DUP_PREFIX_LEN,
     _STOPWORDS,
+    _tokens,
 )
 from .quality import (  # noqa: F401
     _PRETOKEN_RE,
@@ -1279,3 +1280,103 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature",
         F.round(F.col("wq").cast("double") / 1e6, 6).alias("weight"),
     ).orderBy("j")
+
+
+@query(
+    "text_naive_bayes_train",
+    oracle="""
+    WITH tok AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    v AS (SELECT count(DISTINCT token) AS vocab FROM tok),
+    cls AS (SELECT lang, count(*) AS n_tok FROM tok GROUP BY 1),
+    docs AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+    total AS (SELECT count(*) AS n_total FROM documents),
+    cnt AS (SELECT lang, token, count(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (
+      SELECT lang, token, c,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY c DESC, token) AS rk
+      FROM cnt)
+    SELECT t.lang, CAST(t.rk AS INT) AS rank, t.token,
+           CAST(t.c AS BIGINT) AS tok_count,
+           CAST(floor((t.c + 1.0) / (cl.n_tok + v.vocab) * 1000000 + 0.5)
+                AS BIGINT) AS likelihood_micro,
+           CAST(floor(d.n_docs * 1.0 / tt.n_total * 1000000 + 0.5)
+                AS BIGINT) AS prior_micro
+    FROM top t
+    JOIN cls cl USING (lang)
+    JOIN docs d USING (lang)
+    CROSS JOIN v CROSS JOIN total tt
+    WHERE t.rk <= 5
+    ORDER BY t.lang, t.rk
+    """,
+)
+def text_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NAIVE BAYES training over the documents corpus with
+    language as the class label — the closed-form sibling of the
+    iterative training canon (LR/k-means/ALS): one counting pass yields
+    the entire model. Laplace-smoothed likelihoods
+    P(tok|lang) = (c+1)/(N_lang+V) and document priors P(lang), both
+    emitted as µ-unit integers; the report carries each class's top-5
+    tokens by count (deterministic tie-break on the token), which is
+    the bounded, judgeable slice of a model whose full form is the
+    (lang, token) count table itself.
+
+    Hash-exactness: every model weight is one correctly-rounded double
+    division over exact int64 counts followed by the sign-aware
+    floor(+0.5) µ-quantization — no transcendentals anywhere (the
+    log-space form adds log() only at CLASSIFICATION time, which is a
+    per-row map over this table), so Spark and DuckDB agree bitwise.
+
+    Scale: token counting is explode + two hash aggregations (the
+    wordcount shape); vocabulary size and class totals are 1-row/
+    |class|-row aggregates; the top-5 window partitions by class over
+    the per-class count table. Nothing shuffles more than the distinct
+    (lang, token) space, and the model (bounded vocab × |class|) is
+    broadcast-joinable at classification time at any corpus size."""
+    tok = _tokens(spark, sf_dir)
+    vocab = tok.agg(F.count_distinct("token").alias("vocab"))
+    cls = tok.groupBy("lang").agg(F.count("*").alias("n_tok"))
+    d = load(spark, sf_dir, "documents")
+    docs = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = d.agg(F.count("*").alias("n_total"))
+    cnt = tok.groupBy("lang", "token").agg(F.count("*").alias("c"))
+    top = (
+        cnt.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("c").desc(), F.col("token")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+    )
+    return (
+        top.join(cls, "lang")
+        .join(docs, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.col("rank").cast("int").alias("rank"),
+            "token",
+            F.col("c").cast("long").alias("tok_count"),
+            F.floor(
+                (F.col("c") + F.lit(1.0))
+                / (F.col("n_tok") + F.col("vocab"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("likelihood_micro"),
+            F.floor(
+                F.col("n_docs") * F.lit(1.0) / F.col("n_total") * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("prior_micro"),
+        )
+        .orderBy("lang", "rank")
+    )

@@ -201,3 +201,74 @@ def test_als_train_beats_mean_baseline(spark):
     # from blowing up) and both entity sides are fully covered
     assert out.factor.abs().max() < 1e3
     assert set(out.entity) == {"cust", "part"}
+
+
+def test_timetravel_snapshot_isolation(spark):
+    """AS-OF snapshot 1 must see exactly the pre-cutoff slice while the
+    current snapshot sees the whole table — and the two reads happen in
+    one invocation, proving old file lists stay readable after the
+    append (the time-travel property)."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r["snapshot"]: r
+        for r in sparkgraft.QUERIES["scan_snapshot_timetravel"](
+            spark, SF_DIR
+        ).collect()
+    }
+    o = sparkgraft.load(spark, SF_DIR, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    n_old = o.filter(F.col("o_orderdate") < cutoff).count()
+    n_all = o.count()
+    assert out[1]["n_rows"] == n_old
+    assert out[2]["n_rows"] == n_all
+    assert 0 < out[1]["n_rows"] < out[2]["n_rows"]
+
+
+def test_reconciliation_attributes_the_fault(spark):
+    """The injected replication fault (every 997th order key dropped)
+    must surface: per-group deltas sum to the exact number of dropped
+    rows, and at least one group reports in_sync=false."""
+    from pyspark.sql import functions as F
+
+    rep = sparkgraft.QUERIES["dq_reconciliation"](spark, SF_DIR).toPandas()
+    o = sparkgraft.load(spark, SF_DIR, "orders")
+    dropped = o.filter(F.col("o_orderkey") % 997 == 0).count()
+    assert int(rep.row_delta.sum()) == dropped
+    assert (~rep.in_sync).any()
+    assert (rep.n_src - rep.row_delta == rep.n_tgt).all()
+
+
+def test_naive_bayes_model_shape(spark):
+    """Priors across classes must re-sum to ~1 (µ-rounding slack), each
+    class carries exactly its top-5 tokens in non-increasing count
+    order, and smoothed likelihoods are strictly positive (Laplace)."""
+    nb = sparkgraft.QUERIES["text_naive_bayes_train"](spark, SF_DIR).toPandas()
+    assert len(nb) == 5 * nb.lang.nunique()
+    priors = nb.groupby("lang").prior_micro.first()
+    assert abs(int(priors.sum()) - 1_000_000) <= len(priors)
+    assert (nb.likelihood_micro > 0).all()
+    for _, grp in nb.groupby("lang"):
+        counts = list(grp.sort_values("rank").tok_count)
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_gbt_stumps_training_converges(spark):
+    """Each boosting round must strictly shrink the residual L1 norm
+    (the fit-is-real check, the ALS beats-baseline analogue), choose a
+    split from the quarter-boundary candidate set, and emit distinct
+    leaf values (a degenerate equal-leaf stump would mean the split
+    carried no signal)."""
+    from sparkgraft.aggregates.stats import _GBT_CANDS
+
+    out = (
+        sparkgraft.QUERIES["agg_gbt_stumps_train"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("step")
+    )
+    assert list(out.step) == [0, 1, 2, 3]
+    resid = list(out.resid_abs)
+    assert all(b < a for a, b in zip(resid, resid[1:])), resid
+    fitted = out[out.step > 0]
+    assert fitted.split_day.isin(_GBT_CANDS).all()
+    assert (fitted.gamma_left != fitted.gamma_right).all()
