@@ -143,6 +143,10 @@ GROUP6 = [
     "dq_reconciliation",
     "text_naive_bayes_train",
     "agg_gbt_stumps_train",
+    "win_scd2_build",
+    "win_interpolate_linear",
+    "graph_label_propagation",
+    "sink_zorder_write",
 ]
 
 TIMED_REPS = 7

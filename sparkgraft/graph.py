@@ -836,3 +836,130 @@ def graph_als_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(long_form(y, "i", "part"))
         .orderBy("entity", "id", "pos")
     )
+
+
+# --- deterministic synchronous label propagation (graph_label_propagation) ---
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = ["""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    bi AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM e
+      UNION ALL SELECT pb AS src, pa AS dst FROM e),
+    l0 AS MATERIALIZED (SELECT p_partkey AS v, p_partkey AS lab FROM part)"""]
+    for k in range(1, _LPA_ROUNDS + 1):
+        p = k - 1
+        parts.append(f""",
+    cnt{k} AS (
+      SELECT bi.src AS v, l.lab, count(*) AS c
+      FROM bi JOIN l{p} l ON l.v = bi.dst
+      GROUP BY 1, 2),
+    pick{k} AS (
+      SELECT v, lab FROM (
+        SELECT v, lab,
+               row_number() OVER (PARTITION BY v
+                                  ORDER BY c DESC, lab) AS rk
+        FROM cnt{k}) t WHERE rk = 1),
+    l{k} AS MATERIALIZED (
+      SELECT prev.v, coalesce(pk.lab, prev.lab) AS lab
+      FROM l{p} prev LEFT JOIN pick{k} pk ON pk.v = prev.v)""")
+    parts.append(f"""
+    SELECT CAST(lab AS BIGINT) AS community,
+           CAST(count(*) AS BIGINT) AS size
+    FROM l{_LPA_ROUNDS} GROUP BY lab
+    ORDER BY size DESC, community LIMIT 20""")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LABEL PROPAGATION community detection over the
+    co-purchase graph (support ≥ 2, the components key's edge set),
+    made fully deterministic: labels seed as the vertex id, and each
+    of the 4 rounds relabels every vertex with the MODE of its
+    neighbors' labels, ties broken by the smaller label (classic async
+    LPA is run-order-dependent — the sync+tie-break variant is the
+    reproducible form a data pipeline can actually regression-test).
+    Communities differ from connected components: a bridge vertex
+    joins whichever side outvotes, so dense cliques separate even when
+    connected. Output is the 20 largest communities (size desc, label
+    asc) — the bounded, judgeable slice.
+
+    Determinism: pure integer labels, exact integer counts, total
+    ordering on (count desc, label asc) — the oracle walks the same
+    four MATERIALIZED rounds bit-identically.
+
+    Scale: each round = one edge⋈label shuffle equi-join + one
+    (vertex, label)-keyed hash count + one per-vertex top-1 window
+    (frame bounded by a vertex's distinct neighbor labels), all keyed
+    on vertex ids — the PageRank/CC shuffle discipline; rounds = jobs,
+    `localCheckpoint` truncates lineage per round. No corpus-sized
+    broadcast, no driver state."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("pa", "pb")
+    )
+    bi = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("v"), F.col("p_partkey").alias("lab")
+    )
+    w = Window.partitionBy("v").orderBy(F.col("c").desc(), F.col("lab"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            bi.join(
+                labels.select(
+                    F.col("v").alias("dst"), F.col("lab").alias("nlab")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"), F.col("nlab").alias("lab"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("v", F.col("lab").alias("new_lab"))
+        )
+        labels = (
+            labels.join(pick, "v", "left")
+            .select(
+                "v", F.coalesce("new_lab", "lab").alias("lab")
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("lab").cast("long").alias("community"))
+        .agg(F.count("*").cast("long").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

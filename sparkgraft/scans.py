@@ -1403,3 +1403,83 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "sink_zorder_write",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered write: orders laid out along the interleaved-
+    bit (Morton) curve over (custkey, orderdate) so file-level min/max
+    statistics prune on BOTH columns at once — the multi-dimensional
+    counterpart of `sink_clustered_write`'s single-key clustering, and
+    the layout trick behind Delta OPTIMIZE ZORDER / Iceberg sort
+    orders. Each key quantizes to 8 bits over its observed range
+    (bounds from one 1-row aggregate), the 16-bit z-value interleaves
+    them (c7 d7 c6 d6 …), and the write is repartitionByRange +
+    sortWithinPartitions on z, so every output file covers a small
+    RECTANGLE of the (custkey, date) plane instead of a full-width
+    stripe. tests/test_plans.py asserts the per-file range-fraction
+    bound on both dimensions — the pruning property itself, not just
+    the round-trip.
+
+    Content-wise the layout is invisible (the oracle pins the digest);
+    the z computation is pure JVM bit arithmetic inside whole-stage
+    codegen, and the range partitioner samples z exactly as any global
+    sort would — no skew, no broadcast, no driver state beyond the
+    2-value bounds row. At 100 TB the identical plan writes as many
+    rectangles as there are output partitions."""
+    out = _scratch(sf_dir, "orders_zorder")
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    ).collect()[0]
+    cspan = int(bounds["cmax"]) - int(bounds["cmin"]) + 1
+    dspan = (bounds["dmax"] - bounds["dmin"]).days + 1
+    cb = (
+        (F.col("o_custkey") - F.lit(int(bounds["cmin"])))
+        * 256
+        / F.lit(cspan)
+    ).cast("int")
+    db = (
+        F.datediff(F.to_date("o_orderdate"), F.lit(str(bounds["dmin"])))
+        * 256
+        / F.lit(dspan)
+    ).cast("int")
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+            + F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    (
+        o.withColumn("zval", z)
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("status")
+    )

@@ -2541,3 +2541,220 @@ def win_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "win_scd2_build",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    starts AS (
+      SELECT user_id, event_type AS state, ts AS valid_from
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    versioned AS (
+      SELECT user_id, state,
+             epoch_us(valid_from) AS valid_from_us,
+             epoch_us(lead(valid_from) OVER w2) AS valid_to_us,
+             CAST(row_number() OVER w2 AS INT) AS version
+      FROM starts
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from))
+    SELECT user_id, state, valid_from_us, valid_to_us, version,
+           (valid_to_us IS NULL) AS is_current
+    FROM versioned
+    ORDER BY user_id, version
+    """,
+)
+def win_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD a type-2 slowly-changing dimension from a change log (the
+    reverse of `join_scd2_pointintime`, which consumes one): collapse
+    each user's event stream into its distinct STATE RUNS — consecutive
+    same-type events merge into one versioned row carrying
+    [valid_from, valid_to) and an is_current flag on the open row. This
+    is the warehouse-canon transform that turns CDC/event history into
+    a dimension you can point-in-time join against.
+
+    Mechanics: one ordered keyed window flags state changes via lag
+    (ties broken on event_id so replays are deterministic), a filter
+    keeps the run heads, and a second window over the (much smaller)
+    run-head frame assigns valid_to = lead(valid_from) and the version
+    number. Timestamps surface as exact epoch-µs integers.
+
+    Scale: both windows partition by user_id — per-user frames are
+    bounded by user activity, never corpus-wide; the run-head frame the
+    second window sees is already collapsed (≤ #state-changes rows), so
+    the expensive sort happens once on the raw stream and once on a
+    strictly smaller one. No global window, no broadcast, one shuffle
+    key throughout."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = ordered.filter(
+        F.col("prev_type").isNull()
+        | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        starts.select(
+            "user_id",
+            "state",
+            F.unix_micros("valid_from").alias("valid_from_us"),
+            F.unix_micros(F.lead("valid_from").over(w2)).alias(
+                "valid_to_us"
+            ),
+            F.row_number().over(w2).cast("int").alias("version"),
+        )
+        .withColumn("is_current", F.col("valid_to_us").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+@query(
+    "win_interpolate_linear",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v_micro
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+      GROUP BY 1),
+    spine AS (
+      SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+               AS day
+      FROM span),
+    joined AS (
+      SELECT s.user_id, CAST(s.day AS DATE) AS day, d.v_micro
+      FROM spine s LEFT JOIN daily d
+        ON d.user_id = s.user_id AND d.day = CAST(s.day AS DATE)),
+    bracketed AS (
+      SELECT user_id, day, v_micro,
+             last_value(v_micro IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pv,
+             last_value(CASE WHEN v_micro IS NOT NULL THEN day END
+                        IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS pd,
+             first_value(v_micro IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v_micro IS NOT NULL THEN day END
+                         IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined)
+    SELECT user_id, CAST(CAST(day AS DATE) AS VARCHAR(10)) AS day,
+           CASE WHEN v_micro IS NOT NULL THEN v_micro
+                ELSE CAST(floor(
+                  pv + (nv - pv) * (date_diff('day', pd, day) * 1.0
+                                    / date_diff('day', pd, nd)) + 0.5)
+                  AS BIGINT) END AS v_micro,
+           CASE WHEN v_micro IS NOT NULL THEN 'obs'
+                ELSE 'interp' END AS kind
+    FROM bracketed
+    WHERE v_micro IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    ORDER BY user_id, day
+    """,
+)
+def win_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation over time-series gaps: each user's daily
+    value series is densified to a full day spine, and silent days
+    BETWEEN two observations get the straight-line blend
+    prev + (next−prev)·Δt/T — the third member of the gap-handling
+    trio (`fn_sequence_gap_fill` creates zero rows, `win_forward_fill`
+    carries the last value, this one interpolates). Leading/trailing
+    gaps stay un-extrapolated (dropped), which is the honest default
+    for feature pipelines.
+
+    Determinism: per-event values quantize to µ-units BEFORE the daily
+    sum, so the aggregate is exact integer arithmetic (order-independent
+    under Spark's partial aggregation); the
+    interpolation is one double expression over those integers and
+    integer day distances, re-quantized with floor(+0.5) — both
+    engines agree bitwise (+,×,/ only).
+
+    Scale: spine fan-out is bounded by calendar span × users (the
+    gap-fill argument), never event volume; the prev/next brackets are
+    two frames of ONE ordered keyed window pass each (incremental
+    evaluation, O(1) state per row); everything shuffles on user_id
+    alone."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        # Quantize per ROW, sum as integers: exact and order-independent,
+        # so Spark's partial-agg order can never flip a µ-boundary the
+        # way quantizing a float sum could.
+        F.sum(
+            F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("v_micro")
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    back = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fwd = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("v_micro").isNotNull(), F.col("day"))
+    bracketed = joined.select(
+        "user_id",
+        "day",
+        "v_micro",
+        F.last("v_micro", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(back).alias("pd"),
+        F.first("v_micro", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(fwd).alias("nd"),
+    )
+    interp = F.floor(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            F.datediff("day", "pd")
+            * F.lit(1.0)
+            / F.datediff("nd", "pd")
+        )
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        bracketed.filter(
+            F.col("v_micro").isNotNull()
+            | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        )
+        .select(
+            "user_id",
+            # ISO string surface: DuckDB DATE crosses pandas as a
+            # Timestamp, so a typed date column can't hash-match — the
+            # gap-fill precedent (fn_sequence_gap_fill).
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("v_micro", interp).alias("v_micro"),
+            F.when(F.col("v_micro").isNotNull(), F.lit("obs"))
+            .otherwise(F.lit("interp"))
+            .alias("kind"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -272,3 +272,113 @@ def test_gbt_stumps_training_converges(spark):
     fitted = out[out.step > 0]
     assert fitted.split_day.isin(_GBT_CANDS).all()
     assert (fitted.gamma_left != fitted.gamma_right).all()
+
+
+def test_scd2_build_versions_chain(spark):
+    """Per user: versions are contiguous from 1, exactly one open
+    (is_current) row, each closed row's valid_to equals the next
+    version's valid_from (the [from, to) chain), and no two consecutive
+    versions carry the same state (runs were collapsed)."""
+    scd = (
+        sparkgraft.QUERIES["win_scd2_build"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "version"])
+    )
+    for uid, grp in scd.groupby("user_id"):
+        assert list(grp.version) == list(range(1, len(grp) + 1)), uid
+        assert int(grp.is_current.sum()) == 1
+        assert grp.is_current.iloc[-1]
+        tos = list(grp.valid_to_us)[:-1]
+        froms = list(grp.valid_from_us)[1:]
+        assert tos == froms, uid
+        states = list(grp.state)
+        assert all(a != b for a, b in zip(states, states[1:])), uid
+
+
+def test_interpolate_linear_brackets(spark):
+    """Interpolated rows only appear strictly BETWEEN observations
+    (first/last row per user is observed), and each interpolated value
+    lies within [min, max] of its bracketing observations — the
+    convexity property of a linear blend."""
+    out = (
+        sparkgraft.QUERIES["win_interpolate_linear"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["user_id", "day"])
+    )
+    assert set(out.kind) == {"obs", "interp"}
+    for uid, grp in out.groupby("user_id"):
+        assert grp.kind.iloc[0] == "obs"
+        assert grp.kind.iloc[-1] == "obs"
+        # consecutive-day spine with no holes between first/last obs
+        import pandas as pd
+
+        days = list(pd.to_datetime(grp.day))
+        assert all(
+            (b - a).days == 1 for a, b in zip(days, days[1:])
+        ), uid
+        v = list(grp.v_micro)
+        kinds = list(grp.kind)
+        obs_idx = [i for i, k in enumerate(kinds) if k == "obs"]
+        for lo, hi in zip(obs_idx, obs_idx[1:]):
+            lov, hiv = sorted((v[lo], v[hi]))
+            for i in range(lo + 1, hi):
+                assert lov - 1 <= v[i] <= hiv + 1, (uid, i)
+
+
+def test_label_propagation_communities(spark):
+    """The sync-LPA output must be a bounded, size-ordered community
+    report whose members total at most the vertex count, and the
+    largest community must be a genuine multi-vertex cluster."""
+    out = sparkgraft.QUERIES["graph_label_propagation"](
+        spark, SF_DIR
+    ).toPandas()
+    assert len(out) <= 20
+    sizes = list(out["size"])
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[0] >= 2
+    n_parts = sparkgraft.load(spark, SF_DIR, "part").count()
+    assert sum(sizes) <= n_parts
+
+
+def test_zorder_files_cover_rectangles(spark):
+    """THE z-order property: every output file's min/max footprint must
+    be a small rectangle in the (custkey, orderdate) plane — mean
+    per-file range fraction well under a full-width stripe on BOTH
+    dimensions (a single-key sort gives ~1.0 on the other key)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.scans import _scratch
+
+    sparkgraft.QUERIES["sink_zorder_write"](spark, SF_DIR).collect()
+    out = _scratch(SF_DIR, "orders_zorder")
+    files = sorted(
+        os.path.join(out, f)
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    assert len(files) >= 4
+    o = sparkgraft.load(spark, SF_DIR, "orders")
+    g = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_orderdate"), F.max("o_orderdate"),
+    ).collect()[0]
+    cspan = g[1] - g[0] + 1
+    dspan = (g[3] - g[2]).total_seconds() + 1
+    cfr, dfr = [], []
+    for f in files:
+        st = (
+            spark.read.parquet(f)
+            .agg(
+                F.min("o_custkey"), F.max("o_custkey"),
+                F.min("o_orderdate"), F.max("o_orderdate"),
+            )
+            .collect()[0]
+        )
+        cfr.append((st[1] - st[0] + 1) / cspan)
+        dfr.append(((st[3] - st[2]).total_seconds() + 1) / dspan)
+    mean_c = sum(cfr) / len(cfr)
+    mean_d = sum(dfr) / len(dfr)
+    assert mean_c < 0.6, cfr
+    assert mean_d < 0.75, dfr
