@@ -147,6 +147,9 @@ GROUP6 = [
     "win_interpolate_linear",
     "graph_label_propagation",
     "sink_zorder_write",
+    "scan_snapshot_incremental",
+    "graph_shortest_path_bounded",
+    "sample_weighted_hash",
 ]
 
 TIMED_REPS = 7

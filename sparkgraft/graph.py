@@ -963,3 +963,119 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+# --- hop-bounded weighted shortest path (graph_shortest_path_bounded) ---
+
+_SSSP_ROUNDS = 4
+
+
+def _sssp_oracle() -> str:
+    parts = [f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+    w AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst, 1000000 // sup AS w FROM e
+      UNION ALL SELECT pb, pa, 1000000 // sup FROM e),
+    d0 AS MATERIALIZED (
+      SELECT p_partkey AS v, CAST(0 AS BIGINT) AS dist
+      FROM part WHERE p_brand = '{_BFS_SEED_BRAND}')"""]
+    for k in range(1, _SSSP_ROUNDS + 1):
+        p = k - 1
+        parts.append(f""",
+    d{k} AS MATERIALIZED (
+      SELECT v, min(dist) AS dist FROM (
+        SELECT v, dist FROM d{p}
+        UNION ALL
+        SELECT w.dst AS v, d.dist + w.w AS dist
+        FROM d{p} d JOIN w ON w.src = d.v) u
+      GROUP BY v)""")
+    parts.append(f"""
+    SELECT CAST(v AS BIGINT) AS p_partkey, CAST(dist AS BIGINT) AS dist_cost
+    FROM d{_SSSP_ROUNDS} WHERE dist > 0
+    ORDER BY dist_cost, p_partkey LIMIT 20""")
+    return "".join(parts)
+
+
+@query("graph_shortest_path_bounded", oracle=_sssp_oracle())
+def graph_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded WEIGHTED shortest path (distributed Bellman-Ford):
+    min-plus relaxation from the Brand#11 seed set over the co-purchase
+    graph, edge cost = 1000000 div support (strong affinities are
+    cheap to traverse), 4 relaxation rounds — the weighted complement
+    of `graph_bfs_copurchase`'s unweighted hop count, and the classic
+    MapReduce SSSP formulation (relax all edges, min-combine per
+    vertex, repeat). Costs are exact integers (integer division at
+    edge-weight build, integer + and min thereafter), so the frontier
+    walks bit-identically against the unrolled MATERIALIZED rounds.
+    Output is the 20 closest parts (cost asc, part asc).
+
+    Scale: each round = one dist⋈edges shuffle equi-join + one
+    vertex-keyed min-combine — identical shuffle shape to PageRank;
+    the distance frame only ever holds reached vertices, and
+    `localCheckpoint` per round truncates lineage. Rounds = the hop
+    bound; at real scale the same rounds amortize over billions of
+    edges, with no corpus-sized broadcast anywhere."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .withColumn("w", F.expr("1000000 div sup"))
+    )
+    edges = (
+        e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
+        .unionAll(
+            e.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w")
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == _BFS_SEED_BRAND)
+        .select(
+            F.col("p_partkey").alias("v"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = dist.join(
+            edges, dist["v"] == edges["src"]
+        ).select(
+            F.col("dst").alias("v"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        # seeds sit at cost 0 by construction — the interesting slice is
+        # the closest NON-seed parts, so the zero shell is filtered out
+        dist.filter(F.col("dist") > 0)
+        .select(
+            F.col("v").cast("long").alias("p_partkey"),
+            F.col("dist").cast("long").alias("dist_cost"),
+        )
+        .orderBy("dist_cost", "p_partkey")
+        .limit(20)
+    )

