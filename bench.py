@@ -150,6 +150,8 @@ GROUP6 = [
     "scan_snapshot_incremental",
     "graph_shortest_path_bounded",
     "sample_weighted_hash",
+    "text_kneser_ney_bigram",
+    "agg_chain_ladder",
 ]
 
 TIMED_REPS = 7

@@ -2159,3 +2159,132 @@ def agg_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, split_day long, n_left long, gamma_left long,"
         " gamma_right long, resid_abs long",
     ).orderBy("step")
+
+
+@query(
+    "agg_chain_ladder",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS ym,
+             CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v
+      FROM events),
+    coh AS (SELECT user_id, min(ym) AS cym FROM ev GROUP BY 1),
+    inc AS (
+      SELECT c.cym, e.ym - c.cym AS age, sum(e.v) AS v
+      FROM ev e JOIN coh c USING (user_id) GROUP BY 1, 2),
+    mx AS (SELECT max(ym) AS mym FROM ev),
+    spine AS (
+      SELECT i.cym, u.age
+      FROM (SELECT DISTINCT cym FROM inc) i CROSS JOIN mx,
+           unnest(generate_series(0, mx.mym - i.cym)) AS u(age)),
+    cum AS (
+      SELECT s.cym, s.age,
+             sum(coalesce(i.v, 0)) OVER
+               (PARTITION BY s.cym ORDER BY s.age) AS c
+      FROM spine s LEFT JOIN inc i
+        ON i.cym = s.cym AND i.age = s.age),
+    f AS (
+      SELECT a.age AS age, count(*) AS n_cohorts,
+             sum(a.c) AS sum_curr, sum(b.c) AS sum_next
+      FROM cum a JOIN cum b ON b.cym = a.cym AND b.age = a.age + 1
+      GROUP BY 1)
+    SELECT CAST(age AS INT) AS age,
+           CAST(n_cohorts AS BIGINT) AS n_cohorts,
+           CAST(sum_curr AS BIGINT) AS sum_curr_micro,
+           CAST(sum_next AS BIGINT) AS sum_next_micro,
+           CAST(floor(sum_next * 1000000.0 / sum_curr + 0.5) AS BIGINT)
+             AS factor_micro
+    FROM f WHERE sum_curr > 0
+    ORDER BY age
+    """,
+)
+def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAIN-LADDER development triangle (the actuarial loss-development
+    canon, equally the SaaS revenue-maturation curve): users cohort by
+    first-activity month, activity value accumulates by age (months
+    since cohort), and each age's DEVELOPMENT FACTOR is the ratio of
+    total cumulative value at age j+1 to age j across every cohort old
+    enough to observe both — the link ratios that project immature
+    cohorts to ultimate. Ages a cohort hasn't reached yet are excluded
+    by construction (the triangle's diagonal), silent days cumulate
+    flat via the zero-filled spine.
+
+    Determinism: per-event µ-quantize BEFORE exact integer sums
+    (order-independent), cumulative sums stay integer, and each factor
+    is one correctly-rounded double division over two exact integers,
+    floor(+0.5)-quantized.
+
+    Scale: two hash aggregates (per-user cohort, per-cell increment),
+    a calendar-bounded spine fan-out (≤ span² cells overall), one
+    cohort-keyed cumulative window over ≤ #days rows per cohort, and
+    a final ≤ #days-row rollup — nothing anywhere scales with event
+    volume except the first aggregation pass."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("ym"),
+        F.floor(F.col("value") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    coh = ev.groupBy("user_id").agg(F.min("ym").alias("cym"))
+    inc = (
+        ev.join(coh, "user_id")
+        .groupBy("cym", (F.col("ym") - F.col("cym")).alias("age"))
+        .agg(F.sum("v").alias("v"))
+    )
+    mx = ev.agg(F.max("ym").alias("mym"))
+    spine = (
+        inc.select("cym")
+        .distinct()
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "cym",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("mym") - F.col("cym")).cast("int"))
+            ).alias("age"),
+        )
+    )
+    w = (
+        Window.partitionBy("cym")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = spine.join(inc, ["cym", "age"], "left").select(
+        "cym",
+        "age",
+        F.sum(F.coalesce("v", F.lit(0))).over(w).alias("c"),
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    f = (
+        a.join(
+            b,
+            (F.col("b.cym") == F.col("a.cym"))
+            & (F.col("b.age") == F.col("a.age") + 1),
+        )
+        .groupBy(F.col("a.age").alias("age"))
+        .agg(
+            F.count("*").alias("n_cohorts"),
+            F.sum("a.c").alias("sum_curr"),
+            F.sum("b.c").alias("sum_next"),
+        )
+    )
+    return (
+        f.filter(F.col("sum_curr") > 0)
+        .select(
+            F.col("age").cast("int").alias("age"),
+            F.col("n_cohorts").cast("long").alias("n_cohorts"),
+            F.col("sum_curr").cast("long").alias("sum_curr_micro"),
+            F.col("sum_next").cast("long").alias("sum_next_micro"),
+            F.floor(
+                F.col("sum_next") * F.lit(1000000.0) / F.col("sum_curr")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("factor_micro"),
+        )
+        .orderBy("age")
+    )

@@ -1380,3 +1380,101 @@ def text_naive_bayes_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "rank")
     )
+
+
+@query(
+    "text_kneser_ney_bigram",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, i AS pos, toks[i] AS w
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents) t,
+           unnest(generate_series(1, len(toks))) AS u(i)),
+    bg AS (
+      SELECT a.w AS w1, b.w AS w2, count(*) AS c
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY 1, 2),
+    uni AS (
+      SELECT w1, sum(c) AS c1, count(*) AS n1fwd
+      FROM bg GROUP BY w1),
+    cont AS (
+      SELECT w2, count(*) AS n1bwd FROM bg GROUP BY w2),
+    tot AS (SELECT count(*) AS b FROM bg),
+    scored AS (
+      SELECT bg.w1, bg.w2, bg.c,
+             CAST(floor((
+               (bg.c - 0.75) / u.c1
+               + ((0.75 * u.n1fwd) / u.c1) * (ct.n1bwd * 1.0 / t.b)
+             ) * 1000000 + 0.5) AS BIGINT) AS pkn_micro
+      FROM bg
+      JOIN uni u ON u.w1 = bg.w1
+      JOIN cont ct ON ct.w2 = bg.w2
+      CROSS JOIN tot t)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c, pkn_micro
+    FROM scored
+    ORDER BY c DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated KNESER-NEY bigram language model (absolute
+    discount d=0.75 — the Chen-Goodman standard config) over the
+    corpus: p(w2|w1) = max(c−d,0)/c(w1) + λ(w1)·p_cont(w2), where the
+    continuation probability counts how many distinct LEFT contexts a
+    word follows — the smoothing that made n-gram LMs competitive and
+    the reference baseline every neural-LM paper still reports. Output
+    is the top-20 bigrams by raw count with their smoothed µ-unit
+    probabilities (since every observed bigram has c ≥ 1 > d, the
+    max(·,0) guard is algebraically inert here and elided).
+
+    Determinism: all five model statistics (c, c(w1), N1+(w1·),
+    N1+(·w2), |bigrams|) are exact integer counts; d=0.75 is exactly
+    representable; the score is one fixed-order +,×,/ double
+    expression over those integers, floor(+0.5)-quantized — both
+    engines agree bitwise, the NO-transcendentals training-canon rule.
+
+    Scale: bigram extraction is a posexplode self-join keyed on
+    (doc_id, adjacent position) — shuffle bounded by token count;
+    everything after is hash aggregation over the distinct-bigram
+    space and two bounded-key equi-joins (w1, w2). The model table
+    itself is the (w1,w2) count table — broadcast-joinable per query
+    at any corpus size."""
+    tok = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    bg = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("c"))
+    )
+    uni = bg.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count("*").alias("n1fwd")
+    )
+    cont = bg.groupBy("w2").agg(F.count("*").alias("n1bwd"))
+    tot = bg.agg(F.count("*").alias("b"))
+    score = (
+        (F.col("c") - F.lit(0.75)) / F.col("c1")
+        + ((F.lit(0.75) * F.col("n1fwd")) / F.col("c1"))
+        * (F.col("n1bwd") * F.lit(1.0) / F.col("b"))
+    )
+    return (
+        bg.join(uni, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c"),
+            F.floor(score * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("pkn_micro"),
+        )
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(20)
+    )

@@ -432,3 +432,37 @@ def test_weighted_sample_rate_tracks_weight(spark):
     assert frac_weight > frac_rows
     assert (rep.n_kept > 0).all()
     assert (rep.n_kept <= rep.n_docs).all()
+
+
+def test_chain_ladder_triangle_properties(spark):
+    """Development factors must be >= 1 (cumulative value never
+    decreases within a cohort), ages must be contiguous from 0, and
+    the observing-cohort count must shrink (weakly) with age — the
+    triangle's diagonal."""
+    t = (
+        sparkgraft.QUERIES["agg_chain_ladder"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("age")
+    )
+    assert len(t) > 3
+    assert list(t.age) == list(range(len(t)))
+    assert (t.factor_micro >= 1_000_000).all()
+    assert (t.sum_next_micro >= t.sum_curr_micro).all()
+    ncoh = list(t.n_cohorts)
+    assert all(b <= a for a, b in zip(ncoh, ncoh[1:]))
+
+
+def test_kneser_ney_probabilities_valid(spark):
+    """Smoothed bigram probabilities are genuine probabilities (in
+    (0, 1]), rows arrive count-descending, and the discount bites:
+    every smoothed p must be strictly below the raw MLE c/c(w1) + the
+    continuation share it could maximally inherit (i.e. below 1)."""
+    kn = sparkgraft.QUERIES["text_kneser_ney_bigram"](
+        spark, SF_DIR
+    ).toPandas()
+    assert len(kn) == 20
+    assert (kn.c >= 1).all()
+    counts = list(kn.c)
+    assert counts == sorted(counts, reverse=True)
+    assert (kn.pkn_micro > 0).all()
+    assert (kn.pkn_micro <= 1_000_000).all()
