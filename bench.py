@@ -152,6 +152,8 @@ GROUP6 = [
     "sample_weighted_hash",
     "text_kneser_ney_bigram",
     "agg_chain_ladder",
+    "agg_poisson_bootstrap_ci",
+    "sim_pq_reconstruction",
 ]
 
 TIMED_REPS = 7

@@ -2288,3 +2288,114 @@ def agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("age")
     )
+
+
+# --- deterministic Poisson bootstrap (agg_poisson_bootstrap_ci) ---
+#
+# The Poisson(1) bootstrap is the MapReduce-era answer to "confidence
+# intervals over data too big to resample by index": each replica gives
+# every row an independent Poisson(1) weight, computable row-locally in
+# one pass for all replicas. Made deterministic here: the per-(row,
+# replica) uniform comes from the same Weyl-style integer mix
+# sample_weighted_hash uses, and the Poisson inverse-CDF is a fixed
+# integer threshold table (floor(CDF·2^20) literals), so both engines
+# draw bit-identical weights with zero RNG and zero transcendentals.
+_BOOT_REPLICAS = 32
+# floor(2^20 · P(X<=k)) for X~Poisson(1), k=0..4; u >= last → weight 5
+_BOOT_CUTS = [385749, 771499, 964374, 1028666, 1044739]
+
+
+def _boot_weight_sql(u: str) -> str:
+    return (
+        f"(CASE WHEN {u} < {_BOOT_CUTS[0]} THEN 0"
+        f" WHEN {u} < {_BOOT_CUTS[1]} THEN 1"
+        f" WHEN {u} < {_BOOT_CUTS[2]} THEN 2"
+        f" WHEN {u} < {_BOOT_CUTS[3]} THEN 3"
+        f" WHEN {u} < {_BOOT_CUTS[4]} THEN 4"
+        f" ELSE 5 END)"
+    )
+
+
+@query(
+    "agg_poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    rep AS (
+      SELECT r.r, b.k, b.cents,
+             ((b.k * 2654435761 + r.r * 97003969 + 12345) % 1048576) AS u
+      FROM base b CROSS JOIN
+           (SELECT unnest(generate_series(0, {_BOOT_REPLICAS - 1})) AS r) r),
+    wtd AS (
+      SELECT r, {_boot_weight_sql('u')} AS w, cents FROM rep)
+    SELECT CAST(r AS INT) AS replica,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(floor(CAST(sum(w * cents) AS DOUBLE) / sum(w) + 0.5)
+                AS BIGINT) AS mean_cents
+    FROM wtd GROUP BY r ORDER BY r
+    """,
+)
+def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic POISSON BOOTSTRAP of the mean order value: 32
+    replicas, each weighting every order by an independent Poisson(1)
+    draw — the single-pass bootstrap that made resampling feasible on
+    MapReduce-scale data (index resampling needs the whole dataset per
+    replica; Poisson weights need one row-local draw per replica). The
+    replica means ARE the bootstrap distribution — order statistics over
+    this 32-row table give the CI at any level without a sqrt/SD in the
+    data path. Fully deterministic: the uniform is an integer Weyl mix
+    of (order key, replica), the Poisson inverse-CDF is a fixed integer
+    threshold table, and each replica mean is one correctly-rounded
+    double division over exact integer sums, floor(+0.5)-quantized.
+
+    Scale: ONE pass over the table computes all 32 replicas (the
+    replica fan-out is a generator explode, map-side combined into 32
+    accumulator groups); output is always exactly 32 rows. At 100 TB
+    this is the only bootstrap shape that works — and it parallelizes
+    embarrassingly, replica count being a literal."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rep = base.select(
+        "k",
+        "cents",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_BOOT_REPLICAS - 1))
+        ).alias("r"),
+    ).withColumn(
+        "u",
+        (
+            F.col("k").cast("long") * 2654435761
+            + F.col("r").cast("long") * 97003969
+            + 12345
+        )
+        % 1048576,
+    )
+    w = (
+        F.when(F.col("u") < _BOOT_CUTS[0], 0)
+        .when(F.col("u") < _BOOT_CUTS[1], 1)
+        .when(F.col("u") < _BOOT_CUTS[2], 2)
+        .when(F.col("u") < _BOOT_CUTS[3], 3)
+        .when(F.col("u") < _BOOT_CUTS[4], 4)
+        .otherwise(5)
+    )
+    return (
+        rep.withColumn("w", w)
+        .groupBy(F.col("r").cast("int").alias("replica"))
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.floor(
+                F.sum(
+                    (F.col("w") * F.col("cents")).cast("decimal(38,0)")
+                ).cast("double")
+                / F.sum("w")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("mean_cents"),
+        )
+        .orderBy("replica")
+    )

@@ -2361,3 +2361,127 @@ def sim_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- product-quantization reconstruction audit (sim_pq_reconstruction) ---
+
+_PQ_SUBSPACES = 8
+_PQ_SUBDIM = 8  # _DIM / _PQ_SUBSPACES
+_PQ_C = 16  # codebook size per subspace
+
+
+@query(
+    "sim_pq_reconstruction",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS qe
+      FROM embeddings),
+    cb AS MATERIALIZED (
+      SELECT vec_id AS c, qe AS cqe FROM q WHERE vec_id < {_PQ_C}),
+    d AS (
+      SELECT v.vec_id, s.s, cb.c,
+             list_sum(list_transform(
+               generate_series(1, {_PQ_SUBDIM}),
+               j -> (v.qe[s.s * {_PQ_SUBDIM} + j]
+                     - cb.cqe[s.s * {_PQ_SUBDIM} + j])
+                  * (v.qe[s.s * {_PQ_SUBDIM} + j]
+                     - cb.cqe[s.s * {_PQ_SUBDIM} + j]))) AS dist
+      FROM q v
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_SUBSPACES - 1}))
+                    AS s) s
+      CROSS JOIN cb),
+    mind AS (
+      SELECT vec_id, s, min(dist) AS err FROM d GROUP BY 1, 2)
+    SELECT CAST(s AS INT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(err) AS BIGINT) AS total_err,
+           CAST(floor(CAST(sum(err) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+             AS avg_err
+    FROM mind GROUP BY s ORDER BY s
+    """,
+)
+def sim_pq_reconstruction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT QUANTIZATION reconstruction audit — the third leg of the
+    ANN canon after LSH bands and IVF cells: the 64-dim space splits
+    into 8 sub-spaces of 8 dims, each sub-vector snaps to its nearest
+    of 16 codebook entries, and the per-subspace reconstruction error
+    (min squared L2, in exact µ²-units) is what tells an operator
+    whether an 8-byte PQ code can stand in for a 256-byte vector in
+    the first-pass scan (the Jégou et al. memory-bandwidth trade).
+    Codebook entries are the sub-vectors of vec_id 0..{_PQ_C - 1} —
+    deterministic seeding, asserted present (the k-means-seed ADVICE
+    lesson); a Lloyd-refined codebook is one `sim_kmeans_train` per
+    subspace away and changes nothing structural in this audit.
+
+    Hash-exactness: components µ-quantize (explicit widen to double,
+    floor(+0.5)) BEFORE any arithmetic; distances are exact integer
+    sums of squared int64 differences; only the final per-subspace
+    mean divides, correctly rounded then floor(+0.5)-requantized.
+
+    Scale: the audit is one broadcast join (16-row codebook) ×
+    8-subspace generator fan-out over the corpus — n·128 bounded-width
+    rows, map-side min-combined per (vec, subspace) then hash-rolled
+    to EXACTLY 8 output rows. No pair space, no corpus broadcast; the
+    same plan shape at any N."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("qe"),
+    )
+    cb = q.filter(F.col("vec_id") < _PQ_C).select(
+        F.col("vec_id").alias("c"), F.col("qe").alias("cqe")
+    )
+    n_cb = cb.count()
+    if n_cb != _PQ_C:  # deterministic-seeding contract (ADVICE #3 lesson)
+        raise ValueError(
+            f"sim_pq_reconstruction needs vec_ids 0..{_PQ_C - 1} as the "
+            f"codebook seed; found {n_cb}"
+        )
+    sub = F.explode(
+        F.sequence(F.lit(0), F.lit(_PQ_SUBSPACES - 1))
+    ).alias("s")
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_PQ_SUBDIM)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + (
+            F.element_at("qe", (F.col("s") * _PQ_SUBDIM + j).cast("int"))
+            - F.element_at(
+                "cqe", (F.col("s") * _PQ_SUBDIM + j).cast("int")
+            )
+        )
+        * (
+            F.element_at("qe", (F.col("s") * _PQ_SUBDIM + j).cast("int"))
+            - F.element_at(
+                "cqe", (F.col("s") * _PQ_SUBDIM + j).cast("int")
+            )
+        ),
+    )
+    mind = (
+        q.select("vec_id", "qe", sub)
+        .join(F.broadcast(cb))
+        .withColumn("dist", dist)
+        .groupBy("vec_id", "s")
+        .agg(F.min("dist").alias("err"))
+    )
+    return (
+        mind.groupBy(F.col("s").cast("int").alias("subspace"))
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("err").cast("long").alias("total_err"),
+            F.floor(
+                F.sum("err").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("avg_err"),
+        )
+        .orderBy("subspace")
+    )

@@ -466,3 +466,63 @@ def test_kneser_ney_probabilities_valid(spark):
     assert counts == sorted(counts, reverse=True)
     assert (kn.pkn_micro > 0).all()
     assert (kn.pkn_micro <= 1_000_000).all()
+
+
+def test_poisson_bootstrap_distribution(spark):
+    """32 replicas, each with effective mass ~Poisson(1)·n (within 10%
+    of n), replica means clustering around the true mean (every
+    replica within 5%), and a non-degenerate spread (at least 8
+    distinct replica means — identical means would indicate the mix is
+    not varying by replica)."""
+    from pyspark.sql import functions as F
+
+    bs = sparkgraft.QUERIES["agg_poisson_bootstrap_ci"](
+        spark, SF_DIR
+    ).toPandas()
+    assert len(bs) == 32
+    o = sparkgraft.load(spark, SF_DIR, "orders")
+    n = o.count()
+    true_mean = (
+        o.agg(
+            F.avg(F.round(F.col("o_totalprice") * 100).cast("long"))
+        ).collect()[0][0]
+    )
+    assert ((bs.n_eff - n).abs() < 0.10 * n).all(), list(bs.n_eff)
+    rel = (bs.mean_cents - true_mean).abs() / true_mean
+    assert (rel < 0.05).all(), list(bs.mean_cents)
+    assert bs.mean_cents.nunique() >= 8
+
+
+def test_pq_reconstruction_min_snap_bites(spark):
+    """The PQ assignment must actually minimize: the reported average
+    error per subspace must be <= the average distance to any SINGLE
+    fixed codebook entry (recomputed independently in numpy), and
+    strictly better for at least one subspace."""
+    import numpy as np
+
+    out = (
+        sparkgraft.QUERIES["sim_pq_reconstruction"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("subspace")
+    )
+    assert list(out.subspace) == list(range(8))
+    e = (
+        sparkgraft.load(spark, SF_DIR, "embeddings")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    m = np.floor(
+        np.stack(e.embedding.to_numpy()).astype(np.float64) * 1e6 + 0.5
+    ).astype(np.int64)
+    assert (out.n_vecs == len(m)).all()
+    c0 = m[list(e.vec_id).index(0)]
+    better = 0
+    for s in range(8):
+        sl = slice(s * 8, (s + 1) * 8)
+        base = ((m[:, sl] - c0[sl]) ** 2).sum(axis=1).mean()
+        avg = float(out.avg_err.iloc[s])
+        assert avg <= base + 1, (s, avg, base)
+        if avg < base - 1:
+            better += 1
+    assert better >= 1
+    assert (out.total_err > 0).all()
