@@ -154,6 +154,7 @@ GROUP6 = [
     "agg_chain_ladder",
     "agg_poisson_bootstrap_ci",
     "sim_pq_reconstruction",
+    "stream_backfill_rate_limited",
 ]
 
 TIMED_REPS = 7

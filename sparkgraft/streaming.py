@@ -1165,3 +1165,54 @@ def stream_restart_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches.groupBy("window_start", "event_type")
         .agg(F.max_by("n", "batch_id").alias("n"))
     )
+
+
+@query(
+    "stream_backfill_rate_limited",
+    oracle="""
+    select date_trunc('hour', ts) as window_start, event_type,
+           count(*) as n
+    from events
+    group by 1, 2
+    """,
+)
+def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATE-LIMITED BACKFILL: replay the staged history through
+    `maxFilesPerTrigger=1` + `Trigger.AvailableNow` — the operational
+    recipe for reprocessing months of landed files without sizing the
+    cluster for one giant batch (AvailableNow alone would still respect
+    the rate limit but a plain batch read would not). The query proves
+    the limit actually bit — it asserts the run took ≥ 3 micro-batches
+    over the 3 staged files — and the final complete-mode hourly
+    aggregate must equal the plain batch aggregate (the oracle), which
+    is exactly the "backfill gives the same answer, just bounded"
+    contract. No watermark here on purpose: a backfill replays OLD
+    data, and complete-mode state keeps every window open so nothing
+    is late.
+
+    Scale: state is bounded by the window×type domain, not input
+    volume; each micro-batch reads one file's worth regardless of how
+    much history is queued, which is the whole point — memory is flat
+    in backlog depth, wall-clock degrades gracefully instead of OOM."""
+    src = _events_stream(spark, _stage_events_split(sf_dir), max_files=1)
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = f"sg_backfill_{next(_name_seq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last_batch = (q.lastProgress or {}).get("batchId", -1)
+    if last_batch < 2:
+        raise ValueError(
+            f"rate limit did not bite: final batchId {last_batch} < 2 "
+            f"over 3 staged files"
+        )
+    return spark.table(name)

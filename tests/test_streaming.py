@@ -234,3 +234,35 @@ def test_restart_recovery_is_rerunnable_in_process(spark):
     first = _as_sets(sparkgraft.QUERIES["stream_restart_recovery"](spark, SF_DIR))
     second = _as_sets(sparkgraft.QUERIES["stream_restart_recovery"](spark, SF_DIR))
     assert first == second
+
+
+def test_backfill_rate_limit_bites(spark):
+    """The backfill key itself asserts >= 3 micro-batches in-line; here
+    we pin the complement — the same aggregate WITHOUT the rate limit
+    completes in one availableNow batch, so the >= 3 batches genuinely
+    came from maxFilesPerTrigger and not from staging artifacts."""
+    import sparkgraft
+    from sparkgraft.streaming import (
+        _events_stream,
+        _name_seq,
+        _stage_events_split,
+    )
+    from pyspark.sql import functions as F
+
+    out = sparkgraft.QUERIES["stream_backfill_rate_limited"](spark, SF_DIR)
+    assert out.count() > 0
+
+    src = _events_stream(spark, _stage_events_split(SF_DIR))  # no limit
+    agg = src.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    name = f"sg_backfill_nolimit_{next(_name_seq)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert (q.lastProgress or {}).get("batchId", -1) == 0
