@@ -155,6 +155,7 @@ GROUP6 = [
     "agg_poisson_bootstrap_ci",
     "sim_pq_reconstruction",
     "stream_backfill_rate_limited",
+    "agg_theil_sen_trend",
 ]
 
 TIMED_REPS = 7

@@ -2399,3 +2399,146 @@ def agg_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("replica")
     )
+
+
+@query(
+    "agg_theil_sen_trend",
+    oracle="""
+    WITH m AS MATERIALIZED (
+      SELECT (CAST(year(o_orderdate) AS BIGINT) * 12
+              + month(o_orderdate)) AS t,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1),
+    p AS MATERIALIZED (
+      SELECT a.t AS ti, b.t AS tj, a.x AS xi, b.x AS xj
+      FROM m a JOIN m b ON b.t > a.t),
+    st AS (
+      SELECT CAST(sum(CASE WHEN xj > xi THEN 1
+                           WHEN xj < xi THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM p),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_months FROM m),
+    ties AS (
+      SELECT CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+               AS tt
+      FROM (SELECT count(*) AS c FROM m GROUP BY x
+            HAVING count(*) > 1) q),
+    slopes AS (
+      SELECT (xj - xi) * 1.0 / (tj - ti) AS sl,
+             row_number() OVER
+               (ORDER BY (xj - xi) * 1.0 / (tj - ti), ti, tj) AS rk
+      FROM p),
+    med AS (
+      SELECT sum(sl) / count(*) AS median_slope
+      FROM slopes, st
+      WHERE rk IN ((n_pairs + 1) // 2, (n_pairs + 2) // 2))
+    SELECT nn.n_months, st.n_pairs, st.s_stat,
+           CAST(nn.n_months * (nn.n_months - 1) * (2 * nn.n_months + 5)
+                - ties.tt AS BIGINT) AS var_num,
+           CAST(floor(med.median_slope * 1000 + 0.5) AS BIGINT)
+             AS slope_milli_cents
+    FROM nn, st, ties, med
+    """,
+)
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test + THEIL-SEN slope over monthly revenue —
+    the robust-trend canon (no normality assumption, breakdown point
+    29%): S = Σ sign(x_j − x_i) over all month pairs, the ties-corrected
+    variance NUMERATOR n(n−1)(2n+5) − Σt(t−1)(2t+5) (the /18 and the
+    z-score's sqrt stay OUT of the data path — consumers finish the
+    test client-side, keeping the key transcendental-free), and the
+    slope as the exact MEDIAN of all pairwise (Δx/Δt) slopes, picked by
+    rank over a totally-ordered window (slope, then pair id) so even-n
+    averaging is deterministic.
+
+    Determinism: monthly sums are exact cents; S and the variance
+    numerator are pure integer arithmetic; each pairwise slope is one
+    correctly-rounded division of exact integers, the median picks rank
+    positions (not float equality), and the single output quantization
+    is floor(+0.5) at milli-cent granularity.
+
+    Scale: the month rollup bounds everything — pairs form over ≤
+    #months² rows (a few thousand at ANY corpus size; the rollup is
+    the only pass that sees the table), so the pair join is a
+    constant-size tail on a single hash aggregate."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(
+        (F.year("o_orderdate").cast("long") * 12 + F.month("o_orderdate"))
+        .alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    a, b = m.alias("a"), m.alias("b")
+    p = a.join(b, F.col("b.t") > F.col("a.t")).select(
+        F.col("a.t").alias("ti"),
+        F.col("b.t").alias("tj"),
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+    )
+    st = p.agg(
+        F.sum(
+            F.when(F.col("xj") > F.col("xi"), 1)
+            .when(F.col("xj") < F.col("xi"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+    )
+    nn = m.agg(F.count("*").cast("long").alias("n_months"))
+    ties = (
+        m.groupBy("x")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    sl = (F.col("xj") - F.col("xi")) * F.lit(1.0) / (
+        F.col("tj") - F.col("ti")
+    )
+    slopes = p.select(
+        sl.alias("sl"),
+        F.row_number()
+        .over(Window.orderBy(sl, F.col("ti"), F.col("tj")))
+        .alias("rk"),
+    )
+    med = (
+        slopes.crossJoin(F.broadcast(st.select("n_pairs")))
+        .filter(
+            (F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rk") == F.floor((F.col("n_pairs") + 2) / 2))
+        )
+        .agg((F.sum("sl") / F.count("*")).alias("median_slope"))
+    )
+    return (
+        nn.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_months",
+            "n_pairs",
+            "s_stat",
+            (
+                F.col("n_months")
+                * (F.col("n_months") - 1)
+                * (2 * F.col("n_months") + 5)
+                - F.col("tt")
+            )
+            .cast("long")
+            .alias("var_num"),
+            F.floor(F.col("median_slope") * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("slope_milli_cents"),
+        )
+    )

@@ -526,3 +526,48 @@ def test_pq_reconstruction_min_snap_bites(spark):
             better += 1
     assert better >= 1
     assert (out.total_err > 0).all()
+
+
+def test_theil_sen_matches_numpy_median(spark):
+    """The reported Theil-Sen slope must equal an independent numpy
+    median over all pairwise monthly slopes, and the Mann-Kendall S
+    must agree in sign with it (both measure the same monotone
+    trend); the variance numerator must match the no-ties closed
+    form when no monthly totals collide."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    out = sparkgraft.QUERIES["agg_theil_sen_trend"](spark, SF_DIR).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    m = (
+        sparkgraft.load(spark, SF_DIR, "orders")
+        .groupBy(
+            (F.year("o_orderdate").cast("long") * 12
+             + F.month("o_orderdate")).alias("t")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("x"))
+        .toPandas()
+        .sort_values("t")
+    )
+    t, x = m.t.to_numpy(), m.x.to_numpy().astype(float)
+    slopes = [
+        (x[j] - x[i]) / (t[j] - t[i])
+        for i in range(len(t))
+        for j in range(i + 1, len(t))
+    ]
+    assert r.n_pairs == len(slopes)
+    med = float(np.median(slopes))
+    assert abs(r.slope_milli_cents - med * 1000) <= 1, (
+        r.slope_milli_cents,
+        med * 1000,
+    )
+    s = sum(np.sign(x[j] - x[i]) for i in range(len(t))
+            for j in range(i + 1, len(t)))
+    assert r.s_stat == int(s)
+    if r.s_stat != 0:
+        assert np.sign(r.s_stat) == np.sign(r.slope_milli_cents)
+    n = r.n_months
+    if m.x.nunique() == len(m):
+        assert r.var_num == n * (n - 1) * (2 * n + 5)
