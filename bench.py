@@ -156,6 +156,8 @@ GROUP6 = [
     "sim_pq_reconstruction",
     "stream_backfill_rate_limited",
     "agg_theil_sen_trend",
+    "graph_kcore",
+    "fn_content_uuid",
 ]
 
 TIMED_REPS = 7

@@ -1083,3 +1083,69 @@ def fn_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_tables(spark, sf_dir, ["orders"])
     return spark.sql(_SCRIPT_TRANSFORM_SQL)
+
+
+@query(
+    "fn_content_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('sparkgraft:doc:' || text) AS hx
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+             substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-3'
+             || substr(hx, 14, 3) || '-'
+             || substr('89ab',
+                       CAST((strpos('0123456789abcdef', substr(hx, 17, 1))
+                             - 1) % 4 AS INT) + 1, 1)
+             || substr(hx, 18, 3) || '-' || substr(hx, 21, 12)
+               AS content_uuid
+      FROM h)
+    SELECT doc_id, content_uuid FROM u ORDER BY doc_id
+    """,
+)
+def fn_content_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CONTENT-DERIVED UUID minting (RFC-4122 v3 shape:
+    md5 of namespace‖content with the version nibble forced to 3 and
+    the variant nibble folded into 8/9/a/b) — the idempotent-ID
+    primitive every ingestion pipeline needs: re-ingesting the same
+    document yields the same ID on any engine, any partitioning, any
+    day, so downstream dedup/merge keys never depend on arrival order
+    or a sequence generator (which can't be idempotent across retries).
+
+    Determinism: md5 is bit-identical everywhere; the nibble surgery is
+    pure substring arithmetic (hex-digit index mod 4 picks the variant
+    character), no RNG, no time, no engine-specific hash.
+
+    Scale: row-local codegen expressions end-to-end — the minting adds
+    zero shuffles to whatever pipeline it joins, and the IDs are
+    uniformly distributed by construction (ideal shuffle/bucket
+    keys)."""
+    h = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("sparkgraft:doc:"), F.col("text"))).alias(
+            "hx"
+        ),
+    )
+    variant = F.substring(
+        F.lit("89ab"),
+        (
+            F.conv(F.substring("hx", 17, 1), 16, 10).cast("int") % 4 + 1
+        ).cast("int"),
+        1,
+    )
+    return h.select(
+        "doc_id",
+        F.concat(
+            F.substring("hx", 1, 8),
+            F.lit("-"),
+            F.substring("hx", 9, 4),
+            F.lit("-3"),
+            F.substring("hx", 14, 3),
+            F.lit("-"),
+            variant,
+            F.substring("hx", 18, 3),
+            F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("content_uuid"),
+    ).orderBy("doc_id")

@@ -571,3 +571,37 @@ def test_theil_sen_matches_numpy_median(spark):
     n = r.n_months
     if m.x.nunique() == len(m):
         assert r.var_num == n * (n - 1) * (2 * n + 5)
+
+
+def test_kcore_members_are_cohesive(spark):
+    """Every reported core member must have induced degree >= k (=3),
+    the core size must be consistent across rows, and the core must be
+    a strict subset of the co-purchase vertex set (peeling removed
+    something on this corpus, where degree-1 leaves abound)."""
+    out = sparkgraft.QUERIES["graph_kcore"](spark, SF_DIR).toPandas()
+    if len(out) == 0:
+        import pytest
+
+        pytest.skip("empty 3-core at this SF")
+    assert (out.degree >= 3).all()
+    assert out.core_size.nunique() == 1
+    assert len(out) <= min(20, int(out.core_size.iloc[0]))
+
+
+def test_content_uuid_is_idempotent_and_wellformed(spark):
+    """Same text -> same UUID (idempotency across a rerun), distinct
+    texts -> distinct UUIDs, and every ID matches the RFC-4122 v3
+    shape (version nibble 3, variant in 89ab)."""
+    import re
+
+    a = sparkgraft.QUERIES["fn_content_uuid"](spark, SF_DIR).toPandas()
+    b = sparkgraft.QUERIES["fn_content_uuid"](spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-3[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+        r"-[0-9a-f]{12}$"
+    )
+    assert a.content_uuid.map(lambda u: bool(pat.match(u))).all()
+    d = sparkgraft.load(spark, SF_DIR, "documents").toPandas()
+    n_texts = d.text.nunique()
+    assert a.content_uuid.nunique() == n_texts
