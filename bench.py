@@ -158,6 +158,7 @@ GROUP6 = [
     "agg_theil_sen_trend",
     "graph_kcore",
     "fn_content_uuid",
+    "text_burstiness_profile",
 ]
 
 TIMED_REPS = 7

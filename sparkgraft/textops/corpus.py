@@ -1413,3 +1413,84 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@query(
+    "text_burstiness_profile",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    per_doc AS (
+      SELECT token, doc_id, count(*) AS c
+      FROM tok GROUP BY 1, 2),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    stats AS (
+      SELECT p.token,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(p.c) AS BIGINT) AS tf,
+             CAST(sum(p.c * p.c) AS BIGINT) AS tf2
+      FROM per_doc p GROUP BY 1),
+    scored AS (
+      SELECT s.token, s.df, s.tf,
+             -- Fano factor over ALL docs (zeros included): Var/Mean =
+             -- (E[c^2] - E[c]^2) / E[c], expanded over exact integer
+             -- sums so only the final expression divides.
+             CAST(floor(
+               ((s.tf2 * 1.0 / n.n_docs)
+                - (s.tf * 1.0 / n.n_docs) * (s.tf * 1.0 / n.n_docs))
+               / (s.tf * 1.0 / n.n_docs) * 1000000 + 0.5) AS BIGINT)
+               AS fano_micro
+      FROM stats s CROSS JOIN nd n
+      WHERE s.tf >= 50)
+    SELECT token, df, tf, fano_micro
+    FROM scored
+    ORDER BY fano_micro DESC, token LIMIT 20
+    """,
+)
+def text_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term BURSTINESS (Fano factor Var/Mean of the per-document
+    count, zeros included): content words clump — they either dominate
+    a document or skip it — while function words sprinkle uniformly, so
+    Fano ≫ 1 flags topical/templated terms and Fano ≈ 1 flags
+    grammatical glue (Church & Gale's burstiness observation, the IR
+    feature behind stopword induction and boilerplate detection without
+    any language-specific list). Top-20 burstiest terms with tf ≥ 50.
+
+    Determinism: df, tf, Σc² are exact integer aggregates; the Fano
+    expression is one fixed-order +,×,/ double computation over those
+    integers (zeros enter only through n_docs — no per-zero-row work),
+    floor(+0.5)-µ-quantized; total order (fano desc, token) pins the
+    top-20.
+
+    Scale: explode + two hash aggregations (the wordcount shape, one
+    extra Σc² accumulator) — vocabulary-bounded output, corpus-bounded
+    shuffle, nothing quadratic anywhere."""
+    tok = _tokens(spark, sf_dir)
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("c"))
+    nd = load(spark, sf_dir, "documents").agg(
+        F.count("*").alias("n_docs")
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("tf"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+    )
+    mean = F.col("tf") * F.lit(1.0) / F.col("n_docs")
+    fano = (
+        (F.col("tf2") * F.lit(1.0) / F.col("n_docs") - mean * mean) / mean
+    )
+    return (
+        stats.filter(F.col("tf") >= 50)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            "df",
+            "tf",
+            F.floor(fano * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("fano_micro"),
+        )
+        .orderBy(F.col("fano_micro").desc(), "token")
+        .limit(20)
+    )

@@ -151,3 +151,22 @@ def test_ngram_jaccard_sampled_is_full_restricted_to_sample(spark):
     }
     assert got == expect
     assert got, "sf0.001 sample should still surface dup pairs"
+
+
+def test_burstiness_separates_content_from_glue(spark):
+    """Fano factors must all exceed ~1 (any clumping at all), arrive in
+    non-increasing order, and the burstiest term must clump far above
+    the Poisson baseline (fano >> 1) — the Church-Gale property the
+    feature exists to detect."""
+    import sparkgraft
+    from conftest import SF_DIR
+
+    out = sparkgraft.QUERIES["text_burstiness_profile"](
+        spark, SF_DIR
+    ).toPandas()
+    assert 0 < len(out) <= 20
+    f = list(out.fano_micro)
+    assert f == sorted(f, reverse=True)
+    assert f[0] > 1_200_000  # burstiest term well above Poisson (1.0)
+    assert (out.tf >= 50).all()
+    assert (out.df >= 1).all()
