@@ -364,6 +364,34 @@ def connected_components(
     return labels, rounds_used
 
 
+
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edges (pa < pb, sup >= 2) — the
+    shared edge builder behind components/BFS/recs/LPA/SSSP/k-core.
+    Pair generation is a self equi-join on the order key (per-order
+    fan-out bounded by order size, a domain constant), support filtering
+    one pair-keyed hash agg."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+
+
 @query(
     "graph_components_copurchase",
     oracle="""
@@ -404,26 +432,7 @@ def graph_components_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchased label themselves via the vertex left join. The oracle
     walks reachability with a recursive CTE — min(reachable) is exactly
     the component minimum."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir).select("pa", "pb")
     vertices = load(spark, sf_dir, "part").select("p_partkey")
     labels, _rounds = connected_components(
         pairs, vertices, id_col="p_partkey", label_col="component_id"
@@ -477,25 +486,7 @@ def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     set, each round's driver traffic one scalar count. Unreachable
     parts keep NULL depth via the final left join. A {_BFS_MAX_HOPS}-hop
     cap fails loudly (mirrored as the oracle CTE's recursion guard)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     edges = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionByName(
@@ -582,28 +573,14 @@ def graph_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the catalog — never broadcast-forced); the top-3 rides a
     part-keyed rank window with (jaccard desc, partkey) tie-break, and
     the reported jaccard rounds an exact-integer ratio once."""
-    li = (
+    cnt = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count("*").alias("c"))
     )
-    cnt = li.groupBy(F.col("l_partkey").alias("p")).agg(
-        F.count("*").alias("c")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-    )
+    pairs = _copurchase_pairs(spark, sf_dir)
     sym = pairs.select(
         F.col("pa").alias("p"), F.col("pb").alias("q"), "sup"
     ).unionByName(
@@ -903,26 +880,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on vertex ids — the PageRank/CC shuffle discipline; rounds = jobs,
     `localCheckpoint` truncates lineage per round. No corpus-sized
     broadcast, no driver state."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir).select("pa", "pb")
     bi = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(
@@ -1020,25 +978,8 @@ def graph_shortest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     `localCheckpoint` per round truncates lineage. Rounds = the hop
     bound; at real scale the same rounds amortize over billions of
     edges, with no corpus-sized broadcast anywhere."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .withColumn("w", F.expr("1000000 div sup"))
+    e = _copurchase_pairs(spark, sf_dir).withColumn(
+        "w", F.expr("1000000 div sup")
     )
     edges = (
         e.select(F.col("pa").alias("src"), F.col("pb").alias("dst"), "w")
@@ -1141,26 +1082,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertex-id-keyed throughout, `localCheckpoint` per round; the edge
     list only ever SHRINKS, so round cost is monotonically
     non-increasing. No corpus broadcast, no driver state."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_pairs(spark, sf_dir).select("pa", "pb")
     bi = (
         pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
         .unionAll(
