@@ -263,9 +263,9 @@ def write_container_file(
     return n_total
 
 
-def read_header(buf: bytes) -> tuple[dict, bytes, int]:
-    """(schema, sync_marker, payload_offset) from a container file's
-    bytes; validates magic and the null codec."""
+def read_header(buf: bytes) -> tuple[dict, bytes, int, str]:
+    """(schema, sync_marker, payload_offset, codec) from a container
+    file's bytes; validates magic and accepts the null or deflate codec."""
     if buf[:4] != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     pos = 4
