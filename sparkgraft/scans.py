@@ -1587,26 +1587,44 @@ def _try_publish(log_dir: str, version: int, files: list[str]) -> bool:
         os.unlink(tmp)
 
 
+class CommitConflict(RuntimeError):
+    """A remove-set no longer present in the head snapshot: the files
+    this commit rewrites were already rewritten/removed by a racer.
+    Blind retry would resurrect or double-apply them — the caller must
+    re-plan from the new head (Delta/Iceberg surface the same condition
+    as ConcurrentModification/ValidationException)."""
+
+
 def _commit_snapshot(
     log_dir: str,
     add_files: list[str],
-    replace: bool = False,
+    remove_files: list[str] | None = None,
     max_attempts: int = 50,
 ) -> tuple[int, int]:
     """Optimistic-concurrency commit loop: read head, build the child
-    file list (parent + added, or just the new list for a REPLACE
-    commit, e.g. compaction), CAS-publish, rebase-and-retry on loss.
-    Append and replace commits are commutative with concurrent appends
-    at file granularity, so the rebase is simply a retry against the
-    new parent — no conflict detection is needed beyond the CAS itself
-    (two writers never both win one version; the log is linear by
-    construction). Returns (version, n_retries)."""
+    file list (parent − removed + added), CAS-publish, rebase-and-retry
+    on loss. Commits are REMOVE/ADD DELTAS, not absolute file lists —
+    the reason rebase is safe: an append (no removes) commutes with
+    anything, and a rewrite (compaction: removes the inputs it
+    compacted, adds their replacement) rebased onto a racer's append
+    keeps the appended files instead of silently dropping them (the
+    lost-update a naive \"replace the whole list\" semantic has). The
+    one genuine conflict — our removes are no longer all present in the
+    head, i.e. a racer already rewrote the same files — raises
+    ``CommitConflict`` instead of retrying. Returns
+    (version, n_retries)."""
+    removes = set(remove_files or [])
     retries = 0
     while True:
         versions = _log_versions(log_dir)
         head = versions[-1] if versions else 0
         parent = _read_manifest(log_dir, head)["files"] if head else []
-        files = list(add_files) if replace else parent + list(add_files)
+        if removes and not removes <= set(parent):
+            raise CommitConflict(
+                f"removed files not in head v{head}: "
+                f"{sorted(removes - set(parent))}"
+            )
+        files = [f for f in parent if f not in removes] + list(add_files)
         if _try_publish(log_dir, head + 1, files):
             return head + 1, retries
         retries += 1
@@ -1773,9 +1791,11 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(*_data_files_of(base_dir)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(compact_dir)
-    _commit_snapshot(
-        log_dir, _data_files_of(compact_dir), replace=True
-    )  # v2: compaction rewrites the table
+    _commit_snapshot(  # v2: compaction = remove the inputs, add the rewrite
+        log_dir,
+        _data_files_of(compact_dir),
+        remove_files=_data_files_of(base_dir),
+    )
     o.filter(F.col("o_orderdate") >= cutoff).write.mode("overwrite").parquet(
         rest_dir
     )
@@ -1822,3 +1842,76 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_snap[1:]:
         out = out.unionByName(df)
     return out.orderBy("snapshot")
+
+
+@query(
+    "scan_manifest_stats_prune",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           TRUE AS pruned
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    """,
+)
+def scan_manifest_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILE-LEVEL min/max pruning FROM THE MANIFEST — the metadata-
+    planning half of the lakehouse read path (Iceberg manifests carry
+    per-file column bounds; a 100 TB scan of one year touches metadata
+    for every file but OPENS only the files whose range intersects the
+    predicate — no footer reads, no directory listing, no full scan).
+    The commit records each data file's (min, max) o_orderdate —
+    computed DISTRIBUTEDLY in the same pass pattern a writer already
+    owns (`input_file_name()` groupBy, the `scan_file_provenance`
+    shape) — into the manifest; the reader evaluates the 1996-only
+    predicate against the bounds, asserts the planned file set is a
+    STRICT subset (pruning actually bit; the table is year-partitioned
+    on write so ranges are disjoint by construction), and scans only
+    those files. The exact filter still applies after the scan (bounds
+    prune files, they don't prove row membership — same contract as
+    parquet row-group stats). Oracle = the plain filtered aggregate, so
+    over-pruning (lost rows) or under-filtering (neighbor-year rows)
+    both break the hash."""
+    root = _scratch(sf_dir, "stats_prune_table")
+    data_dir = os.path.join(root, "data")
+    o = load(spark, sf_dir, "orders")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")  # disjoint per-file year ranges
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(data_dir)
+    )
+    files = spark.read.parquet(data_dir)
+    stats = (
+        files.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("o_orderdate").cast("string").alias("lo"),
+            F.max("o_orderdate").cast("string").alias("hi"),
+        )
+        .collect()  # one row per data file — KB-scale manifest metadata
+    )
+    lo, hi = "1996-01-01", "1997-01-01"
+    keep = [
+        r["file"]
+        for r in stats
+        if r["lo"] < hi and r["hi"] >= lo  # range intersects [lo, hi)
+    ]
+    if not keep or len(keep) >= len(stats):
+        raise RuntimeError(
+            f"manifest pruning did not bite: kept {len(keep)}/{len(stats)}"
+        )
+    cutlo = F.lit(lo).cast("timestamp")
+    cuthi = F.lit(hi).cast("timestamp")
+    pruned = spark.read.parquet(*keep).filter(
+        (F.col("o_orderdate") >= cutlo) & (F.col("o_orderdate") < cuthi)
+    )
+    return pruned.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.lit(True).alias("pruned"),
+    )

@@ -375,3 +375,83 @@ def join_aqe_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema=joined.schema).orderBy("nation")
+
+
+_AQE_BHJ_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    # static planning must NOT broadcast (the compile-time statistics a
+    # real warehouse lacks for freshly-landed data): disable the static
+    # threshold, leave the ADAPTIVE threshold at a size the runtime
+    # shuffle stats of the dim will clear.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+}
+
+
+@query(
+    "join_aqe_bhj_switch",
+    oracle="""
+    SELECT s.s_nationkey AS nation,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_aqe_bhj_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE's RUNTIME JOIN-STRATEGY SWITCH proven firing — the second
+    automatic-optimizer demonstration next to `join_aqe_skew_split`:
+    the static planner, denied size statistics (static broadcast
+    threshold off — the realistic state for freshly-landed data with no
+    ANALYZE), plans a sort-merge join; after the dim's shuffle stage
+    materializes, its ACTUAL byte size clears the adaptive threshold
+    and AQE rewrites the running query to a BroadcastHashJoin — both
+    asserted from the executed plan (initial SMJ, final BHJ). This is
+    the optimization that saves the two sort passes + merge on every
+    under-estimated dim join at 100 TB, and the demo documents the knob
+    split: `spark.sql.autoBroadcastJoinThreshold` governs compile time,
+    `spark.sql.adaptive.autoBroadcastJoinThreshold` governs the runtime
+    re-plan. Confs are scoped and restored around an eager bounded
+    collect, the oracle is the plain join-agg SQL — the switch changes
+    the schedule, never the answer."""
+    saved = {k: spark.conf.get(k, None) for k in _AQE_BHJ_CONFS}
+    for k, v in _AQE_BHJ_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        sup = load(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_nationkey"
+        )
+        joined = (
+            li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .groupBy(F.col("s_nationkey").alias("nation"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+        rows = joined.collect()
+        full = joined._jdf.queryExecution().executedPlan().toString()
+        final = full.split("== Initial Plan ==")[0]
+        initial = full.split("== Initial Plan ==")[-1]
+        if "SortMergeJoin" not in initial:
+            raise RuntimeError(
+                "static plan was not a sort-merge join:\n" + initial
+            )
+        if "BroadcastHashJoin" not in final:
+            raise RuntimeError(
+                "AQE did not switch the running join to broadcast:\n" + final
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema=joined.schema).orderBy("nation")

@@ -1287,3 +1287,42 @@ def test_aqe_skew_join_split_fires(spark):
     )
     # and the scoped confs were restored after materialization
     assert spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin") == "false"
+
+
+def test_aqe_bhj_switch_restores_confs_and_matches_plain_join(spark):
+    """r8: the runtime SMJ→BHJ switch key (initial-plan SMJ and
+    final-plan BHJ are hard-asserted in-key on every run) must restore
+    the scoped thresholds and agree with the plain statically-planned
+    join."""
+    out = sparkgraft.QUERIES["join_aqe_bhj_switch"](spark, SF_DIR)
+    got = {(r.nation, r.n, r.cents) for r in out.collect()}
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+    li = sparkgraft.load(spark, SF_DIR, "lineitem")
+    sup = sparkgraft.load(spark, SF_DIR, "supplier")
+    import pyspark.sql.functions as F
+    plain = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    assert got == {(r.nation, r.n, r.cents) for r in plain.collect()}
+
+
+def test_manifest_stats_prune_scans_strict_file_subset(spark):
+    """r8: the manifest-bounds reader must plan a strict subset of the
+    table's files (the in-key guard) and the pruned aggregate must equal
+    the full-scan filtered aggregate."""
+    out = sparkgraft.QUERIES["scan_manifest_stats_prune"](spark, SF_DIR)
+    row = out.collect()[0]
+    import pyspark.sql.functions as F
+    o = sparkgraft.load(spark, SF_DIR, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    assert row.n_rows == o.count()
+    assert row.pruned is True

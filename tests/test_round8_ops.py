@@ -77,3 +77,48 @@ def test_try_publish_is_an_atomic_cas(tmp_path):
     assert json.loads(before)["files"] == ["winner.parquet"]
     # no temp-file debris from either attempt
     assert [f for f in os.listdir(log) if f.startswith(".tmp")] == []
+
+
+def test_rewrite_commit_rebased_onto_append_keeps_appended_files(tmp_path):
+    """Commits are remove/add DELTAS: a compaction that loses the CAS to
+    a concurrent APPEND must rebase to (parent - compacted + rewritten)
+    WITH the racer's appended file — a 'replace the whole list' semantic
+    would silently drop it (lost update)."""
+    log = tmp_path / "log"
+    log.mkdir()
+    _commit_snapshot(str(log), ["a.parquet", "b.parquet"])  # v1
+    # compactor reads v1, stages its rewrite; an append lands first
+    _commit_snapshot(str(log), ["c.parquet"])  # v2 (the racer)
+    v, retries = _commit_snapshot(
+        str(log), ["ab_compacted.parquet"],
+        remove_files=["a.parquet", "b.parquet"],
+    )
+    assert (v, retries) == (3, 0)  # head re-read at commit time: clean CAS
+    assert sorted(_read_manifest(str(log), 3)["files"]) == [
+        "ab_compacted.parquet",
+        "c.parquet",  # the concurrent append survived the rewrite
+    ]
+
+
+def test_conflicting_rewrites_abort_instead_of_retrying(tmp_path):
+    """Two compactions of the SAME files: the loser must raise
+    CommitConflict (its remove-set is gone from the head), never blindly
+    re-publish — re-applying the removes would resurrect rewritten data."""
+    import pytest
+
+    from sparkgraft.scans import CommitConflict
+
+    log = tmp_path / "log"
+    log.mkdir()
+    _commit_snapshot(str(log), ["a.parquet", "b.parquet"])  # v1
+    _commit_snapshot(
+        str(log), ["ab_v1.parquet"], remove_files=["a.parquet", "b.parquet"]
+    )  # v2: first rewrite wins
+    with pytest.raises(CommitConflict):
+        _commit_snapshot(
+            str(log),
+            ["ab_v2.parquet"],
+            remove_files=["a.parquet", "b.parquet"],
+        )
+    # the winning rewrite is untouched
+    assert _read_manifest(str(log), 2)["files"] == ["ab_v1.parquet"]
