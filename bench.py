@@ -171,6 +171,7 @@ GROUP7 = [
     "stream_exactly_once_sink",
     "join_aqe_bhj_switch",
     "scan_manifest_stats_prune",
+    "scan_snapshot_as_of_watermark",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -1560,7 +1560,12 @@ def _read_manifest(log_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _try_publish(log_dir: str, version: int, files: list[str]) -> bool:
+def _try_publish(
+    log_dir: str,
+    version: int,
+    files: list[str],
+    extra: dict | None = None,
+) -> bool:
     """Attempt to commit snapshot ``version`` — the atomic COMPARE-AND-SWAP.
 
     The manifest is fully written to a writer-private temp file first,
@@ -1577,7 +1582,10 @@ def _try_publish(log_dir: str, version: int, files: list[str]) -> bool:
 
     tmp = os.path.join(log_dir, f".tmp-v{version}-pid{os.getpid()}-{id(files)}")
     with open(tmp, "w") as fh:
-        json.dump({"snapshot": version, "files": sorted(files)}, fh)
+        json.dump(
+            {"snapshot": version, "files": sorted(files), **(extra or {})},
+            fh,
+        )
     try:
         os.link(tmp, os.path.join(log_dir, f"v{version}.json"))
         return True
@@ -1600,6 +1608,7 @@ def _commit_snapshot(
     add_files: list[str],
     remove_files: list[str] | None = None,
     max_attempts: int = 50,
+    extra: dict | None = None,
 ) -> tuple[int, int]:
     """Optimistic-concurrency commit loop: read head, build the child
     file list (parent − removed + added), CAS-publish, rebase-and-retry
@@ -1625,7 +1634,7 @@ def _commit_snapshot(
                 f"{sorted(removes - set(parent))}"
             )
         files = [f for f in parent if f not in removes] + list(add_files)
-        if _try_publish(log_dir, head + 1, files):
+        if _try_publish(log_dir, head + 1, files, extra=extra):
             return head + 1, retries
         retries += 1
         if retries >= max_attempts:
@@ -1915,3 +1924,98 @@ def scan_manifest_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         F.lit(True).alias("pruned"),
     )
+
+
+@query(
+    "scan_snapshot_as_of_watermark",
+    oracle=f"""
+    SELECT '1998-06-01' AS as_of, CAST(1 AS INT) AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}'
+    UNION ALL
+    SELECT '2002-01-01' AS as_of, CAST(2 AS INT) AS snapshot,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    ORDER BY as_of
+    """,
+)
+def scan_snapshot_as_of_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF resolution by DATA WATERMARK — the timestamp-travel
+    complement of `scan_snapshot_timetravel`'s version pinning, with the
+    timestamp semantics an incremental pipeline actually wants: each
+    commit stamps its manifest with the watermark \"data complete
+    through T\" (here the commit's max o_orderdate — wall-clock commit
+    times are nondeterministic AND the wrong contract: a consumer asks
+    for the table as of a point in EVENT time, not of when some backfill
+    happened to land). The reader resolves AS OF T to the latest
+    snapshot whose watermark ≤ T from manifest metadata alone, then
+    scans that snapshot's files: AS OF 1998-06-01 must resolve to
+    commit 1 (pre-{_CC_CUTOFF} orders) even though commit 2 already
+    exists, and AS OF 2002-01-01 to commit 2 (the full table) — both
+    aggregates hash-pinned by the oracle.
+
+    Scale: resolution is a scan of KB-sized manifests (one watermark
+    string per commit, thousands of commits = still KB); the chosen
+    snapshot reads exactly like any pinned version — pruning/pushdown
+    unaffected; the watermark itself is a 1-row aggregate the commit
+    already computes for its own bookkeeping."""
+    import json
+
+    root = _scratch(sf_dir, "asof_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CC_CUTOFF).cast("timestamp")
+    slices = [
+        ("c1", o.filter(F.col("o_orderdate") < cutoff)),
+        ("c2", o.filter(F.col("o_orderdate") >= cutoff)),
+    ]
+    for name, df in slices:
+        d = os.path.join(root, name)
+        df.write.mode("overwrite").parquet(d)
+        wm = (
+            spark.read.parquet(*_data_files_of(d))
+            .agg(F.max(F.to_date("o_orderdate")).cast("string"))
+            .collect()[0][0]
+        )
+        # the watermark rides IN the commit record (manifests are
+        # immutable once published — no post-publish patching)
+        _commit_snapshot(
+            log_dir, _data_files_of(d), extra={"watermark": wm}
+        )
+
+    def resolve(as_of: str) -> dict:
+        best = None
+        for v in _log_versions(log_dir):
+            m = _read_manifest(log_dir, v)
+            if m["watermark"] <= as_of:
+                best = m
+        if best is None:
+            raise RuntimeError(f"no snapshot with watermark <= {as_of}")
+        return best
+
+    probes = ["1998-06-01", "2002-01-01"]
+    per = []
+    for p in probes:
+        m = resolve(p)
+        per.append(
+            spark.read.parquet(*m["files"]).agg(
+                F.lit(p).alias("as_of"),
+                F.lit(int(m["snapshot"])).cast("int").alias("snapshot"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+    out = per[0]
+    for df in per[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("as_of")
