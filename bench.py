@@ -172,6 +172,8 @@ GROUP7 = [
     "join_aqe_bhj_switch",
     "scan_manifest_stats_prune",
     "scan_snapshot_as_of_watermark",
+    "stream_acid_append",
+    "sink_auto_compaction",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

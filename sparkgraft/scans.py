@@ -2019,3 +2019,98 @@ def scan_snapshot_as_of_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     for df in per[1:]:
         out = out.unionByName(df)
     return out.orderBy("as_of")
+
+
+_COMPACT_FILE_THRESHOLD = 8
+_COMPACT_TARGET_FILES = 2
+
+
+@query(
+    "sink_auto_compaction",
+    oracle=f"""
+    SELECT CAST(16 AS INT) AS files_before, CAST(2 AS INT) AS files_after,
+           CAST(5 AS INT) AS n_snapshots,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    """,
+)
+def sink_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLICY-DRIVEN AUTO-COMPACTION over the OCC snapshot log — the
+    small-file problem closed operationally (Delta OPTIMIZE / Iceberg
+    rewrite_data_files, reduced to its commit-protocol essence): four
+    append commits land orders quarters as 4 files each (16 small files
+    — the natural debris of incremental ingestion); the post-commit
+    policy check fires when the head exceeds {_COMPACT_FILE_THRESHOLD}
+    files and lands a fifth commit that REMOVES all sixteen and ADDS a
+    {_COMPACT_TARGET_FILES}-file rewrite — the remove/add delta form, so
+    a concurrent append during the rewrite would survive the rebase and
+    a concurrent rewrite would abort with `CommitConflict` (both proven
+    on this machinery in tests/test_round8_ops.py). In-key asserts:
+    file count crossed the threshold before, is {_COMPACT_TARGET_FILES}
+    after, the log is 5 linear commits, and every pre-compaction file is
+    still on disk (compaction never deletes data — that is VACUUM's job,
+    after retention expiry: `sink_snapshot_vacuum`). The oracle pins the
+    full-table digest read from the compacted head — a rewrite that
+    lost or doubled a quarter breaks the hash.
+
+    Scale: the policy check is a len() on the head manifest's file list
+    (KB metadata); the rewrite cost is one read+write of the table
+    region being compacted — at 100 TB you compact per partition, and
+    the commit protocol is unchanged because remove/add deltas are
+    partition-local."""
+    root = _scratch(sf_dir, "autocompact_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    q = F.abs(F.xxhash64("o_orderkey")) % 4
+    for i in range(4):  # four ingestion commits, 4 files each
+        d = os.path.join(root, f"ingest{i}")
+        (
+            o.filter(q == i)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _commit_snapshot(log_dir, _data_files_of(d))
+
+    head = _log_versions(log_dir)[-1]
+    before = _read_manifest(log_dir, head)["files"]
+    if len(before) <= _COMPACT_FILE_THRESHOLD:
+        raise RuntimeError(
+            f"ingestion debris missing: only {len(before)} files"
+        )
+    # the policy fires: rewrite the whole table as a remove/add delta
+    cdir = os.path.join(root, "compacted")
+    (
+        spark.read.parquet(*before)
+        .repartition(_COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(cdir)
+    )
+    after_files = _data_files_of(cdir)
+    _commit_snapshot(log_dir, after_files, remove_files=before)
+
+    versions = _log_versions(log_dir)
+    head_files = _read_manifest(log_dir, versions[-1])["files"]
+    if versions != [1, 2, 3, 4, 5]:
+        raise RuntimeError(f"log not linear: {versions}")
+    if sorted(head_files) != sorted(after_files):
+        raise RuntimeError("head is not exactly the compacted rewrite")
+    if not all(os.path.exists(f) for f in before):
+        raise RuntimeError(
+            "compaction deleted data files — that is vacuum's job"
+        )
+    return spark.read.parquet(*head_files).agg(
+        F.lit(len(before)).cast("int").alias("files_before"),
+        F.lit(len(head_files)).cast("int").alias("files_after"),
+        F.lit(len(versions)).cast("int").alias("n_snapshots"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )

@@ -1345,3 +1345,124 @@ def stream_exactly_once_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "stream_acid_append",
+    oracle="""
+    select date_trunc('hour', ts) as window_start, event_type,
+           count(*) as n
+    from events
+    group by 1, 2
+    """,
+)
+def stream_acid_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING APPENDS INTO THE ACID TABLE — the composition that
+    makes the r8 commit protocol a real sink: every micro-batch commits
+    through `_commit_snapshot` with its batch id stamped in the manifest
+    (the Delta txnAppId/txnVersion discipline), so the snapshot log IS
+    the exactly-once ledger and batch readers time-travel a streaming
+    table for free. The injected kill point is the COMPLEMENT of
+    `stream_exactly_once_sink`'s: the sink dies AFTER batch 1's commit
+    lands but BEFORE foreachBatch returns (so Spark's checkpoint never
+    records the batch); restart re-delivers batch 1 (asserted) and the
+    sink finds its batch id already committed in the log → idempotent
+    SKIP, no second commit, no duplicate files (asserted: exactly 4
+    commits, head file list duplicate-free). The hourly aggregate over
+    the HEAD SNAPSHOT must equal the plain batch aggregate (the oracle)
+    — a replayed commit would double it.
+
+    Scale: per-batch cost is one data write + one KB manifest CAS; the
+    txn check is a scan of KB manifests (and at thousands of commits, a
+    real format checkpoints the log — same contract); concurrent batch
+    writers to OTHER tables never contend."""
+    staged = _stage_events_quartiles(sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-acidapp-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = os.path.join(root, "src")
+    ckpt = os.path.join(root, "ckpt")
+    data = os.path.join(root, "data")
+    log_dir = os.path.join(root, "log")
+    for d in (src, data, log_dir):
+        os.makedirs(d)
+    for p in staged:
+        shutil.copy2(p, src)
+
+    from sparkgraft.scans import (
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+
+    crash_armed = {"on": True}
+    delivered: list[int] = []
+
+    def committed_batches() -> set[int]:
+        return {
+            _read_manifest(log_dir, v).get("batch_id")
+            for v in _log_versions(log_dir)
+        }
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delivered.append(int(batch_id))
+        if int(batch_id) in committed_batches():
+            return  # txn-idempotent skip: this batch already committed
+        bdir = os.path.join(data, f"b{batch_id:05d}")
+        batch_df.write.mode("overwrite").parquet(bdir)
+        _commit_snapshot(
+            log_dir, _data_files_of(bdir), extra={"batch_id": int(batch_id)}
+        )
+        if int(batch_id) == 1 and crash_armed["on"]:
+            crash_armed["on"] = False
+            raise RuntimeError(
+                "injected crash after commit, before checkpoint"
+            )
+
+    def run_phase() -> None:
+        q = (
+            _events_stream(spark, src, max_files=1)
+            .select("ts", "event_type")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        run_phase()
+        raise RuntimeError("phase 1 did not crash — injection never fired")
+    except StreamingQueryException as ex:
+        if "injected crash" not in str(ex):
+            raise
+    if 1 not in committed_batches():
+        raise RuntimeError("crashed batch's commit is missing — wrong kill point")
+    n_before = len(_log_versions(log_dir))
+
+    run_phase()  # restart: batch 1 re-delivered, must be SKIPPED
+    phase2 = delivered[delivered.index(1, 1):] if delivered.count(1) > 1 else []
+    if not phase2 or phase2[0] != 1:
+        raise RuntimeError(f"batch 1 was not re-delivered: {delivered}")
+    versions = _log_versions(log_dir)
+    if len(versions) != n_before + 2:  # batches 2 and 3 only — 1 skipped
+        raise RuntimeError(
+            f"replay double-committed: {n_before} -> {len(versions)}"
+        )
+    head_files = _read_manifest(log_dir, versions[-1])["files"]
+    if len(head_files) != len(set(head_files)):
+        raise RuntimeError("head snapshot carries duplicate files")
+
+    return (
+        spark.read.parquet(*head_files)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -304,3 +304,36 @@ def test_exactly_once_sink_replays_crashed_batch_without_duplicates(spark):
     # total rows across committed dirs == corpus (file-level no-dup proof)
     dirs = [os.path.join(root, "data", f"b{b:05d}") for b in range(4)]
     assert spark.read.parquet(*dirs).count() == _events(spark).count()
+
+
+def test_acid_append_skips_replayed_commit(spark):
+    """r8: the streaming-into-ACID-table sink crashes AFTER batch 1's
+    commit and BEFORE the checkpoint records it; the replay must be
+    txn-SKIPPED (in-key asserts), the head snapshot must equal the batch
+    twin, and the log must carry each batch id exactly once."""
+    import os
+    import tempfile
+
+    from sparkgraft.scans import _log_versions, _read_manifest
+
+    out = sparkgraft.QUERIES["stream_acid_append"](spark, SF_DIR)
+    got = {(r.window_start, r.event_type, r.n) for r in out.collect()}
+    batch = {
+        (r.window_start, r.event_type, r.n)
+        for r in _events(spark)
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == batch
+    log = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-acidapp-{os.path.basename(SF_DIR.rstrip('/'))}-pid{os.getpid()}",
+        "log",
+    )
+    batch_ids = [
+        _read_manifest(log, v)["batch_id"] for v in _log_versions(log)
+    ]
+    assert sorted(batch_ids) == [0, 1, 2, 3]  # each exactly once
