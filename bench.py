@@ -174,6 +174,8 @@ GROUP7 = [
     "scan_snapshot_as_of_watermark",
     "stream_acid_append",
     "sink_auto_compaction",
+    "sink_merge_delete",
+    "sink_schema_evolution_commit",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

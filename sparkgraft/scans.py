@@ -2114,3 +2114,185 @@ def sink_auto_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+@query(
+    "sink_merge_delete",
+    oracle=f"""
+    SELECT CAST(1 AS INT) AS files_rewritten,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE NOT (o_orderdate >= TIMESTAMP '1997-01-01'
+               AND o_orderdate < TIMESTAMP '1998-01-01'
+               AND o_orderkey % 2 = 0)
+    """,
+)
+def sink_merge_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE row-level DELETE on the snapshot table — the GDPR /
+    right-to-be-forgotten path, and the operation that separates a table
+    FORMAT from a pile of parquet (parquet files are immutable; deleting
+    rows means rewriting exactly the files that contain them and
+    swapping the file list atomically). The table is laid out one file
+    per order-year; DELETE WHERE (year = 1997 AND even orderkey) prunes
+    to the single 1997 file from the path metadata alone (partition
+    pruning — the other years' files are provably untouchable), rewrites
+    that one file without the matching rows, and commits
+    (remove=[1997 file], add=[rewrite]) as a remove/add delta — so a
+    concurrent append would survive the rebase and a concurrent rewrite
+    of the same file aborts (`CommitConflict`). In-key asserts: exactly
+    one file rewritten, every other file still referenced by the head
+    UNMODIFIED (same paths — old readers inside retention still see
+    deleted rows via time travel until vacuum), and the head aggregate
+    equals the oracle's NOT-predicate digest — resurrected or
+    over-deleted rows break the hash.
+
+    Scale: rewrite cost is proportional to the files the predicate
+    touches, never the table (the reason real formats pair COW deletes
+    with clustering — see `sink_zorder_write`); the commit is the same
+    KB CAS as every other writer."""
+    root = _scratch(sf_dir, "cow_delete_table")
+    log_dir = os.path.join(root, "log")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(data_dir)
+    )
+    all_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    _commit_snapshot(log_dir, all_files)  # v1
+
+    affected = [f for f in all_files if f"{os.sep}o_year=1997{os.sep}" in f]
+    if len(affected) != 1:
+        raise RuntimeError(f"expected one 1997 file, got {affected}")
+    rewrite_dir = os.path.join(root, "rewrite_1997")
+    (
+        spark.read.parquet(*affected)
+        .filter(~(F.col("o_orderkey") % 2 == 0))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(rewrite_dir)
+    )
+    _commit_snapshot(
+        log_dir, _data_files_of(rewrite_dir), remove_files=affected
+    )  # v2: the COW delete
+
+    head = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    untouched = set(all_files) - set(affected)
+    if not untouched <= set(head):
+        raise RuntimeError("COW delete disturbed non-matching files")
+    if set(affected) & set(head):
+        raise RuntimeError("deleted file still referenced by head")
+    if not all(os.path.exists(f) for f in affected):
+        raise RuntimeError("COW delete removed bytes — that is vacuum's job")
+    return spark.read.parquet(*head).agg(
+        F.lit(1).cast("int").alias("files_rewritten"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@query(
+    "sink_schema_evolution_commit",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             CASE WHEN o_orderdate < TIMESTAMP '{_CC_CUTOFF}' THEN NULL
+                  ELSE CASE o_orderkey % 3 WHEN 0 THEN 'web'
+                                           WHEN 1 THEN 'store'
+                                           ELSE 'b2b' END
+             END AS channel
+      FROM orders)
+    SELECT coalesce(channel, 'LEGACY') AS channel,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM t GROUP BY 1 ORDER BY channel
+    """,
+)
+def sink_schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION through the commit log — the add-column path
+    every long-lived table walks: commit 1 lands the pre-{_CC_CUTOFF}
+    orders under the original schema; commit 2 appends the rest WITH a
+    new `channel` column and bumps the manifest's schema version. Old
+    files are NEVER rewritten (asserted: v1's files are referenced
+    byte-identically by the head) — the new column simply reads as NULL
+    on them, which is exactly the mergeSchema read the manifest's
+    explicit file list plans. The per-channel rollup surfaces legacy
+    rows under the NULL channel ('LEGACY' label), so the oracle
+    hash-pins both halves of the contract: new rows carry their channel,
+    old rows carry NULL, nobody is double-read or dropped.
+
+    Scale: evolution is a metadata operation (schema version in a KB
+    manifest) — a 100 TB table adds a column in O(1); the alternative
+    (rewrite history) is exactly what formats exist to avoid. The read
+    merges footers of two writer generations the same way
+    `scan_schema_merge` proves on raw dirs, but here the FILE LIST and
+    the schema version come from the manifest, not a directory walk."""
+    root = _scratch(sf_dir, "schema_evo_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CC_CUTOFF).cast("timestamp")
+    v1_dir = os.path.join(root, "gen1")
+    v2_dir = os.path.join(root, "gen2")
+    o.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(v1_dir)
+    _commit_snapshot(
+        log_dir, _data_files_of(v1_dir), extra={"schema_version": 1}
+    )
+    (
+        o.filter(F.col("o_orderdate") >= cutoff)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.element_at(
+                F.array(F.lit("web"), F.lit("store"), F.lit("b2b")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ).alias("channel"),
+        )
+        .write.mode("overwrite")
+        .parquet(v2_dir)
+    )
+    _commit_snapshot(
+        log_dir, _data_files_of(v2_dir), extra={"schema_version": 2}
+    )
+
+    versions = _log_versions(log_dir)
+    head = _read_manifest(log_dir, versions[-1])
+    if head.get("schema_version") != 2:
+        raise RuntimeError("head manifest lost the schema bump")
+    if not set(_data_files_of(v1_dir)) <= set(head["files"]):
+        raise RuntimeError("evolution rewrote history — old files replaced")
+    merged = spark.read.option("mergeSchema", "true").parquet(*head["files"])
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("channel"), F.lit("LEGACY")).alias("channel")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("channel")
+    )
