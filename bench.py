@@ -188,6 +188,11 @@ GROUP7 = [
 # HOST_PROBE_REF pins the r6-close quiet-host flagship measurement
 # (BASELINE.md round-6 close; 0.416 s warm min-of-8 at sf0.1), so
 # normalized numbers are comparable to the r6 baseline era across rounds.
+# Drift is NON-STATIONARY within a ~20-min run (measured r8: end probe
+# 0.289 s while the headline block an hour of load earlier read 1.4x
+# that), so the run is BRACKETED: one probe right after the headline
+# group, one at the very end; host_probe = min of the two (noise only
+# adds time — the same argument as min-of-N), both brackets reported.
 HOST_PROBE_KEY = "agg_groupby_hash"
 HOST_PROBE_REPS = 8
 HOST_PROBE_REF = 0.416
@@ -224,6 +229,18 @@ def _time_group(spark, sf_dir: str, keys: list[str], loadavg_samples):
     return timings, traces
 
 
+def _probe(spark, sf_dir: str) -> float:
+    """Isolated flagship probe: min-of-8 warm toPandas of the unchanged-
+    since-r1 flagship — the host-speed yardstick."""
+    fn = sparkgraft.QUERIES[HOST_PROBE_KEY]
+    runs = []
+    for _ in range(HOST_PROBE_REPS):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).toPandas()
+        runs.append(round(time.monotonic() - t0, 4))
+    return min(runs)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = sparkgraft.get_session("sparkgraft-bench")
@@ -239,6 +256,7 @@ def main() -> int:
     timings, traces = _time_group(
         spark, sf_dir, [k for k in HEADLINE if k in sparkgraft.QUERIES], loadavg_samples
     )
+    probe_start = _probe(spark, sf_dir)  # bracket probe 1 (post-headline)
     timings2, traces2 = _time_group(
         spark, sf_dir, [k for k in GROUP2 if k in sparkgraft.QUERIES], loadavg_samples
     )
@@ -258,14 +276,8 @@ def main() -> int:
         spark, sf_dir, [k for k in GROUP7 if k in sparkgraft.QUERIES], loadavg_samples
     )
 
-    # isolated end-of-run flagship probe (fully warm by now)
-    probe_fn = sparkgraft.QUERIES[HOST_PROBE_KEY]
-    probe_runs = []
-    for _ in range(HOST_PROBE_REPS):
-        t0 = time.monotonic()
-        probe_fn(spark, sf_dir).toPandas()
-        probe_runs.append(round(time.monotonic() - t0, 4))
-    host_probe = min(probe_runs)
+    probe_end = _probe(spark, sf_dir)
+    host_probe = min(probe_start, probe_end)
     scale = HOST_PROBE_REF / host_probe if host_probe > 0 else 1.0
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -291,6 +303,8 @@ def main() -> int:
         "group6_total": round(sum(timings6.values()), 4),
         "group7_total": round(sum(timings7.values()), 4),
         "host_probe": host_probe,
+        "host_probe_start": probe_start,
+        "host_probe_end": probe_end,
         "host_probe_ref": HOST_PROBE_REF,
         "normalized_totals": {
             name: round(total * scale, 4)
@@ -314,7 +328,6 @@ def main() -> int:
          "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
          "group6_runs": traces6, "group7_runs": traces7,
-         "host_probe_runs": probe_runs,
          "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
