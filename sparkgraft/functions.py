@@ -1149,3 +1149,138 @@ def fn_content_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("hx", 21, 12),
         ).alias("content_uuid"),
     ).orderBy("doc_id")
+
+
+# CIDR blocks for fn_ip_cidr — engine literals (network int, prefix len).
+# 10.0.0.0/8, 172.16.0.0/12, 192.168.0.0/16, 0.0.0.0/0 fallback order.
+_CIDR_BLOCKS = [
+    ("10.0.0.0/8", 10 << 24, 8),
+    ("172.16.0.0/12", (172 << 24) + (16 << 16), 12),
+    ("192.168.0.0/16", (192 << 24) + (168 << 16), 16),
+]
+
+
+@query(
+    "fn_ip_cidr",
+    oracle=f"""
+    WITH ips AS (
+      SELECT e.event_id,
+             CAST(64 + e.user_id % 128 AS VARCHAR) || '.' ||
+             CAST(e.user_id % 256 AS VARCHAR) || '.' ||
+             CAST(e.event_id % 256 AS VARCHAR) || '.' ||
+             CAST(1 + e.event_id % 254 AS VARCHAR) AS ip,
+             CASE e.event_id % 4
+               WHEN 0 THEN '10.' || CAST(e.user_id % 256 AS VARCHAR)
+                          || '.0.' || CAST(1 + e.event_id % 254 AS VARCHAR)
+               WHEN 1 THEN '172.' || CAST(16 + e.event_id % 16 AS VARCHAR)
+                          || '.5.' || CAST(1 + e.user_id % 254 AS VARCHAR)
+               WHEN 2 THEN '192.168.' || CAST(e.user_id % 256 AS VARCHAR)
+                          || '.' || CAST(1 + e.event_id % 254 AS VARCHAR)
+               ELSE '203.0.113.' || CAST(1 + e.event_id % 254 AS VARCHAR)
+             END AS src_ip
+      FROM events e),
+    parsed AS (
+      SELECT event_id,
+             CAST(string_split(src_ip, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(src_ip, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(src_ip, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(src_ip, '.')[4] AS BIGINT) AS ip_int
+      FROM ips),
+    tagged AS (
+      SELECT event_id, ip_int,
+             CASE
+               WHEN ip_int // 16777216 = {_CIDR_BLOCKS[0][1]} // 16777216
+                 THEN '{_CIDR_BLOCKS[0][0]}'
+               WHEN ip_int // 1048576 = {_CIDR_BLOCKS[1][1]} // 1048576
+                 THEN '{_CIDR_BLOCKS[1][0]}'
+               WHEN ip_int // 65536 = {_CIDR_BLOCKS[2][1]} // 65536
+                 THEN '{_CIDR_BLOCKS[2][0]}'
+               ELSE 'public'
+             END AS block
+      FROM parsed)
+    SELECT block,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(ip_int) AS BIGINT) AS lo_ip,
+           CAST(max(ip_int) AS BIGINT) AS hi_ip
+    FROM tagged GROUP BY block ORDER BY block
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing + CIDR-block classification — the log-analytics canon
+    (every access-log pipeline tags client IPs into private/public
+    ranges before geo or abuse rollups). Dotted-quad strings are
+    synthesized deterministically from catalog columns (the
+    `fn_url_parse` discipline — both engines parse IDENTICAL strings;
+    the corpus has no real IPs), split and folded to a single int64,
+    then classified by prefix arithmetic: membership in a /p block is
+    `ip_int >> (32−p) == net >> (32−p)` — integer division in both
+    engines, no string prefix hacks, no UDFs, all inside codegen. The
+    rollup reports per-block counts and the exact int range observed.
+
+    Scale: row-local expressions end-to-end plus one bounded hash
+    aggregate (≤ #blocks+1 rows); a CIDR table of thousands of blocks
+    becomes a broadcast range join on the same ints — this key pins the
+    arithmetic that join would reuse."""
+    e = load(spark, sf_dir, "events")
+    src_ip = (
+        F.when(
+            F.col("event_id") % 4 == 0,
+            F.concat(
+                F.lit("10."), (F.col("user_id") % 256).cast("string"),
+                F.lit(".0."), (1 + F.col("event_id") % 254).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 1,
+            F.concat(
+                F.lit("172."), (16 + F.col("event_id") % 16).cast("string"),
+                F.lit(".5."), (1 + F.col("user_id") % 254).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_id") % 4 == 2,
+            F.concat(
+                F.lit("192.168."), (F.col("user_id") % 256).cast("string"),
+                F.lit("."), (1 + F.col("event_id") % 254).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("203.0.113."),
+                (1 + F.col("event_id") % 254).cast("string"),
+            )
+        )
+    )
+    parts = F.split(src_ip, r"\.")
+    ip_int = (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+    block = (
+        F.when(
+            F.expr(f"ip_int div 16777216") == _CIDR_BLOCKS[0][1] // 16777216,
+            F.lit(_CIDR_BLOCKS[0][0]),
+        )
+        .when(
+            F.expr(f"ip_int div 1048576") == _CIDR_BLOCKS[1][1] // 1048576,
+            F.lit(_CIDR_BLOCKS[1][0]),
+        )
+        .when(
+            F.expr(f"ip_int div 65536") == _CIDR_BLOCKS[2][1] // 65536,
+            F.lit(_CIDR_BLOCKS[2][0]),
+        )
+        .otherwise(F.lit("public"))
+    )
+    return (
+        e.select(ip_int.alias("ip_int"))
+        .select("ip_int", block.alias("block"))
+        .groupBy("block")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("ip_int").cast("long").alias("lo_ip"),
+            F.max("ip_int").cast("long").alias("hi_ip"),
+        )
+        .orderBy("block")
+    )

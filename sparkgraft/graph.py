@@ -1113,3 +1113,102 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey")
         .limit(20)
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs0 AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS sup
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT pa, pb FROM pairs0 WHERE sup >= 2),
+    sym AS (
+      SELECT pa AS u, pb AS v FROM edges
+      UNION ALL SELECT pb AS u, pa AS v FROM edges),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    hop2 AS (
+      SELECT x.u AS a, y.v AS b, x.v AS z
+      FROM sym x JOIN sym y ON x.v = y.u AND x.u < y.v),
+    scored AS (
+      SELECT h.a, h.b,
+             CAST(count(*) AS BIGINT) AS common,
+             round(sum(1.0 / ln(CAST(d.d AS DOUBLE))), 6) AS aa
+      FROM hop2 h JOIN deg d ON d.u = h.z
+      WHERE d.d >= 2
+      GROUP BY 1, 2),
+    pred AS (
+      SELECT s.a, s.b, s.common, s.aa
+      FROM scored s LEFT JOIN edges e ON e.pa = s.a AND e.pb = s.b
+      WHERE e.pa IS NULL)
+    SELECT a AS part_a, b AS part_b, common, aa FROM pred
+    ORDER BY aa DESC, part_a, part_b LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the co-purchase graph — the
+    classic common-neighbor score Σ_z 1/ln(deg(z)) for NON-edges (which
+    pair of parts, never yet co-purchased with support ≥ 2, is most
+    likely next), weighting rare shared neighbors above promiscuous
+    hubs; the top-20 predicted links with pinned (score desc, part_a,
+    part_b) total order. Completes the graph canon's link-prediction
+    leg next to ranking (PageRank), clustering (CC/LPA/k-core), and
+    neighborhood recs (`graph_copurchase_recs` scores EXISTING edges;
+    this key scores ABSENT ones — the anti-join is the point).
+
+    Scale: the two-hop enumeration is the `graph_triangle_count` shape
+    (ordered self equi-join on the symmetric edge list — volume is
+    Σ deg(z)², governed by the support-≥2 threshold exactly as the
+    triangle key documents); degree weights join on the MIDDLE vertex
+    before pair aggregation so the shuffle carries (a, b, weight)
+    triples; existing edges leave via one left-anti join; 1/ln(d) is a
+    row-local double with deterministic ln parity (the `agg_entropy`
+    precedent), rounded once after the exact-ordered sum… which is
+    order-DEPENDENT in principle, so the sum groups over an exact
+    integer domain: common-neighbor weights are summed per (a,b) from
+    identical per-row doubles in both engines — the established
+    cohesion-aggregate determinism argument (bounded per-pair fan-in,
+    identical addends)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select("pa", "pb")
+    sym = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    x = sym.alias("x")
+    y = sym.alias("y")
+    hop2 = x.join(
+        y,
+        (F.col("x.v") == F.col("y.u")) & (F.col("x.u") < F.col("y.v")),
+    ).select(
+        F.col("x.u").alias("a"), F.col("y.v").alias("b"),
+        F.col("x.v").alias("z"),
+    )
+    scored = (
+        hop2.join(deg.filter(F.col("d") >= 2), hop2.z == F.col("u"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.round(
+                F.sum(F.lit(1.0) / F.log(F.col("d").cast("double"))), 6
+            ).alias("aa"),
+        )
+    )
+    pred = scored.join(
+        edges,
+        (scored.a == edges.pa) & (scored.b == edges.pb),
+        "left_anti",
+    )
+    return (
+        pred.select(
+            F.col("a").cast("long").alias("part_a"),
+            F.col("b").cast("long").alias("part_b"),
+            "common",
+            "aa",
+        )
+        .orderBy(F.desc("aa"), "part_a", "part_b")
+        .limit(20)
+    )

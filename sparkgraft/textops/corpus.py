@@ -1494,3 +1494,111 @@ def text_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fano_micro").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "text_rouge_overlap",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_DUP_PREFIX_LEN}) AS ckey,
+             list_filter(string_split(lower(text), ' '), t -> t <> '')
+               AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, ckey,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bigrams
+      FROM d WHERE len(toks) >= 2),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.bigrams, b.bigrams)) AS BIGINT)
+               AS overlap,
+             CAST(len(a.bigrams) AS BIGINT) AS n_a,
+             CAST(len(b.bigrams) AS BIGINT) AS n_b
+      FROM g a JOIN g b ON a.ckey = b.ckey AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT doc_a, doc_b, overlap,
+             CAST(overlap AS DOUBLE) / n_a AS r,
+             CAST(overlap AS DOUBLE) / n_b AS p
+      FROM pairs WHERE overlap > 0)
+    SELECT doc_a, doc_b, overlap,
+           round(r, 6) AS rouge2_recall,
+           round(p, 6) AS rouge2_precision,
+           round(2 * p * r / (p + r), 6) AS rouge2_f1
+    FROM scored
+    ORDER BY rouge2_f1 DESC, doc_a, doc_b LIMIT 20
+    """,
+)
+def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 overlap scoring between near-dup CANDIDATES — the
+    summarization-eval metric repurposed as the graded-similarity tier
+    between exact dedup (binary) and edit distance (character-level):
+    distinct-bigram recall/precision/F1 per candidate pair, top-20 by F1
+    with pinned tie-break. Like `text_edit_distance`, the quadratic
+    kernel runs ONLY on pairs sharing a candidate key
+    (`with_candidate_key`; the identical code path composes over
+    MinHash band keys at scale), never all-pairs. Counts are exact
+    integers (distinct bigrams via row-local transform + array_distinct,
+    overlap via array_intersect size); recall/precision/F1 are one
+    fixed-order double expression each, rounded once — both engines
+    divide the same exact ints.
+
+    Scale: the per-doc bigram set is a row-local generator (no
+    shuffle); the pair join is the candidate equi-join; per-pair cost
+    is set intersection on bounded token arrays — the shape LLM-eval
+    contamination checks (ROUGE against eval sets) run at corpus
+    scale."""
+    d = with_candidate_key(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    g = (
+        d.select("doc_id", "ckey", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "ckey",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.size("toks") - F.lit(2)
+                    ),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("bigrams"),
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.ckey") == F.col("b.ckey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect(F.col("a.bigrams"), F.col("b.bigrams")))
+        .cast("long")
+        .alias("overlap"),
+        F.size(F.col("a.bigrams")).cast("long").alias("n_a"),
+        F.size(F.col("b.bigrams")).cast("long").alias("n_b"),
+    )
+    r = F.col("overlap").cast("double") / F.col("n_a")
+    p = F.col("overlap").cast("double") / F.col("n_b")
+    return (
+        pairs.filter(F.col("overlap") > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "overlap",
+            F.round(r, 6).alias("rouge2_recall"),
+            F.round(p, 6).alias("rouge2_precision"),
+            F.round(2 * p * r / (p + r), 6).alias("rouge2_f1"),
+        )
+        .orderBy(F.desc("rouge2_f1"), "doc_a", "doc_b")
+        .limit(20)
+    )
