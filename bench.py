@@ -176,6 +176,7 @@ GROUP7 = [
     "sink_auto_compaction",
     "sink_merge_delete",
     "sink_schema_evolution_commit",
+    "sink_acid_upsert",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -2296,3 +2296,122 @@ def sink_schema_evolution_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "sink_acid_upsert",
+    oracle=f"""
+    WITH upd AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                            AND o_orderdate < TIMESTAMP '1997-01-01'
+                            AND o_orderkey % 5 = 0
+                           THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                                + 500
+                           ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                      END) AS BIGINT) AS cents
+      FROM orders),
+    ins AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT) + 123)
+                  AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 1000 = 7)
+    SELECT CAST(1 AS INT) AS files_rewritten,
+           CAST(2 AS INT) AS files_added,
+           CAST(upd.n + ins.n AS BIGINT) AS n_rows,
+           CAST(upd.cents + ins.cents AS BIGINT) AS cents
+    FROM upd CROSS JOIN ins
+    """,
+)
+def sink_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) through the commit log — the U that completes
+    CRUD on the snapshot table (append = C, time travel = R, COW delete
+    = D): a change batch carries UPDATES (a 500-cent surcharge on every
+    fifth 1996 order) and INSERTS (re-keyed synthetic orders). The merge
+    plans like a real format's: file-level pruning intersects the update
+    keys with the year layout (only the 1996 file is touched — path
+    metadata, asserted), that ONE file is rewritten with the updates
+    applied via a key join, inserts land as a fresh file, and the whole
+    batch commits atomically as (remove=[1996 file], add=[rewrite,
+    inserts]) — readers see the old table or the fully-merged one, never
+    a half-merge, and a concurrent append elsewhere would survive the
+    rebase while a concurrent rewrite of the SAME file aborts
+    (`CommitConflict`). The oracle recomputes updates + inserts from the
+    source table, so a lost update, a double-applied surcharge, or a
+    dropped insert breaks the count/cents hash.
+
+    Scale: rewrite cost ∝ files the update keys touch (the clustering
+    pay-off — see `sink_zorder_write`); inserts are pure appends; the
+    atomic swap is the same KB manifest CAS as every writer; this is
+    Delta MERGE / Iceberg copy-on-write MERGE reduced to its protocol
+    essence."""
+    root = _scratch(sf_dir, "acid_upsert_table")
+    log_dir = os.path.join(root, "log")
+    data_dir = os.path.join(root, "data")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(data_dir)
+    )
+    all_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    _commit_snapshot(log_dir, all_files)  # v1
+
+    # MERGE batch: updates target only 1996 keys → file-level pruning
+    affected = [f for f in all_files if f"{os.sep}o_year=1996{os.sep}" in f]
+    if len(affected) != 1:
+        raise RuntimeError(f"expected one 1996 file, got {affected}")
+    rewrite_dir = os.path.join(root, "rewrite")
+    (
+        spark.read.parquet(*affected)
+        .withColumn(
+            "cents",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("cents") + 500
+            ).otherwise(F.col("cents")),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(rewrite_dir)
+    )
+    insert_dir = os.path.join(root, "inserts")
+    (
+        o.filter(F.col("o_orderkey") % 1000 == 7)
+        .select(
+            (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+            F.lit("2002-01-01").cast("timestamp").alias("o_orderdate"),
+            (F.col("cents") + 123).alias("cents"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(insert_dir)
+    )
+    adds = _data_files_of(rewrite_dir) + _data_files_of(insert_dir)
+    _commit_snapshot(log_dir, adds, remove_files=affected)  # v2: the MERGE
+
+    head = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    if set(affected) & set(head):
+        raise RuntimeError("merged-away file still referenced")
+    if not (set(all_files) - set(affected)) <= set(head):
+        raise RuntimeError("merge disturbed untouched files")
+    return spark.read.parquet(*head).agg(
+        F.lit(len(affected)).cast("int").alias("files_rewritten"),
+        F.lit(len(adds)).cast("int").alias("files_added"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
