@@ -177,6 +177,7 @@ GROUP7 = [
     "sink_merge_delete",
     "sink_schema_evolution_commit",
     "sink_acid_upsert",
+    "scan_branch_tag_refs",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

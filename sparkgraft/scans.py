@@ -2415,3 +2415,138 @@ def sink_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "scan_branch_tag_refs",
+    oracle=f"""
+    SELECT 'branch:audit' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}' OR o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'branch:main' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}' OR o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'tag:baseline' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}'
+    ORDER BY ref
+    """,
+)
+def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED REFS on the snapshot log — tags and branches (the
+    Iceberg-refs / Git-for-data model) closing the catalog layer over
+    the r8 commit protocol: snapshots stay immutable CAS-committed
+    manifests; REFS are the one mutable layer, a name → version pointer
+    updated atomically (write-temp + `os.replace` — rename IS the right
+    primitive here because a ref update intentionally supersedes, unlike
+    a version publish where rename's silent overwrite is the bug).
+    History: v1 = pre-{_CC_CUTOFF} orders, tagged `baseline` (a tag is a
+    frozen pointer); `main` advances to v2 (+ even remaining orders)
+    while `audit`, branched at v1, advances to v3 (+ odd remaining
+    orders) — two lines of development over SHARED immutable v1 files,
+    no copy (asserted: both heads reference v1's file list; their deltas
+    are disjoint). Reads resolve name → version → manifest → files; the
+    oracle pins all three resolutions (tag, both branch heads), so a ref
+    pointing at the wrong snapshot or a branch leaking the other
+    branch's files breaks the hash.
+
+    Scale: a ref is one integer in one file — branching a 100 TB table
+    is O(1) and shares every byte until the branches diverge; ref
+    resolution adds one KB read to query planning. The divergent-
+    branches shape is exactly how a real pipeline stages a risky
+    backfill (`audit`) against production (`main`) on one storage
+    footprint."""
+    root = _scratch(sf_dir, "refs_table")
+    log_dir = os.path.join(root, "log")
+    refs_dir = os.path.join(root, "refs")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(refs_dir, exist_ok=True)
+    for d in (log_dir, refs_dir):
+        for v in os.listdir(d):
+            os.unlink(os.path.join(d, v))
+
+    def set_ref(name: str, version: int) -> None:
+        tmp = os.path.join(refs_dir, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(refs_dir, name))
+
+    def get_ref(name: str) -> int:
+        with open(os.path.join(refs_dir, name)) as fh:
+            return int(fh.read())
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CC_CUTOFF).cast("timestamp")
+    base_dir = os.path.join(root, "base")
+    even_dir = os.path.join(root, "even")
+    odd_dir = os.path.join(root, "odd")
+    o.filter(F.col("o_orderdate") < cutoff).write.mode("overwrite").parquet(
+        base_dir
+    )
+    rest = o.filter(F.col("o_orderdate") >= cutoff)
+    rest.filter(F.col("o_orderkey") % 2 == 0).write.mode(
+        "overwrite"
+    ).parquet(even_dir)
+    rest.filter(F.col("o_orderkey") % 2 == 1).write.mode(
+        "overwrite"
+    ).parquet(odd_dir)
+
+    v1, _ = _commit_snapshot(log_dir, _data_files_of(base_dir))
+    set_ref("tag_baseline", v1)  # frozen pointer
+    set_ref("branch_main", v1)
+    set_ref("branch_audit", v1)  # branch = cheap pointer copy, zero data
+
+    # main advances: child of main's head (v1) + even files
+    base_files = _read_manifest(log_dir, get_ref("branch_main"))["files"]
+    v2, _ = _commit_snapshot(log_dir, _data_files_of(even_dir))
+    set_ref("branch_main", v2)
+    # audit advances INDEPENDENTLY from ITS head (v1) + odd files; the
+    # log is shared and linear, the branch structure lives in the refs —
+    # v3's parent-by-ref is v1, so build its file list from v1, not head
+    if not _try_publish(
+        log_dir,
+        v2 + 1,
+        base_files + _data_files_of(odd_dir),
+    ):
+        raise RuntimeError("branch commit lost an uncontended CAS")
+    set_ref("branch_audit", v2 + 1)
+
+    main_files = set(_read_manifest(log_dir, get_ref("branch_main"))["files"])
+    audit_files = set(
+        _read_manifest(log_dir, get_ref("branch_audit"))["files"]
+    )
+    shared = set(base_files)
+    if not (shared <= main_files and shared <= audit_files):
+        raise RuntimeError("branches do not share the v1 files")
+    if (main_files - shared) & (audit_files - shared):
+        raise RuntimeError("branch deltas are not disjoint")
+    if get_ref("tag_baseline") != v1:
+        raise RuntimeError("tag moved — tags are frozen")
+
+    per = []
+    for ref, name in [
+        ("branch:audit", "branch_audit"),
+        ("branch:main", "branch_main"),
+        ("tag:baseline", "tag_baseline"),
+    ]:
+        files = _read_manifest(log_dir, get_ref(name))["files"]
+        per.append(
+            spark.read.parquet(*files).agg(
+                F.lit(ref).alias("ref"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("cents"),
+            )
+        )
+    out = per[0]
+    for df in per[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("ref")
