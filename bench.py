@@ -178,6 +178,7 @@ GROUP7 = [
     "sink_schema_evolution_commit",
     "sink_acid_upsert",
     "scan_branch_tag_refs",
+    "scan_distcp_verify",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

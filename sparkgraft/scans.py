@@ -2550,3 +2550,95 @@ def scan_branch_tag_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per[1:]:
         out = out.unionByName(df)
     return out.orderBy("ref")
+
+
+@query(
+    "scan_distcp_verify",
+    oracle=f"""
+    SELECT CAST(4 AS INT) AS n_files, TRUE AS digests_match,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    """,
+)
+def scan_distcp_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED COPY with checksum verification — `hadoop distcp`,
+    the fleet-migration workhorse, in its Spark-native form: the source
+    table's files are listed by the binaryFile source and each EXECUTOR
+    copies its files byte-for-byte (one `mapInPandas` pass emitting
+    (file, md5-of-source, md5-of-written-copy) — the copy happens where
+    the task runs, the driver never sees a payload byte), then the audit
+    joins nothing and trusts nothing: per-file source and destination
+    digests are recomputed and compared (asserted all equal, count
+    asserted == source file count), and the RELOADED copy's aggregate
+    must equal the source-table oracle — a torn copy, a dropped file, or
+    a silent truncation breaks either the digest gate or the hash.
+
+    Scale: this is embarrassingly parallel file work — throughput =
+    executors × disk bandwidth, exactly distcp's model; checksums ride
+    in the same pass as the copy (no second read of the source); the
+    driver handles only (path, digest) rows. The 4-file layout is
+    written first so the copy is provably multi-file at every SF."""
+    import hashlib
+
+    import pandas as pd
+
+    root = _scratch(sf_dir, "distcp")
+    src_dir = os.path.join(root, "src")
+    dst_dir = os.path.join(root, "dst")
+    os.makedirs(dst_dir, exist_ok=True)
+    load(spark, sf_dir, "orders").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    src_files = _data_files_of(src_dir)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(src_dir)
+        .select("path", "content")
+    )
+
+    def copy_verify(batches):
+        for pdf in batches:
+            rows = []
+            for uri, content in zip(pdf["path"], pdf["content"]):
+                src = uri[len("file:"):] if uri.startswith("file:") else uri
+                data = bytes(content)
+                dst = os.path.join(dst_dir, os.path.basename(src))
+                tmp = dst + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as fh:
+                    fh.write(data)
+                os.replace(tmp, dst)
+                with open(dst, "rb") as fh:
+                    back = fh.read()
+                rows.append(
+                    (
+                        os.path.basename(src),
+                        hashlib.md5(data).hexdigest(),
+                        hashlib.md5(back).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["file", "src_md5", "dst_md5"]
+            )
+
+    report = files.mapInPandas(
+        copy_verify, "file string, src_md5 string, dst_md5 string"
+    ).collect()  # one (path, digest, digest) row per file — KB metadata
+    if len(report) != len(src_files):
+        raise RuntimeError(
+            f"copied {len(report)} files, source has {len(src_files)}"
+        )
+    match = all(r["src_md5"] == r["dst_md5"] for r in report)
+    if not match:
+        raise RuntimeError("distcp checksum mismatch")
+    return spark.read.parquet(dst_dir).agg(
+        F.lit(len(report)).cast("int").alias("n_files"),
+        F.lit(bool(match)).alias("digests_match"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
