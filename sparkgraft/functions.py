@@ -1258,21 +1258,19 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.element_at(parts, 3).cast("long") * 256
         + F.element_at(parts, 4).cast("long")
     )
-    block = (
-        F.when(
-            F.expr(f"ip_int div 16777216") == _CIDR_BLOCKS[0][1] // 16777216,
-            F.lit(_CIDR_BLOCKS[0][0]),
+    # Column arithmetic built once from _CIDR_BLOCKS (r9 ADVICE fix: was
+    # stray-f-string F.expr references to the "ip_int" alias); the prefix
+    # compare ip >> (32−p) == net >> (32−p) is pure int64 shifts, the
+    # oracle's integer division by 2^(32−p) is the same value.
+    block = None
+    for name, net, p in _CIDR_BLOCKS:
+        cond = F.shiftright(F.col("ip_int"), 32 - p) == (net >> (32 - p))
+        block = (
+            F.when(cond, F.lit(name))
+            if block is None
+            else block.when(cond, F.lit(name))
         )
-        .when(
-            F.expr(f"ip_int div 1048576") == _CIDR_BLOCKS[1][1] // 1048576,
-            F.lit(_CIDR_BLOCKS[1][0]),
-        )
-        .when(
-            F.expr(f"ip_int div 65536") == _CIDR_BLOCKS[2][1] // 65536,
-            F.lit(_CIDR_BLOCKS[2][0]),
-        )
-        .otherwise(F.lit("public"))
-    )
+    block = block.otherwise(F.lit("public"))
     return (
         e.select(ip_int.alias("ip_int"))
         .select("ip_int", block.alias("block"))

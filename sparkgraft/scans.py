@@ -2578,8 +2578,14 @@ def scan_distcp_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is embarrassingly parallel file work — throughput =
     executors × disk bandwidth, exactly distcp's model; checksums ride
     in the same pass as the copy (no second read of the source); the
-    driver handles only (path, digest) rows. The 4-file layout is
-    written first so the copy is provably multi-file at every SF."""
+    driver handles only (path, digest) rows. The task ships ONLY the
+    path (binaryFile content column pruned out of the scan) and streams
+    the copy in 8 MiB chunks inside the task — no whole-file blob ever
+    crosses Arrow or sits in task memory, so binaryFile's 2 GB per-file
+    cap and per-task heap are both out of the picture (r9 ADVICE fix;
+    previously the content column materialized each file in memory).
+    The 4-file layout is written first so the copy is provably
+    multi-file at every SF."""
     import hashlib
 
     import pandas as pd
@@ -2597,27 +2603,39 @@ def scan_distcp_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(src_dir)
-        .select("path", "content")
+        .select("path")  # content pruned — the copy streams from disk
+        .repartition(len(src_files))
     )
 
     def copy_verify(batches):
+        chunk = 8 << 20
         for pdf in batches:
             rows = []
-            for uri, content in zip(pdf["path"], pdf["content"]):
+            for uri in pdf["path"]:
                 src = uri[len("file:"):] if uri.startswith("file:") else uri
-                data = bytes(content)
                 dst = os.path.join(dst_dir, os.path.basename(src))
                 tmp = dst + f".tmp{os.getpid()}"
-                with open(tmp, "wb") as fh:
-                    fh.write(data)
+                src_h = hashlib.md5()
+                with open(src, "rb") as rfh, open(tmp, "wb") as wfh:
+                    while True:
+                        block = rfh.read(chunk)
+                        if not block:
+                            break
+                        src_h.update(block)
+                        wfh.write(block)
                 os.replace(tmp, dst)
+                dst_h = hashlib.md5()
                 with open(dst, "rb") as fh:
-                    back = fh.read()
+                    while True:
+                        block = fh.read(chunk)
+                        if not block:
+                            break
+                        dst_h.update(block)
                 rows.append(
                     (
                         os.path.basename(src),
-                        hashlib.md5(data).hexdigest(),
-                        hashlib.md5(back).hexdigest(),
+                        src_h.hexdigest(),
+                        dst_h.hexdigest(),
                     )
                 )
             yield pd.DataFrame(

@@ -1444,11 +1444,15 @@ def stream_acid_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     if 1 not in committed_batches():
         raise RuntimeError("crashed batch's commit is missing — wrong kill point")
     n_before = len(_log_versions(log_dir))
+    n_phase1 = len(delivered)  # slice point for the restart's deliveries
+    # (r9 ADVICE fix: indexing the SECOND occurrence of batch 1 found the
+    # phase-1 delivery whenever the restart delivered out of order, so
+    # the first-redelivery assert could never fire)
 
     run_phase()  # restart: batch 1 re-delivered, must be SKIPPED
-    phase2 = delivered[delivered.index(1, 1):] if delivered.count(1) > 1 else []
+    phase2 = delivered[n_phase1:]
     if not phase2 or phase2[0] != 1:
-        raise RuntimeError(f"batch 1 was not re-delivered: {delivered}")
+        raise RuntimeError(f"batch 1 was not re-delivered first: {delivered}")
     versions = _log_versions(log_dir)
     if len(versions) != n_before + 2:  # batches 2 and 3 only — 1 skipped
         raise RuntimeError(

@@ -300,6 +300,16 @@ _MINHASH_BANDS = 4
 _MINHASH_ROWS = 4
 _SHINGLE_W = 3  # word-shingle width
 
+# Engine-mirrorable 60-bit string hash (r9, the discipline that converted
+# the LSH family's rows-only keys to hash-checked): the low 15 hex chars
+# of md5 parsed as an integer — md5 is bit-identical across engines, 15
+# hex chars < 2^60 always fit a signed int64, and both parse forms below
+# were verified byte-equal on ASCII, unicode, and empty strings. k
+# independent functions come from folding a seed prefix 'i:' into the
+# hashed text (the same fold the xxhash64 version used).
+_MD5_60_SPARK = "cast(conv(substring(md5({x}), 18, 15), 16, 10) as bigint)"
+_MD5_60_DUCK = "('0x' || substring(md5({x}), 18, 15))::BIGINT"
+
 
 def _shingles(df: DataFrame) -> DataFrame:
     """(doc_id, shingle) — distinct w-word shingles per document. The
@@ -316,21 +326,28 @@ def _shingles(df: DataFrame) -> DataFrame:
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """One row per doc: minhash_0..minhash_{k-1} (k = bands × rows).
 
-    Hash family: xxhash64(seed_i, shingle) — k independent functions from
-    one primitive by folding the seed into the hash input. The k mins are
-    computed in ONE groupBy pass (k partial-min aggregates), not k passes.
-    """
+    Hash family (r9): md5-slice('i:' ‖ shingle) — k independent functions
+    from one ENGINE-MIRRORABLE primitive by folding the seed into the
+    hash input (`_MD5_60_SPARK`/`_MD5_60_DUCK`; formerly xxhash64, which
+    no oracle engine could recompute). The k mins are computed in ONE
+    groupBy pass (k partial-min aggregates), not k passes."""
     k = _MINHASH_BANDS * _MINHASH_ROWS
     sh = _shingles(docs)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}") for i in range(k)
+        F.min(
+            F.expr(_MD5_60_SPARK.format(x=f"concat('{i}:', shingle)"))
+        ).alias(f"mh_{i}")
+        for i in range(k)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def band_keys(sigs: DataFrame) -> DataFrame:
     """(doc_id, band, band_key) — one LSH bucket key per (doc, band),
-    band_key = hash of that band's minhash rows. Shared by the candidate
+    band_key = that band's minhash rows joined as a canonical decimal
+    CSV (r9: was xxhash64 of the columns — the literal value string is
+    just as bucket-able, needs no engine hash, and the DuckDB oracle
+    reproduces it with string_agg ORDER BY i). Shared by the candidate
     pair generator (dedup_near_minhash) and with_candidate_key."""
     bands = []
     for b in range(_MINHASH_BANDS):
@@ -339,7 +356,7 @@ def band_keys(sigs: DataFrame) -> DataFrame:
             sigs.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("band_key"),
+                F.concat_ws(",", *cols).alias("band_key"),
             )
         )
     bucketed = bands[0]
@@ -348,7 +365,34 @@ def band_keys(sigs: DataFrame) -> DataFrame:
     return bucketed
 
 
-@query("dedup_near_minhash")  # rows-only: hash-seed-specific buckets
+def _minhash_oracle() -> str:
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    h = _MD5_60_DUCK.format(x="s.i::VARCHAR || ':' || shingle")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_SHINGLE_W - 1}], ' '))) AS shingle
+      FROM toks),
+    mins AS MATERIALIZED (
+      SELECT doc_id, s.i, min({h}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) s
+      GROUP BY doc_id, s.i),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM mins GROUP BY doc_id, i // {_MINHASH_ROWS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_near_minhash", oracle=_minhash_oracle())
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via MinHash-LSH banding.
 
@@ -356,7 +400,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     → pairs within buckets only. The O(n²) pair space is never formed;
     work is proportional to bucket sizes. Invariant-tested: every exact
     duplicate pair must surface as a candidate (tests/test_invariants.py).
-    """
+
+    HASH-CHECKED since r9 (was rows-only through r8): the hash family
+    moved from engine-private xxhash64 onto the md5-slice primitive
+    (`_MD5_60_SPARK`, bit-identical in any engine), and the band key is
+    the band's minhash values themselves (canonical decimal CSV) rather
+    than a second engine hash — so the ORACLE above recomputes the whole
+    pipeline (shingles → k mins → band CSV → bucket join → distinct
+    pairs) and parity is exact on any corpus, the r8
+    `dedup_embedding_cosine` discipline applied to MinHash. The banding
+    math is unchanged: P(candidate) = 1 − (1 − j^rows)^bands on Jaccard
+    similarity j, and exact duplicates still collide in every band."""
     bucketed = band_keys(minhash_signatures(load(spark, sf_dir, "documents")))
     a = bucketed.alias("a")
     b = bucketed.alias("b")
@@ -602,30 +656,109 @@ def _tokens_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: hash-seed-specific signatures
+# SimHash geometry: 64 signature bits = 60 from the md5 low slice + 4
+# from the high slice (15 hex chars each keep every parsed value < 2^60,
+# inside int64 on both engines — the _MD5_60 envelope).
+_SIMHASH_BITS = 64
+_SIMHASH_BAND_BITS = 16
+_MD5_60_HI_SPARK = "cast(conv(substring(md5({x}), 2, 15), 16, 10) as bigint)"
+_MD5_60_HI_DUCK = "('0x' || substring(md5({x}), 2, 15))::BIGINT"
+
+
+def _simhash_bit_src(i: int, lo: str = "h_lo", hi: str = "h_hi") -> tuple[str, int]:
+    """(column, shift) supplying signature bit i: bits 0-59 from the low
+    md5 slice, 60-63 from the high slice — identical on both engines."""
+    return (lo, i) if i < 60 else (hi, i - 60)
+
+
+def _simhash_oracle() -> str:
+    n_bands = _SIMHASH_BITS // _SIMHASH_BAND_BITS
+    bit_sums = ",\n             ".join(
+        "sum(CASE WHEN ({c} >> {s}) & 1 = 1 THEN 1 ELSE -1 END) AS bit_{i}".format(
+            c=(src := _simhash_bit_src(i))[0], s=src[1], i=i
+        )
+        for i in range(_SIMHASH_BITS)
+    )
+    band_cols = ",\n             ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN bit_{nb * _SIMHASH_BAND_BITS + i} > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(_SIMHASH_BAND_BITS)
+        )
+        + f") AS band_{nb}"
+        for nb in range(n_bands)
+    )
+    bucketed = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {nb} AS band, band_{nb} AS key FROM keys_"
+        for nb in range(n_bands)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents),
+    h AS MATERIALIZED (
+      SELECT doc_id,
+             {_MD5_60_DUCK.format(x='token')} AS h_lo,
+             {_MD5_60_HI_DUCK.format(x='token')} AS h_hi
+      FROM tok),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             {bit_sums}
+      FROM h GROUP BY doc_id),
+    keys_ AS MATERIALIZED (
+      SELECT doc_id,
+             {band_cols}
+      FROM sig),
+    bucketed AS MATERIALIZED (
+      {bucketed})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bucketed a JOIN bucketed b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + banded-LSH candidate pairs.
 
     Each bit b of the signature is sign(Σ_tokens ±1) where the ± comes
-    from bit b of xxhash64(token) — all 64 bits computed as conditional-
+    from bit b of the token's hash — all 64 bits computed as conditional-
     sum aggregates in ONE pass over the tokens. Candidates = pairs
     sharing any of the 4 16-bit bands (Hamming-distance LSH). Band width
     sets the bucket count (2^16 per band), which is what keeps buckets —
     and therefore the within-bucket pair blow-up — small as the corpus
     grows; a 16-bit signature with 4-bit bands degenerates to ~all-pairs
     at merely thousands of documents.
-    """
-    n_bits, band_bits = 64, 16
+
+    HASH-CHECKED since r9 (was rows-only through r8): the per-token bit
+    source moved from engine-private xxhash64 onto TWO md5 slices
+    (`_MD5_60_SPARK` low 60 bits + `_MD5_60_HI_SPARK` for bits 60-63 —
+    both exact int64 parses of md5 hex, bit-identical in any engine), so
+    the ORACLE recomputes the whole pipeline — token hashes, 64 ±1 sums,
+    sign bits (ties at Σ=0 fall to 0 on both sides: exact integers, same
+    `> 0` predicate), 16-bit band keys, bucket join, distinct pairs —
+    and parity is exact on any corpus; the r8 `dedup_embedding_cosine`
+    discipline applied to SimHash."""
+    n_bits, band_bits = _SIMHASH_BITS, _SIMHASH_BAND_BITS
     n_bands = n_bits // band_bits
     tok = _tokens(spark, sf_dir).select("doc_id", "token")
-    h = F.xxhash64("token")
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bit_{i}")
-        for i in range(n_bits)
-    ]
-    sig = tok.groupBy("doc_id").agg(*bit_aggs)
+    hashed = tok.select(
+        "doc_id",
+        F.expr(_MD5_60_SPARK.format(x="token")).alias("h_lo"),
+        F.expr(_MD5_60_HI_SPARK.format(x="token")).alias("h_hi"),
+    )
+    bit_aggs = []
+    for i in range(n_bits):
+        col, shift = _simhash_bit_src(i)
+        bit_aggs.append(
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(col), shift).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"bit_{i}")
+        )
+    sig = hashed.groupBy("doc_id").agg(*bit_aggs)
     band_keys = [
         sum(
             (
