@@ -1405,6 +1405,43 @@ def dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_zval(o: DataFrame):
+    """16-bit Morton key over (o_custkey, o_orderdate): each key
+    quantizes to 8 bits over its observed range (bounds from one 1-row
+    aggregate), the z-value interleaves them (c7 d7 c6 d6 …) as pure
+    JVM bit arithmetic inside whole-stage codegen. Shared by
+    `sink_zorder_write` (the clustered initial write) and
+    `sink_optimize_zorder` (the re-clustering OPTIMIZE commit)."""
+    bounds = o.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    ).collect()[0]
+    cspan = int(bounds["cmax"]) - int(bounds["cmin"]) + 1
+    dspan = (bounds["dmax"] - bounds["dmin"]).days + 1
+    cb = (
+        (F.col("o_custkey") - F.lit(int(bounds["cmin"])))
+        * 256
+        / F.lit(cspan)
+    ).cast("int")
+    db = (
+        F.datediff(F.to_date("o_orderdate"), F.lit(str(bounds["dmin"])))
+        * 256
+        / F.lit(dspan)
+    ).cast("int")
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(
+                F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1
+            )
+            + F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
 @query(
     "sink_zorder_write",
     oracle="""
@@ -1437,35 +1474,8 @@ def sink_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     rectangles as there are output partitions."""
     out = _scratch(sf_dir, "orders_zorder")
     o = load(spark, sf_dir, "orders")
-    bounds = o.agg(
-        F.min("o_custkey").alias("cmin"),
-        F.max("o_custkey").alias("cmax"),
-        F.min(F.to_date("o_orderdate")).alias("dmin"),
-        F.max(F.to_date("o_orderdate")).alias("dmax"),
-    ).collect()[0]
-    cspan = int(bounds["cmax"]) - int(bounds["cmin"]) + 1
-    dspan = (bounds["dmax"] - bounds["dmin"]).days + 1
-    cb = (
-        (F.col("o_custkey") - F.lit(int(bounds["cmin"])))
-        * 256
-        / F.lit(cspan)
-    ).cast("int")
-    db = (
-        F.datediff(F.to_date("o_orderdate"), F.lit(str(bounds["dmin"])))
-        * 256
-        / F.lit(dspan)
-    ).cast("int")
-    z = F.lit(0)
-    for i in range(8):
-        z = (
-            z
-            + F.shiftleft(
-                F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1
-            )
-            + F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
     (
-        o.withColumn("zval", z)
+        o.withColumn("zval", _orders_zval(o))
         .repartitionByRange(8, "zval")
         .sortWithinPartitions("zval")
         .drop("zval")
@@ -2655,6 +2665,696 @@ def scan_distcp_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(dst_dir).agg(
         F.lit(len(report)).cast("int").alias("n_files"),
         F.lit(bool(match)).alias("digests_match"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+# --- merge-on-read deletes (r9: deletion vectors — the MOR half of the
+# row-level-change matrix; sink_merge_delete/sink_acid_upsert are the
+# copy-on-write half) ---
+
+_MOR_DELETE_CLASS = "deletes"  # path segment classifying tombstone files
+
+
+def _split_head_files(files: list[str]) -> tuple[list[str], list[str]]:
+    """Partition a snapshot's file list into (data, delete) classes by
+    the tombstone path convention — the single-node essence of Iceberg's
+    separate data/delete manifests (the class rides in KB metadata, the
+    reader never opens a file to learn what kind it is)."""
+    seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+    deletes = [f for f in files if seg in f]
+    data = [f for f in files if seg not in f]
+    return data, deletes
+
+
+_MOR_PRED_SQL = "o_orderkey % 10 = 3"  # scatters over EVERY data file
+
+
+@query(
+    "sink_merge_on_read_delete",
+    oracle=f"""
+    SELECT CAST(0 AS INT) AS files_rewritten_at_delete,
+           CAST(1 AS INT) AS n_delete_files,
+           TRUE AS fold_equals_mor,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders WHERE NOT ({_MOR_PRED_SQL})
+    """,
+)
+def sink_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level DELETE (deletion vectors) — the write
+    path frequent small deletes need at 100 TB, where copy-on-write
+    (`sink_merge_delete`) cannot afford a per-commit rewrite. The
+    predicate here deliberately SCATTERS across every data file
+    (orderkey % 10 — COW would rewrite the whole table); the delete
+    commits as an ADD-ONLY delta of one KB-scale EQUALITY-DELETE file
+    (the matching keys as parquet under the `deletes/` path class) —
+    zero data files rewritten, asserted in-key: the head still
+    references every v1 data file byte-identically and the only new
+    file is the tombstone. Readers MERGE at scan time: data files
+    LEFT ANTI JOIN the union of delete files on the key (the tombstone
+    side is KB — Spark broadcasts it); time travel to v1 still shows
+    the deleted rows (asserted). A later fold commit (the OPTIMIZE /
+    compaction moment, `sink_auto_compaction`'s policy shape) rewrites
+    the data applying the vector and retires the tombstone in ONE
+    remove/add delta — the post-fold plain read must equal the pre-fold
+    MOR read (asserted row-for-row on the digest), and the head carries
+    zero delete-class files afterwards.
+
+    Scale: delete cost is O(matching keys) metadata + one KB CAS —
+    independent of table size; read overhead is one broadcast anti-join
+    per scan until the next fold amortizes it away (exactly the
+    Delta deletion-vector / Iceberg equality-delete trade). Conflicts
+    inherit the log's semantics: appends commute with the tombstone
+    add; a racer rewriting the same data files surfaces as
+    CommitConflict at fold time."""
+    root = _scratch(sf_dir, "mor_delete_table")
+    log_dir = os.path.join(root, "log")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, _MOR_DELETE_CLASS, "d1")
+    fold_dir = os.path.join(root, "fold")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(data_dir)
+    )
+    v1_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    _commit_snapshot(log_dir, v1_files)  # v1: the base table
+
+    # v2: the DELETE — one equality-delete file, ADD-only commit.
+    (
+        spark.read.parquet(*v1_files)
+        .filter(F.expr(_MOR_PRED_SQL))
+        .select("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(del_dir)
+    )
+    tombstones = _data_files_of(del_dir)
+    if len(tombstones) != 1:
+        raise RuntimeError(f"expected one tombstone file, got {tombstones}")
+    _commit_snapshot(log_dir, tombstones, extra={"op": "mor-delete"})
+
+    head_v2 = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    data_v2, dels_v2 = _split_head_files(head_v2)
+    if sorted(data_v2) != v1_files:
+        raise RuntimeError("MOR delete disturbed data files — must be add-only")
+    if dels_v2 != tombstones:
+        raise RuntimeError(f"head delete class wrong: {dels_v2}")
+    # Time travel: v1 (pre-delete) must still contain the deleted rows.
+    v1_read = spark.read.parquet(*_read_manifest(log_dir, 1)["files"])
+    if v1_read.filter(F.expr(_MOR_PRED_SQL)).limit(1).count() == 0:
+        raise RuntimeError("v1 lost the deleted rows — time travel broken")
+
+    def _mor_read() -> DataFrame:
+        keys = spark.read.parquet(*dels_v2).select("o_orderkey")
+        return spark.read.parquet(*data_v2).join(
+            F.broadcast(keys), "o_orderkey", "left_anti"
+        )
+
+    digest = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    ]
+    mor_row = _mor_read().agg(*digest).collect()[0]
+
+    # v3: the FOLD — rewrite data applying the vector, retire everything.
+    _mor_read().coalesce(2).write.mode("overwrite").parquet(fold_dir)
+    _commit_snapshot(
+        log_dir,
+        _data_files_of(fold_dir),
+        remove_files=head_v2,
+        extra={"op": "mor-fold"},
+    )
+    head_v3 = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    data_v3, dels_v3 = _split_head_files(head_v3)
+    if dels_v3:
+        raise RuntimeError(f"fold left tombstones in the head: {dels_v3}")
+    fold_row = spark.read.parquet(*data_v3).agg(*digest).collect()[0]
+    if (mor_row["n_rows"], mor_row["cents"]) != (
+        fold_row["n_rows"],
+        fold_row["cents"],
+    ):
+        raise RuntimeError(
+            f"fold diverged from MOR read: {mor_row} vs {fold_row}"
+        )
+
+    return spark.read.parquet(*data_v3).agg(
+        F.lit(0).cast("int").alias("files_rewritten_at_delete"),
+        F.lit(1).cast("int").alias("n_delete_files"),
+        F.lit(True).alias("fold_equals_mor"),
+        *digest,
+    )
+
+
+# --- partition evolution through the manifest (r9: the r8 verdict's
+# missing #4 — the layout twin of sink_schema_evolution_commit) ---
+
+_PE_LO, _PE_HI = "1997-01-01", "1998-07-01"  # the cross-generation probe
+
+
+@query(
+    "sink_partition_evolution",
+    oracle=f"""
+    SELECT TRUE AS pruned_gen1, TRUE AS pruned_gen2, TRUE AS old_files_intact,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_PE_LO}'
+      AND o_orderdate <  TIMESTAMP '{_PE_HI}'
+    """,
+)
+def sink_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION through the commit log — commit 2 changes the
+    table's partitioning scheme for FUTURE files while every old file
+    stays under the old layout, byte-identical (asserted): generation 1
+    lands pre-1998 orders partitioned by YEAR; generation 2 appends the
+    1998+ orders partitioned by (YEAR, QUARTER). Re-laying out history
+    is exactly what a 100 TB table cannot afford — evolution must be an
+    O(1) metadata change (Iceberg's spec-per-file contract; here each
+    file's spec is carried by its Hive-style path segments, which live
+    IN the manifest file list — planning never opens a file or lists a
+    directory).
+
+    The read side proves plans span BOTH layout generations: a probe
+    window ({_PE_LO} .. {_PE_HI}) is planned from manifest paths alone —
+    gen-1 files prune by the year key, gen-2 files by (year, quarter) —
+    and the planned set must be a STRICT subset within EACH generation
+    (pruning actually bit on both, asserted; the finer gen-2 spec prunes
+    quarters the coarse gen-1 spec cannot). Bounds prune files, never
+    prove rows: the exact predicate still applies, and the oracle's
+    digest catches both over-prune (lost rows) and under-filter
+    (neighbor rows) — the `scan_manifest_stats_prune` discipline over an
+    evolved layout."""
+    import re
+
+    root = _scratch(sf_dir, "part_evo_table")
+    log_dir = os.path.join(root, "log")
+    gen1_dir = os.path.join(root, "gen1")
+    gen2_dir = os.path.join(root, "gen2")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    cutoff = 1998
+    (
+        o.filter(F.col("o_year") < cutoff)
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(gen1_dir)
+    )
+
+    def _tree_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    gen1_files = _tree_files(gen1_dir)
+    _commit_snapshot(
+        log_dir, gen1_files, extra={"spec": ["o_year"], "spec_id": 1}
+    )  # v1: layout generation 1
+
+    (
+        o.filter(F.col("o_year") >= cutoff)
+        .withColumn("o_quarter", F.quarter("o_orderdate"))
+        .repartition("o_year", "o_quarter")
+        .write.mode("overwrite")
+        .partitionBy("o_year", "o_quarter")
+        .parquet(gen2_dir)
+    )
+    gen2_files = _tree_files(gen2_dir)
+    _commit_snapshot(
+        log_dir,
+        gen2_files,
+        extra={"spec": ["o_year", "o_quarter"], "spec_id": 2},
+    )  # v2: the EVOLUTION — add-only, nothing rewritten
+
+    head = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    if sorted(f for f in head if f.startswith(gen1_dir)) != gen1_files:
+        raise RuntimeError("evolution disturbed generation-1 files")
+
+    # Manifest-only planning: each file's spec is its path segments.
+    year_re = re.compile(rf"o_year=(\d+)\{os.sep}")
+    quarter_re = re.compile(rf"o_quarter=(\d+)\{os.sep}")
+    lo_y, lo_q = 1997, 1  # probe window in (year, quarter) space
+    hi_y, hi_q = 1998, 2  # inclusive: 1997Q1 .. 1998Q2
+
+    def _planned(path: str) -> bool:
+        y = int(year_re.search(path).group(1))
+        qm = quarter_re.search(path)
+        if qm is None:  # gen-1 spec: year bounds only
+            return lo_y <= y <= hi_y
+        q = int(qm.group(1))
+        return (lo_y, lo_q) <= (y, q) <= (hi_y, hi_q)
+
+    sel_gen1 = [f for f in head if f.startswith(gen1_dir) and _planned(f)]
+    sel_gen2 = [f for f in head if f.startswith(gen2_dir) and _planned(f)]
+    if not sel_gen1 or len(sel_gen1) >= len(gen1_files):
+        raise RuntimeError(
+            f"gen-1 pruning did not bite: {len(sel_gen1)}/{len(gen1_files)}"
+        )
+    if not sel_gen2 or len(sel_gen2) >= len(gen2_files):
+        raise RuntimeError(
+            f"gen-2 pruning did not bite: {len(sel_gen2)}/{len(gen2_files)}"
+        )
+
+    return (
+        spark.read.parquet(*sel_gen1, *sel_gen2)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_PE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_PE_HI).cast("timestamp"))
+        )
+        .agg(
+            F.lit(True).alias("pruned_gen1"),
+            F.lit(True).alias("pruned_gen2"),
+            F.lit(True).alias("old_files_intact"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+
+
+# --- OPTIMIZE ZORDER (r9: the r8 verdict's ask #6 — sink_auto_compaction's
+# commit shape re-clustering on sink_zorder_write's Morton key) ---
+
+_OPTZ_TARGET_FILES = 8
+
+
+@query(
+    "sink_optimize_zorder",
+    oracle=f"""
+    SELECT CAST(16 AS INT) AS files_before,
+           CAST({_OPTZ_TARGET_FILES} AS INT) AS files_after,
+           CAST(5 AS INT) AS n_snapshots,
+           TRUE AS zorder_clustered,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    """,
+)
+def sink_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER in one commit — Delta's real OPTIMIZE semantics:
+    compaction and re-clustering are the SAME rewrite, so the small-file
+    debris of incremental ingestion comes back not merely bigger but
+    LAID OUT, and every post-OPTIMIZE scan prunes on both clustered
+    dimensions. Four hash-scattered append commits land 16 small files,
+    each a full-width stripe of the (custkey, orderdate) plane (asserted
+    BEFORE: mean per-file range fraction ≈ 1 on both dimensions — hash
+    placement clusters nothing); the OPTIMIZE commit rewrites the head
+    along `sink_zorder_write`'s Morton key (`_orders_zval`, shared) into
+    {_OPTZ_TARGET_FILES} files and lands as one remove/add delta on the
+    OCC log (`sink_auto_compaction`'s policy shape — concurrent appends
+    survive the rebase, concurrent rewrites abort). The rectangle
+    property is RE-ASSERTED post-compaction in-key: mean per-file range
+    fraction < 0.7 on custkey AND < 0.8 on orderdate (the
+    tests/test_round7_ops.py bound) — an OPTIMIZE that merely
+    concatenated files would fail it every run. Per-file min/max come
+    from ONE distributed input_file_name() pass (the provenance shape),
+    never a per-file loop of jobs.
+
+    Scale: the rewrite reads and writes the compacted region once —
+    at 100 TB OPTIMIZE runs partition-local with unchanged protocol;
+    the z computation is whole-stage-codegen bit arithmetic and the
+    range partitioner samples z like any global sort (no skew, no
+    driver state beyond the 2×2 bounds row). The oracle pins the
+    full-table digest — a rewrite that lost or doubled rows breaks the
+    hash regardless of layout."""
+    root = _scratch(sf_dir, "optimize_zorder_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    q = F.abs(F.xxhash64("o_orderkey")) % 4
+    for i in range(4):  # four ingestion commits, 4 hash-scattered files each
+        d = os.path.join(root, f"ingest{i}")
+        (
+            o.filter(q == i)
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        _commit_snapshot(log_dir, _data_files_of(d))
+
+    before = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    if len(before) != 16:
+        raise RuntimeError(f"ingestion debris wrong: {len(before)} files")
+
+    corpus = o.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.to_date("o_orderdate")).alias("dmin"),
+        F.max(F.to_date("o_orderdate")).alias("dmax"),
+    ).collect()[0]
+    cspan = int(corpus["cmax"]) - int(corpus["cmin"]) + 1
+    dspan = (corpus["dmax"] - corpus["dmin"]).days + 1
+
+    def _mean_fractions(files: list[str]) -> tuple[float, float]:
+        rows = (
+            spark.read.parquet(*files)
+            .select(
+                F.input_file_name().alias("f"),
+                "o_custkey",
+                F.to_date("o_orderdate").alias("d"),
+            )
+            .groupBy("f")
+            .agg(
+                F.min("o_custkey").alias("c0"),
+                F.max("o_custkey").alias("c1"),
+                F.min("d").alias("d0"),
+                F.max("d").alias("d1"),
+            )
+            .collect()  # one row per file — bounded metadata
+        )
+        cf = [ (int(r["c1"]) - int(r["c0"]) + 1) / cspan for r in rows ]
+        df_ = [ ((r["d1"] - r["d0"]).days + 1) / dspan for r in rows ]
+        return sum(cf) / len(cf), sum(df_) / len(df_)
+
+    pre_c, pre_d = _mean_fractions(before)
+    if pre_c < 0.9 or pre_d < 0.9:
+        raise RuntimeError(
+            f"ingestion debris unexpectedly clustered: {pre_c:.2f}/{pre_d:.2f}"
+        )
+
+    # The OPTIMIZE ZORDER commit: re-cluster the whole head on z.
+    zdir = os.path.join(root, "optimized")
+    head_df = spark.read.parquet(*before)
+    (
+        head_df.withColumn("zval", _orders_zval(head_df))
+        .repartitionByRange(_OPTZ_TARGET_FILES, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(zdir)
+    )
+    after_files = _data_files_of(zdir)
+    _commit_snapshot(
+        log_dir, after_files, remove_files=before, extra={"op": "optimize-zorder"}
+    )
+
+    versions = _log_versions(log_dir)
+    head_files = _read_manifest(log_dir, versions[-1])["files"]
+    if versions != [1, 2, 3, 4, 5]:
+        raise RuntimeError(f"log not linear: {versions}")
+    if sorted(head_files) != sorted(after_files):
+        raise RuntimeError("head is not exactly the OPTIMIZE rewrite")
+    post_c, post_d = _mean_fractions(head_files)
+    if post_c >= 0.7 or post_d >= 0.8:
+        raise RuntimeError(
+            f"rewrite is not z-clustered: fractions {post_c:.2f}/{post_d:.2f}"
+        )
+
+    return spark.read.parquet(*head_files).agg(
+        F.lit(len(before)).cast("int").alias("files_before"),
+        F.lit(len(head_files)).cast("int").alias("files_after"),
+        F.lit(len(versions)).cast("int").alias("n_snapshots"),
+        F.lit(True).alias("zorder_clustered"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )
+
+
+@query(
+    "sink_merge_on_read_upsert",
+    oracle="""
+    WITH merged AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+             + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS cents
+      FROM orders
+      UNION ALL
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) + 123 AS cents
+      FROM orders WHERE o_orderkey % 1000 = 7)
+    SELECT CAST(0 AS INT) AS files_rewritten,
+           CAST(2 AS INT) AS files_added,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM merged
+    """,
+)
+def sink_merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPSERT — MERGE INTO as one ADD-only commit, the
+    write path for a merge whose update keys SCATTER over every file
+    (o_orderkey % 5 touches all years — `sink_acid_upsert`'s COW plan
+    would rewrite the whole table; at 100 TB that is not a merge, it is
+    a migration). The commit atomically adds exactly TWO files: an
+    equality-delete tombstone carrying the matched keys and a data file
+    carrying their updated versions plus the inserts — zero rewrite,
+    asserted (every v1 file still referenced byte-identically).
+
+    The read side applies Iceberg's SEQUENCE-NUMBER semantics derived
+    from the log itself: walking the KB manifests gives each file its
+    first-appearance version, and a tombstone applies only to data
+    files COMMITTED BEFORE it — which is what keeps the upsert data
+    file (same keys, same commit) out of its own delete's scope. The
+    oracle recomputes the merged table from the source, so a lost
+    update, a double-applied surcharge (old row surviving the
+    anti-join), or a dropped insert breaks the hash.
+
+    Scale: merge cost = O(matched + inserted rows) written + one KB
+    CAS, independent of table size; the read pays one broadcast
+    anti-join until `sink_merge_on_read_delete`'s fold shape folds the
+    vector. COW vs MOR is a write/read-amplification dial — this key
+    and `sink_acid_upsert` are the two positions on the same log."""
+    root = _scratch(sf_dir, "mor_upsert_table")
+    log_dir = os.path.join(root, "log")
+    data_dir = os.path.join(root, "data")
+    del_dir = os.path.join(root, _MOR_DELETE_CLASS, "u1")
+    up_dir = os.path.join(root, "upsert")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(data_dir)
+    )
+    v1_files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    _commit_snapshot(log_dir, v1_files)  # v1
+
+    matched = F.col("o_orderkey") % 5 == 0
+    base = spark.read.parquet(*v1_files)
+    base.filter(matched).select("o_orderkey").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(del_dir)
+    updates = base.filter(matched).withColumn(
+        "cents", F.col("cents") + 500
+    ).select("o_orderkey", "o_orderdate", "cents")
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 7).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        F.lit("2002-01-01").cast("timestamp").alias("o_orderdate"),
+        (F.col("cents") + 123).alias("cents"),
+    )
+    updates.unionByName(inserts).coalesce(1).write.mode("overwrite").parquet(
+        up_dir
+    )
+    adds = _data_files_of(del_dir) + _data_files_of(up_dir)
+    if len(adds) != 2:
+        raise RuntimeError(f"MOR merge must add exactly 2 files: {adds}")
+    _commit_snapshot(log_dir, adds, extra={"op": "mor-merge"})  # v2
+
+    head = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    data_files, tombstones = _split_head_files(head)
+    if not set(v1_files) <= set(data_files):
+        raise RuntimeError("MOR merge disturbed base files — must be add-only")
+    if len(tombstones) != 1:
+        raise RuntimeError(f"expected one tombstone: {tombstones}")
+
+    # Sequence-scoped read: file -> first-appearance version from the log.
+    first_ver: dict[str, int] = {}
+    for v in _log_versions(log_dir):
+        for f in _read_manifest(log_dir, v)["files"]:
+            first_ver.setdefault(f, v)
+    tomb_ver = first_ver[tombstones[0]]
+    old_data = [f for f in data_files if first_ver[f] < tomb_ver]
+    new_data = [f for f in data_files if first_ver[f] >= tomb_ver]
+    if sorted(old_data) != v1_files or len(new_data) != 1:
+        raise RuntimeError("sequence scoping mis-classified data files")
+
+    keys = spark.read.parquet(*tombstones).select("o_orderkey")
+    merged = (
+        spark.read.parquet(*old_data)
+        .join(F.broadcast(keys), "o_orderkey", "left_anti")
+        .unionByName(spark.read.parquet(*new_data))
+    )
+    return merged.agg(
+        F.lit(0).cast("int").alias("files_rewritten"),
+        F.lit(2).cast("int").alias("files_added"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+# --- manifest-log checkpointing (r9: the "at thousands of commits, a
+# real format checkpoints the log" contract noted in the r8 verdict) ---
+
+
+@query(
+    "scan_log_checkpoint",
+    oracle="""
+    SELECT CAST(12 AS INT) AS n_commits,
+           CAST(10 AS INT) AS checkpoint_version,
+           CAST(2 AS INT) AS manifests_read,
+           TRUE AS matches_full_walk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    """,
+)
+def scan_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG CHECKPOINTING — the O(tail)-resolution contract a commit log
+    needs once commits number in the thousands (Delta's _last_checkpoint
+    / Iceberg's snapshot metadata). This key's table uses a DELTA-FORM
+    log — each manifest records ONLY its commit's added files (Delta's
+    actions-log shape, published through the same `_try_publish`
+    write-temp-then-link CAS; the main `_commit_snapshot` log stores
+    absolute lists, where the head manifest alone is the state and
+    checkpoints are moot — the delta form is exactly WHY real formats
+    checkpoint). Resolving the head therefore means replaying every
+    delta since genesis — O(commits) manifest opens — until a
+    CHECKPOINT materializes the cumulative state: after commit 10 of
+    12, the checkpointer writes the v10 union (derived data, same
+    put-if-absent — racing checkpointers write identical bytes and
+    collide benignly) and advances a `_last_checkpoint` pointer via
+    os.replace (supersede-on-purpose, the `scan_branch_tag_refs` ref
+    discipline). The reader resolves the head opening exactly: the
+    pointer, the checkpoint, and the 2 tail deltas — hard-asserted by
+    counting actual opens — and the result is asserted identical to the
+    full 12-manifest replay before the digest is taken.
+
+    Scale: head resolution drops from O(commits) to O(commits since
+    last checkpoint) — at a commit a minute that is ~half a million
+    manifest reads avoided per year; the checkpoint is KB-per-thousand-
+    files metadata on a fixed cadence. Manifests stay on disk: the
+    checkpoint is a cache, never the truth."""
+    import json
+
+    root = _scratch(sf_dir, "log_checkpoint_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    n_commits, ckpt_at = 12, 10
+
+    def _replay(upto: int, opened: list[str]) -> set[str]:
+        """Union of add-deltas v1..upto — the no-checkpoint reader."""
+        state: set[str] = set()
+        for v in range(1, upto + 1):
+            path = os.path.join(log_dir, f"v{v}.json")
+            opened.append(path)
+            with open(path) as fh:
+                state |= set(json.load(fh)["files"])
+        return state
+
+    for i in range(n_commits):  # one small append commit per slice
+        d = os.path.join(root, f"ingest{i}")
+        (
+            o.filter(F.col("o_orderkey") % n_commits == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        # delta-form manifest: this commit's ADDS only
+        if not _try_publish(log_dir, i + 1, _data_files_of(d)):
+            raise RuntimeError(f"single-writer CAS lost v{i + 1}")
+        if i + 1 == ckpt_at:
+            # checkpointer pays the full replay ONCE, then readers don't
+            state = _replay(ckpt_at, [])
+            tmp = os.path.join(log_dir, f".ckpt-tmp-{os.getpid()}")
+            with open(tmp, "w") as fh:
+                json.dump({"version": ckpt_at, "files": sorted(state)}, fh)
+            try:
+                os.link(tmp, os.path.join(log_dir, f"ckpt-v{ckpt_at}.json"))
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(tmp)
+            ptmp = os.path.join(log_dir, f".lastckpt-tmp-{os.getpid()}")
+            with open(ptmp, "w") as fh:
+                fh.write(str(ckpt_at))
+            os.replace(ptmp, os.path.join(log_dir, "_last_checkpoint"))
+
+    # Checkpoint-based head resolution: pointer -> checkpoint -> tail.
+    opened: list[str] = []
+    with open(os.path.join(log_dir, "_last_checkpoint")) as fh:
+        ckpt_ver = int(fh.read())
+    with open(os.path.join(log_dir, f"ckpt-v{ckpt_ver}.json")) as fh:
+        state = set(json.load(fh)["files"])
+    head_ver = _log_versions(log_dir)[-1]
+    for v in range(ckpt_ver + 1, head_ver + 1):
+        path = os.path.join(log_dir, f"v{v}.json")
+        opened.append(path)
+        with open(path) as fh:
+            state |= set(json.load(fh)["files"])
+    resolved = sorted(state)
+    manifests_read = len(opened)
+
+    if manifests_read != head_ver - ckpt_ver:
+        raise RuntimeError(
+            f"read {manifests_read} tail manifests, expected "
+            f"{head_ver - ckpt_ver}"
+        )
+    if manifests_read >= n_commits - 1:
+        raise RuntimeError("checkpoint saved nothing — reader walked the log")
+    full_opens: list[str] = []
+    full_walk = sorted(_replay(head_ver, full_opens))
+    if len(full_opens) != n_commits:
+        raise RuntimeError("full replay must open every manifest")
+    if resolved != full_walk:
+        raise RuntimeError("checkpoint resolution diverged from full replay")
+
+    return spark.read.parquet(*resolved).agg(
+        F.lit(n_commits).cast("int").alias("n_commits"),
+        F.lit(ckpt_ver).cast("int").alias("checkpoint_version"),
+        F.lit(manifests_read).cast("int").alias("manifests_read"),
+        F.lit(True).alias("matches_full_walk"),
         F.count("*").cast("long").alias("n_rows"),
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long")
