@@ -1326,3 +1326,42 @@ def test_manifest_stats_prune_scans_strict_file_subset(spark):
     )
     assert row.n_rows == o.count()
     assert row.pruned is True
+
+
+def test_mor_delete_read_is_broadcast_anti_join(spark):
+    """r9: the merge-on-read scan must apply the deletion vector as a
+    BROADCAST anti-join (the tombstone is KB-scale) — a shuffled anti
+    join here would move the whole table to delete a handful of rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.scans import (
+        _log_versions,
+        _read_manifest,
+        _scratch,
+        _split_head_files,
+    )
+
+    sparkgraft.QUERIES["sink_merge_on_read_delete"](spark, SF_DIR).collect()
+    log_dir = os.path.join(_scratch(SF_DIR, "mor_delete_table"), "log")
+    v2 = _read_manifest(log_dir, 2)["files"]
+    data, dels = _split_head_files(v2)
+    keys = spark.read.parquet(*dels).select("o_orderkey")
+    mor = spark.read.parquet(*data).join(
+        F.broadcast(keys), "o_orderkey", "left_anti"
+    )
+    plan = _plan(mor)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_optimize_zorder_rewrite_is_codegen_range_sort(spark):
+    """r9: the OPTIMIZE rewrite's digest read-back must stay a plain
+    parquet scan + hash aggregate — no Python eval, no join; the Morton
+    key itself lives in codegen (asserted for sink_zorder_write, whose
+    expression the OPTIMIZE shares)."""
+    df = sparkgraft.QUERIES["sink_optimize_zorder"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
