@@ -1502,6 +1502,12 @@ def _snapshot_cdf_datasource():
 
         def __init__(self, options):
             self.log_dir = options["log_dir"]
+            # emit_deletes=true upgrades the feed to FULL CDF: removed
+            # files' rows stream as change_type='delete' events next to
+            # the adds' 'insert' events (stream_cdf_with_deletes).
+            self.emit_deletes = (
+                options.get("emit_deletes", "false").lower() == "true"
+            )
 
         def _versions(self):
             return sorted(
@@ -1525,16 +1531,30 @@ def _snapshot_cdf_datasource():
 
             import pyarrow.parquet as pq
 
-            added = sorted(
-                set(self._files(version)) - set(self._files(version - 1))
-            )
-            for path in added:
-                t = pq.read_table(path, columns=["o_orderkey", "o_totalprice"])
-                for k, p in zip(
-                    t.column("o_orderkey").to_pylist(),
-                    t.column("o_totalprice").to_pylist(),
-                ):
-                    yield (version, k, int(math.floor(p * 100 + 0.5)))
+            cur = set(self._files(version))
+            prev = set(self._files(version - 1))
+
+            def rows(paths, change):
+                for path in sorted(paths):
+                    t = pq.read_table(
+                        path, columns=["o_orderkey", "o_totalprice"]
+                    )
+                    for k, p in zip(
+                        t.column("o_orderkey").to_pylist(),
+                        t.column("o_totalprice").to_pylist(),
+                    ):
+                        c = int(math.floor(p * 100 + 0.5))
+                        if self.emit_deletes:
+                            yield (version, change, k, c)
+                        else:
+                            yield (version, k, c)
+
+            if self.emit_deletes:
+                # removed files are still on disk inside retention
+                # (vacuum's job, not the commit's) — the CDF reads them
+                # one last time to emit their rows as deletes
+                yield from rows(prev - cur, "delete")
+            yield from rows(cur - prev, "insert")
 
         def initialOffset(self):
             return {"version": 0}
@@ -1561,13 +1581,14 @@ def _snapshot_cdf_datasource():
             return "sparkgraft_snapshot_cdf"
 
         def schema(self):
-            return T.StructType(
-                [
-                    T.StructField("version", T.IntegerType()),
-                    T.StructField("o_orderkey", T.LongType()),
-                    T.StructField("cents", T.LongType()),
-                ]
-            )
+            fields = [T.StructField("version", T.IntegerType())]
+            if self.options.get("emit_deletes", "false").lower() == "true":
+                fields.append(T.StructField("change_type", T.StringType()))
+            fields += [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("cents", T.LongType()),
+            ]
+            return T.StructType(fields)
 
         def simpleStreamReader(self, schema):
             return SnapshotCDFReader(self.options)
@@ -1709,4 +1730,130 @@ def stream_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
         .orderBy("version")
+    )
+
+
+@query(
+    "stream_cdf_with_deletes",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey % 2 = 0 AS is_even
+      FROM orders)
+    SELECT CAST(1 AS INT) AS version, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ev
+    UNION ALL
+    SELECT CAST(2 AS INT), 'delete',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE is_even
+    UNION ALL
+    SELECT CAST(2 AS INT), 'insert',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE is_even AND NOT (o_orderkey % 10 = 3)
+    ORDER BY version, change_type
+    """,
+)
+def stream_cdf_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL change-data-feed — the CDF upgraded from append-tailing
+    (`stream_snapshot_cdf`) to ROW-LEVEL CHANGE SEMANTICS: a commit that
+    REMOVES files (here a copy-on-write delete rewriting the even-key
+    file without its orderkey%10=3 rows) streams the removed files' rows
+    as change_type='delete' events next to the rewrite's 'insert' events
+    — exactly the Delta CDF contract for COW commits, where the change
+    feed is derived from the remove/add delta without any CDC side
+    files. Removed files are readable because vacuum — not the commit —
+    deletes bytes (`sink_merge_delete`'s retention argument); inside
+    retention the feed can always reconstruct the change set. In-key
+    assert: the SIGNED replay of the whole feed (inserts − deletes)
+    equals the head table's digest row-for-row-count and cent-for-cent —
+    a feed that missed a delete, double-emitted an insert, or read a
+    vacuumed ghost breaks the equality before the oracle even sees it.
+
+    Scale: per-commit feed cost is the commit's add+remove file set
+    only; a downstream materialized view applies the feed as signed
+    upserts and never re-reads the table — the standard 100 TB
+    incremental-view pattern."""
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _commit_snapshot, _data_files_of
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfdel-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    for d in (log_dir, out):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even_dir = os.path.join(root, "even")
+    odd_dir = os.path.join(root, "odd")
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(even_dir)
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(odd_dir)
+    even_f = _data_files_of(even_dir)
+    _commit_snapshot(log_dir, even_f + _data_files_of(odd_dir))  # v1
+
+    # v2: COW delete — rewrite the even file without orderkey%10=3 rows
+    rw_dir = os.path.join(root, "rewrite")
+    (
+        spark.read.parquet(*even_f)
+        .filter(~(F.col("o_orderkey") % 10 == 3))
+        .coalesce(1)
+        .write.parquet(rw_dir)
+    )
+    _commit_snapshot(log_dir, _data_files_of(rw_dir), remove_files=even_f)
+
+    spark.dataSource.register(_snapshot_cdf_datasource())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.format("sparkgraft_snapshot_cdf")
+        .option("log_dir", log_dir)
+        .option("emit_deletes", "true")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    feed = spark.read.parquet(os.path.join(out, "b*"))
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+    net = feed.agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("cents")).cast("long").alias("cents"),
+    ).collect()[0]
+    from sparkgraft.scans import _log_versions, _read_manifest
+
+    head_files = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    head = spark.read.parquet(*head_files).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    ).collect()[0]
+    if (net["n"], net["cents"]) != (head["n"], head["cents"]):
+        raise RuntimeError(
+            f"signed feed replay diverged from head: {net} vs {head}"
+        )
+
+    return (
+        feed.groupBy("version", "change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("version", "change_type")
     )

@@ -304,3 +304,30 @@ def test_log_checkpoint_reader_skips_prefix(spark):
             adds = set(json.load(fh)["files"])
         assert not adds & prefix and not adds & tail
         tail |= adds
+
+
+def test_cdf_with_deletes_signed_replay(spark):
+    """The full CDF's per-type rows must reconcile: v2's inserts equal
+    its deletes minus the predicate hits, and the net row count over the
+    whole feed equals the source minus the deleted rows."""
+    rows = {
+        (r["version"], r["change_type"]): (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["stream_cdf_with_deletes"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {(1, "insert"), (2, "delete"), (2, "insert")}
+    o = load(spark, SF_DIR, "orders")
+    n_total = o.count()
+    n_even = o.filter(F.col("o_orderkey") % 2 == 0).count()
+    n_hit = o.filter(
+        (F.col("o_orderkey") % 2 == 0) & (F.col("o_orderkey") % 10 == 3)
+    ).count()
+    assert rows[(1, "insert")][0] == n_total
+    assert rows[(2, "delete")][0] == n_even
+    assert rows[(2, "insert")][0] == n_even - n_hit
+    # odd keys can never hit orderkey%10==3? they can (3, 13 are odd) —
+    # the even-file COW only deletes the EVEN hits; pin that explicitly:
+    assert n_hit == o.filter(F.col("o_orderkey") % 10 == 3).filter(
+        F.col("o_orderkey") % 2 == 0
+    ).count()
