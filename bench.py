@@ -191,6 +191,7 @@ GROUP8 = [
     "sink_merge_on_read_upsert",
     "stream_snapshot_cdf",
     "stream_cdf_with_deletes",
+    "stream_snapshot_cdf_partitioned",
     "sink_partition_evolution",
     "sink_optimize_zorder",
     "scan_log_checkpoint",

@@ -331,3 +331,29 @@ def test_cdf_with_deletes_signed_replay(spark):
     assert n_hit == o.filter(F.col("o_orderkey") % 10 == 3).filter(
         F.col("o_orderkey") % 2 == 0
     ).count()
+
+
+def test_partitioned_cdf_matches_simple_protocol(spark):
+    """The partitioned reader must produce exactly the batch-twin
+    per-version table — distribution changes nothing about content."""
+    got = {
+        (r["version"], r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["stream_snapshot_cdf_partitioned"](
+            spark, SF_DIR
+        ).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    want = {
+        (r["version"], r["n_rows"], r["cents"])
+        for r in o.groupBy(
+            (F.col("o_orderkey") % 3 + 1).cast("int").alias("version")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 3
