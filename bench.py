@@ -195,6 +195,7 @@ GROUP8 = [
     "sink_partition_evolution",
     "sink_optimize_zorder",
     "scan_log_checkpoint",
+    "sink_write_audit_publish",
     "dedup_near_minhash",
     "dedup_simhash",
 ]

@@ -3360,3 +3360,160 @@ def scan_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+@query(
+    "sink_write_audit_publish",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    good AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 1000 = 7)
+    SELECT TRUE AS bad_batch_rejected,
+           TRUE AS good_batch_published,
+           CAST(3 AS INT) AS main_version,
+           CAST((SELECT count(*) FROM base)
+                + (SELECT count(*) FROM good) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(cents) FROM base)
+                + (SELECT sum(cents) FROM good) AS BIGINT) AS cents
+    """,
+)
+def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH — the staging pattern that keeps bad data off
+    production WITHOUT a second copy of the table (Iceberg's WAP /
+    Netflix's audit pattern, composed entirely from this repo's own
+    primitives: CAS snapshot commits + branch refs): every ingest batch
+    COMMITS to the shared immutable log but lands on a STAGING ref;
+    a data-quality audit runs against the staged snapshot; only a
+    passing audit fast-forwards the `main` ref (one atomic os.replace of
+    one integer — publish is O(1) regardless of batch size), and a
+    failing audit simply never moves `main` — no rollback, no delete,
+    the bad snapshot just stays unreachable until vacuum.
+
+    Proven in-key on both outcomes: a POISONED batch (negative-cents
+    rows planted) stages as v2, its audit counts the violations and
+    REJECTS — asserted: `main` still resolves to v1, a main reader sees
+    ZERO violating rows, and none of the bad batch's files are
+    referenced by main's manifest; then a CLEAN batch stages as v3
+    (built from main's head, not the rejected v2 — the rejected branch
+    is abandoned, exactly WAP's semantics), its audit passes, and
+    publish fast-forwards main to v3 (asserted). The oracle pins the
+    published table to base + good batch recomputed from the source —
+    a leaked poisoned row, a lost good row, or a publish of the wrong
+    version breaks the hash.
+
+    Scale: the audit is an ordinary Spark job over the staged snapshot
+    (here one hash agg; in production the full dq_rule_report), priced
+    at one read of the NEW files only if the audit is incremental; the
+    stage commit and the publish are each one KB metadata op. This is
+    the operational answer to "how do 100 TB pipelines deploy data like
+    code" — stage, test, promote, all on one storage footprint."""
+    root = _scratch(sf_dir, "wap_table")
+    log_dir = os.path.join(root, "log")
+    refs_dir = os.path.join(root, "refs")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(refs_dir, exist_ok=True)
+    for d in (log_dir, refs_dir):
+        for v in os.listdir(d):
+            os.unlink(os.path.join(d, v))
+
+    def set_ref(name: str, version: int) -> None:
+        tmp = os.path.join(refs_dir, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(refs_dir, name))
+
+    def get_ref(name: str) -> int:
+        with open(os.path.join(refs_dir, name)) as fh:
+            return int(fh.read())
+
+    def ref_files(name: str) -> list[str]:
+        return _read_manifest(log_dir, get_ref(name))["files"]
+
+    def audit(files: list[str]) -> int:
+        """DQ gate on a staged snapshot: violating-row count (negative
+        cents or null key) — one hash aggregate, zero rows collected
+        beyond the single count."""
+        return (
+            spark.read.parquet(*files)
+            .filter((F.col("cents") < 0) | F.col("o_orderkey").isNull())
+            .count()
+        )
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_dir = os.path.join(root, "base")
+    o.repartition(2).write.mode("overwrite").parquet(base_dir)
+    v1, _ = _commit_snapshot(log_dir, _data_files_of(base_dir))
+    set_ref("main", v1)
+
+    # Batch 1 (POISONED): re-keyed rows with negated cents — every row
+    # violates, so the gate must fire at ANY corpus size (a %100 slice
+    # keeps the batch non-empty even at sf0.001's 1,500 orders).
+    bad_dir = os.path.join(root, "bad_batch")
+    (
+        o.filter(F.col("o_orderkey") % 100 == 13)
+        .select(
+            (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+            (-F.col("cents")).alias("cents"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(bad_dir)
+    )
+    bad_files = _data_files_of(bad_dir)
+    if spark.read.parquet(*bad_files).limit(1).count() == 0:
+        raise RuntimeError("staged poisoned batch is empty — vacuous gate")
+    v2, _ = _commit_snapshot(log_dir, bad_files)  # stage commit
+    set_ref("wap_batch1", v2)
+    if audit(ref_files("wap_batch1")) == 0:
+        raise RuntimeError("poisoned batch passed the audit — gate broken")
+    # REJECT: main is simply never advanced.
+    if get_ref("main") != v1:
+        raise RuntimeError("main moved without a passing audit")
+    if audit(ref_files("main")) != 0:
+        raise RuntimeError("main reader sees unaudited poisoned rows")
+    if set(bad_files) & set(ref_files("main")):
+        raise RuntimeError("bad batch's files referenced by main")
+
+    # Batch 2 (CLEAN): staged FROM MAIN'S HEAD — the rejected branch is
+    # abandoned, not repaired (WAP semantics).
+    good_dir = os.path.join(root, "good_batch")
+    (
+        o.filter(F.col("o_orderkey") % 1000 == 7)
+        .select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("o_orderkey"),
+            F.col("cents"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(good_dir)
+    )
+    if not _try_publish(
+        log_dir,
+        v2 + 1,
+        ref_files("main") + _data_files_of(good_dir),
+    ):
+        raise RuntimeError("stage commit lost an uncontended CAS")
+    set_ref("wap_batch2", v2 + 1)
+    if audit(ref_files("wap_batch2")) != 0:
+        raise RuntimeError("clean batch failed the audit")
+    set_ref("main", get_ref("wap_batch2"))  # PUBLISH: O(1) fast-forward
+
+    if get_ref("main") != 3:
+        raise RuntimeError(f"main at v{get_ref('main')}, expected v3")
+    main_files = ref_files("main")
+    if set(bad_files) & set(main_files):
+        raise RuntimeError("published main references the rejected batch")
+
+    return spark.read.parquet(*main_files).agg(
+        F.lit(True).alias("bad_batch_rejected"),
+        F.lit(True).alias("good_batch_published"),
+        F.lit(3).cast("int").alias("main_version"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

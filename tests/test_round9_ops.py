@@ -357,3 +357,31 @@ def test_partitioned_cdf_matches_simple_protocol(spark):
         .collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_wap_rejected_batch_never_reachable_from_main(spark):
+    """Walk the WAP table's refs after the key runs: the rejected
+    staging ref must still exist (the snapshot is preserved for
+    debugging until vacuum), but no file it added may appear in ANY
+    snapshot main ever pointed to (v1 and v3)."""
+    from sparkgraft.scans import _scratch
+
+    sparkgraft.QUERIES["sink_write_audit_publish"](spark, SF_DIR).collect()
+    root = _scratch(SF_DIR, "wap_table")
+    log_dir = os.path.join(root, "log")
+    refs_dir = os.path.join(root, "refs")
+
+    def ref(name):
+        with open(os.path.join(refs_dir, name)) as fh:
+            return int(fh.read())
+
+    assert ref("main") == 3
+    assert ref("wap_batch1") == 2  # rejected but preserved
+    v1 = set(_read_manifest(log_dir, 1)["files"])
+    v2 = set(_read_manifest(log_dir, 2)["files"])
+    v3 = set(_read_manifest(log_dir, 3)["files"])
+    bad_only = v2 - v1
+    assert bad_only  # the staged batch added files
+    assert not bad_only & v1 and not bad_only & v3
+    # published main = base + exactly the good batch
+    assert v1 < v3
