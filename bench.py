@@ -196,6 +196,7 @@ GROUP8 = [
     "sink_optimize_zorder",
     "scan_log_checkpoint",
     "sink_write_audit_publish",
+    "dq_snapshot_drift",
     "dedup_near_minhash",
     "dedup_simhash",
 ]

@@ -3517,3 +3517,134 @@ def sink_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "dq_snapshot_drift",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderstatus AS s, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}'
+      GROUP BY 1),
+    v2 AS (
+      SELECT o_orderstatus AS s, count(*) AS n,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+      FROM orders GROUP BY 1)
+    SELECT v2.s AS status,
+           CAST(coalesce(v1.n, 0) AS BIGINT) AS n_v1,
+           CAST(v2.n AS BIGINT) AS n_v2,
+           CAST(v2.n - coalesce(v1.n, 0) AS BIGINT) AS n_delta,
+           CAST(v2.c - coalesce(v1.c, 0) AS BIGINT) AS cents_delta,
+           TRUE AS incremental_consistent
+    FROM v2 LEFT JOIN v1 ON v1.s = v2.s
+    ORDER BY status
+    """,
+)
+def dq_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION-OVER-VERSION DRIFT REPORT from the snapshot log — the DQ
+    composition a lakehouse makes nearly free: both table versions
+    resolve from KB manifests (no copied "yesterday's table"), so
+    "what changed between v1 and v2" is two pinned reads joined on the
+    bounded group key. Reported per order status: counts and cents at
+    each version plus the deltas — the shape a pipeline owner alerts on
+    (a negative n_delta on an append-only table, a cents swing outside
+    tolerance).
+
+    The 100 TB posture is INCREMENTAL STATS, proven in-key: v2's
+    per-status stats are recomputed as v1's stats PLUS an aggregate
+    over ONLY the delta files (manifest set difference — the
+    `scan_snapshot_incremental` read shape) and hard-asserted equal to
+    the direct full v2 scan; a drift monitor therefore prices at one
+    read of the new files per commit, never a second full-table scan.
+    The oracle recomputes both versions from the source, so a drift
+    report that lost a status, mixed versions, or double-counted the
+    delta breaks the hash."""
+    root = _scratch(sf_dir, "drift_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CC_CUTOFF).cast("timestamp")
+    base_dir = os.path.join(root, "base")
+    delta_dir = os.path.join(root, "delta")
+    o.filter(F.col("o_orderdate") < cutoff).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    o.filter(F.col("o_orderdate") >= cutoff).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(delta_dir)
+    _commit_snapshot(log_dir, _data_files_of(base_dir))  # v1
+    _commit_snapshot(log_dir, _data_files_of(delta_dir))  # v2 append
+
+    v1_files = _read_manifest(log_dir, 1)["files"]
+    v2_files = _read_manifest(log_dir, 2)["files"]
+    delta_files = sorted(set(v2_files) - set(v1_files))
+
+    def stats(files: list[str]) -> DataFrame:
+        return (
+            spark.read.parquet(*files)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                .cast("long")
+                .alias("c"),
+            )
+        )
+
+    s1 = stats(v1_files)
+    s2 = stats(v2_files)
+
+    # Incremental-stats proof: v1 + delta-files-only == direct v2,
+    # per status (bounded ≤ |statuses| rows collected).
+    sd = stats(delta_files)
+    merged = (
+        s1.select("status", F.col("n").alias("n1"), F.col("c").alias("c1"))
+        .join(
+            sd.select(
+                "status", F.col("n").alias("nd"), F.col("c").alias("cd")
+            ),
+            "status",
+            "full_outer",
+        )
+        .na.fill(0, ["n1", "c1", "nd", "cd"])
+        .select(
+            "status",
+            (F.col("n1") + F.col("nd")).alias("n"),
+            (F.col("c1") + F.col("cd")).alias("c"),
+        )
+    )
+    inc = {
+        r["status"]: (r["n"], r["c"]) for r in merged.collect()
+    }
+    direct = {r["status"]: (r["n"], r["c"]) for r in s2.collect()}
+    if inc != direct:
+        raise RuntimeError(
+            f"incremental stats diverged from full scan: {inc} vs {direct}"
+        )
+
+    return (
+        s2.select(
+            "status", F.col("n").alias("n_v2"), F.col("c").alias("c_v2")
+        )
+        .join(
+            s1.select(
+                "status", F.col("n").alias("n_v1"), F.col("c").alias("c_v1")
+            ),
+            "status",
+            "left",
+        )
+        .na.fill(0, ["n_v1", "c_v1"])
+        .select(
+            "status",
+            F.col("n_v1").cast("long").alias("n_v1"),
+            F.col("n_v2").cast("long").alias("n_v2"),
+            (F.col("n_v2") - F.col("n_v1")).cast("long").alias("n_delta"),
+            (F.col("c_v2") - F.col("c_v1")).cast("long").alias("cents_delta"),
+            F.lit(True).alias("incremental_consistent"),
+        )
+        .orderBy("status")
+    )

@@ -385,3 +385,28 @@ def test_wap_rejected_batch_never_reachable_from_main(spark):
     assert not bad_only & v1 and not bad_only & v3
     # published main = base + exactly the good batch
     assert v1 < v3
+
+
+def test_drift_report_reconciles_with_source(spark):
+    """The drift report's deltas must equal the post-cutoff slice of the
+    source, per status — and every n_delta on this append-only history
+    must be non-negative."""
+    rows = sparkgraft.QUERIES["dq_snapshot_drift"](spark, SF_DIR).collect()
+    o = load(spark, SF_DIR, "orders")
+    post = {
+        r["status"]: (r["n"], r["c"])
+        for r in o.filter(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+        )
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r["n_delta"] >= 0
+        want = post.get(r["status"], (0, 0))
+        assert (r["n_delta"], r["cents_delta"]) == want, r["status"]
+    assert sum(r["n_delta"] for r in rows) == sum(n for n, _ in post.values())
