@@ -396,10 +396,11 @@ def lsh_signatures_quantized(
     seed: int = _LSH_SEED,
 ) -> DataFrame:
     """(vec_id, band, band_key) with INTEGER-QUANTIZED signatures — the
-    hash-checkable twin of `lsh_signatures`: weights and embeddings both
-    quantize to 1e-6 half-away, every dot product is an exact int64 with
-    an unambiguous sign in any partition order and any engine, so the
-    band keys are bit-identical wherever they are recomputed (the
+    engine's ONE LSH signature path (the float-plane variant was removed
+    in r9 when every LSH key went oracle-exact): weights and embeddings
+    both quantize to 1e-6 half-away, every dot product is an exact int64
+    with an unambiguous sign in any partition order and any engine, so
+    the band keys are bit-identical wherever they are recomputed (the
     `_quantized_keys_cte` oracle fragment is the DuckDB mirror). One
     linear mapInPandas pass, int64 gemm per Arrow batch."""
     import numpy as np
@@ -2368,20 +2369,25 @@ _PCA_LOADINGS_CACHE: dict[tuple, list[int]] = {}
 
 def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> tuple:
     """(path, mtime_ns, size) identity of a corpus table — the cache key
-    that survives re-generation at the same path. Handles both a single
-    parquet file and a directory of part files."""
+    that survives re-generation at the same path. A directory table is
+    walked RECURSIVELY (r9 ADVICE: a flat listdir missed leaf rewrites
+    inside partitioned subdirectories, whose parent mtimes don't change)
+    with one os.stat per entry."""
     import os
 
     path = os.path.join(sf_dir.rstrip("/"), f"{table}.parquet")
-    st = os.stat(path)
     if os.path.isdir(path):
-        parts = sorted(
-            os.path.join(path, f)
-            for f in os.listdir(path)
-            if not f.startswith((".", "_"))
-        )
-        stats = tuple((p, os.stat(p).st_mtime_ns, os.stat(p).st_size) for p in parts)
-        return (path, stats)
+        stats = []
+        for dirpath, dirnames, filenames in os.walk(path):
+            dirnames.sort()
+            for f in sorted(filenames):
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                stats.append((p, st.st_mtime_ns, st.st_size))
+        return (path, tuple(stats))
+    st = os.stat(path)
     return (path, st.st_mtime_ns, st.st_size)
 
 
