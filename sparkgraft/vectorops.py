@@ -726,137 +726,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# IVF coarse quantization: a FIXED number of centroids (a constant of the
-# engine — round-2 fix: the former `vec_id % 50` rule made C grow with N
-# and collected an N-proportional frame to the driver). Seeds are the
-# _IVF_CENTROIDS corpus vectors with the smallest xxhash64(vec_id) — a
-# deterministic spread sample computed as a distributed TakeOrdered — then
-# refined by _IVF_LLOYD_ROUNDS distributed Lloyd (k-means) steps so the
-# cells follow the corpus's actual cluster structure. The driver only ever
-# sees C rows / C×dim means.
-_IVF_CENTROIDS = 256
-_IVF_PROBES = 48  # 19% candidate fraction; measured recall@5 = 0.96 at sf0.01
-# (r2 shipped C=64/probes=16 → recall 0.77; the r3 sweep showed finer
-# quantization dominates: C=256/probes=48 scans LESS of the corpus per
-# query, 19% vs 25%, and still clears the ≥0.9 recall floor pinned in
-# tests/test_vectorops.py. Driver state stays a fixed C×dim constant.)
-_IVF_LLOYD_ROUNDS = 2
-_IVF_CENTROID_CACHE: dict[tuple, object] = {}
-
-
-def _ivf_centroids(spark: SparkSession, sf_dir: str):
-    """C×dim L2-normalized centroid matrix: hash-sampled seeds + Lloyd
-    refinement. Each Lloyd step is fully distributed — assignment is one
-    gemm per Arrow batch against the broadcast C×dim seeds; per-cell mean
-    vectors come from posexplode + partial-aggregated groupBy(cell, pos)
-    (map-side combine caps the shuffle at C·dim rows per partition); only
-    the C·dim cell means ever reach the driver."""
-    import numpy as np
-
-    # Fingerprint key (r9, the _PCA_LOADINGS_CACHE ADVICE fix applied
-    # here too): a corpus regenerated at the same path invalidates.
-    key = _corpus_fingerprint(sf_dir)
-    hit = _IVF_CENTROID_CACHE.get(key)
-    if hit is not None:
-        return hit
-
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds_pdf = (
-        e.orderBy(F.xxhash64("vec_id").asc(), F.col("vec_id").asc())
-        .limit(_IVF_CENTROIDS)
-        .toPandas()
-    )
-    _, c_mat = _pdf_matrix(seeds_pdf)
-
-    for _ in range(_IVF_LLOYD_ROUNDS):
-        assigned = _assign_cells(spark, e, c_mat).select(
-            "cell", F.posexplode("embedding").alias("pos", "v")
-        )
-        means = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
-            .toPandas()  # exactly C·dim rows
-        )
-        new_mat = c_mat.copy()  # empty cells keep their previous centroid
-        piv = means.pivot(index="cell", columns="pos", values="m")
-        new_mat[piv.index.to_numpy()] = piv.to_numpy()
-        new_mat /= np.linalg.norm(new_mat, axis=1, keepdims=True)
-        c_mat = new_mat
-
-    _IVF_CENTROID_CACHE[key] = c_mat
-    return c_mat
-
-
-def _assign_cells(spark: SparkSession, e: DataFrame, c_mat) -> DataFrame:
-    """(vec_id, embedding, cell): nearest-centroid assignment, one gemm
-    per Arrow batch against the broadcast centroids; ties break to the
-    lowest cell index (np.argmax)."""
-    import numpy as np
-
-    bc = spark.sparkContext.broadcast(c_mat)
-
-    def assign(batches):
-        cmat = bc.value
-        for pdf in batches:
-            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            blockn = block / np.linalg.norm(block, axis=1, keepdims=True)
-            pdf = pdf.copy()
-            pdf["cell"] = np.argmax(blockn @ cmat.T, axis=1).astype(np.int32)
-            yield pdf
-
-    return e.mapInPandas(assign, "vec_id long, embedding array<float>, cell int")
-
-
-@query("sim_ivf_knn")  # rows-only: centroid choice is engine-specific
-def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate kNN — the coarse-quantization scale path.
-
-    Cells: every vector is assigned to its nearest of the C=256 fixed,
-    Lloyd-refined centroids (one gemm per Arrow batch against the
-    broadcast C×dim matrix). The fixed query set (same as
-    `sim_knn_per_query`, its recall oracle) probes its _IVF_PROBES nearest
-    cells and ranks only those cells' members — candidate work per query
-    drops from N to ~probes·N/C, and both broadcast sides are constants
-    at any corpus size."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    c_mat = _ivf_centroids(spark, sf_dir)
-
-    q_pdf = e.filter(F.col("vec_id") < _KNN_QUERIES).toPandas()
-    q_ids, q_mat = _pdf_matrix(q_pdf)
-
-    # queries probe their _IVF_PROBES nearest cells (C×Q floats, driver-side)
-    qc = q_mat @ c_mat.T
-    probe_order = np.argsort(-qc, axis=1, kind="stable")[:, :_IVF_PROBES]
-    probed_cells = {
-        int(q_ids[i]): set(int(c) for c in probe_order[i]) for i in range(len(q_ids))
-    }
-    bc = spark.sparkContext.broadcast((c_mat, q_ids, q_mat, probed_cells))
-
-    def score_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmat, qids, qmat, probes = bc.value
-        for pdf in batches:
-            v_ids = pdf["vec_id"].to_numpy()
-            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            cells = np.argmax(block @ cmat.T, axis=1)
-            sims = np.round(block @ qmat.T, 6)
-            out_q, out_v, out_s = [], [], []
-            for qi, qid in enumerate(qids):
-                hit = np.isin(cells, list(probes[int(qid)])) & (v_ids != qid)
-                out_q.extend([qid] * int(hit.sum()))
-                out_v.extend(v_ids[hit])
-                out_s.extend(sims[hit, qi])
-            yield pd.DataFrame(
-                {"qid": out_q, "vec_id": out_v, "cos_sim": out_s}
-            )
-
-    cand = e.mapInPandas(score_cells, "qid long, vec_id long, cos_sim double")
-    return _topk_per_query(cand, _KNN_K)
+# IVF coarse quantization (sim_ivf_knn / sim_ivf_probe_sweep / the
+# quantized-centroid machinery) lives AFTER the k-means-train block below:
+# r10 re-derived the centroids through the same integer-quantized Lloyd
+# discipline as `sim_kmeans_train`, so the IVF keys are now ORACLE-EXACT
+# (the r9 verdict's ask #1) and their oracles reuse `_kmt_round_sql`.
 
 
 @query(
@@ -1743,63 +1617,349 @@ def sim_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cell", "pos")
 
 
-_SWEEP_PROBES = (8, 16, 48)
+# --- ORACLE-EXACT IVF (r10: the r9 verdict's ask #1 — finishes the
+# rows-only conversion program). The former float IVF's centroids were
+# seed/float-order specific, so the keys were rows-only; these centroids
+# walk the SAME integer-quantized Lloyd discipline `sim_kmeans_train`
+# proved bit-identical across engines, at C=256 over NORMALIZED quantized
+# vectors: raw float32 → 1e-6 half-away ints q, exact-integer norm², then
+# each coordinate requantizes as rha(q·1e6/sqrt(Σq²)) — so Euclidean
+# argmin ≡ cosine ranking EXACTLY, every distance/dot is int64, and the
+# DuckDB oracle can mirror the whole algorithm (seeds → Lloyd → assign →
+# probe → top-k) via `_kmt_round_sql`. Seeds are the C corpus vectors
+# with the smallest md5-low60('ivf:'||vec_id) — the r9 engine-mirrorable
+# hash — replacing the xxhash64 spread sample (Spark-only). ---
+_IVFQ_C = 256
+_IVFQ_PROBES = 48  # 18.75% of cells; recall@5 floor ≥ 0.9 pinned in pytest
+_IVFQ_ROUNDS = 2
+_IVFQ_SWEEP = (8, 16, 48)
+_IVFQ_CENTROID_CACHE: dict[tuple, object] = {}
+
+_IVFQ_MD5H = (
+    "('0x' || substring(md5('ivf:' || CAST(vec_id AS VARCHAR)), 18, 15))"
+    "::BIGINT"
+)
 
 
-@query("sim_ivf_probe_sweep")  # rows-only: centroid choice is engine-specific
-def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF recall-vs-cost tuning sweep: recall@5 and candidate fraction
-    at probes ∈ {8, 16, 48} against the exact kNN baseline — the table
-    an ANN operator publishes so users pick their accuracy/cost point
-    instead of trusting a default. One corpus pass scores ALL probe
-    levels (each vector's cell assignment is computed once per Arrow
-    batch; membership tests differ only in the probed-cell sets, which
-    are driver-side constants: C×Q floats for the fixed 100-query set).
-    Recall is invariant-pinned monotone in probes with the production
-    floor at the top level (tests/test_vectorops.py)."""
-    from collections.abc import Iterator
+def _ivfq_cte_prefix() -> str:
+    """The WITH-body shared by both IVF oracles: quantized-normalized
+    embeddings (`eq` — the name `_kmt_round_sql` expects), md5-ranked
+    seeds as c0, _IVFQ_ROUNDS Lloyd rounds (reused verbatim from the
+    kmeans-train oracle), final assignment, and per-query probe ranks."""
+    rounds = ",".join(_kmt_round_sql(k) for k in range(1, _IVFQ_ROUNDS + 1))
+    r = _IVFQ_ROUNDS
+    return f"""
+    WITH eqraw AS MATERIALIZED (
+      SELECT vec_id, i.i AS pos,
+             CAST(CASE WHEN CAST(embedding[i.i + 1] AS DOUBLE) >= 0
+                  THEN floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  ELSE -floor(-CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  END AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, sqrt(CAST(sum(q * q) AS DOUBLE)) AS nn
+      FROM eqraw GROUP BY vec_id),
+    eq AS MATERIALIZED (
+      SELECT e.vec_id, e.pos,
+             CAST(CASE WHEN e.q >= 0
+                  THEN floor(CAST(e.q AS DOUBLE) * 1e6 / n.nn + 0.5)
+                  ELSE -floor(-(CAST(e.q AS DOUBLE) * 1e6 / n.nn) + 0.5)
+                  END AS BIGINT) AS q
+      FROM eqraw e JOIN nrm n ON n.vec_id = e.vec_id),
+    seeds AS MATERIALIZED (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY {_IVFQ_MD5H}, vec_id) AS rn
+        FROM embeddings) t
+      WHERE rn <= {_IVFQ_C}),
+    c0 AS MATERIALIZED (
+      SELECT s.cell, e.pos, e.q
+      FROM seeds s JOIN eq e ON e.vec_id = s.vec_id),{rounds},
+    dfin AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             sum((e.q - c.q) * (e.q - c.q)) AS dist
+      FROM eq e JOIN c{r} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cell),
+    afin AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM dfin) t WHERE rn = 1),
+    qprobe AS MATERIALIZED (
+      SELECT qid, cell, prnk FROM (
+        SELECT d.vec_id AS qid, d.cell,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.dist, d.cell) AS prnk
+        FROM dfin d WHERE d.vec_id < {_KNN_QUERIES}) t
+      WHERE prnk <= {_IVFQ_PROBES}),
+    ivfcand AS MATERIALIZED (
+      SELECT p.qid, a.vec_id, p.prnk
+      FROM qprobe p JOIN afin a ON a.cell = p.cell
+      WHERE a.vec_id <> p.qid),
+    ivfdots AS MATERIALIZED (
+      SELECT c.qid, c.vec_id, c.prnk, sum(v.q * e.q) AS dq
+      FROM ivfcand c
+      JOIN eq v ON v.vec_id = c.qid
+      JOIN eq e ON e.vec_id = c.vec_id AND e.pos = v.pos
+      GROUP BY c.qid, c.vec_id, c.prnk)"""
 
+
+_IVFQ_KNN_ORACLE = (
+    _ivfq_cte_prefix()
+    + f"""
+    SELECT qid, vec_id, CAST(dq AS DOUBLE) / 1e12 AS cos_sim, rnk FROM (
+      SELECT qid, vec_id, dq,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dq DESC, vec_id) AS rnk
+      FROM ivfdots) t
+    WHERE rnk <= {_KNN_K}
+    """
+)
+
+_IVFQ_SWEEP_ORACLE = (
+    _ivfq_cte_prefix()
+    + f""",
+    lv AS (SELECT unnest([{', '.join(str(p) for p in _IVFQ_SWEEP)}]) AS p),
+    ranked AS MATERIALIZED (
+      SELECT l.p, d.qid, d.vec_id,
+             row_number() OVER (PARTITION BY l.p, d.qid
+                                ORDER BY d.dq DESC, d.vec_id) AS rnk
+      FROM lv l JOIN ivfdots d ON d.prnk <= l.p),
+    exact AS MATERIALIZED (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY round({_sql_cosine('q.qvec', 'e.embedding')}, 6)
+                            DESC, e.vec_id) AS rnk
+        FROM (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+              WHERE vec_id < {_KNN_QUERIES}) q
+        JOIN embeddings e ON e.vec_id <> q.qid) t
+      WHERE rnk <= {_KNN_K}),
+    nhit AS (
+      SELECT r.p, count(*) AS n_hit
+      FROM ranked r JOIN exact x
+        ON x.qid = r.qid AND x.vec_id = r.vec_id
+      WHERE r.rnk <= {_KNN_K} GROUP BY r.p),
+    ncand AS (
+      SELECT l.p, count(*) AS n_cand
+      FROM lv l JOIN ivfdots d ON d.prnk <= l.p GROUP BY l.p)
+    SELECT CAST(n.p AS BIGINT) AS probes,
+           round(CAST(coalesce(h.n_hit, 0) AS DOUBLE)
+                 / {float(_KNN_QUERIES * _KNN_K)}, 4) AS recall_at_5,
+           round(CAST(n.n_cand AS DOUBLE)
+                 / ({float(_KNN_QUERIES)}
+                    * ((SELECT count(*) FROM embeddings) - 1)), 4)
+             AS candidate_fraction
+    FROM ncand n LEFT JOIN nhit h ON h.p = n.p
+    ORDER BY probes
+    """
+)
+
+
+def _quantize_unit_int(block):
+    """int64 micro-unit UNIT vectors, bit-identical in any engine: raw
+    float32 → double → half-away 1e-6 quantized ints q, EXACT integer
+    norm² Σq², then each coordinate requantizes as rha(q·1e6/√Σq²) —
+    double ops on exact integers (one sqrt, one multiply, one divide),
+    so both engines produce the same ints (the `eq` CTE is the DuckDB
+    mirror). Euclidean argmin over these ≡ cosine ranking exactly."""
+    import numpy as np
+
+    q = _round_half_away(block.astype(np.float64) * 1e6)
+    n2 = (q.astype(np.int64) ** 2).sum(axis=1)
+    nn = np.sqrt(n2.astype(np.float64))
+    return _round_half_away((q * 1e6) / nn[:, None]).astype(np.int64)
+
+
+def _ivfq_centroids(spark: SparkSession, sf_dir: str):
+    """C×dim int64 centroid matrix (micro-units), derived exactly as the
+    oracle derives it: md5-ranked seed vectors, then _IVFQ_ROUNDS
+    integer-quantized Lloyd rounds — the `sim_kmeans_train` discipline
+    at C=256 (exact int64 distances, argmin ties to the lowest cell,
+    exact integer per-cell sums, one deterministic double mean,
+    half-away requantize; empty cells keep their previous centroid).
+    Each round is one linear mapInPandas pass emitting ≤ C·(dim+1)
+    partial rows per batch into a map-side-combined decimal aggregate;
+    the driver holds only the C×dim int matrix, cached per corpus
+    fingerprint."""
+    import numpy as np
+    import pandas as pd
+
+    key = _corpus_fingerprint(sf_dir)
+    hit = _IVFQ_CENTROID_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))),
+            18,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    seeds_pdf = (
+        e.withColumn("h", h).orderBy("h", "vec_id").limit(_IVFQ_C).toPandas()
+    )
+    cq = _quantize_unit_int(np.stack(seeds_pdf["embedding"].to_numpy()))
+
+    for _ in range(_IVFQ_ROUNDS):
+        bc = spark.sparkContext.broadcast(cq)
+
+        def partials(batches):
+            cmat = bc.value
+            cn2 = (cmat * cmat).sum(axis=1)
+            for pdf in batches:
+                nq = _quantize_unit_int(
+                    np.stack(pdf["embedding"].to_numpy())
+                )
+                bn2 = (nq * nq).sum(axis=1)
+                dist = bn2[:, None] + cn2[None, :] - 2 * (nq @ cmat.T)
+                asg = np.argmin(dist, axis=1)  # ties -> lowest cell
+                out_c, out_p, out_s = [], [], []
+                for cell in np.unique(asg):
+                    members = nq[asg == cell]
+                    sums = members.sum(axis=0, dtype=np.int64)
+                    out_c.extend([int(cell)] * (_DIM + 1))
+                    out_p.extend(list(range(_DIM)) + [-1])
+                    out_s.extend(list(sums) + [len(members)])
+                yield pd.DataFrame({"cell": out_c, "pos": out_p, "s": out_s})
+
+        agg = (
+            e.mapInPandas(partials, "cell int, pos int, s long")
+            .groupBy("cell", "pos")
+            .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("t"))
+            .collect()
+        )
+        sums: dict[tuple, int] = {}
+        cnts: dict[int, int] = {}
+        for r in agg:
+            if r.pos == -1:
+                cnts[r.cell] = int(r.t)
+            else:
+                sums[(r.cell, r.pos)] = int(r.t)
+        new_cq = cq.copy()  # empty cells keep their previous centroid
+        for cell, n_cell in cnts.items():
+            for pos in range(_DIM):
+                # two-step conversion mirrors CAST(sum AS DOUBLE)/count
+                mu = float(sums[(cell, pos)]) / float(n_cell)
+                new_cq[cell, pos] = int(
+                    np.floor(mu + 0.5) if mu >= 0 else -np.floor(-mu + 0.5)
+                )
+        cq = new_cq
+
+    _IVFQ_CENTROID_CACHE[key] = cq
+    return cq
+
+
+def _ivfq_probe_ranks(cq, q_nq):
+    """(Q, C) int matrix: 1-based rank of every cell in each query's
+    probe order (exact int64 distance, ties to the lowest cell) — the
+    numpy mirror of the oracle's `qprobe` row_number."""
+    import numpy as np
+
+    cn2 = (cq * cq).sum(axis=1)
+    qn2 = (q_nq * q_nq).sum(axis=1)
+    dist = qn2[:, None] + cn2[None, :] - 2 * (q_nq @ cq.T)
+    order = np.argsort(dist, axis=1, kind="stable")  # ties -> lowest cell
+    ranks = np.empty_like(order)
+    rows = np.arange(order.shape[0])[:, None]
+    ranks[rows, order] = np.arange(1, order.shape[1] + 1)[None, :]
+    return ranks
+
+
+def _ivfq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(qid, vec_id, prnk, cos_sim) — every corpus vector whose cell is
+    within the _IVFQ_PROBES nearest cells of a query, with the cell's
+    probe rank and the EXACT quantized cosine (int64 dot of micro-unit
+    vectors / 1e12 — one deterministic double division, so the value is
+    bit-identical to the oracle's without any rounding clause). One
+    linear mapInPandas pass: assignment and Q dot products per Arrow
+    batch against the broadcast C×dim / Q×dim int matrices; both
+    broadcasts are constants of the engine at any corpus size."""
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    c_mat = _ivf_centroids(spark, sf_dir)
+    cq = _ivfq_centroids(spark, sf_dir)
     q_pdf = e.filter(F.col("vec_id") < _KNN_QUERIES).toPandas()
-    q_ids, q_mat = _pdf_matrix(q_pdf)
-    qc = q_mat @ c_mat.T
-    order = np.argsort(-qc, axis=1, kind="stable")
-    probe_sets = {
-        p: {int(q_ids[i]): set(int(c) for c in order[i, :p]) for i in range(len(q_ids))}
-        for p in _SWEEP_PROBES
-    }
-    bc = spark.sparkContext.broadcast((c_mat, q_ids, q_mat, probe_sets))
+    q_ids = q_pdf["vec_id"].to_numpy()
+    q_nq = _quantize_unit_int(np.stack(q_pdf["embedding"].to_numpy()))
+    ranks = _ivfq_probe_ranks(cq, q_nq)
+    bc = spark.sparkContext.broadcast((cq, q_ids, q_nq, ranks))
 
-    def score_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmat, qids, qmat, psets = bc.value
+    def score(batches):
+        cmat, qids, qmat, rk = bc.value
+        cn2 = (cmat * cmat).sum(axis=1)
         for pdf in batches:
             v_ids = pdf["vec_id"].to_numpy()
-            block = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            cells = np.argmax(block @ cmat.T, axis=1)
-            sims = np.round(block @ qmat.T, 6)
-            out = {"probes": [], "qid": [], "vec_id": [], "cos_sim": []}
-            for p, probes in psets.items():
-                for qi, qid in enumerate(qids):
-                    hit = np.isin(cells, list(probes[int(qid)])) & (v_ids != qid)
-                    n = int(hit.sum())
-                    out["probes"].extend([p] * n)
-                    out["qid"].extend([qid] * n)
-                    out["vec_id"].extend(v_ids[hit])
-                    out["cos_sim"].extend(sims[hit, qi])
-            yield pd.DataFrame(out)
+            nq = _quantize_unit_int(np.stack(pdf["embedding"].to_numpy()))
+            bn2 = (nq * nq).sum(axis=1)
+            dist = bn2[:, None] + cn2[None, :] - 2 * (nq @ cmat.T)
+            cells = np.argmin(dist, axis=1)  # ties -> lowest cell
+            dq = nq @ qmat.T  # int64, exact
+            out_q, out_v, out_r, out_s = [], [], [], []
+            for qi, qid in enumerate(qids):
+                prnk = rk[qi, cells]
+                hit = (prnk <= _IVFQ_PROBES) & (v_ids != qid)
+                n = int(hit.sum())
+                out_q.extend([qid] * n)
+                out_v.extend(v_ids[hit])
+                out_r.extend(prnk[hit])
+                out_s.extend(dq[hit, qi] / 1e12)
+            yield pd.DataFrame(
+                {
+                    "qid": out_q,
+                    "vec_id": out_v,
+                    "prnk": out_r,
+                    "cos_sim": out_s,
+                }
+            )
 
-    cand = e.mapInPandas(
-        score_cells, "probes int, qid long, vec_id long, cos_sim double"
+    return e.mapInPandas(
+        score, "qid long, vec_id long, prnk int, cos_sim double"
     )
-    w = Window.partitionBy("probes", "qid").orderBy(
-        F.desc("cos_sim"), "vec_id"
-    )
-    topk = cand.withColumn("rnk", F.row_number().over(w)).filter(
+
+
+@query("sim_ivf_knn", oracle=_IVFQ_KNN_ORACLE)
+def sim_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN — the coarse-quantization scale path, ORACLE-
+    EXACT since r10: the DuckDB twin mirrors the ENTIRE algorithm
+    (md5-ranked seeds → 2 integer-quantized Lloyd rounds → exact-int
+    assignment → probe ranking → per-query top-k), so parity holds on
+    any corpus, not just this one. Every vector is assigned to its
+    nearest of the C=256 Lloyd-refined centroids (exact int64 Euclidean
+    over micro-unit normalized vectors ≡ cosine ranking); the fixed
+    query set (same as `sim_knn_per_query`, its recall baseline) probes
+    its _IVFQ_PROBES nearest cells and ranks only those cells' members —
+    candidate work per query drops from N to ~probes·N/C, and both
+    broadcast sides are constants at any corpus size. recall@5 ≥ 0.9 is
+    invariant-pinned in tests/test_vectorops.py."""
+    cand = _ivfq_candidates(spark, sf_dir).drop("prnk")
+    return _topk_per_query(cand, _KNN_K)
+
+
+@query("sim_ivf_probe_sweep", oracle=_IVFQ_SWEEP_ORACLE)
+def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-cost tuning sweep: recall@5 and candidate fraction
+    at probes ∈ {8, 16, 48} against the exact kNN baseline — the table
+    an ANN operator publishes so users pick their accuracy/cost point
+    instead of trusting a default. ORACLE-EXACT since r10 (the same
+    quantized pipeline as `sim_ivf_knn`): one corpus pass scores ALL
+    levels — each candidate carries its cell's probe RANK, so a level is
+    just `rank <= p`, and recall joins against the float-exact
+    `sim_knn_per_query` top-5 both engines already agree on. Recall is
+    invariant-pinned monotone in probes with the production floor at the
+    top level (tests/test_vectorops.py)."""
+    cand = _ivfq_candidates(spark, sf_dir)
+    lv = spark.createDataFrame([(p,) for p in _IVFQ_SWEEP], "p int")
+    cl = cand.join(F.broadcast(lv), F.col("prnk") <= F.col("p"))
+    w = Window.partitionBy("p", "qid").orderBy(F.desc("cos_sim"), "vec_id")
+    topk = cl.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= _KNN_K
     )
     exact = sim_knn_per_query(spark, sf_dir).select(
@@ -1812,14 +1972,16 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_total = _corpus_count(spark, sf_dir)
     denom_recall = float(_KNN_QUERIES * _KNN_K)
-    denom_cand = float(_KNN_QUERIES * (n_total - 1))
-    n_cand = cand.groupBy("probes").agg(F.count("*").alias("n_cand"))
-    n_hit = hits.groupBy("probes").agg(F.count("*").alias("n_hit"))
+    denom_cand = float(_KNN_QUERIES) * float(n_total - 1)
+    n_cand = cl.groupBy("p").agg(F.count("*").alias("n_cand"))
+    n_hit = hits.groupBy("p").agg(F.count("*").alias("n_hit"))
     return (
-        n_cand.join(n_hit, "probes")
+        n_cand.join(n_hit, "p", "left")
         .select(
-            F.col("probes").cast("long").alias("probes"),
-            F.round(F.col("n_hit") / F.lit(denom_recall), 4).alias("recall_at_5"),
+            F.col("p").cast("long").alias("probes"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(denom_recall), 4
+            ).alias("recall_at_5"),
             F.round(F.col("n_cand") / F.lit(denom_cand), 4).alias(
                 "candidate_fraction"
             ),
