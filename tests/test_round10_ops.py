@@ -1,0 +1,141 @@
+"""Round-10 operator tests: refs-aware vacuum, the MOR-aware change
+feed, the oracle-exact IVF rewrite, and the partitioned delete-aware
+CDF reader's restart reconciliation (SURVEY.md §2.12 r10 amendments).
+
+The new keys carry hard in-key protocol asserts (ref-pinned survival +
+rejected-batch collection, per-batch work-unit counts, signed-replay ==
+sequence-scoped head, delete-strictly-exceeds-insert), so every
+preflight run is already a behavior proof; the tests here pin what the
+in-key asserts cannot see — event-set identity against independently
+computed slices, the quantized-IVF/exact-kNN relationship, and the
+restart-offset clamp on a fresh reader instance.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+import sparkgraft
+from conftest import SF_DIR
+from sparkgraft.catalog import load
+
+
+def test_vacuum_refs_aware_digests(spark):
+    """The post-vacuum ref reads must equal independently computed
+    slices: main == full orders, the pinned tag == the pre-cutoff
+    slice — proving the ref-pinned snapshot survived byte-identically."""
+    rows = {
+        r["ref"]: (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["sink_vacuum_refs_aware"](
+            spark, SF_DIR
+        ).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    digest = [
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("c"),
+    ]
+    full = o.agg(*digest).collect()[0]
+    pre = (
+        o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .agg(*digest)
+        .collect()[0]
+    )
+    assert rows["branch:main"] == (full["n"], full["c"])
+    assert rows["tag:baseline"] == (pre["n"], pre["c"])
+    assert rows["tag:baseline"][0] < rows["branch:main"][0]
+
+
+def test_cdf_mor_event_sets(spark):
+    """Every commit class must stream the right event set: MOR delete ==
+    the masked slice, the upsert's pair nets to the re-price delta, and
+    sequence scoping keeps the upsert's own adds unmasked."""
+    rows = {
+        (r["version"], r["change_type"]): (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["stream_cdf_mor"](spark, SF_DIR).collect()
+    }
+    assert set(rows) == {
+        (1, "insert"),
+        (2, "delete"),
+        (3, "delete"),
+        (3, "insert"),
+        (4, "insert"),
+    }
+    o = load(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    n_total = o.count()
+    del_slice = o.filter(F.col("o_orderkey") % 10 == 4)
+    ups_slice = o.filter(F.col("o_orderkey") % 10 == 7)
+    n_del, n_ups = del_slice.count(), ups_slice.count()
+    assert n_del > 0 and n_ups > 0
+    assert rows[(1, "insert")][0] == n_total
+    assert rows[(2, "delete")][0] == n_del
+    # upsert: delete+insert PAIR over the same keys; the insert side
+    # carries the re-priced cents (+11 per row) — sequence scoping
+    # proven because the inserts exist at all (a reader masking its own
+    # commit's adds would emit zero v3 inserts)
+    assert rows[(3, "delete")][0] == rows[(3, "insert")][0] == n_ups
+    assert rows[(3, "insert")][1] - rows[(3, "delete")][1] == 11 * n_ups
+
+
+def test_ivfq_matches_exact_knn_mostly(spark):
+    """The quantized IVF top-5 must overlap the float-exact kNN top-5 at
+    >= 0.9 recall AND its cosine values must agree with the float kernel
+    to the quantization tolerance on the shared pairs."""
+    exact = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in sparkgraft.QUERIES["sim_knn_per_query"](
+            spark, SF_DIR
+        ).collect()
+    }
+    ivf = {
+        (r.qid, r.vec_id): r.cos_sim
+        for r in sparkgraft.QUERIES["sim_ivf_knn"](spark, SF_DIR).collect()
+    }
+    shared = set(exact) & set(ivf)
+    assert len(shared) / len(exact) >= 0.9
+    # tolerance: two-stage 1e-6 quantization over 64 dims bounds the
+    # dot error at ~1e-5; the float side additionally rounds to 6 dp
+    for k in shared:
+        assert abs(exact[k] - ivf[k]) < 2e-5, k
+
+
+def test_partitioned_cdf_reader_restart_clamp(tmp_path):
+    """r9 ADVICE: a FRESH reader instance must resume at the committed
+    offset (state_dir) instead of re-announcing version 0, and a
+    replayed partitions() call must re-sync the in-memory cursor so
+    latestOffset never goes backward."""
+    from sparkgraft.streaming import _snapshot_cdf_partitioned_datasource
+
+    log_dir = str(tmp_path / "log")
+    state_dir = str(tmp_path / "state")
+    os.makedirs(log_dir)
+    for v in (1, 2, 3):
+        with open(os.path.join(log_dir, f"v{v}.json"), "w") as fh:
+            json.dump({"files": [f"f{i}" for i in range(v)]}, fh)
+
+    src = _snapshot_cdf_partitioned_datasource()(
+        {"log_dir": log_dir, "state_dir": state_dir}
+    )
+    r1 = src.streamReader(None)
+    assert r1.latestOffset() == {"version": 1}
+    r1.commit({"version": 2})  # engine commits batch ending at v2
+
+    # fresh instance (restart): resumes AT the committed version, and
+    # the next latestOffset advances past it instead of restarting at 0
+    r2 = src.streamReader(None)
+    assert r2._last == 2
+    assert r2.latestOffset() == {"version": 3}
+
+    # no state_dir: a replayed partitions(start, end) re-syncs the cursor
+    src2 = _snapshot_cdf_partitioned_datasource()({"log_dir": log_dir})
+    r3 = src2.streamReader(None)
+    r3.partitions({"version": 1}, {"version": 2})  # checkpointed replay
+    assert r3.latestOffset() == {"version": 3}
