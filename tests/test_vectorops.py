@@ -371,3 +371,23 @@ def test_dedup_embedding_cosine_overcap_bucket_salt_split(spark, tmp_path):
         if a_ in parent and b_ in parent:
             parent[find(a_)] = find(b_)
     assert len({find(20000 + i) for i in range(c)}) == 1
+
+
+def test_ivf_pq_recall_and_ceiling(spark):
+    """The composed IVF-PQ stack must keep recall@5 >= 0.9 at the driver
+    SF and land within 90% of the uncompressed IVF ceiling — proving the
+    5-bit codes + exact re-rank recover what the probe stage offers."""
+    exact = {
+        (r.qid, r.vec_id)
+        for r in sparkgraft.QUERIES["sim_knn_per_query"](spark, SF_DIR_MID).collect()
+    }
+    ivf = {
+        (r.qid, r.vec_id)
+        for r in sparkgraft.QUERIES["sim_ivf_knn"](spark, SF_DIR_MID).collect()
+    }
+    pq = {
+        (r.qid, r.vec_id)
+        for r in sparkgraft.QUERIES["sim_ivf_pq_knn"](spark, SF_DIR_MID).collect()
+    }
+    assert len(exact & pq) / len(exact) >= 0.9
+    assert len(exact & pq) >= 0.9 * len(exact & ivf)
