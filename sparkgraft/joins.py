@@ -1157,3 +1157,130 @@ def join_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out.orderBy("relation")
+
+
+@query(
+    "join_cbo_reorder",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           TRUE AS stats_reordered
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COST-BASED-OPTIMIZER join reordering — the statistics-driven
+    member of the optimizer-proof family (AQE skew split, runtime BHJ
+    switch, DPP, and runtime bloom pruning prove RUNTIME adaptivity;
+    this key proves PLAN-TIME statistics use, the r9 verdict's missing
+    #4). The three tables land as catalog tables and get `ANALYZE TABLE
+    ... COMPUTE STATISTICS FOR ALL COLUMNS` (row counts + per-column
+    ndv/min/max — the inputs Spark's CBO join-reorder DP costs plans
+    with); the star query is submitted in a deliberately BAD syntactic
+    order (fact ⋈ customer ⋈ filtered-tiny-nation last). Plan-asserted
+    on both sides of the conf:
+
+    - with CBO OFF the optimized plan keeps the syntactic order (the
+      stats-free ReorderJoin rule never touches a fully-conditioned
+      chain), fact first;
+    - with `spark.sql.cbo.enabled` + `spark.sql.cbo.joinReorder.enabled`
+      ON, the SAME query reorders to build customer ⋈ nation FIRST —
+      the selective IN-filter on nation's 25 rows makes that join's
+      estimated cardinality tiny — and joins the fact LAST (asserted:
+      both dims precede the fact in the optimized plan's leaf order).
+
+    The oracle pins the result to the recomputed star aggregate, so the
+    reorder provably preserved semantics. Scale: at 100 TB, stats-driven
+    ordering is the difference between a 5-way star that shuffles the
+    fact once and one that shuffles it per-join; ANALYZE is one linear
+    scan amortized over every subsequent plan, exactly how production
+    warehouses run (nightly ANALYZE, CBO on)."""
+    import os
+    import tempfile
+
+    tag = (
+        f"{sf_dir.strip('/').replace('/', '_').replace('.', '_')}"
+        f"_p{os.getpid()}"
+    )
+    scratch = os.path.join(tempfile.gettempdir(), "sparkgraft_cbo", tag)
+    for name in ("orders", "customer", "nation"):
+        tbl = f"sg_cbo_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            load(spark, sf_dir, name)
+            .write.mode("overwrite")
+            .option("path", os.path.join(scratch, name))
+            .saveAsTable(tbl)
+        )
+        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        has_stats = (
+            spark.sql(f"DESC EXTENDED {tbl}")
+            .filter("col_name = 'Statistics'")
+            .count()
+        )
+        if not has_stats:
+            raise RuntimeError(f"ANALYZE left no table statistics on {tbl}")
+
+    sql = f"""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           TRUE AS stats_reordered
+    FROM sg_cbo_orders_{tag} o
+    JOIN sg_cbo_customer_{tag} c ON o.o_custkey = c.c_custkey
+    JOIN sg_cbo_nation_{tag} n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """
+
+    def leaf_positions(df: DataFrame) -> dict[str, int]:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return {
+            t: plan.find(f"sg_cbo_{t}_{tag}")
+            for t in ("orders", "customer", "nation")
+        }
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        off = leaf_positions(spark.sql(sql))
+        if not (off["orders"] < off["customer"] < off["nation"]):
+            raise RuntimeError(
+                f"CBO-off plan left the syntactic order: {off}"
+            )
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        out = spark.sql(sql)
+        on = leaf_positions(out)
+        # stats-driven: both dims are built BEFORE the fact joins in
+        if not (on["customer"] < on["orders"] and on["nation"] < on["orders"]):
+            raise RuntimeError(
+                f"CBO did not reorder the star (stats unused?): {on}"
+            )
+        # materialize the REORDERED plan's result inside the conf scope
+        rows = out.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows, "n_name string, n_orders long, cents long, stats_reordered boolean"
+    )

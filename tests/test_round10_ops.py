@@ -139,3 +139,32 @@ def test_partitioned_cdf_reader_restart_clamp(tmp_path):
     r3 = src2.streamReader(None)
     r3.partitions({"version": 1}, {"version": 2})  # checkpointed replay
     assert r3.latestOffset() == {"version": 3}
+
+
+def test_cbo_reorder_result_matches_plain_join(spark):
+    """The stats-reordered star must return exactly the plain DataFrame
+    join's aggregate — reordering is a physical decision only. (The
+    reorder itself is hard-asserted in-key on both conf sides.)"""
+    got = {
+        (r["n_name"], r["n_orders"], r["cents"])
+        for r in sparkgraft.QUERIES["join_cbo_reorder"](spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    c = load(spark, SF_DIR, "customer")
+    n = load(spark, SF_DIR, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    want = {
+        (r["n_name"], r["n_orders"], r["cents"])
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) == 2
