@@ -201,6 +201,20 @@ GROUP8 = [
     "dedup_simhash",
 ]
 
+# Ninth group (round 10): the composition-seam keys — refs-aware vacuum,
+# the MOR-aware change feed, the IVF-PQ ANN stack, stats-driven CBO
+# reorder — plus the oracle-exact IVF probe sweep's first bench
+# appearance (its sibling sim_ivf_knn stays in GROUP2; both were
+# rewritten onto quantized centroids this round, so their GROUP2/GROUP9
+# timings reflect the new plan). Same protocol, own total.
+GROUP9 = [
+    "sink_vacuum_refs_aware",
+    "stream_cdf_mor",
+    "sim_ivf_pq_knn",
+    "join_cbo_reorder",
+    "sim_ivf_probe_sweep",
+]
+
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts
 # compare raw seconds across rounds on a host with documented ambient
 # drift (BENCH_r07 read a uniform 1.1-1.4x over identical r6 plans). The
@@ -316,6 +330,10 @@ def main() -> int:
         spark, sf_dir, [k for k in GROUP8 if k in sparkgraft.QUERIES], loadavg_samples
     )
     bound_loads.append(_bound())
+    timings9, traces9 = _time_group(
+        spark, sf_dir, [k for k in GROUP9 if k in sparkgraft.QUERIES], loadavg_samples
+    )
+    bound_loads.append(_bound())
 
     probe_end = _probe(spark, sf_dir)
     host_probe = min(probe_start, probe_end)
@@ -344,6 +362,7 @@ def main() -> int:
         "group6_total": round(sum(timings6.values()), 4),
         "group7_total": round(sum(timings7.values()), 4),
         "group8_total": round(sum(timings8.values()), 4),
+        "group9_total": round(sum(timings9.values()), 4),
         # r9 (the r8 verdict's ask #7): the load adjudication data rides
         # in the GRADED stdout line, not just the side trace — the 1-min
         # loadavg at start and at every group boundary, plus a loud gate
@@ -367,6 +386,7 @@ def main() -> int:
                 ("g6", sum(timings6.values())),
                 ("g7", sum(timings7.values())),
                 ("g8", sum(timings8.values())),
+                ("g9", sum(timings9.values())),
             ]
         },
         "trace_file": "BENCH_trace.json",
@@ -376,11 +396,11 @@ def main() -> int:
         {"group2_queries": timings2, "group3_queries": timings3,
          "group4_queries": timings4, "group5_queries": timings5,
          "group6_queries": timings6, "group7_queries": timings7,
-         "group8_queries": timings8,
+         "group8_queries": timings8, "group9_queries": timings9,
          "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
          "group6_runs": traces6, "group7_runs": traces7,
-         "group8_runs": traces8,
+         "group8_runs": traces8, "group9_runs": traces9,
          "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
