@@ -213,6 +213,9 @@ GROUP9 = [
     "sim_ivf_pq_knn",
     "join_cbo_reorder",
     "sim_ivf_probe_sweep",
+    "scan_snapshot_rollback",
+    "sink_branch_cherry_pick",
+    "stream_cdf_materialized_view",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -3839,3 +3839,285 @@ def sink_vacuum_refs_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return per[0].unionByName(per[1]).orderBy("ref")
+
+
+@query(
+    "scan_snapshot_rollback",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT CAST(3 AS INT) AS rollback_version,
+           CAST(4 AS INT) AS n_snapshots,
+           TRUE AS rollback_metadata_only,
+           TRUE AS bad_batch_still_travelable,
+           CAST((SELECT count(*) FROM ev)
+                + (SELECT count(*) FROM ev WHERE o_orderkey % 1000 = 7)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT sum(cents) FROM ev)
+                + (SELECT sum(cents) FROM ev WHERE o_orderkey % 1000 = 7)
+                AS BIGINT) AS cents
+    """,
+)
+def scan_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ROLLBACK as a FORWARD commit — the undo primitive of the
+    log: a bad publish is not repaired by deleting history (manifests
+    are immutable; readers may hold v2) but by committing a NEW version
+    whose file list equals the good state's — Iceberg's
+    rollback_to_snapshot / Delta's RESTORE. History: v1 = base; v2
+    appends a POISONED batch (negated cents, asserted present); v3 =
+    the rollback — a remove-delta of exactly v2's adds, leaving v3's
+    file list BYTE-IDENTICAL to v1's (asserted: same list, zero new
+    files, so the rollback moved metadata only); v4 appends a clean
+    batch and life continues on the restored line. Time travel is
+    preserved both ways (asserted): v2 still shows the poisoned rows
+    inside retention — the forensic record a delete-history 'rollback'
+    destroys — while v3/v4 readers see zero of them.
+
+    Scale: rollback cost is one KB manifest CAS regardless of how much
+    data the bad commit added; the bad files linger until vacuum
+    (`sink_vacuum_refs_aware` collects them once unreferenced), so
+    restore is instant even when the mistake was 10 TB."""
+    root = _scratch(sf_dir, "rollback_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_dir = os.path.join(root, "base")
+    bad_dir = os.path.join(root, "bad")
+    good_dir = os.path.join(root, "good")
+    o.repartition(2).write.mode("overwrite").parquet(base_dir)
+    v1, _ = _commit_snapshot(log_dir, _data_files_of(base_dir))
+    v1_files = _read_manifest(log_dir, v1)["files"]
+
+    (
+        o.filter(F.col("o_orderkey") % 100 == 13)
+        .select(
+            (F.col("o_orderkey") + F.lit(2_000_000_000)).alias("o_orderkey"),
+            (-F.col("cents")).alias("cents"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(bad_dir)
+    )
+    bad_files = _data_files_of(bad_dir)
+    v2, _ = _commit_snapshot(log_dir, bad_files)
+    if (
+        spark.read.parquet(*_read_manifest(log_dir, v2)["files"])
+        .filter(F.col("cents") < 0)
+        .limit(1)
+        .count()
+        == 0
+    ):
+        raise RuntimeError("bad batch left no visible violations at v2")
+
+    # v3: THE ROLLBACK — remove exactly v2's adds; nothing new lands
+    v3, _ = _commit_snapshot(
+        log_dir, [], remove_files=bad_files, extra={"op": "rollback", "to": v1}
+    )
+    v3_files = _read_manifest(log_dir, v3)["files"]
+    if v3_files != v1_files:
+        raise RuntimeError(
+            f"rollback did not restore v1's file list: {v3_files}"
+        )
+    # metadata-only: every v3 file already existed before the rollback
+    if not set(v3_files) <= set(v1_files):
+        raise RuntimeError("rollback materialized new files")
+    # forensic record: v2 must still show the poisoned rows ...
+    still_bad = (
+        spark.read.parquet(*_read_manifest(log_dir, v2)["files"])
+        .filter(F.col("cents") < 0)
+        .count()
+    )
+    if still_bad == 0:
+        raise RuntimeError("v2 lost the poisoned rows — history mutated")
+    # ... while the restored head shows none
+    if (
+        spark.read.parquet(*v3_files)
+        .filter(F.col("cents") < 0)
+        .limit(1)
+        .count()
+    ):
+        raise RuntimeError("restored head still shows poisoned rows")
+
+    (
+        o.filter(F.col("o_orderkey") % 1000 == 7)
+        .select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("o_orderkey"),
+            F.col("cents"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(good_dir)
+    )
+    _commit_snapshot(log_dir, _data_files_of(good_dir))
+    versions = _log_versions(log_dir)
+    if versions != [1, 2, 3, 4]:
+        raise RuntimeError(f"history not linear: {versions}")
+
+    head = _read_manifest(log_dir, versions[-1])["files"]
+    return spark.read.parquet(*head).agg(
+        F.lit(3).cast("int").alias("rollback_version"),
+        F.lit(len(versions)).cast("int").alias("n_snapshots"),
+        F.lit(True).alias("rollback_metadata_only"),
+        F.lit(bool(still_bad > 0)).alias("bad_batch_still_travelable"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+
+
+@query(
+    "sink_branch_cherry_pick",
+    oracle=f"""
+    SELECT TRUE AS cherry_picked, TRUE AS a1_excluded,
+           TRUE AS conflict_detected,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}'
+       OR (o_orderdate >= TIMESTAMP '{_CC_CUTOFF}' AND o_orderkey % 10 = 2)
+    """,
+)
+def sink_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHERRY-PICK across branches — promoting ONE commit's delta from a
+    work branch to main without merging the branch (Iceberg's
+    cherrypick_snapshot): the audit branch lands two appends A1 (v2) and
+    A2 (v3) on top of shared v1; only A2 is wanted on main, so its
+    REMOVE/ADD DELTA (manifest arithmetic: files(v3) − files(v2)) is
+    re-applied onto MAIN's head as a new commit — asserted: main gains
+    exactly A2's files, references none of A1's, and the oracle pins the
+    read to base + the A2 slice recomputed from source.
+
+    The SAFETY RULE is proven on the negative path: a cherry-pick whose
+    delta REMOVES files is only valid if those files are still present
+    on the target — after main compacts the base files away, re-applying
+    the branch's compaction delta (which removes the same base files)
+    must raise CommitConflict (asserted), not resurrect dead files or
+    double-apply the rewrite. This is the same conflict rule
+    `_commit_snapshot` enforces between racing writers, applied across
+    refs.
+
+    Scale: a cherry-pick is KB manifest arithmetic + one CAS — promoting
+    a 10 TB backfill commit from `audit` to `main` copies zero bytes;
+    the conflict check is a set containment over file lists, never a
+    data read."""
+    root = _scratch(sf_dir, "cherry_table")
+    log_dir = os.path.join(root, "log")
+    refs_dir = os.path.join(root, "refs")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(refs_dir, exist_ok=True)
+    for d in (log_dir, refs_dir):
+        for v in os.listdir(d):
+            os.unlink(os.path.join(d, v))
+
+    def set_ref(name: str, version: int) -> None:
+        tmp = os.path.join(refs_dir, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(refs_dir, name))
+
+    def get_ref(name: str) -> int:
+        with open(os.path.join(refs_dir, name)) as fh:
+            return int(fh.read())
+
+    def ref_files(name: str) -> list[str]:
+        return _read_manifest(log_dir, get_ref(name))["files"]
+
+    def cherry_pick(target: str, adds: list[str], removes: list[str]) -> int:
+        """Re-apply a commit's remove/add delta onto the target ref —
+        the cross-ref form of `_commit_snapshot`'s conflict rule."""
+        parent = ref_files(target)
+        if not set(removes) <= set(parent):
+            raise CommitConflict(
+                f"cherry-pick removes files absent from {target}: "
+                f"{sorted(set(removes) - set(parent))}"
+            )
+        child = [f for f in parent if f not in set(removes)] + adds
+        version = _log_versions(log_dir)[-1] + 1
+        if not _try_publish(log_dir, version, child):
+            raise RuntimeError("cherry-pick lost an uncontended CAS")
+        set_ref(target, version)
+        return version
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CC_CUTOFF).cast("timestamp")
+    base_dir = os.path.join(root, "base")
+    a1_dir = os.path.join(root, "a1")
+    a2_dir = os.path.join(root, "a2")
+    o.filter(F.col("o_orderdate") < cutoff).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    base_files = _data_files_of(base_dir)
+    v1, _ = _commit_snapshot(log_dir, base_files)
+    set_ref("branch_main", v1)
+    set_ref("branch_audit", v1)
+
+    rest = o.filter(F.col("o_orderdate") >= cutoff)
+    rest.filter(F.col("o_orderkey") % 10 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(a1_dir)
+    rest.filter(F.col("o_orderkey") % 10 == 2).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(a2_dir)
+
+    # audit lands A1 (v2) then A2 (v3), each a child of ITS OWN head
+    if not _try_publish(
+        log_dir, v1 + 1, ref_files("branch_audit") + _data_files_of(a1_dir)
+    ):
+        raise RuntimeError("A1 commit lost an uncontended CAS")
+    set_ref("branch_audit", v1 + 1)
+    v2_files = ref_files("branch_audit")
+    if not _try_publish(
+        log_dir, v1 + 2, v2_files + _data_files_of(a2_dir)
+    ):
+        raise RuntimeError("A2 commit lost an uncontended CAS")
+    set_ref("branch_audit", v1 + 2)
+
+    # cherry-pick A2 only: the delta between the branch's v3 and v2
+    a2_delta_add = sorted(set(ref_files("branch_audit")) - set(v2_files))
+    if a2_delta_add != _data_files_of(a2_dir):
+        raise RuntimeError(f"A2 delta wrong: {a2_delta_add}")
+    cherry_pick("branch_main", a2_delta_add, [])
+    main_files = set(ref_files("branch_main"))
+    if main_files != set(base_files) | set(a2_delta_add):
+        raise RuntimeError(f"main after cherry-pick: {sorted(main_files)}")
+    if main_files & set(_data_files_of(a1_dir)):
+        raise RuntimeError("cherry-pick leaked A1 files onto main")
+
+    # main compacts the base away; the branch's competing compaction
+    # delta now removes files main no longer has -> MUST conflict
+    mc_dir = os.path.join(root, "main_compact")
+    spark.read.parquet(*base_files).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(mc_dir)
+    cherry_pick("branch_main", _data_files_of(mc_dir), base_files)
+    ac_dir = os.path.join(root, "audit_compact")
+    spark.read.parquet(*base_files).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(ac_dir)
+    conflict_detected = False
+    try:
+        cherry_pick("branch_main", _data_files_of(ac_dir), base_files)
+    except CommitConflict:
+        conflict_detected = True
+    if not conflict_detected:
+        raise RuntimeError(
+            "conflicting cherry-pick (stale removes) was accepted"
+        )
+
+    return spark.read.parquet(*ref_files("branch_main")).agg(
+        F.lit(True).alias("cherry_picked"),
+        F.lit(True).alias("a1_excluded"),
+        F.lit(bool(conflict_detected)).alias("conflict_detected"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    )

@@ -168,3 +168,47 @@ def test_cbo_reorder_result_matches_plain_join(spark):
         .collect()
     }
     assert got == want and len(got) == 2
+
+
+def test_rollback_restores_and_preserves_history(spark):
+    """The post-rollback head digest must equal base + the clean append,
+    and the key's forensic flags must be true (v2 still travelable)."""
+    row = sparkgraft.QUERIES["scan_snapshot_rollback"](spark, SF_DIR).collect()[0]
+    o = load(spark, SF_DIR, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    n_total = o.count()
+    n_good = o.filter(F.col("o_orderkey") % 1000 == 7).count()
+    assert row["rollback_version"] == 3
+    assert row["rollback_metadata_only"] and row["bad_batch_still_travelable"]
+    assert row["n_rows"] == n_total + n_good
+
+
+def test_cherry_pick_promotes_only_a2(spark):
+    """Main after the cherry-pick must read base + the A2 slice exactly;
+    the stale-removes conflict must have fired."""
+    row = sparkgraft.QUERIES["sink_branch_cherry_pick"](spark, SF_DIR).collect()[0]
+    o = load(spark, SF_DIR, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    want = o.filter(
+        (F.col("o_orderdate") < cutoff)
+        | ((F.col("o_orderdate") >= cutoff) & (F.col("o_orderkey") % 10 == 2))
+    ).count()
+    assert row["conflict_detected"] and row["a1_excluded"]
+    assert row["n_rows"] == want
+
+
+def test_cdf_mv_buckets_complete(spark):
+    """The incrementally maintained MV must cover every key bucket and
+    net to the post-delete row count (in-key asserts already pin it
+    bucket-for-bucket against the direct recompute)."""
+    rows = sparkgraft.QUERIES["stream_cdf_materialized_view"](
+        spark, SF_DIR
+    ).collect()
+    assert sorted(r["bucket"] for r in rows) == list(range(8))
+    o = load(spark, SF_DIR, "orders")
+    n_base = o.count()
+    n_del = o.filter(F.col("o_orderkey") % 10 == 4).count()
+    n_app = o.filter(F.col("o_orderkey") % 1000 == 7).count()
+    assert sum(r["n_rows"] for r in rows) == n_base - n_del + n_app
