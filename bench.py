@@ -216,6 +216,7 @@ GROUP9 = [
     "scan_snapshot_rollback",
     "sink_branch_cherry_pick",
     "stream_cdf_materialized_view",
+    "stream_mv_exactly_once",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -2541,6 +2541,83 @@ def stream_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MV_BUCKETS = 8  # MV key space: o_orderkey % 8
 
 
+def _mv_maintainer(spark: SparkSession, mv_root: str, crash_after=None):
+    """(maintain, mv_read) pair for the CDF-fed materialized view.
+
+    EXACTLY-ONCE discipline: the previous state is keyed by BATCH ID
+    (v{{N-1}}), never by the CURRENT pointer — Spark checkpoints a
+    batch AFTER foreachBatch returns, so a crash between our publish
+    and the checkpoint REDELIVERS the batch; a maintainer that read the
+    pointer would re-apply the delta onto the already-advanced state
+    and double-count (the same txn-id argument as `stream_acid_append`,
+    applied to view maintenance). Replays instead recompute v{{N}} from
+    the same immutable v{{N-1}} and CONVERGE (mode=overwrite + atomic
+    pointer replace). `crash_after`: optional one-shot batch id — raise
+    AFTER publishing that batch, BEFORE Spark's checkpoint commit, to
+    stage exactly that failure."""
+    pointer = os.path.join(mv_root, "CURRENT")
+    armed = {"batch": crash_after}
+
+    def state_dir(batch_id: int) -> str:
+        return os.path.join(mv_root, f"v{batch_id:05d}")
+
+    def mv_read() -> DataFrame | None:
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            return spark.read.parquet(fh.read().strip())
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+        delta = batch_df.groupBy(
+            (F.col("o_orderkey") % _MV_BUCKETS).cast("int").alias("bucket")
+        ).agg(
+            F.sum(sign).cast("long").alias("d_n"),
+            F.sum(sign * F.col("cents")).cast("long").alias("d_cents"),
+        )
+        if batch_id == 0:
+            merged = delta.select(
+                "bucket",
+                F.col("d_n").alias("n_rows"),
+                F.col("d_cents").alias("cents"),
+            )
+        else:
+            prev_dir = state_dir(batch_id - 1)
+            if not os.path.exists(prev_dir):
+                raise RuntimeError(
+                    f"MV state gap: batch {batch_id} has no v{batch_id - 1}"
+                )
+            merged = (
+                spark.read.parquet(prev_dir)
+                .join(delta, "bucket", "full_outer")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("n_rows"), F.lit(0))
+                        + F.coalesce(F.col("d_n"), F.lit(0))
+                    ).cast("long").alias("n_rows"),
+                    (
+                        F.coalesce(F.col("cents"), F.lit(0))
+                        + F.coalesce(F.col("d_cents"), F.lit(0))
+                    ).cast("long").alias("cents"),
+                )
+                .filter(F.col("n_rows") > 0)
+            )
+        vdir = state_dir(batch_id)
+        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(vdir)
+        os.replace(tmp, pointer)  # readers swap atomically, never block
+        if armed["batch"] == batch_id:
+            armed["batch"] = None
+            raise RuntimeError(
+                "injected crash after MV publish, before checkpoint"
+            )
+
+    return maintain, mv_read
+
+
 @query(
     "stream_cdf_materialized_view",
     oracle=f"""
@@ -2570,7 +2647,10 @@ def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     events fold into per-bucket SIGNED deltas (insert = +1/+cents,
     delete = −1/−cents), which full-outer-merge with the previous MV
     state into a new per-batch MV version (monotonic state dirs + an
-    atomically replaced pointer — the readers-never-block discipline).
+    atomically replaced pointer — the readers-never-block discipline;
+    the previous state is keyed by BATCH ID, not the pointer, so a
+    crash-replay converges — proven under injected failure by
+    `stream_mv_exactly_once`).
 
     Table history: v1 = base (2 files), v2 = COW delete of the even-key
     %10={_CDF_DEL_PRED} rows, v3 = re-keyed append — so the MV must
@@ -2629,51 +2709,7 @@ def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     _commit_snapshot(log_dir, _data_files_of(app_dir))
 
     spark.dataSource.register(_snapshot_cdf_partitioned_datasource())
-    pointer = os.path.join(mv_root, "CURRENT")
-
-    def mv_read() -> DataFrame | None:
-        if not os.path.exists(pointer):
-            return None
-        with open(pointer) as fh:
-            return spark.read.parquet(fh.read().strip())
-
-    def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
-        delta = batch_df.groupBy(
-            (F.col("o_orderkey") % _MV_BUCKETS).cast("int").alias("bucket")
-        ).agg(
-            F.sum(sign).cast("long").alias("d_n"),
-            F.sum(sign * F.col("cents")).cast("long").alias("d_cents"),
-        )
-        prev = mv_read()
-        if prev is None:
-            merged = delta.select(
-                "bucket",
-                F.col("d_n").alias("n_rows"),
-                F.col("d_cents").alias("cents"),
-            )
-        else:
-            merged = (
-                prev.join(delta, "bucket", "full_outer")
-                .select(
-                    "bucket",
-                    (
-                        F.coalesce(F.col("n_rows"), F.lit(0))
-                        + F.coalesce(F.col("d_n"), F.lit(0))
-                    ).cast("long").alias("n_rows"),
-                    (
-                        F.coalesce(F.col("cents"), F.lit(0))
-                        + F.coalesce(F.col("d_cents"), F.lit(0))
-                    ).cast("long").alias("cents"),
-                )
-                .filter(F.col("n_rows") > 0)
-            )
-        vdir = os.path.join(mv_root, f"v{batch_id:05d}")
-        merged.coalesce(1).write.mode("overwrite").parquet(vdir)
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(vdir)
-        os.replace(tmp, pointer)  # readers swap atomically, never block
+    maintain, mv_read = _mv_maintainer(spark, mv_root)
 
     q = (
         spark.readStream.format("sparkgraft_snapshot_cdf_partitioned")
@@ -2723,4 +2759,172 @@ def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{mv_rows} vs {direct_rows}"
         )
 
+    return mv.orderBy("bucket")
+
+
+@query(
+    "stream_mv_exactly_once",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    head AS (
+      SELECT o_orderkey, cents FROM ev
+      WHERE NOT (o_orderkey % 2 = 0 AND o_orderkey % 10 = {_CDF_DEL_PRED})
+      UNION ALL
+      SELECT o_orderkey + 3000000000, cents FROM ev
+      WHERE o_orderkey % 1000 = 7)
+    SELECT CAST(o_orderkey % {_MV_BUCKETS} AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM head GROUP BY 1 ORDER BY bucket
+    """,
+)
+def stream_mv_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE view maintenance under INJECTED FAILURE — the crash
+    window `stream_cdf_materialized_view` documents, staged for real:
+    the maintainer publishes batch 1's MV version and pointer, then the
+    query dies BEFORE Spark checkpoints the batch (raise inside
+    foreachBatch — `stream_acid_append`'s kill point applied to view
+    maintenance). On restart Spark REDELIVERS batch 1 (asserted: the
+    delivered batch-id sequence is 0, 1, then 1 again); because the
+    maintainer derives its input state from the immutable v0 — keyed by
+    BATCH ID, never the CURRENT pointer, which already points at the
+    pre-crash v1 — the replay RECOMPUTES v1 to the same state and
+    converges. A pointer-reading maintainer would re-apply batch 1's
+    delta on top of its own output and double-count every bucket,
+    breaking both the in-key recompute assert and the oracle hash.
+
+    Restart also exercises the r10 reader-cursor fix end-to-end: the
+    fresh reader instance resumes from the replayed batch's offsets
+    (partitions() clamps) instead of re-announcing version 0. Final
+    asserts: exactly 3 MV state versions on disk (no rebuilds, no
+    phantom v3), and the MV equals the direct head recompute
+    bucket-for-bucket.
+
+    Scale: the recovery contract is what lets 1000 maintainers run
+    unattended — a redelivered batch costs one |buckets|-row recompute,
+    never a divergent view or a full rebuild."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import (
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-mvxo-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    mv_root = os.path.join(root, "mv")
+    for d in (log_dir, mv_root):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even_dir = os.path.join(root, "even")
+    odd_dir = os.path.join(root, "odd")
+    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(even_dir)
+    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(odd_dir)
+    even_f = _data_files_of(even_dir)
+    _commit_snapshot(log_dir, even_f + _data_files_of(odd_dir))  # v1
+    rw_dir = os.path.join(root, "rewrite")
+    (
+        spark.read.parquet(*even_f)
+        .filter(~(F.col("o_orderkey") % 10 == _CDF_DEL_PRED))
+        .coalesce(1)
+        .write.parquet(rw_dir)
+    )
+    _commit_snapshot(log_dir, _data_files_of(rw_dir), remove_files=even_f)
+    app_dir = os.path.join(root, "append")
+    (
+        o.filter(F.col("o_orderkey") % 1000 == 7)
+        .select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("o_orderkey"),
+            "o_totalprice",
+        )
+        .coalesce(1)
+        .write.parquet(app_dir)
+    )
+    _commit_snapshot(log_dir, _data_files_of(app_dir))
+
+    spark.dataSource.register(_snapshot_cdf_partitioned_datasource())
+    maintain, mv_read = _mv_maintainer(spark, mv_root, crash_after=1)
+    delivered: list[int] = []
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delivered.append(int(batch_id))
+        maintain(batch_df, batch_id)
+
+    def run_phase() -> None:
+        q = (
+            spark.readStream.format("sparkgraft_snapshot_cdf_partitioned")
+            .option("log_dir", log_dir)
+            .option("emit_deletes", "true")
+            .option("state_dir", os.path.join(root, "reader_state"))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ex = q.exception()
+            if ex is not None:
+                raise ex
+        finally:
+            q.stop()
+
+    try:
+        run_phase()
+        raise RuntimeError("phase 1 did not crash — injection never fired")
+    except StreamingQueryException as ex:
+        if "injected crash" not in str(ex):
+            raise
+    if delivered != [0, 1]:
+        raise RuntimeError(f"phase 1 delivered {delivered}, wanted [0, 1]")
+    # the crash window is real: batch 1's state IS published already
+    v1_dir = os.path.join(mv_root, "v00001")
+    if not os.path.exists(v1_dir):
+        raise RuntimeError("crash landed before the publish — wrong window")
+
+    run_phase()  # restart: batch 1 REDELIVERED, replay must converge
+    if delivered != [0, 1, 1, 2]:
+        raise RuntimeError(
+            f"restart delivered {delivered}, wanted [0, 1, 1, 2] "
+            "(batch 1 redelivered once, then batch 2)"
+        )
+
+    n_versions = len([d for d in os.listdir(mv_root) if d.startswith("v")])
+    if n_versions != 3:
+        raise RuntimeError(f"MV wrote {n_versions} versions, wanted 3")
+
+    mv = mv_read()
+    head_files = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    direct_rows = {
+        r["bucket"]: (r["n_rows"], r["cents"])
+        for r in spark.read.parquet(*head_files)
+        .groupBy(
+            (F.col("o_orderkey") % _MV_BUCKETS).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    mv_rows = {r["bucket"]: (r["n_rows"], r["cents"]) for r in mv.collect()}
+    if mv_rows != direct_rows:
+        raise RuntimeError(
+            f"replayed MV diverged from recompute (double-applied delta?): "
+            f"{mv_rows} vs {direct_rows}"
+        )
     return mv.orderBy("bucket")

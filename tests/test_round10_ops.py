@@ -212,3 +212,23 @@ def test_cdf_mv_buckets_complete(spark):
     n_del = o.filter(F.col("o_orderkey") % 10 == 4).count()
     n_app = o.filter(F.col("o_orderkey") % 1000 == 7).count()
     assert sum(r["n_rows"] for r in rows) == n_base - n_del + n_app
+
+
+def test_mv_exactly_once_matches_straight_run(spark):
+    """The crash-replayed MV must equal the no-crash MV bucket-for-bucket
+    — redelivery converges instead of double-applying (both keys already
+    assert equality to the direct head recompute in-key; this pins the
+    two keys to EACH OTHER so a shared systematic error cannot hide)."""
+    straight = {
+        r["bucket"]: (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["stream_cdf_materialized_view"](
+            spark, SF_DIR
+        ).collect()
+    }
+    replayed = {
+        r["bucket"]: (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["stream_mv_exactly_once"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert straight == replayed and len(straight) == 8
