@@ -217,6 +217,8 @@ GROUP9 = [
     "sink_branch_cherry_pick",
     "stream_cdf_materialized_view",
     "stream_mv_exactly_once",
+    "stream_scd2_maintenance",
+    "scan_branch_diff",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -4121,3 +4121,123 @@ def sink_branch_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents"),
     )
+
+
+@query(
+    "scan_branch_diff",
+    oracle=f"""
+    SELECT 'audit_only' AS side, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_CC_CUTOFF}' AND o_orderkey % 2 = 1
+    UNION ALL
+    SELECT 'main_only', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_CC_CUTOFF}' AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'shared', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    FROM orders WHERE o_orderdate < TIMESTAMP '{_CC_CUTOFF}'
+    ORDER BY side
+    """,
+)
+def scan_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCH DIFF — the review surface for the branch/WAP workflow
+    (`scan_branch_tag_refs` builds the branches, this key answers 'what
+    would merging audit change?'): resolve both refs to manifests,
+    partition the UNION of their file lists into shared / main-only /
+    audit-only by pure set arithmetic (KB, driver-side), then read ONLY
+    the exclusive file sets for the row-level diff — the shared digest
+    comes from the shared files, so diff cost is proportional to the
+    DIVERGENCE, never to the table (asserted structurally: the exclusive
+    read lists are disjoint from the shared list, and shared files =
+    the full v1 base — zero-copy branching made auditable).
+
+    Scale: two 100 TB branches that share 99% of their files diff in
+    one read of the 1% — the same argument as incremental scan; file-
+    level classification alone (no row read) already answers 'did this
+    branch touch partition X', which is how a reviewer scopes a risky
+    backfill before paying for the row diff."""
+    root = _scratch(sf_dir, "branch_diff_table")
+    log_dir = os.path.join(root, "log")
+    refs_dir = os.path.join(root, "refs")
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(refs_dir, exist_ok=True)
+    for d in (log_dir, refs_dir):
+        for v in os.listdir(d):
+            os.unlink(os.path.join(d, v))
+
+    def set_ref(name: str, version: int) -> None:
+        tmp = os.path.join(refs_dir, f".tmp-{name}")
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, os.path.join(refs_dir, name))
+
+    def get_ref(name: str) -> int:
+        with open(os.path.join(refs_dir, name)) as fh:
+            return int(fh.read())
+
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_CC_CUTOFF).cast("timestamp")
+    base_dir = os.path.join(root, "base")
+    even_dir = os.path.join(root, "even")
+    odd_dir = os.path.join(root, "odd")
+    o.filter(F.col("o_orderdate") < cutoff).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    rest = o.filter(F.col("o_orderdate") >= cutoff)
+    rest.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(even_dir)
+    rest.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(odd_dir)
+
+    base_files = _data_files_of(base_dir)
+    v1, _ = _commit_snapshot(log_dir, base_files)
+    set_ref("branch_main", v1)
+    set_ref("branch_audit", v1)
+    if not _try_publish(log_dir, v1 + 1, base_files + _data_files_of(even_dir)):
+        raise RuntimeError("main commit lost an uncontended CAS")
+    set_ref("branch_main", v1 + 1)
+    if not _try_publish(log_dir, v1 + 2, base_files + _data_files_of(odd_dir)):
+        raise RuntimeError("audit commit lost an uncontended CAS")
+    set_ref("branch_audit", v1 + 2)
+
+    main_files = set(
+        _read_manifest(log_dir, get_ref("branch_main"))["files"]
+    )
+    audit_files = set(
+        _read_manifest(log_dir, get_ref("branch_audit"))["files"]
+    )
+    shared = sorted(main_files & audit_files)
+    main_only = sorted(main_files - audit_files)
+    audit_only = sorted(audit_files - main_files)
+    if shared != base_files:
+        raise RuntimeError(f"shared set is not the v1 base: {shared}")
+    if set(main_only) & set(audit_only):
+        raise RuntimeError("exclusive sets overlap — set arithmetic broken")
+    if not (main_only and audit_only):
+        raise RuntimeError("branches did not diverge — diff is vacuous")
+
+    digest = [
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents"),
+    ]
+    per = []
+    for side, files in (
+        ("audit_only", audit_only),
+        ("main_only", main_only),
+        ("shared", shared),
+    ):
+        per.append(
+            spark.read.parquet(*files).agg(F.lit(side).alias("side"), *digest)
+        )
+    out = per[0]
+    for df in per[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("side")

@@ -2243,6 +2243,17 @@ def _mor_cdf_datasource():
                 self._last += 1  # one commit per micro-batch
             return {"version": self._last}
 
+        def _first_versions(self, upto):
+            """file -> first version referencing it — the SEQUENCE
+            NUMBER of every file, derived from the KB manifests (walked
+            once per planning call; O(commits × files-per-manifest)
+            driver-side metadata, never a data read)."""
+            seen: dict = {}
+            for v in range(1, upto + 1):
+                for f in self._files(v):
+                    seen.setdefault(f, v)
+            return seen
+
         def partitions(self, start, end):
             self._last = max(self._last, end["version"])
             parts = []
@@ -2251,15 +2262,31 @@ def _mor_cdf_datasource():
                 prev = set(self._files(v - 1))
                 added = cur - prev
                 new_dels = sorted(p for p in added if self._is_del(p))
-                prior_dels = sorted(p for p in prev if self._is_del(p))
                 prev_data = sorted(p for p in prev if not self._is_del(p))
                 for p in sorted(p for p in prev - cur if not self._is_del(p)):
                     parts.append(MORCDFPartition(v, "delete", p))
                 if new_dels:
-                    parts.extend(
-                        MORCDFPartition(v, "mor_delete", p, new_dels, prior_dels)
-                        for p in prev_data
-                    )
+                    # TRUE per-file sequence scoping (r10 wave 2): a
+                    # PRIOR tombstone suppresses a pre-image row only if
+                    # it APPLIES to that row's data file — i.e. the
+                    # tombstone's sequence is STRICTLY greater than the
+                    # file's. A manifest-global prior list would wrongly
+                    # suppress repeated upserts of the same keys: the
+                    # v2 upsert file's rows are NOT masked by v2's own
+                    # tombstone, so a v3 re-upsert must still emit them
+                    # as deletes (`stream_scd2_maintenance` exercises
+                    # exactly this).
+                    fv = self._first_versions(v)
+                    prior_all = [p for p in prev if self._is_del(p)]
+                    for p in prev_data:
+                        prior_for_p = sorted(
+                            t for t in prior_all if fv[t] > fv[p]
+                        )
+                        parts.append(
+                            MORCDFPartition(
+                                v, "mor_delete", p, new_dels, prior_for_p
+                            )
+                        )
                 parts.extend(
                     MORCDFPartition(v, "insert", p)
                     for p in sorted(added - set(new_dels))
@@ -2928,3 +2955,240 @@ def stream_mv_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{mv_rows} vs {direct_rows}"
         )
     return mv.orderBy("bucket")
+
+
+_SCD2_UPS = 7  # upserted keys: o_orderkey % 10 == 7
+_SCD2_B1, _SCD2_B2 = 11, 111  # the two re-price deltas (cents)
+
+
+@query(
+    "stream_scd2_maintenance",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    ups AS (SELECT * FROM ev WHERE o_orderkey % 10 = {_SCD2_UPS}),
+    oth AS (SELECT * FROM ev WHERE o_orderkey % 10 <> {_SCD2_UPS})
+    SELECT CAST(1 AS INT) AS eff_from, FALSE AS is_current,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ups
+    UNION ALL
+    SELECT CAST(1 AS INT), TRUE, CAST(count(*) AS BIGINT),
+           CAST(sum(cents) AS BIGINT)
+    FROM oth
+    UNION ALL
+    SELECT CAST(2 AS INT), FALSE, CAST(count(*) AS BIGINT),
+           CAST(sum(cents + {_SCD2_B1}) AS BIGINT)
+    FROM ups
+    UNION ALL
+    SELECT CAST(3 AS INT), TRUE, CAST(count(*) AS BIGINT),
+           CAST(sum(cents + {_SCD2_B2}) AS BIGINT)
+    FROM ups
+    ORDER BY eff_from, is_current
+    """,
+)
+def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION TYPE 2 maintained INCREMENTALLY from
+    the MOR change feed — the warehouse pattern that composes three r10
+    pieces: the sequence-scoped MOR CDF (delete+insert pairs per
+    upsert), the batch-id-keyed exactly-once state discipline
+    (`stream_mv_exactly_once`), and version-stamped history. The
+    dimension starts at v1; the SAME key set (%10=={_SCD2_UPS}) is
+    upserted TWICE (v2: +{_SCD2_B1} cents, v3: +{_SCD2_B2} cents) — the
+    repeated-upsert case that requires TRUE per-file sequence scoping in
+    the reader: v3's delete events must be the v2 upsert file's rows
+    (masked by v3's tombstone, NOT suppressed by v2's own same-key
+    tombstone, which does not apply to its sibling file), or the v2
+    version of each key would never close and the chain breaks.
+
+    Per micro-batch (one commit, version v): 'delete' events CLOSE the
+    matching current rows (eff_to = v), 'insert' events OPEN new
+    current rows (eff_from = v) — previous state read from the
+    immutable batch-keyed version, so crash-replays converge. In-key
+    asserts: chain integrity — every closed row has a successor opening
+    at exactly its eff_to (no gaps, no overlaps), upserted keys carry
+    exactly 3 versions and untouched keys exactly 1; and the CURRENT
+    slice equals the head's sequence-scoped MOR read digest exactly.
+
+    Scale: per-commit cost is the commit's change rows joined against
+    the CURRENT slice on the key (broadcast when the delta is small —
+    the normal case); history rows are never rewritten, only appended
+    or version-stamped once. The oracle pins all four (eff_from,
+    is_current) classes recomputed from source."""
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _commit_snapshot, _data_files_of
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-scd2m-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    st_root = os.path.join(root, "scd2")
+    for d in (log_dir, st_root):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_dir = os.path.join(root, "base")
+    o.repartition(2).write.parquet(base_dir)
+    _commit_snapshot(log_dir, _data_files_of(base_dir))  # v1
+
+    ups = o.filter(F.col("o_orderkey") % 10 == _SCD2_UPS)
+    for i, bump in ((2, _SCD2_B1), (3, _SCD2_B2)):
+        t_dir = os.path.join(root, "deletes", f"t{i}")
+        u_dir = os.path.join(root, f"u{i}")
+        ups.select("o_orderkey").coalesce(1).write.parquet(t_dir)
+        (
+            ups.select(
+                "o_orderkey", (F.col("cents") + F.lit(bump)).alias("cents")
+            )
+            .coalesce(1)
+            .write.parquet(u_dir)
+        )
+        _commit_snapshot(
+            log_dir,
+            _data_files_of(t_dir) + _data_files_of(u_dir),
+            extra={"op": "mor-upsert"},
+        )
+
+    spark.dataSource.register(_mor_cdf_datasource())
+    pointer = os.path.join(st_root, "CURRENT")
+
+    def state_dir(batch_id: int) -> str:
+        return os.path.join(st_root, f"v{batch_id:05d}")
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        v = vs[0]
+        opens = batch_df.filter(F.col("change_type") == "insert").select(
+            "o_orderkey",
+            "cents",
+            F.lit(v).cast("int").alias("eff_from"),
+            F.lit(None).cast("int").alias("eff_to"),
+            F.lit(True).alias("is_current"),
+        )
+        if batch_id == 0:
+            new_state = opens
+        else:
+            prev = spark.read.parquet(state_dir(batch_id - 1))
+            del_keys = (
+                batch_df.filter(F.col("change_type") == "delete")
+                .select("o_orderkey")
+                .distinct()
+            )
+            marked = prev.join(
+                F.broadcast(del_keys.withColumn("_close", F.lit(True))),
+                "o_orderkey",
+                "left",
+            )
+            new_state = marked.select(
+                "o_orderkey",
+                "cents",
+                "eff_from",
+                F.when(
+                    F.col("is_current") & F.col("_close"), F.lit(v)
+                )
+                .otherwise(F.col("eff_to"))
+                .cast("int")
+                .alias("eff_to"),
+                F.when(
+                    F.col("is_current") & F.col("_close"), F.lit(False)
+                )
+                .otherwise(F.col("is_current"))
+                .alias("is_current"),
+            ).unionByName(opens)
+        new_state.coalesce(1).write.mode("overwrite").parquet(
+            state_dir(batch_id)
+        )
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(state_dir(batch_id))
+        os.replace(tmp, pointer)
+
+    q = (
+        spark.readStream.format("sparkgraft_mor_cdf")
+        .option("log_dir", log_dir)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    with open(pointer) as fh:
+        scd2 = spark.read.parquet(fh.read().strip())
+    scd2.cache()
+
+    # chain integrity: every closed row's eff_to is the eff_from of a
+    # successor for the same key — no gaps, no orphaned closures
+    closed = scd2.filter(~F.col("is_current")).select(
+        "o_orderkey", F.col("eff_to").alias("succ_from")
+    )
+    succ = scd2.select("o_orderkey", F.col("eff_from").alias("succ_from"))
+    orphans = closed.join(succ, ["o_orderkey", "succ_from"], "left_anti")
+    if orphans.limit(1).count():
+        raise RuntimeError("SCD2 chain broken: closed row without successor")
+    # version-count shape: upserted keys 3 rows, others exactly 1
+    counts = (
+        scd2.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .withColumn("is_ups", F.col("o_orderkey") % 10 == _SCD2_UPS)
+        .groupBy("is_ups")
+        .agg(F.min("n").alias("mn"), F.max("n").alias("mx"))
+        .collect()
+    )
+    shape = {r["is_ups"]: (r["mn"], r["mx"]) for r in counts}
+    if shape.get(True) != (3, 3) or shape.get(False) != (1, 1):
+        raise RuntimeError(f"SCD2 version counts wrong: {shape}")
+    # the CURRENT slice must equal the head's sequence-scoped MOR read
+    cur = scd2.filter("is_current").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    ).collect()[0]
+    t2k = spark.read.parquet(
+        os.path.join(root, "deletes", "t2"),
+        os.path.join(root, "deletes", "t3"),
+    ).select("o_orderkey").distinct()
+    head = (
+        spark.read.parquet(base_dir)
+        .join(F.broadcast(t2k), "o_orderkey", "left_anti")
+        .unionByName(spark.read.parquet(os.path.join(root, "u3")))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+        .collect()[0]
+    )
+    if (cur["n"], cur["c"]) != (head["n"], head["c"]):
+        raise RuntimeError(
+            f"current slice diverged from head MOR read: "
+            f"{tuple(cur)} vs {tuple(head)}"
+        )
+
+    out = (
+        scd2.groupBy("eff_from", "is_current")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("eff_from", "is_current")
+    )
+    rows = out.collect()
+    scd2.unpersist()
+    return spark.createDataFrame(
+        rows, "eff_from int, is_current boolean, n_rows long, cents long"
+    )

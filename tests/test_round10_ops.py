@@ -232,3 +232,45 @@ def test_mv_exactly_once_matches_straight_run(spark):
         ).collect()
     }
     assert straight == replayed and len(straight) == 8
+
+
+def test_scd2_maintenance_chain(spark):
+    """The streamed SCD2 table's four (eff_from, is_current) classes
+    must match the independently computed slices, and the two closed
+    generations must carry the two distinct re-price deltas."""
+    rows = {
+        (r["eff_from"], r["is_current"]): (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["stream_scd2_maintenance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(rows) == {(1, False), (1, True), (2, False), (3, True)}
+    o = load(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ups = o.filter(F.col("o_orderkey") % 10 == 7)
+    n_ups = ups.count()
+    c_ups = ups.agg(F.sum("cents")).collect()[0][0]
+    assert n_ups > 0
+    assert rows[(1, False)] == (n_ups, c_ups)
+    assert rows[(2, False)] == (n_ups, c_ups + 11 * n_ups)
+    assert rows[(3, True)] == (n_ups, c_ups + 111 * n_ups)
+    assert rows[(1, True)][0] == o.count() - n_ups
+
+
+def test_branch_diff_sides_partition_table(spark):
+    """shared + main_only + audit_only must partition exactly the union
+    of both branch reads — no row lost or double-counted by the
+    file-set arithmetic."""
+    rows = {
+        r["side"]: (r["n_rows"], r["cents"])
+        for r in sparkgraft.QUERIES["scan_branch_diff"](spark, SF_DIR).collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    n_pre = o.filter(F.col("o_orderdate") < cutoff).count()
+    n_rest = o.filter(F.col("o_orderdate") >= cutoff).count()
+    assert rows["shared"][0] == n_pre
+    assert rows["main_only"][0] + rows["audit_only"][0] == n_rest
+    assert rows["main_only"][0] > 0 and rows["audit_only"][0] > 0
