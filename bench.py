@@ -221,6 +221,26 @@ GROUP9 = [
     "scan_branch_diff",
 ]
 
+# Tenth group (round 10, continuation wave): the thin-family widening —
+# TPC-H Q17/Q21/Q22 subquery topologies as SQL-entry texts, the 7-edge
+# referential audit + quarantine routing, link prediction and
+# personalized PageRank, the per-group sampling/diversification ranking
+# contracts, vision token budgeting, nested pruning. Same protocol, own
+# total.
+GROUP10 = [
+    "sql_entry_small_qty_revenue",
+    "sql_entry_waiting_suppliers",
+    "sql_entry_sales_opportunity",
+    "dq_referential_orphans",
+    "dq_quarantine_split",
+    "graph_jaccard_neighbors",
+    "graph_personalized_pagerank",
+    "sample_reservoir_pergroup",
+    "topk_diversified",
+    "mm_tile_grid",
+    "project_nested_prune",
+]
+
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts
 # compare raw seconds across rounds on a host with documented ambient
 # drift (BENCH_r07 read a uniform 1.1-1.4x over identical r6 plans). The
@@ -340,6 +360,10 @@ def main() -> int:
         spark, sf_dir, [k for k in GROUP9 if k in sparkgraft.QUERIES], loadavg_samples
     )
     bound_loads.append(_bound())
+    timings10, traces10 = _time_group(
+        spark, sf_dir, [k for k in GROUP10 if k in sparkgraft.QUERIES], loadavg_samples
+    )
+    bound_loads.append(_bound())
 
     probe_end = _probe(spark, sf_dir)
     host_probe = min(probe_start, probe_end)
@@ -369,6 +393,7 @@ def main() -> int:
         "group7_total": round(sum(timings7.values()), 4),
         "group8_total": round(sum(timings8.values()), 4),
         "group9_total": round(sum(timings9.values()), 4),
+        "group10_total": round(sum(timings10.values()), 4),
         # r9 (the r8 verdict's ask #7): the load adjudication data rides
         # in the GRADED stdout line, not just the side trace — the 1-min
         # loadavg at start and at every group boundary, plus a loud gate
@@ -393,6 +418,7 @@ def main() -> int:
                 ("g7", sum(timings7.values())),
                 ("g8", sum(timings8.values())),
                 ("g9", sum(timings9.values())),
+                ("g10", sum(timings10.values())),
             ]
         },
         "trace_file": "BENCH_trace.json",
@@ -403,10 +429,12 @@ def main() -> int:
          "group4_queries": timings4, "group5_queries": timings5,
          "group6_queries": timings6, "group7_queries": timings7,
          "group8_queries": timings8, "group9_queries": timings9,
+         "group10_queries": timings10,
          "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
          "group6_runs": traces6, "group7_runs": traces7,
          "group8_runs": traces8, "group9_runs": traces9,
+         "group10_runs": traces10,
          "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

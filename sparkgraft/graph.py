@@ -1212,3 +1212,235 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa"), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "graph_jaccard_neighbors",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs0 AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(count(*) AS BIGINT) AS sup
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT pa, pb FROM pairs0 WHERE sup >= 2),
+    sym AS (
+      SELECT pa AS u, pb AS v FROM edges
+      UNION ALL SELECT pb AS u, pa AS v FROM edges),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    hop2 AS (
+      SELECT x.u AS a, y.v AS b
+      FROM sym x JOIN sym y ON x.v = y.u AND x.u < y.v),
+    common AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS common
+      FROM hop2 GROUP BY 1, 2),
+    scored AS (
+      SELECT c.a, c.b, c.common,
+             CAST(floor(1000000.0 * c.common /
+                        (da.d + db.d - c.common) + 0.5) AS BIGINT)
+               AS jacc_micro
+      FROM common c
+      JOIN deg da ON da.u = c.a
+      JOIN deg db ON db.u = c.b),
+    pred AS (
+      SELECT s.a, s.b, s.common, s.jacc_micro
+      FROM scored s LEFT JOIN edges e ON e.pa = s.a AND e.pb = s.b
+      WHERE e.pa IS NULL)
+    SELECT a AS part_a, b AS part_b, common, jacc_micro FROM pred
+    ORDER BY jacc_micro DESC, part_a, part_b LIMIT 20
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEIGHBORHOOD-JACCARD link prediction over the co-purchase graph —
+    the set-overlap companion to `graph_adamic_adar`: for non-edges,
+    |N(a)∩N(b)| / |N(a)∪N(b)| with the union expanded by
+    inclusion-exclusion (deg(a)+deg(b)−common) so the score needs NO
+    second neighbor materialization — common neighbors come from the
+    same ordered two-hop join, degrees join once per endpoint. Top-20
+    predicted links under a pinned (score desc, part_a, part_b) order.
+
+    Scale shape: identical two-hop volume bound as the triangle/AA keys
+    (Σ deg(z)² under the support-≥2 threshold); the per-pair aggregate
+    is a count over integers (no float summation anywhere); degrees
+    attach via two hash joins on the PAIR side after aggregation, so
+    the heavy shuffle carries (a,b,count) triples only; the score is
+    ONE double division quantized to micro-ints — bit-identical across
+    engines (single IEEE op on exact integers)."""
+    pairs = _copurchase_pairs(spark, sf_dir)
+    edges = pairs.select("pa", "pb")
+    sym = edges.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v")
+    ).unionByName(edges.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+    deg = sym.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    x, y = sym.alias("x"), sym.alias("y")
+    common = (
+        x.join(
+            y,
+            (F.col("x.v") == F.col("y.u")) & (F.col("x.u") < F.col("y.v")),
+        )
+        .groupBy(F.col("x.u").alias("a"), F.col("y.v").alias("b"))
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    scored = (
+        common.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("common")
+                / (F.col("da") + F.col("db") - F.col("common"))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jacc_micro"),
+        )
+    )
+    pred = scored.join(
+        edges,
+        (scored.a == edges.pa) & (scored.b == edges.pb),
+        "left_anti",
+    )
+    return (
+        pred.select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "common",
+            "jacc_micro",
+        )
+        .orderBy(F.desc("jacc_micro"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+_PPR_SEED_REGION = 0
+_PPR_ITERS = 5
+
+_PPR_ORACLE_ITER = """
+r{i} AS (
+  SELECT n.id, n.is_seed,
+         0.15 * n.is_seed / (SELECT cnt FROM ns) +
+         0.85 * (coalesce(inc.m, 0) +
+                 (SELECT coalesce(sum(r.rank), 0) FROM r{p} r
+                  WHERE r.id NOT IN (SELECT src FROM outw))
+                 * n.is_seed / (SELECT cnt FROM ns)) AS rank
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS id, sum(e.p * r.rank) AS m
+             FROM norm e JOIN r{p} r ON e.src = r.id
+             GROUP BY e.dst) inc ON inc.id = n.id)
+"""
+
+_PPR_ORACLE = (
+    f"""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) * 1.0 AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT src, sum(w) AS total FROM edges GROUP BY src),
+norm AS (SELECT e.src, e.dst, e.w / o.total AS p
+         FROM edges e JOIN outw o ON e.src = o.src),
+nodes AS (SELECT n_nationkey AS id,
+                 CASE WHEN n_regionkey = {_PPR_SEED_REGION}
+                      THEN 1.0 ELSE 0.0 END AS is_seed
+          FROM nation),
+ns AS (SELECT sum(is_seed) AS cnt FROM nodes),
+r0 AS (SELECT id, is_seed, is_seed / (SELECT cnt FROM ns) AS rank
+       FROM nodes),
+"""
+    + ",".join(
+        _PPR_ORACLE_ITER.format(i=i, p=i - 1)
+        for i in range(1, _PPR_ITERS + 1)
+    )
+    + f"""
+SELECT id AS nationkey, round(rank, 8) AS ppr
+FROM r{_PPR_ITERS} ORDER BY id
+"""
+)
+
+
+@query("graph_personalized_pagerank", oracle=_PPR_ORACLE)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank from a seed set (nations of region
+    {_PPR_SEED_REGION}): teleport AND dangling mass return to the seeds
+    only, so rank measures proximity-to-seeds rather than global
+    centrality — the recommendation/trust primitive (who trades most
+    closely with this region) next to the global `graph_pagerank`.
+    Non-seed vertices can hold rank ONLY via incoming edges, which the
+    oracle hash checks exactly: 5 damped iterations (d=0.85) unrolled
+    as chained CTEs on the DuckDB side, the same derivation discipline
+    as `graph_pagerank`.
+
+    Scale shape: identical per-iteration cost to the global key — one
+    rank-propagation join co-partitioned on vertex id, one per-dst sum,
+    one 1-row dangling broadcast — personalization changes only the
+    teleport VECTOR (a column on the vertex frame, zero extra shuffles);
+    `localCheckpoint` truncates lineage per iteration. Determinism:
+    double arithmetic over ≤ 25-term sums, rounded to 8 decimals on
+    both sides (the established pagerank argument)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("total"))
+    norm = (
+        edges.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("total")).alias("p"))
+        .localCheckpoint()
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"),
+        F.when(F.col("n_regionkey") == _PPR_SEED_REGION, 1.0)
+        .otherwise(0.0)
+        .alias("is_seed"),
+    )
+    n_seeds = nodes.agg(F.sum("is_seed")).collect()[0][0]  # bounded scalar
+
+    ranks = nodes.withColumn(
+        "rank", F.col("is_seed") / F.lit(n_seeds)
+    ).select("id", "rank")
+    out_srcs = outw.select("src")
+    for _ in range(_PPR_ITERS):
+        dangling = (
+            ranks.join(out_srcs, ranks.id == out_srcs.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
+        )
+        inc = (
+            norm.join(ranks, norm.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("m"))
+        )
+        ranks = (
+            nodes.join(inc, nodes.id == inc.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "id",
+                (
+                    F.lit(0.15) * F.col("is_seed") / F.lit(n_seeds)
+                    + F.lit(_DAMP)
+                    * (
+                        F.coalesce("m", F.lit(0.0))
+                        + F.col("_dang") * F.col("is_seed") / F.lit(n_seeds)
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("id").alias("nationkey"), F.round("rank", 8).alias("ppr")
+    ).orderBy("nationkey")

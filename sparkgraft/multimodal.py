@@ -497,3 +497,92 @@ def mm_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality", "seq_id")
     )
+
+
+_TILE_PX = 512      # tile edge for high-res tiling
+_PATCH_PX = 16      # ViT patch edge: (512/16)^2 = 1024 tokens per tile
+_TOKENS_PER_TILE = (_TILE_PX // _PATCH_PX) ** 2
+_TOKEN_BUDGET = 6 * _TOKENS_PER_TILE  # flag images costlier than 6 tiles
+
+# Deterministic synthetic dimensions for image-modality docs: the corpus
+# carries no real media (multimodal module docstring), so width/height
+# derive from doc_id with co-prime multipliers — same arithmetic on both
+# engines, covering 224..2023 x 224..1423 including multi-tile shapes.
+_W_SQL = "224 + (doc_id * 37) % 1800"
+_H_SQL = "224 + (doc_id * 53) % 1200"
+
+
+@query(
+    "mm_tile_grid",
+    oracle=f"""
+    WITH img AS (
+      SELECT doc_id, source,
+             {_W_SQL} AS w, {_H_SQL} AS h
+      FROM documents WHERE doc_id % 3 = 0),
+    grid AS (
+      SELECT doc_id, source, w, h,
+             CAST(floor((w + {_TILE_PX - 1}) / {_TILE_PX}) AS BIGINT) *
+             CAST(floor((h + {_TILE_PX - 1}) / {_TILE_PX}) AS BIGINT)
+               AS n_tiles
+      FROM img),
+    cost AS (
+      SELECT source, n_tiles,
+             (n_tiles + 1) * {_TOKENS_PER_TILE} AS n_tokens
+      FROM grid)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(n_tiles) AS BIGINT) AS total_tiles,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(max(n_tiles) AS BIGINT) AS max_tiles,
+           CAST(sum(CASE WHEN n_tokens > {_TOKEN_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_budget
+    FROM cost GROUP BY source ORDER BY source
+    """,
+)
+def mm_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VISION TOKEN BUDGETING: the tiling arithmetic a multimodal
+    training pipeline runs over every image BEFORE decoding any pixels —
+    an image of (w, h) is cut into ceil(w/{_TILE_PX})·ceil(h/{_TILE_PX})
+    high-res tiles plus one global thumbnail, each costing
+    {_TOKENS_PER_TILE} ViT patch tokens ({_TILE_PX}/{_PATCH_PX} squared);
+    the per-source report (image count, total tiles, total tokens,
+    hottest image, over-budget count) is what decides packing and
+    sampling rates for the vision mix. Dimensions are metadata-derived
+    (this corpus carries no real media — deterministic synthetic dims,
+    module docstring) so the key measures the PLUMBING: budget math over
+    typed metadata with zero payload bytes touched.
+
+    Scale shape: pure row-local integer arithmetic inside whole-stage
+    codegen (no UDF — tiling math never needs Python), folded by ONE
+    hash aggregate on source; at 100 TB this is a metadata-column scan
+    (doc_id, source) with every byte column pruned — the cheap-path
+    planning query run before any decode fleet is sized."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    w = F.lit(224) + (F.col("doc_id") * 37) % 1800
+    h = F.lit(224) + (F.col("doc_id") * 53) % 1200
+    n_tiles = (
+        F.floor((w + _TILE_PX - 1) / _TILE_PX)
+        * F.floor((h + _TILE_PX - 1) / _TILE_PX)
+    ).cast("long")
+    cost = docs.select(
+        "source",
+        n_tiles.alias("n_tiles"),
+        ((n_tiles + 1) * _TOKENS_PER_TILE).alias("n_tokens"),
+    )
+    return (
+        cost.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.sum("n_tiles").cast("long").alias("total_tiles"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max("n_tiles").cast("long").alias("max_tiles"),
+            F.sum(
+                F.when(F.col("n_tokens") > _TOKEN_BUDGET, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_over_budget"),
+        )
+        .orderBy("source")
+    )

@@ -4241,3 +4241,242 @@ def scan_branch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per[1:]:
         out = out.unionByName(df)
     return out.orderBy("side")
+
+
+_FK_EDGES = [
+    # (edge label, child table, fk col, parent table, pk col)
+    ("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+
+@query(
+    "dq_referential_orphans",
+    oracle="""
+    WITH """
+    + ",\n    ".join(
+        f"""e{i} AS (
+      SELECT '{label}' AS edge,
+             (SELECT count(*) FROM {child}) AS n_child,
+             (SELECT count(*) FROM {child} WHERE {fk} IS NULL) AS n_null_fk,
+             (SELECT count(*) FROM {child} c
+              WHERE c.{fk} IS NOT NULL AND NOT EXISTS
+                (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk}))
+               AS n_orphans,
+             (SELECT count(*) FROM {parent}) AS n_parents,
+             (SELECT count(DISTINCT {fk}) FROM {child}) AS n_referenced,
+             (SELECT max(n) FROM (SELECT count(*) AS n FROM {child}
+                                  WHERE {fk} IS NOT NULL GROUP BY {fk}) t)
+               AS max_fanout)"""
+        for i, (label, child, fk, parent, pk) in enumerate(_FK_EDGES)
+    )
+    + """
+    SELECT edge, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_null_fk AS BIGINT) AS n_null_fk,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(n_parents AS BIGINT) AS n_parents,
+           CAST(n_referenced AS BIGINT) AS n_referenced,
+           CAST(max_fanout AS BIGINT) AS max_fanout
+    FROM ("""
+    + " UNION ALL ".join(f"SELECT * FROM e{i}" for i in range(len(_FK_EDGES)))
+    + """) u ORDER BY edge
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-SCHEMA referential-integrity audit: every FK edge in the
+    star schema (all seven — both lineitem fact legs, the order/customer
+    chain, and the dimension spine down to region) checked in one
+    report. Per edge: child cardinality, NULL FKs, orphans (child rows
+    whose parent is missing), parent cardinality, DISTINCT referenced
+    parents, and the max fan-out (hottest parent) — the last two make
+    the report hash-discriminating even on this referentially-intact
+    corpus (an implementation that hardwired zeros would still fail the
+    fan-out and coverage columns) and are exactly the stats a skew-aware
+    planner wants (max_fanout IS the skew bound for the FK join).
+
+    Scale shape: each edge costs ONE hash aggregate on the FK column
+    (count + per-key counts feeding max) plus ONE left-anti join against
+    the parent's key projection — dims broadcast under AQE; the seven
+    edges are independent DAG branches scheduled concurrently. Nothing
+    row-shaped reaches the driver; the report is 7 rows."""
+    rows = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = load(spark, sf_dir, child).select(fk)
+        p = load(spark, sf_dir, parent).select(F.col(pk).alias(fk))
+        per_key = (
+            c.filter(F.col(fk).isNotNull())
+            .groupBy(fk)
+            .agg(F.count("*").alias("n"))
+        )
+        fanout = per_key.agg(
+            F.max("n").alias("max_fanout"),
+            F.count("*").alias("n_referenced"),
+        )
+        orphans = (
+            c.filter(F.col(fk).isNotNull())
+            .join(p, fk, "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        base = c.agg(
+            F.count("*").alias("n_child"),
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).alias(
+                "n_null_fk"
+            ),
+        )
+        nparents = p.agg(F.count("*").alias("n_parents"))
+        rows.append(
+            base.crossJoin(F.broadcast(orphans))
+            .crossJoin(F.broadcast(nparents))
+            .crossJoin(F.broadcast(fanout))
+            .select(
+                F.lit(label).alias("edge"),
+                F.col("n_child").cast("long"),
+                F.col("n_null_fk").cast("long"),
+                F.col("n_orphans").cast("long"),
+                F.col("n_parents").cast("long"),
+                F.col("n_referenced").cast("long"),
+                F.col("max_fanout").cast("long"),
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("edge")
+
+
+_QUAR_PRICE = 450_000.0  # quarantine rule: suspiciously large order
+_QUAR_DATE = "2000-01-01"  # quarantine rule: past the freshness window
+
+
+@query(
+    "dq_quarantine_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT o_orderkey,
+             concat_ws(',',
+               CASE WHEN o_orderdate >= TIMESTAMP '{_QUAR_DATE}'
+                    THEN 'stale_date' END,
+               CASE WHEN o_totalprice > {_QUAR_PRICE}
+                    THEN 'price_outlier' END) AS reasons
+      FROM orders),
+    bad AS (SELECT * FROM tagged WHERE reasons <> '')
+    SELECT o_orderkey, reasons,
+           CAST(length(reasons) - length(replace(reasons, ',', '')) + 1
+                AS BIGINT) AS n_reasons
+    FROM bad ORDER BY o_orderkey LIMIT 20
+    """,
+)
+def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite QUARANTINE routing (the dead-letter half of a
+    validation job — `dq_rule_report` counts violations; this key
+    ROUTES the violating rows): orders are tagged with every rule they
+    break (stale orderdate past {_QUAR_DATE}, price outlier above
+    {_QUAR_PRICE}), the stream splits into good/quarantine, and the 20
+    lowest-keyed quarantined rows with their reason CSV are returned —
+    rows breaking BOTH rules carry both tags, which the hash checks.
+    Conservation (good + quarantined == total) is hard-asserted in-key,
+    so a router that dropped or double-sent rows fails every preflight.
+
+    Scale shape: tagging is row-local (whole-stage codegen CASE chain —
+    one scan, no shuffle); the split is two filters over the SAME tagged
+    plan, not two scans (conservation reads both via one cached pass at
+    this test SF; at 100 TB the split writes two sinks from one scan,
+    the `foreachBatch` fan-out shape used by the streaming keys); the
+    sample is a TakeOrderedAndProject, never a global sort."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(
+            F.col("o_orderdate") >= F.lit(_QUAR_DATE).cast("timestamp"),
+            F.lit("stale_date"),
+        ),
+        F.when(
+            F.col("o_totalprice") > _QUAR_PRICE, F.lit("price_outlier")
+        ),
+    )
+    tagged = o.withColumn("reasons", reasons)
+    good = tagged.filter(F.col("reasons") == "")
+    bad = tagged.filter(F.col("reasons") != "")
+    # conservation: the router must neither drop nor duplicate rows
+    n_total, n_good, n_bad = (
+        tagged.count(),
+        good.count(),
+        bad.count(),
+    )
+    assert n_good + n_bad == n_total, (n_good, n_bad, n_total)
+    assert n_bad > 0, "quarantine rules must genuinely fire"
+    return (
+        bad.select(
+            "o_orderkey",
+            "reasons",
+            (
+                F.size(F.split(F.col("reasons"), ",")).cast("long")
+            ).alias("n_reasons"),
+        )
+        .orderBy("o_orderkey")
+        .limit(20)
+    )
+
+
+@query(
+    "project_nested_prune",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def project_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-COLUMN pruning end-to-end: orders re-materialized as a
+    nested document (two structs — `pricing{cents, status}` and
+    `meta{priority, orderdate}`, the event-log/API-dump shape), then a
+    query touching ONE leaf of EACH struct must read exactly those two
+    leaves from parquet — Catalyst's nestedSchemaPruning pushes the
+    struct projection into the scan, so ReadSchema carries
+    `pricing:struct<cents:…>` with `status`/`orderdate` absent (asserted
+    in tests/test_plans.py). At 100 TB nested corpora (web crawls, API
+    snapshots) this is the difference between scanning 2 leaf columns
+    and deserializing every struct in full — parquet stores leaves
+    columnar, so pruning nested leaves is exactly as cheap as pruning
+    top-level ones IF the plan asks for it; this key proves ours does.
+
+    The aggregate (orders per priority, cent-exact revenue) reconciles
+    against the FLAT source table, proving the nest→prune→read pipeline
+    loses nothing."""
+    nested_path = _scratch(sf_dir, "orders_nested")
+    o = load(spark, sf_dir, "orders")
+    (
+        o.select(
+            "o_orderkey",
+            F.struct(
+                F.round(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("cents"),
+                F.col("o_orderstatus").alias("status"),
+            ).alias("pricing"),
+            F.struct(
+                F.col("o_orderpriority").alias("priority"),
+                F.col("o_orderdate").alias("orderdate"),
+            ).alias("meta"),
+        )
+        .write.mode("overwrite")
+        .parquet(nested_path)
+    )
+    back = spark.read.parquet(nested_path)
+    return (
+        back.groupBy(F.col("meta.priority").alias("priority"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pricing.cents").cast("long").alias("cents"),
+        )
+        .orderBy("priority")
+    )

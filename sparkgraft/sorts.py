@@ -9,7 +9,7 @@ the sort itself hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
@@ -338,4 +338,108 @@ def sample_weighted_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_weight"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "sample_reservoir_pergroup",
+    oracle="""
+    WITH ranked AS (
+      SELECT c_mktsegment, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+               AS draw
+      FROM customer)
+    SELECT c_mktsegment, CAST(draw AS BIGINT) AS draw, c_custkey,
+           acctbal_cents
+    FROM ranked WHERE draw <= 5
+    ORDER BY c_mktsegment, draw
+    """,
+)
+def sample_reservoir_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SIZE PER-GROUP sample (reservoir semantics, k=5 per market
+    segment): every group yields exactly min(k, |group|) rows, chosen
+    uniformly — the per-stratum *count* guarantee `sample_stratified`'s
+    per-stratum *rate* cannot give (a rate sample of a giant group is
+    still giant). Selection orders each group by md5 of the row key — a
+    uniform, engine-portable permutation (both engines spell md5
+    identically; Spark's hash() has no DuckDB twin), so the draw is
+    repeatable run-over-run, machine-over-machine — the property that
+    makes eval/holdout draws auditable.
+
+    Scale shape: ONE hash shuffle on the group key, then a per-group
+    TOP-K heap — Spark plans rank-filter windows with a WindowGroupLimit
+    pushdown (each task keeps k rows per group before the shuffle), so
+    executor memory is O(k · groups/task), never O(group). A giant group
+    never materializes sorted: only its k winners survive the map side.
+    Draw determinism: md5 collisions break ties on the key itself."""
+    c = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.md5(F.col("c_custkey").cast("string")), "c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            F.row_number().over(w).cast("long").alias("draw"),
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias(
+                "acctbal_cents"
+            ),
+        )
+        .filter(F.col("draw") <= 5)
+        .orderBy("c_mktsegment", "draw")
+    )
+
+
+@query(
+    "topk_diversified",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+               AS rn
+      FROM orders)
+    SELECT o_orderkey, o_custkey, price_cents
+    FROM per_cust
+    WHERE rn <= 2
+    ORDER BY price_cents DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def topk_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSIFIED top-k (global top-20 orders by price, but at most 2
+    per customer) — the result-diversification contract every ranking
+    surface carries: a single whale customer must not monopolize the
+    leaderboard. Two-stage: per-customer row_number caps each customer
+    at 2 candidates, then a global TakeOrderedAndProject picks 20 from
+    the capped pool.
+
+    Scale shape: the cap stage is the WindowGroupLimit shape (per-task
+    2-heaps per customer key before/after one hash shuffle on
+    o_custkey); the global stage is a k-heap per task + driver merge of
+    20-row heads — no global sort anywhere. Ties break on o_orderkey in
+    both stages, so the hash is order-stable; prices ride the int64-cent
+    discipline."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.round(F.col("o_totalprice") * 100)), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            cents.alias("price_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+        .select("o_orderkey", "o_custkey", "price_cents")
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(20)
     )

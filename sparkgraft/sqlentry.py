@@ -288,3 +288,127 @@ def sql_entry_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain) is asserted in tests/test_plans.py."""
     register_tables(spark, sf_dir, ["orders", "customer", "nation"])
     return spark.sql(_HINTS_SQL_SPARK)
+
+
+_Q17_SQL = """
+WITH promo AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_type = 'PROMO')
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) / 700.0, 2) AS avg_yearly
+FROM promo l
+WHERE l.l_quantity < 0.5 * (SELECT avg(l2.l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("sql_entry_small_qty_revenue", oracle=_Q17_SQL)
+def sql_entry_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue) as dialect-portable
+    SQL text: the per-part average-quantity CORRELATED scalar subquery is
+    the whole point — Catalyst de-correlates it into an aggregate +
+    equi-join on l_partkey (asserted in tests/test_plans.py), which is
+    the only shape that survives 100 TB (a per-row re-scan of lineitem
+    would be O(n²); the de-correlated form is one extra hash aggregate
+    partitioned on the SAME key as the probe join, so AQE can co-locate
+    both sides). Adapted to this corpus's schema: the Q17 p_brand /
+    p_container filter becomes p_type = 'PROMO' (part carries no
+    container column here — TESTDATA.md).
+
+    Determinism: l_quantity is integral (1..50, verified in tests), so
+    each per-part avg is an exact-integer sum over a bounded fan-in
+    divided by a count — bit-identical across engines regardless of
+    summation order; revenue rides the int64-cent discipline and divides
+    by 7 years only after the exact cent sum."""
+    register_tables(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q17_SQL)
+
+
+_Q21_SQL = """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 150 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1
+                  FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 150 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 25
+"""
+
+
+@query("sql_entry_waiting_suppliers", oracle=_Q21_SQL)
+def sql_entry_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    correlated-subquery topology in the TPC-H suite — one EXISTS and one
+    NOT EXISTS, both correlated on the fact table's own key, stacked on
+    a three-way join. Catalyst rewrites them into a left-semi and a
+    left-anti join on l_orderkey; because ALL THREE lineitem legs hash
+    on the same key, the physical plan is one shuffle of lineitem reused
+    across the semi/anti probes rather than three scans shuffled three
+    ways — the difference between feasible and not at 100 TB. Adapted to
+    this corpus's schema: Q21's l_receiptdate > l_commitdate lateness
+    becomes l_shipdate > o_orderdate + 150 days (lineitem carries no
+    receipt/commit dates here — TESTDATA.md); multi-supplier F-status
+    orders with exactly one late supplier are the target, as in spec.
+
+    Determinism: pure integer/date predicates, count aggregate, total
+    ORDER BY (numwait DESC, s_name) before LIMIT."""
+    register_tables(spark, sf_dir, ["supplier", "lineitem", "orders"])
+    return spark.sql(_Q21_SQL)
+
+
+_Q22_SQL = """
+WITH hot AS (
+  SELECT avg(CAST(ROUND(c2.c_acctbal * 100) AS BIGINT)) AS avg_cents
+  FROM customer c2
+  WHERE c2.c_acctbal > 0
+    AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+SELECT c.c_nationkey AS cntrycode,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM customer c
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(ROUND(c.c_acctbal * 100) AS BIGINT) >
+      (SELECT avg_cents FROM hot)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+@query("sql_entry_sales_opportunity", oracle=_Q22_SQL)
+def sql_entry_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): above-average-balance
+    customers in a 7-country set who have never placed a 1-URGENT order.
+    Exercises the remaining subquery surfaces the other SQL entries
+    don't: an UNCORRELATED scalar subquery used as a filter threshold
+    (planned as a 1-row broadcast — a subquery that re-ran per row would
+    be quadratic at scale) plus a correlated NOT EXISTS that Catalyst
+    turns into a left-anti join on o_custkey. Adapted to this corpus's
+    schema: Q22's substring(c_phone,1,2) country code becomes
+    c_nationkey (customer carries no phone column here — TESTDATA.md),
+    and "no orders at all" becomes "no urgent orders" because this dense
+    synthetic corpus gives every customer at least two orders.
+
+    Determinism: the threshold is an avg over EXACT int64 cents (sum of
+    integers is order-independent in double up to 2^53 — bit-identical
+    across engines), compared against int64 cents, so no float summation
+    order can flip a borderline row; output rides the cent discipline."""
+    register_tables(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q22_SQL)

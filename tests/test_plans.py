@@ -1365,3 +1365,67 @@ def test_optimize_zorder_rewrite_is_codegen_range_sort(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_q17_correlated_avg_decorrelates_to_aggregate_join(spark):
+    # The per-part avg-quantity scalar subquery must NOT survive as a
+    # per-row subquery: Catalyst de-correlates it into a hash aggregate
+    # on l_partkey joined back to the probe side — the only Q17 shape
+    # that survives 100 TB.
+    df = sparkgraft.QUERIES["sql_entry_small_qty_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "avg(l_quantity)" in plan  # the de-correlated aggregate leg
+    # no scalar-subquery node left in the physical plan
+    assert "Subquery" not in plan or "SubqueryBroadcast" in plan
+
+
+def test_q21_exists_rewrites_to_semi_and_anti_joins(spark):
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti, both on l_orderkey.
+    df = sparkgraft.QUERIES["sql_entry_waiting_suppliers"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q22_threshold_is_one_row_subquery_not_join(spark):
+    # The uncorrelated avg threshold plans as a reused scalar subquery
+    # (1-row broadcast), and the NOT EXISTS plans as a left-anti join.
+    df = sparkgraft.QUERIES["sql_entry_sales_opportunity"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Subquery" in plan
+    assert "LeftAnti" in plan
+
+
+def test_reservoir_and_diversified_topk_use_window_group_limit(spark):
+    # The rank-filter shape must plan as WindowGroupLimit (per-task
+    # k-heaps per group) — the only form whose memory is O(k), not
+    # O(group), which is the docstring's 100 TB argument.
+    for key in ("sample_reservoir_pergroup", "topk_diversified"):
+        plan = _plan(sparkgraft.QUERIES[key](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, key
+
+
+def test_tile_grid_reads_metadata_columns_only(spark):
+    # Vision budgeting must prune to (doc_id, source): the text column
+    # (the payload stand-in) may never reach the scan.
+    df = sparkgraft.QUERIES["mm_tile_grid"](spark, SF_DIR)
+    plan = _plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id" in read_schema and "source" in read_schema
+    assert "text" not in read_schema
+    # and the tiling math stays inside whole-stage codegen (no UDF)
+    df.collect()
+    plan = _plan(df)
+    assert "* HashAggregate" in plan
+
+
+def test_nested_schema_pruning_reaches_the_scan(spark):
+    # The nested read must carry ONLY the two touched leaves in
+    # ReadSchema: pricing.cents and meta.priority — status/orderdate
+    # pruned away inside their structs.
+    df = sparkgraft.QUERIES["project_nested_prune"](spark, SF_DIR)
+    plan = _plan(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][-1]
+    assert "cents" in read_schema and "priority" in read_schema
+    assert "status" not in read_schema
+    assert "orderdate" not in read_schema
