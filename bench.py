@@ -239,6 +239,10 @@ GROUP10 = [
     "topk_diversified",
     "mm_tile_grid",
     "project_nested_prune",
+    "sim_hamming_topk",
+    "mm_token_budget_mix",
+    "dq_anomaly_mad_ingest",
+    "scan_snapshot_metadata_tables",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -586,3 +586,134 @@ def mm_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Cross-modality token cost model (documented constants — the budgeting
+# arithmetic is the key, not the calibration): image = tile grid + global
+# thumbnail at _TOKENS_PER_TILE each; audio = 4 tokens per _FRAME_BYTES
+# frame; video = 256 thumbnail-tokens per 1024-byte sampled frame;
+# text rides everywhere at ceil(n_chars / 4) (the chars-per-token rule).
+_AUD_TOK_PER_FRAME = 4
+_VID_FRAME_BYTES = 1024
+_VID_TOK_PER_FRAME = 256
+
+
+@query(
+    "mm_token_budget_mix",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_MODALITY_SQL} AS modality,
+             octet_length(encode(text)) AS n_bytes, n_chars
+      FROM documents),
+    costed AS (
+      SELECT modality,
+             CASE modality
+               WHEN 'image' THEN
+                 (CAST(floor((224 + (doc_id * 37) % 1800 + {_TILE_PX - 1})
+                             / {_TILE_PX}) AS BIGINT) *
+                  CAST(floor((224 + (doc_id * 53) % 1200 + {_TILE_PX - 1})
+                             / {_TILE_PX}) AS BIGINT) + 1)
+                 * {_TOKENS_PER_TILE}
+               WHEN 'audio' THEN
+                 CAST(ceil(n_bytes / {_FRAME_BYTES}.0) AS BIGINT)
+                 * {_AUD_TOK_PER_FRAME}
+               ELSE
+                 CAST(ceil(n_bytes / {_VID_FRAME_BYTES}.0) AS BIGINT)
+                 * {_VID_TOK_PER_FRAME}
+             END AS media_tokens,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS text_tokens
+      FROM base),
+    per_modal AS (
+      SELECT modality, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(media_tokens) AS BIGINT) AS media_tokens,
+             CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+             CAST(sum(media_tokens + text_tokens) AS BIGINT) AS total_tokens
+      FROM costed GROUP BY modality),
+    grand AS (SELECT sum(total_tokens) AS g FROM per_modal)
+    SELECT p.modality, p.n_docs, p.media_tokens, p.text_tokens,
+           p.total_tokens,
+           CAST(floor(1000000.0 * p.total_tokens / g.g + 0.5) AS BIGINT)
+             AS share_ppm
+    FROM per_modal p CROSS JOIN grand g
+    ORDER BY p.modality
+    """,
+)
+def mm_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODALITY TOKEN BUDGET — the mix sheet a multimodal training
+    run is planned from: every document costs media tokens under its
+    modality's model (image = `mm_tile_grid`'s tile arithmetic, audio =
+    {_AUD_TOK_PER_FRAME}/frame over {_FRAME_BYTES}-byte frames, video =
+    {_VID_TOK_PER_FRAME} thumbnail-tokens per {_VID_FRAME_BYTES}-byte
+    sampled frame) plus text tokens (chars/4), aggregated per modality
+    with each modality's share of the grand total in exact ppm. This is
+    `text_training_mix`'s cross-modal sibling: shares are what set
+    per-modality sampling rates, and they must come from TOKEN cost, not
+    row counts — one video outweighs hundreds of captions.
+
+    Scale shape: costing is one codegen CASE chain over metadata columns
+    (no payload bytes, no UDF); one hash aggregate on modality (3
+    groups); the grand total is a 1-row broadcast cross join — the same
+    two-pass share shape as `mm_modal_metadata`. Determinism: integer
+    token models throughout; shares quantized to ppm via one IEEE
+    division on exact ints."""
+    modality = F.element_at(
+        F.array(*[F.lit(m) for m in _MODALITIES]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        modality.alias("modality"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        "n_chars",
+    )
+    w = F.lit(224) + (F.col("doc_id") * 37) % 1800
+    h = F.lit(224) + (F.col("doc_id") * 53) % 1200
+    img_tokens = (
+        (
+            F.floor((w + _TILE_PX - 1) / _TILE_PX)
+            * F.floor((h + _TILE_PX - 1) / _TILE_PX)
+            + 1
+        )
+        * _TOKENS_PER_TILE
+    ).cast("long")
+    aud_tokens = (
+        F.ceil(F.col("n_bytes") / float(_FRAME_BYTES)) * _AUD_TOK_PER_FRAME
+    ).cast("long")
+    vid_tokens = (
+        F.ceil(F.col("n_bytes") / float(_VID_FRAME_BYTES))
+        * _VID_TOK_PER_FRAME
+    ).cast("long")
+    costed = base.select(
+        "modality",
+        F.when(F.col("modality") == "image", img_tokens)
+        .when(F.col("modality") == "audio", aud_tokens)
+        .otherwise(vid_tokens)
+        .alias("media_tokens"),
+        F.ceil(F.col("n_chars") / 4.0).cast("long").alias("text_tokens"),
+    )
+    per_modal = costed.groupBy("modality").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("media_tokens").cast("long").alias("media_tokens"),
+        F.sum("text_tokens").cast("long").alias("text_tokens"),
+        F.sum(F.col("media_tokens") + F.col("text_tokens"))
+        .cast("long")
+        .alias("total_tokens"),
+    )
+    grand = per_modal.agg(F.sum("total_tokens").alias("g"))
+    return (
+        per_modal.crossJoin(F.broadcast(grand))
+        .select(
+            "modality",
+            "n_docs",
+            "media_tokens",
+            "text_tokens",
+            "total_tokens",
+            F.floor(
+                F.lit(1000000.0) * F.col("total_tokens") / F.col("g")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("modality")
+    )

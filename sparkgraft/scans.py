@@ -4480,3 +4480,191 @@ def project_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "dq_anomaly_mad_ingest",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+      FROM orders GROUP BY 1),
+    med AS (SELECT median(n) AS med FROM m),
+    d AS (SELECT month, n, abs(n - (SELECT med FROM med)) AS dev FROM m),
+    mad AS (SELECT median(dev) AS mad FROM d)
+    SELECT month, CAST(n AS BIGINT) AS n_orders,
+           CAST(2 * (SELECT med FROM med) AS BIGINT) AS med_x2,
+           CAST(2 * (SELECT mad FROM mad) AS BIGINT) AS mad_x2,
+           CAST(2 * dev AS BIGINT) AS dev_x2
+    FROM d
+    WHERE dev > 3 * (SELECT mad FROM mad)
+    ORDER BY month
+    """,
+)
+def dq_anomaly_mad_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INGEST-VOLUME anomaly detection, robust form: monthly order
+    counts scored by deviation from the MEDIAN in units of the MEDIAN
+    ABSOLUTE DEVIATION — the robust z-score that a bad backfill or a
+    dropped partition can't poison the way it poisons mean/stddev
+    control limits (`agg_control_chart`'s classical twin; one fat month
+    shifts a mean but not a median). Months breaching 3×MAD are
+    reported — the page an ingest on-call gets. The 3×MAD rule
+    genuinely fires on this corpus (4-5 months at every SF, both
+    directions: the first/last partial months and the seasonal spikes).
+
+    Scale shape: ONE hash aggregate over the fact table (month grain →
+    a calendar-bounded group count, ≤ a few thousand rows at ANY corpus
+    size), then exact medians over that bounded frame — exact
+    percentile is fine precisely because the grouped frame is bounded
+    by the calendar, not the data; the verdict thresholds broadcast
+    back over the 80-row frame. Determinism: counts are ints; medians
+    of ints are k or k+0.5 exactly in double (both engines interpolate
+    the middle pair identically), so every comparison and the ×2
+    integer outputs are exact."""
+    o = load(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n"))
+    )
+    med = m.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    d = m.crossJoin(F.broadcast(med)).select(
+        "month", "n", F.abs(F.col("n") - F.col("med")).alias("dev"), "med"
+    )
+    mad = d.agg(F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .filter(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "month",
+            F.col("n").cast("long").alias("n_orders"),
+            (2 * F.col("med")).cast("long").alias("med_x2"),
+            (2 * F.col("mad")).cast("long").alias("mad_x2"),
+            (2 * F.col("dev")).cast("long").alias("dev_x2"),
+        )
+        .orderBy("month")
+    )
+
+
+_META_DEL_MOD = 10  # v3 COW delete predicate: o_orderkey % 10 == 3
+_META_FILES_PER_COMMIT = 4  # every write repartition(4)s — pinned layout
+
+
+@query(
+    "scan_snapshot_metadata_tables",
+    oracle=f"""
+    WITH v1 AS (SELECT count(*) AS n FROM orders
+                WHERE o_orderdate < TIMESTAMP '{_TT_CUTOFF}'),
+    v2 AS (SELECT count(*) AS n FROM orders
+           WHERE o_orderdate >= TIMESTAMP '{_TT_CUTOFF}'),
+    v3 AS (SELECT count(*) AS n FROM orders
+           WHERE o_orderdate < TIMESTAMP '{_TT_CUTOFF}'
+             AND o_orderkey % {_META_DEL_MOD} <> 3)
+    SELECT 1 AS version, 'append' AS operation,
+           CAST({_META_FILES_PER_COMMIT} AS BIGINT) AS files_added,
+           CAST(0 AS BIGINT) AS files_removed,
+           CAST({_META_FILES_PER_COMMIT} AS BIGINT) AS files_live,
+           CAST((SELECT n FROM v1) AS BIGINT) AS rows_added,
+           CAST((SELECT n FROM v1) AS BIGINT) AS rows_live
+    UNION ALL
+    SELECT 2, 'append',
+           {_META_FILES_PER_COMMIT}, 0, {2 * _META_FILES_PER_COMMIT},
+           (SELECT n FROM v2),
+           (SELECT n FROM v1) + (SELECT n FROM v2)
+    UNION ALL
+    SELECT 3, 'overwrite',
+           {_META_FILES_PER_COMMIT}, {_META_FILES_PER_COMMIT},
+           {2 * _META_FILES_PER_COMMIT},
+           (SELECT n FROM v3),
+           (SELECT n FROM v3) + (SELECT n FROM v2)
+    ORDER BY version
+    """,
+)
+def scan_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA TABLES over the commit log — the `SELECT * FROM
+    table$snapshots` / `DESCRIBE HISTORY` inspection surface every
+    lakehouse ships: a three-commit lifecycle (append, append, COW
+    delete-as-overwrite) rendered as one history relation with per
+    version the operation, file-delta arithmetic (added/removed/live —
+    pure KB manifest set algebra, zero data reads) and row lineage
+    (rows_added counted DISTRIBUTED over exactly each commit's added
+    files; rows_live over the live set). In-key asserts pin the
+    invariants a history table must satisfy: files_live(v) folds from
+    the deltas, and the overwrite's removed set is exactly v1's file
+    list. Every write repartition(4)s so the file arithmetic is
+    layout-pinned, not accidental.
+
+    Scale: the history query itself costs manifest reads only — this is
+    how a 100 TB table answers 'what changed last night' without
+    touching a data byte; rows_added is the only distributed work and
+    it scans each commit's OWN files once (the incremental-read shape
+    of `scan_snapshot_incremental`)."""
+    base = _scratch(sf_dir, "meta_tables")
+    v1_dir = os.path.join(base, "v1")
+    v2_dir = os.path.join(base, "v2")
+    v3_dir = os.path.join(base, "v3")
+    o = load(spark, sf_dir, "orders")
+    cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
+    pre = o.filter(F.col("o_orderdate") < cutoff)
+    post = o.filter(F.col("o_orderdate") >= cutoff)
+    pre.repartition(_META_FILES_PER_COMMIT).write.mode("overwrite").parquet(
+        v1_dir
+    )
+    post.repartition(_META_FILES_PER_COMMIT).write.mode("overwrite").parquet(
+        v2_dir
+    )
+    # COW delete: rewrite v1's content minus the predicate as new files
+    spark.read.parquet(v1_dir).filter(
+        F.col("o_orderkey") % _META_DEL_MOD != 3
+    ).repartition(_META_FILES_PER_COMMIT).write.mode("overwrite").parquet(
+        v3_dir
+    )
+
+    def _files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    f1, f2, f3 = _files(v1_dir), _files(v2_dir), _files(v3_dir)
+    # the commit log: (version, operation, added, removed)
+    log = [
+        (1, "append", f1, []),
+        (2, "append", f2, []),
+        (3, "overwrite", f3, f1),
+    ]
+    # manifest set algebra → live file list per version
+    live: list[str] = []
+    history = []
+    for version, op, added, removed in log:
+        assert set(removed) <= set(live), "removed files must be live"
+        live = [f for f in live if f not in set(removed)] + added
+        history.append((version, op, added, removed, list(live)))
+    # invariant: the overwrite removed exactly v1's files
+    assert history[2][3] == f1
+    # distributed row lineage: rows_added over each commit's added files,
+    # rows_live over its live set
+    rows = []
+    for version, op, added, removed, live_files in history:
+        counts = (
+            spark.read.parquet(*added)
+            .agg(F.count("*").alias("ra"))
+            .crossJoin(
+                spark.read.parquet(*live_files).agg(
+                    F.count("*").alias("rl")
+                )
+            )
+            .select(
+                F.lit(version).alias("version"),
+                F.lit(op).alias("operation"),
+                F.lit(len(added)).cast("long").alias("files_added"),
+                F.lit(len(removed)).cast("long").alias("files_removed"),
+                F.lit(len(live_files)).cast("long").alias("files_live"),
+                F.col("ra").cast("long").alias("rows_added"),
+                F.col("rl").cast("long").alias("rows_live"),
+            )
+        )
+        rows.append(counts)
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionByName(df)
+    return out.orderBy("version")

@@ -264,3 +264,115 @@ def test_tile_grid_totals_reconcile_rowwise(spark):
             r.n_over_budget,
         ) == (n, tt, tok, mx, over)
         assert over > 0  # the budget rule genuinely fires
+
+
+def test_hamming_shortlist_rerank_recall_floor(spark):
+    """Binary-code retrieval must hold recall@5 ≥ 0.7 against the
+    uncompressed exact kNN (numpy recompute) at this SF — the measured
+    cost of 32× compression, per the docstring's contract."""
+    import numpy as np
+
+    rows = (
+        load(spark, SF_DIR, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = sparkgraft.QUERIES["sim_hamming_topk"](spark, SF_DIR).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r.vec_id)
+    assert by_q and all(len(v) == 5 for v in by_q.values())
+    recalls = []
+    for qid, got in by_q.items():
+        qi = int(np.where(ids == qid)[0][0])
+        sims = Vn @ Vn[qi]
+        sims[qi] = -2.0
+        exact = set(ids[np.argsort(-sims)[:5]].tolist())
+        recalls.append(len(exact & set(got)) / 5)
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_token_budget_shares_sum_to_unity(spark):
+    """ppm shares must sum to 1e6 within rounding of 3 terms, and the
+    audio row must reconcile against a row-wise recompute."""
+    rows = sparkgraft.QUERIES["mm_token_budget_mix"](spark, SF_DIR).collect()
+    assert {r.modality for r in rows} == {"image", "audio", "video"}
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= 2
+    grand = sum(r.total_tokens for r in rows)
+    for r in rows:
+        assert r.total_tokens == r.media_tokens + r.text_tokens
+        assert (
+            abs(r.share_ppm - round(1_000_000 * r.total_tokens / grand)) <= 1
+        )
+    audio = next(r for r in rows if r.modality == "audio")
+    docs = (
+        load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.octet_length(F.encode("text", "UTF-8")).alias("nb"), "n_chars"
+        )
+        .collect()
+    )
+    media = sum(-(-d.nb // 256) * 4 for d in docs)
+    text = sum(-(-d.n_chars // 4) for d in docs)
+    assert (audio.n_docs, audio.media_tokens, audio.text_tokens) == (
+        len(docs),
+        media,
+        text,
+    )
+
+
+def test_mad_anomalies_breach_threshold(spark):
+    """Every reported month must genuinely breach 3×MAD, re-derived from
+    an independent monthly recount; at least one month fires."""
+    import statistics
+
+    out = sparkgraft.QUERIES["dq_anomaly_mad_ingest"](spark, SF_DIR).collect()
+    assert out
+    months = (
+        load(spark, SF_DIR, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in months]
+    med = statistics.median(counts)
+    mad = statistics.median([abs(c - med) for c in counts])
+    flagged = {
+        r.m: r["count"]
+        for r in months
+        if abs(r["count"] - med) > 3 * mad
+    }
+    assert {r.month: r.n_orders for r in out} == flagged
+    for r in out:
+        assert r.dev_x2 > 3 * r.mad_x2
+        assert r.med_x2 == int(2 * med) and r.mad_x2 == int(2 * mad)
+
+
+def test_metadata_tables_lineage_folds(spark):
+    """files_live must fold from the deltas; the overwrite's row delta
+    must equal the deleted slice exactly."""
+    rows = sparkgraft.QUERIES["scan_snapshot_metadata_tables"](
+        spark, SF_DIR
+    ).collect()
+    assert [r.version for r in rows] == [1, 2, 3]
+    live = 0
+    for r in rows:
+        live = live - r.files_removed + r.files_added
+        assert r.files_live == live
+    v1, v2, v3 = rows
+    assert v2.rows_live == v1.rows_added + v2.rows_added
+    n_deleted = (
+        load(spark, SF_DIR, "orders")
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 10 == 3)
+        )
+        .count()
+    )
+    assert n_deleted > 0
+    assert v3.rows_live == v2.rows_live - n_deleted
+    assert v3.operation == "overwrite" and v3.files_removed == 4
