@@ -243,6 +243,8 @@ GROUP10 = [
     "mm_token_budget_mix",
     "dq_anomaly_mad_ingest",
     "scan_snapshot_metadata_tables",
+    "sink_positional_delete_vector",
+    "udtf_partitioned_table_arg",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -4668,3 +4668,93 @@ def scan_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame
     for df in rows[1:]:
         out = out.unionByName(df)
     return out.orderBy("version")
+
+
+_DV_DEL_MOD = 7  # deletion-vector predicate at BUILD time only
+
+
+@query(
+    "sink_positional_delete_vector",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderkey % {_DV_DEL_MOD} <> 0
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def sink_positional_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL delete vectors — the OTHER merge-on-read delete
+    encoding (Iceberg positional deletes / Delta deletion vectors),
+    completing the pair with `sink_merge_on_read_delete`'s EQUALITY
+    tombstones: the delete commit stores (file_path, row_index) pairs —
+    WHERE a row sits, not WHAT it contains — built here from the real
+    parquet row positions (`_metadata.row_index`, the per-file physical
+    ordinal Spark exposes on file sources). The reader reconstructs the
+    table as base ANTI-JOIN dv ON (file_path, row_index): crucially it
+    never sees the delete PREDICATE — position pairs are the only thing
+    persisted, which the in-key asserts pin (dv non-empty, positions
+    unique per file, every dv path a live base file).
+
+    Scale shape: positional DVs are the low-write-amplification delete
+    form — the commit writes KBs of positions instead of rewriting data
+    files (COW) or carrying values (equality tombstones can't target
+    ONE of N duplicate rows; positions can). The reconstruction
+    anti-join broadcasts the DV (its size is the DELETE's, not the
+    table's) and `_metadata.row_index` costs nothing extra to produce —
+    it rides the scan. Real engines push DV masks into the reader as
+    bitmaps; the anti-join is the same plan one level up.
+
+    Determinism: positions depend on physical layout (repartition(4) by
+    key-hash is layout-stable within the run), but the RESULT doesn't —
+    the DV is built from a value predicate, so the reconstructed table
+    equals the predicate-filtered oracle regardless of layout."""
+    base_dir = _scratch(sf_dir, "dv_base")
+    dv_dir = _scratch(sf_dir, "dv_vector")
+    o = load(spark, sf_dir, "orders")
+    o.repartition(4).write.mode("overwrite").parquet(base_dir)
+
+    # ---- delete commit: persist (file_path, row_index) pairs only ----
+    annotated = spark.read.parquet(base_dir).select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    annotated.filter(
+        F.col("o_orderkey") % _DV_DEL_MOD == 0
+    ).select("file_path", "row_index").write.mode("overwrite").parquet(dv_dir)
+
+    # ---- read path: positions are ALL the reader gets ----
+    dv = spark.read.parquet(dv_dir)
+    n_dv = dv.count()
+    assert n_dv > 0, "delete vector must be non-empty"
+    assert (
+        dv.select("file_path", "row_index").distinct().count() == n_dv
+    ), "positions must be unique per file"
+    base_files = {
+        r.file_path
+        for r in spark.read.parquet(base_dir)
+        .select(F.col("_metadata.file_path").alias("file_path"))
+        .distinct()
+        .collect()
+    }  # bounded: 4 files
+    dv_files = {r.file_path for r in dv.select("file_path").distinct().collect()}
+    assert dv_files <= base_files, "every DV path must be a live base file"
+
+    masked = (
+        spark.read.parquet(base_dir)
+        .withColumn("file_path", F.col("_metadata.file_path"))
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .join(F.broadcast(dv), ["file_path", "row_index"], "left_anti")
+    )
+    return (
+        masked.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -444,3 +444,104 @@ def udtf_polymorphic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id
         """
     )
+
+
+_SESS_GAP_US = 1800 * 1_000_000  # 30-minute session gap, in exact µs
+
+
+@query(
+    "udtf_partitioned_table_arg",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             CASE WHEN prev IS NULL
+                       OR epoch_us(ts) - epoch_us(prev) > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS ns
+      FROM e)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(ns) AS BIGINT) AS n_sessions,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+)
+def udtf_partitioned_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED TABLE-ARGUMENT UDTF (Spark 4's
+    `udtf(TABLE(t) PARTITION BY k ORDER BY ts)`): the engine feeds each
+    user's events to a FRESH stateful Python instance in timestamp
+    order — eval() folds running state row-by-row (session counter on a
+    30-minute gap, first/last touch), terminate() emits one summary row
+    per partition. This is the third UDTF surface next to the lateral
+    exploder (`udtf_explode_custom`) and plan-time polymorphism
+    (`udtf_polymorphic_analyze`): imperative PER-GROUP streaming logic
+    in SQL position, the shape that absorbs the sessionizers/legacy
+    reducers a declarative window can't express — while the oracle
+    proves THIS one with a window twin, pinning the partition/order
+    contract exactly.
+
+    Scale shape: PARTITION BY hash-shuffles once on user_id and
+    ORDER BY sorts within partitions — identical physical cost to the
+    window formulation; state is O(1) per open group, rows stream
+    through Python without materializing a group. Determinism: all
+    time arithmetic in exact integer MICROSECONDS on both sides
+    (timedelta-µs in Python, epoch_us in DuckDB — fractional-second
+    truncation never enters); equal-timestamp ties can reorder but
+    every output is order-insensitive at equal ts (counts, min/max,
+    gap>threshold on zero gaps)."""
+    from pyspark.sql.functions import udtf as udtf_fn
+
+    class SessionSummary:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.sessions = 0
+            self.first = None
+            self.last = None
+
+        @staticmethod
+        def _us(delta) -> int:
+            return (
+                delta.days * 86_400 + delta.seconds
+            ) * 1_000_000 + delta.microseconds
+
+        def eval(self, row) -> None:  # noqa: D102 — UDTF contract method
+            ts = row["ts"]
+            if self.n == 0:
+                self.first = ts
+                self.sessions = 1
+            elif self._us(ts - self.last) > _SESS_GAP_US:
+                self.sessions += 1
+            self.user = row["user_id"]
+            self.last = ts
+            self.n += 1
+
+        def terminate(self):  # noqa: D102 — UDTF contract method
+            if self.n:
+                yield (
+                    self.user,
+                    self.n,
+                    self.sessions,
+                    self._us(self.last - self.first),
+                )
+
+    spark.udtf.register(
+        "sg_session_summary",
+        udtf_fn(
+            SessionSummary,
+            returnType=(
+                "user_id bigint, n_events bigint, "
+                "n_sessions bigint, span_us bigint"
+            ),
+        ),
+    )
+    register_tables(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT * FROM sg_session_summary(
+          TABLE(events) PARTITION BY user_id ORDER BY ts)
+        ORDER BY user_id
+        """
+    )

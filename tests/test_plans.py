@@ -1429,3 +1429,13 @@ def test_nested_schema_pruning_reaches_the_scan(spark):
     assert "cents" in read_schema and "priority" in read_schema
     assert "status" not in read_schema
     assert "orderdate" not in read_schema
+
+
+def test_delete_vector_mask_is_broadcast_anti_join(spark):
+    # The DV mask must broadcast the (small) position list and plan as
+    # a broadcast LeftAnti — the DV's size is the delete's, never the
+    # table's, so the base scan must not shuffle.
+    df = sparkgraft.QUERIES["sink_positional_delete_vector"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan

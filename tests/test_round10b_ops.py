@@ -376,3 +376,59 @@ def test_metadata_tables_lineage_folds(spark):
     assert n_deleted > 0
     assert v3.rows_live == v2.rows_live - n_deleted
     assert v3.operation == "overwrite" and v3.files_removed == 4
+
+
+def test_delete_vector_file_carries_positions_only(spark):
+    """The persisted DV must contain ONLY (file_path, row_index) — the
+    read path can't be smuggling the predicate — and masking must
+    remove exactly the predicate's rows."""
+    sparkgraft.QUERIES["sink_positional_delete_vector"](
+        spark, SF_DIR
+    ).collect()
+    import os
+
+    from sparkgraft.scans import _scratch
+
+    dv = spark.read.parquet(_scratch(SF_DIR, "dv_vector"))
+    assert sorted(dv.columns) == ["file_path", "row_index"]
+    n_pred = (
+        load(spark, SF_DIR, "orders")
+        .filter(F.col("o_orderkey") % 7 == 0)
+        .count()
+    )
+    assert dv.count() == n_pred > 0
+
+
+def test_udtf_partition_summary_matches_python_fold(spark):
+    """Recompute one user's summary by folding their events in Python —
+    the per-partition state machine must agree exactly."""
+    out = {
+        r.user_id: r
+        for r in sparkgraft.QUERIES["udtf_partitioned_table_arg"](
+            spark, SF_DIR
+        ).collect()
+    }
+    users = sorted(out)
+    assert len(users) == len(set(users)) > 0
+    uid = users[len(users) // 2]
+    evs = sorted(
+        r.ts
+        for r in load(spark, SF_DIR, "events")
+        .filter(F.col("user_id") == uid)
+        .select("ts")
+        .collect()
+    )
+    sessions = 1
+    for a, b in zip(evs, evs[1:]):
+        d = b - a
+        us = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+        if us > 1800 * 1_000_000:
+            sessions += 1
+    d = evs[-1] - evs[0]
+    span = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+    r = out[uid]
+    assert (r.n_events, r.n_sessions, r.span_us) == (
+        len(evs),
+        sessions,
+        span,
+    )
