@@ -2542,3 +2542,88 @@ def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("slope_milli_cents"),
         )
     )
+
+
+_MED2P_BUCKETS = 8192
+
+
+@query(
+    "agg_median_two_pass",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(2 * median(cents) AS BIGINT) AS median_x2
+    FROM c
+    """,
+)
+def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median by DISTRIBUTED SELECTION — the algorithm that
+    replaces `percentile()` when the column no longer fits one task's
+    sort buffer: pass 1 histograms the value domain into
+    {_MED2P_BUCKETS} equal-width buckets (one map-side-combined
+    aggregate; only the bounded bucket-count frame reaches the driver),
+    the driver walks the cumulative counts to the bucket(s) holding the
+    two middle order statistics, and pass 2 re-scans ONLY those buckets
+    (a pushed-down range predicate on the cents column) and extracts
+    the k-th smallest values with TakeOrdered heaps (orderBy + limit —
+    per-task k-heaps + driver merge, NEVER a global sort). Exactness
+    falls out because the second pass is exact within the narrowed
+    slice; `agg_percentiles`' single-pass `percentile()` is the
+    convenience form, this is the form that survives a 100 TB column
+    (narrowed slice ≈ n/{_MED2P_BUCKETS}; recurse the same narrowing if
+    a slice is still too fat — one extra pass per 8192× reduction).
+
+    Determinism: pure int64-cent domain — bucket arithmetic, cumulative
+    walk, and the middle-pair sum (median×2 stays integral for even n)
+    are all exact; the oracle's interpolating median equals
+    (k1th + k2th)/2 identically."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    vals = load(spark, sf_dir, "lineitem").select(cents.alias("c"))
+    lo, hi, n = (
+        vals.agg(F.min("c"), F.max("c"), F.count("*")).collect()[0]
+    )  # bounded: 3 scalars
+    width = max(1, (hi - lo + _MED2P_BUCKETS) // _MED2P_BUCKETS)
+    hist = (
+        vals.groupBy(((F.col("c") - lo) / width).cast("long").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("b")
+        .collect()
+    )  # bounded: <= _MED2P_BUCKETS rows
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    cum = 0
+    b1 = b2 = None
+    off1 = off2 = None
+    for r in hist:
+        if b1 is None and cum + r.cnt >= k1:
+            b1, off1 = r.b, k1 - cum
+        if cum + r.cnt >= k2:
+            b2, off2 = r.b, k2 - cum
+            break
+        cum += r.cnt
+    assert b1 is not None and b2 is not None and b2 - b1 <= 1
+    # pass 2: only the narrowed bucket range is re-read — the range
+    # predicate pushes into the parquet scan
+    slice_lo = lo + b1 * width
+    slice_hi = lo + (b2 + 1) * width
+    narrowed = vals.filter(
+        (F.col("c") >= slice_lo) & (F.col("c") < slice_hi)
+    )
+    # k-th smallest inside the slice via TakeOrdered (heap, no sort)
+    if b1 == b2:
+        local_k1, local_k2 = off1, off2
+    else:
+        # middles straddle a bucket boundary: k1-th is the max of
+        # bucket b1, k2-th is the (off2)-th of bucket b2
+        local_k1 = off1
+        local_k2 = off2 + sum(r.cnt for r in hist if r.b == b1)
+    k1th = (
+        narrowed.orderBy("c").limit(int(local_k1)).agg(F.max("c")).collect()[0][0]
+    )
+    k2th = (
+        narrowed.orderBy("c").limit(int(local_k2)).agg(F.max("c")).collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [(int(n), int(k1th + k2th))], "n long, median_x2 long"
+    )

@@ -1444,3 +1444,127 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("nationkey"), F.round("rank", 8).alias("ppr")
     ).orderBy("nationkey")
+
+
+_HITS_ITERS = 5
+
+# each CTE references its predecessor exactly ONCE (norms via a window
+# over the same derived frame, never a second scalar-subquery reference) --
+# a twice-referenced chained CTE inlines multiplicatively in engines
+# without CTE materialization and turns 5 iterations into 3^10 replans
+_HITS_ORACLE_ITER = """
+a{i} AS (
+  SELECT id, s / sum(s) OVER () AS s FROM (
+    SELECT n.id, coalesce((SELECT sum(e.w * h.s) FROM edges e
+                           JOIN h{p} h ON h.id = e.src
+                           WHERE e.dst = n.id), 0) AS s
+    FROM nodes n) t),
+h{i} AS (
+  SELECT id, s / sum(s) OVER () AS s FROM (
+    SELECT n.id, coalesce((SELECT sum(e.w * a.s) FROM edges e
+                           JOIN a{i} a ON a.id = e.dst
+                           WHERE e.src = n.id), 0) AS s
+    FROM nodes n) t)
+"""
+
+_HITS_ORACLE = (
+    """
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) * 1.0 AS w
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+nodes AS (SELECT n_nationkey AS id FROM nation),
+h0 AS (SELECT id, 1.0 / (SELECT count(*) FROM nodes) AS s FROM nodes),
+"""
+    + ",".join(
+        _HITS_ORACLE_ITER.format(i=i, p=i - 1)
+        for i in range(1, _HITS_ITERS + 1)
+    )
+    + f"""
+SELECT n.id AS nationkey,
+       round(h.s, 8) AS hub, round(a.s, 8) AS authority
+FROM nodes n
+JOIN h{_HITS_ITERS} h ON h.id = n.id
+JOIN a{_HITS_ITERS} a ON a.id = n.id
+ORDER BY n.id
+"""
+)
+
+
+@query("graph_hits", oracle=_HITS_ORACLE)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) over the weighted nation trade digraph
+    — the bipartite-role companion to `graph_pagerank`: a nation is a
+    strong HUB when its customers buy from authoritative suppliers and
+    a strong AUTHORITY when its suppliers sell to strong hubs — the
+    mutual-reinforcement recursion (Kleinberg), run {_HITS_ITERS}
+    alternating iterations with L1 normalization after every half-step
+    so scores stay a probability-like vector (and ranks, not
+    magnitudes, carry the meaning).
+
+    Scale shape: per half-step, ONE rank-propagation equi-join
+    co-partitioned on the vertex id + ONE per-vertex sum + a 1-row
+    norm broadcast — identical cost profile to the pagerank loop, and
+    the same `localCheckpoint` lineage truncation per iteration. The
+    oracle unrolls all {_HITS_ITERS} iterations (both half-steps, both
+    norms) as chained CTEs — the established `graph_pagerank`
+    derivation discipline. Determinism: ≤ 25-term double sums, a
+    single division per norm, rounded to 8 decimals on both sides
+    (drift ~1e-15 « rounding)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id")
+    )
+    n = nodes.count()  # bounded scalar: vertex count
+    hub = nodes.withColumn("s", F.lit(1.0 / n))
+
+    def _propagate(scores: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            nodes.join(
+                edges.join(
+                    scores.withColumnRenamed("id", "jid"),
+                    F.col(key_in) == F.col("jid"),
+                )
+                .groupBy(F.col(key_out).alias("oid"))
+                .agg(F.sum(F.col("w") * F.col("s")).alias("m")),
+                nodes.id == F.col("oid"),
+                "left",
+            )
+            .select("id", F.coalesce("m", F.lit(0.0)).alias("s"))
+        )
+        norm = raw.agg(F.sum("s").alias("z"))
+        return (
+            raw.crossJoin(F.broadcast(norm))
+            .select("id", (F.col("s") / F.col("z")).alias("s"))
+            .localCheckpoint()
+        )
+
+    auth = None
+    for _ in range(_HITS_ITERS):
+        auth = _propagate(hub, "src", "dst")  # authorities from hubs
+        hub = _propagate(auth, "dst", "src")  # hubs from authorities
+    return (
+        hub.withColumnRenamed("s", "hub")
+        .join(auth.withColumnRenamed("s", "authority"), "id")
+        .select(
+            F.col("id").alias("nationkey"),
+            F.round("hub", 8).alias("hub"),
+            F.round("authority", 8).alias("authority"),
+        )
+        .orderBy("nationkey")
+    )

@@ -432,3 +432,83 @@ def test_udtf_partition_summary_matches_python_fold(spark):
         sessions,
         span,
     )
+
+
+def test_geo_grid_bound_is_sound_at_corpus_extremes(spark):
+    """The pruning proof's premises: every derived latitude is inside
+    ±60°, and the widest within-radius pair seen obeys the Δφ ≤ 1.81° /
+    Δλ ≤ 3.60° bounds the 3×5 neighborhood covers."""
+    import math
+
+    out = sparkgraft.QUERIES["join_geo_grid"](spark, SF_DIR).collect()
+    assert out
+    custs = {
+        r.c_custkey: (
+            (r.c_custkey * 7919 % 12000) / 100.0 - 60.0,
+            (r.c_custkey * 104729 % 36000) / 100.0 - 180.0,
+        )
+        for r in load(spark, SF_DIR, "customer").select("c_custkey").collect()
+    }
+    assert all(-60.0 <= lat < 60.0 for lat, _ in custs.values())
+    # spot-verify one supplier's count against brute force
+    supp = out[len(out) // 2]
+    skey = supp.s_suppkey
+    slat = (skey * 7919 % 12000) / 100.0 - 60.0
+    slon = (skey * 104729 % 36000) / 100.0 - 180.0
+    n = 0
+    nearest = None
+    for lat, lon in custs.values():
+        dphi = math.radians(lat - slat) / 2
+        dlmb = math.radians(lon - slon) / 2
+        a = (
+            math.sin(dphi) ** 2
+            + math.cos(math.radians(slat))
+            * math.cos(math.radians(lat))
+            * math.sin(dlmb) ** 2
+        )
+        d = round(2 * 6371.0088 * math.asin(min(1.0, math.sqrt(a))), 3)
+        if d <= 200.0:
+            n += 1
+            nearest = d if nearest is None else min(nearest, d)
+    assert (supp.n_within, supp.nearest_km) == (n, nearest)
+
+
+def test_hits_scores_are_l1_normalized_and_reinforcing(spark):
+    """Both score vectors must sum to 1 (L1 norm after the final
+    half-step), be non-negative, and the top authority must have
+    in-weight (a zero-indegree node can never hold authority)."""
+    rows = sparkgraft.QUERIES["graph_hits"](spark, SF_DIR).collect()
+    assert abs(sum(r.hub for r in rows) - 1.0) < 1e-6
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-6
+    assert all(r.hub >= 0 and r.authority >= 0 for r in rows)
+    top_auth = max(rows, key=lambda r: r.authority)
+    in_deg = (
+        load(spark, SF_DIR, "lineitem")
+        .join(
+            load(spark, SF_DIR, "supplier"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("s_nationkey") == top_auth.nationkey)
+        .count()
+    )
+    assert in_deg > 0
+
+
+def test_two_pass_median_equals_direct_median(spark):
+    """The narrowing must be lossless: compare against a direct Python
+    median over the collected cents column."""
+    import statistics
+
+    out = sparkgraft.QUERIES["agg_median_two_pass"](spark, SF_DIR).collect()[0]
+    cents = [
+        r.c
+        for r in load(spark, SF_DIR, "lineitem")
+        .select(
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("c")
+        )
+        .collect()
+    ]
+    assert out.n == len(cents)
+    assert out.median_x2 == int(2 * statistics.median(cents))
