@@ -4402,14 +4402,14 @@ def dq_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tagged = o.withColumn("reasons", reasons)
-    good = tagged.filter(F.col("reasons") == "")
     bad = tagged.filter(F.col("reasons") != "")
-    # conservation: the router must neither drop nor duplicate rows
-    n_total, n_good, n_bad = (
-        tagged.count(),
-        good.count(),
-        bad.count(),
-    )
+    # conservation: the router must neither drop nor duplicate rows —
+    # checked in ONE conditional aggregate (one scan), not three counts
+    n_total, n_good, n_bad = tagged.agg(
+        F.count("*"),
+        F.sum(F.when(F.col("reasons") == "", 1).otherwise(0)),
+        F.sum(F.when(F.col("reasons") != "", 1).otherwise(0)),
+    ).collect()[0]
     assert n_good + n_bad == n_total, (n_good, n_bad, n_total)
     assert n_bad > 0, "quarantine rules must genuinely fire"
     return (
