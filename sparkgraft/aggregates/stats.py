@@ -2602,7 +2602,11 @@ def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
             b2, off2 = r.b, k2 - cum
             break
         cum += r.cnt
-    assert b1 is not None and b2 is not None and b2 - b1 <= 1
+    # b2 may sit several buckets past b1 when the middles straddle a
+    # run of EMPTY buckets (k2 = k1+1 lands in the first non-empty
+    # bucket after b1, so everything strictly between is empty by
+    # construction) — the slice below spans the gap, which adds no rows
+    assert b1 is not None and b2 is not None and b2 >= b1
     # pass 2: only the narrowed bucket range is re-read — the range
     # predicate pushes into the parquet scan
     slice_lo = lo + b1 * width
@@ -2614,8 +2618,9 @@ def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     if b1 == b2:
         local_k1, local_k2 = off1, off2
     else:
-        # middles straddle a bucket boundary: k1-th is the max of
-        # bucket b1, k2-th is the (off2)-th of bucket b2
+        # middles straddle bucket b1's upper edge: k1-th is the max of
+        # bucket b1, k2-th is the (off2)-th of bucket b2; buckets
+        # between b1 and b2 are empty, so only b1's count shifts off2
         local_k1 = off1
         local_k2 = off2 + sum(r.cnt for r in hist if r.b == b1)
     k1th = (
