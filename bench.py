@@ -454,6 +454,26 @@ def main() -> int:
             fh.write("\n")
     except OSError:
         pass  # trace file is best-effort; the stdout line is the contract
+    # Graded-artifact persistence (r10 verdict ask #5): clean runs
+    # (load_ok — the host was quiet at start) are the round's graded
+    # evidence, but they used to live only in /tmp and BASELINE.md
+    # prose. Persist every clean run to a numbered repo path so the
+    # round can close with committed load_ok artifacts; loaded runs
+    # stay stdout-only (their numbers are upper bounds, not evidence).
+    if result["load_ok"]:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
+        here = os.path.dirname(os.path.abspath(__file__))
+        for n in range(1, 100):
+            clean_path = os.path.join(here, f"BENCH_r{rnd}_clean{n}.json")
+            if not os.path.exists(clean_path):
+                try:
+                    with open(clean_path, "w") as fh:
+                        json.dump(result, fh, indent=1)
+                        fh.write("\n")
+                except OSError:
+                    pass  # best-effort; the stdout line is the contract
+                break
+
     line = json.dumps(result)
     # 1.5 KB headroom: the line grows ~30 bytes per group total; the
     # 2021-era 1 KB guard tripped when group10 landed (r10 continuation)

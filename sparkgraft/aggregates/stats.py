@@ -2585,8 +2585,12 @@ def agg_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals.agg(F.min("c"), F.max("c"), F.count("*")).collect()[0]
     )  # bounded: 3 scalars
     width = max(1, (hi - lo + _MED2P_BUCKETS) // _MED2P_BUCKETS)
+    # exact INTEGER division for pass-1 bucketing so it shares identical
+    # semantics with pass 2's integer slice bounds — float `/` could
+    # round a boundary value into the adjacent bucket at extreme domain
+    # widths (≳1e12), silently corrupting the narrowing
     hist = (
-        vals.groupBy(((F.col("c") - lo) / width).cast("long").alias("b"))
+        vals.groupBy(F.expr(f"(c - {lo}) div {width}").alias("b"))
         .agg(F.count("*").alias("cnt"))
         .orderBy("b")
         .collect()

@@ -4626,6 +4626,16 @@ def scan_snapshot_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     f1, f2, f3 = _files(v1_dir), _files(v2_dir), _files(v3_dir)
+    # the oracle hardcodes files_added per commit; Spark emits parquet
+    # files only for NON-EMPTY partitions, so a corpus whose repartition
+    # split leaves an empty partition must fail loudly here, not as a
+    # confusing downstream hash mismatch
+    for label, fl in (("v1", f1), ("v2", f2), ("v3", f3)):
+        if len(fl) != _META_FILES_PER_COMMIT:
+            raise RuntimeError(
+                f"{label} landed {len(fl)} files, oracle assumes "
+                f"{_META_FILES_PER_COMMIT} — layout assumption broken"
+            )
     # the commit log: (version, operation, added, removed)
     log = [
         (1, "append", f1, []),
@@ -4706,14 +4716,15 @@ def sink_positional_delete_vector(spark: SparkSession, sf_dir: str) -> DataFrame
     it rides the scan. Real engines push DV masks into the reader as
     bitmaps; the anti-join is the same plan one level up.
 
-    Determinism: positions depend on physical layout (repartition(4) by
-    key-hash is layout-stable within the run), but the RESULT doesn't —
-    the DV is built from a value predicate, so the reconstructed table
-    equals the predicate-filtered oracle regardless of layout."""
+    Determinism: positions depend on physical layout (repartition(4,
+    o_orderkey) hash-partitions by key, so the file a row lands in is
+    layout-stable within the run), but the RESULT doesn't — the DV is
+    built from a value predicate, so the reconstructed table equals the
+    predicate-filtered oracle regardless of layout."""
     base_dir = _scratch(sf_dir, "dv_base")
     dv_dir = _scratch(sf_dir, "dv_vector")
     o = load(spark, sf_dir, "orders")
-    o.repartition(4).write.mode("overwrite").parquet(base_dir)
+    o.repartition(4, "o_orderkey").write.mode("overwrite").parquet(base_dir)
 
     # ---- delete commit: persist (file_path, row_index) pairs only ----
     annotated = spark.read.parquet(base_dir).select(
