@@ -250,6 +250,15 @@ GROUP10 = [
     "agg_median_two_pass",
 ]
 
+# Eleventh group (round 11): the composition-seam closures — the
+# compaction-aware change feed (zero events across rewrite commits) and
+# MOR rewrite-data-files maintenance compaction. Same protocol, own
+# total.
+GROUP11 = [
+    "stream_cdf_compaction_aware",
+    "sink_rewrite_data_files",
+]
+
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts
 # compare raw seconds across rounds on a host with documented ambient
 # drift (BENCH_r07 read a uniform 1.1-1.4x over identical r6 plans). The
@@ -373,6 +382,10 @@ def main() -> int:
         spark, sf_dir, [k for k in GROUP10 if k in sparkgraft.QUERIES], loadavg_samples
     )
     bound_loads.append(_bound())
+    timings11, traces11 = _time_group(
+        spark, sf_dir, [k for k in GROUP11 if k in sparkgraft.QUERIES], loadavg_samples
+    )
+    bound_loads.append(_bound())
 
     probe_end = _probe(spark, sf_dir)
     host_probe = min(probe_start, probe_end)
@@ -403,6 +416,7 @@ def main() -> int:
         "group8_total": round(sum(timings8.values()), 4),
         "group9_total": round(sum(timings9.values()), 4),
         "group10_total": round(sum(timings10.values()), 4),
+        "group11_total": round(sum(timings11.values()), 4),
         # r9 (the r8 verdict's ask #7): the load adjudication data rides
         # in the GRADED stdout line, not just the side trace — the 1-min
         # loadavg at start and at every group boundary, plus a loud gate
@@ -428,6 +442,7 @@ def main() -> int:
                 ("g8", sum(timings8.values())),
                 ("g9", sum(timings9.values())),
                 ("g10", sum(timings10.values())),
+                ("g11", sum(timings11.values())),
             ]
         },
         "trace_file": "BENCH_trace.json",
@@ -438,12 +453,12 @@ def main() -> int:
          "group4_queries": timings4, "group5_queries": timings5,
          "group6_queries": timings6, "group7_queries": timings7,
          "group8_queries": timings8, "group9_queries": timings9,
-         "group10_queries": timings10,
+         "group10_queries": timings10, "group11_queries": timings11,
          "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
          "group6_runs": traces6, "group7_runs": traces7,
          "group8_runs": traces8, "group9_runs": traces9,
-         "group10_runs": traces10,
+         "group10_runs": traces10, "group11_runs": traces11,
          "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

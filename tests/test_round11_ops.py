@@ -1,0 +1,119 @@
+"""Round-11 composition-seam keys: the compaction-aware change feed and
+MOR rewrite-data-files maintenance compaction (SURVEY.md §2.12 r11
+amendments).
+
+The oracle preflight proves value parity; these tests pin the protocol
+invariants the hash can't see — the rewrite commit really streams zero
+events, the label-confused churn reader really diverges, the rewrite
+really retires both delete encodings and the read-side anti-join debt.
+Both keys carry those asserts IN-KEY (they raise before returning), so
+the tests drive the keys end-to-end at sf0.001 and then re-check the
+observable artifacts the asserts leave behind.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+import sparkgraft
+from conftest import SF_DIR
+
+
+def test_cdf_compaction_aware_end_to_end(spark):
+    """Driving the key exercises every in-key assert: the v3 rewrite
+    micro-batch lands zero rows, the signed replay equals the head
+    digest, and the label-confused churn reader diverges by exactly
+    the v2 masked digest."""
+    out = sparkgraft.QUERIES["stream_cdf_compaction_aware"](spark, SF_DIR)
+    rows = {(r.version, r.change_type): (r.n_rows, r.cents) for r in out.collect()}
+    # the rewrite version (3) must be absent from the feed entirely
+    assert not any(v == 3 for v, _ in rows)
+    # the upsert streams as a delete+insert pair with the bump applied
+    d_n, d_c = rows[(4, "delete")]
+    i_n, i_c = rows[(4, "insert")]
+    assert d_n == i_n
+    assert i_c - d_c == d_n * 17  # _CACDF_BUMP per re-priced row
+
+
+def test_cdf_compaction_aware_manifest_op_stamp(spark):
+    """The feed keys on the manifest's op field; the key's history must
+    leave exactly one rewrite-stamped commit (v3) in its log."""
+    sparkgraft.QUERIES["stream_cdf_compaction_aware"](spark, SF_DIR)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfcompact-{os.path.basename(SF_DIR.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    log_dir = os.path.join(root, "log")
+    ops = {}
+    for f in sorted(os.listdir(log_dir)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(log_dir, f)) as fh:
+                ops[int(f[1:-5])] = json.load(fh).get("op")
+    assert ops[3] == "rewrite"
+    assert [v for v, op in ops.items() if op == "rewrite"] == [3]
+
+
+def test_rewrite_data_files_retires_both_delete_encodings(spark):
+    """After the key runs, its log must show: 4 linear commits, a head
+    with zero delete-class files and exactly 2 data files, and both
+    delete structures live at v3 (equality + positional)."""
+    from sparkgraft.scans import (
+        _log_versions,
+        _read_manifest,
+        _scratch,
+        _split_head_files,
+    )
+
+    sparkgraft.QUERIES["sink_rewrite_data_files"](spark, SF_DIR)
+    log_dir = os.path.join(_scratch(SF_DIR, "rdf_table"), "log")
+    assert _log_versions(log_dir) == [1, 2, 3, 4]
+    v3_data, v3_dels = _split_head_files(_read_manifest(log_dir, 3)["files"])
+    assert len(v3_data) == 4 and len(v3_dels) == 2
+    head = _read_manifest(log_dir, 4)
+    assert head.get("op") == "rewrite"
+    h_data, h_dels = _split_head_files(head["files"])
+    assert len(h_data) == 2 and h_dels == []
+    # compaction never deletes bytes: every retired file still on disk
+    assert all(os.path.exists(f) for f in _read_manifest(log_dir, 3)["files"])
+
+
+def test_rewrite_data_files_digest_matches_predicates(spark):
+    """The compacted head must equal the doubly-filtered base: neither
+    delete encoding leaked a row through, in either direction."""
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import (
+        _read_manifest,
+        _scratch,
+        _split_head_files,
+    )
+
+    sparkgraft.QUERIES["sink_rewrite_data_files"](spark, SF_DIR)
+    log_dir = os.path.join(_scratch(SF_DIR, "rdf_table"), "log")
+    h_data, _ = _split_head_files(_read_manifest(log_dir, 4)["files"])
+    got = (
+        spark.read.parquet(*h_data)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("ks"),
+            F.sum("cents").alias("cs"),
+        )
+        .collect()[0]
+    )
+    want = (
+        load(spark, SF_DIR, "orders")
+        .filter(~(F.col("o_orderkey") % 10).isin(2, 5))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").alias("ks"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cs"
+            ),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.ks, got.cs) == (want.n, want.ks, want.cs)
