@@ -257,6 +257,7 @@ GROUP10 = [
 GROUP11 = [
     "stream_cdf_compaction_aware",
     "sink_rewrite_data_files",
+    "sim_ivf_index_append",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -1773,13 +1773,17 @@ def _quantize_unit_int(block):
     return _round_half_away((q * 1e6) / nn[:, None]).astype(np.int64)
 
 
-def _ivfq_seeds(spark: SparkSession, sf_dir: str, n: int):
+def _ivfq_seeds(spark: SparkSession, sf_dir: str, n: int, base_max=None):
     """The n corpus vectors with the smallest (md5-low60('ivf:'||vec_id),
     vec_id) — the engine-mirrorable spread sample; row i of the returned
     pandas frame is seed RANK i (= cell/code index i in the oracles'
     `seeds` CTE). A distributed TakeOrdered; nothing corpus-proportional
-    reaches the driver."""
+    reaches the driver. ``base_max`` restricts the seed pool to
+    vec_id < base_max (the frozen-index training slice of
+    `sim_ivf_index_append`)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if base_max is not None:
+        e = e.filter(F.col("vec_id") < base_max)
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit("ivf:"), F.col("vec_id").cast("string"))),
@@ -1792,7 +1796,7 @@ def _ivfq_seeds(spark: SparkSession, sf_dir: str, n: int):
     return e.withColumn("h", h).orderBy("h", "vec_id").limit(n).toPandas()
 
 
-def _ivfq_centroids(spark: SparkSession, sf_dir: str):
+def _ivfq_centroids(spark: SparkSession, sf_dir: str, base_max=None):
     """C×dim int64 centroid matrix (micro-units), derived exactly as the
     oracle derives it: md5-ranked seed vectors, then _IVFQ_ROUNDS
     integer-quantized Lloyd rounds — the `sim_kmeans_train` discipline
@@ -1806,13 +1810,17 @@ def _ivfq_centroids(spark: SparkSession, sf_dir: str):
     import numpy as np
     import pandas as pd
 
-    key = _corpus_fingerprint(sf_dir)
+    key = (_corpus_fingerprint(sf_dir), base_max)
     hit = _IVFQ_CENTROID_CACHE.get(key)
     if hit is not None:
         return hit
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds_pdf = _ivfq_seeds(spark, sf_dir, _IVFQ_C)
+    if base_max is not None:
+        # train ONLY on the pre-append slice: these are the FROZEN
+        # centroids the incremental index-append path assigns against
+        e = e.filter(F.col("vec_id") < base_max)
+    seeds_pdf = _ivfq_seeds(spark, sf_dir, _IVFQ_C, base_max)
     cq = _quantize_unit_int(np.stack(seeds_pdf["embedding"].to_numpy()))
 
     for _ in range(_IVFQ_ROUNDS):
@@ -1880,7 +1888,7 @@ def _ivfq_probe_ranks(cq, q_nq):
     return ranks
 
 
-def _ivfq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivfq_candidates(spark: SparkSession, sf_dir: str, base_max=None) -> DataFrame:
     """(qid, vec_id, prnk, cos_sim) — every corpus vector whose cell is
     within the _IVFQ_PROBES nearest cells of a query, with the cell's
     probe rank and the EXACT quantized cosine (int64 dot of micro-unit
@@ -1893,7 +1901,7 @@ def _ivfq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cq = _ivfq_centroids(spark, sf_dir)
+    cq = _ivfq_centroids(spark, sf_dir, base_max)
     q_pdf = e.filter(F.col("vec_id") < _KNN_QUERIES).toPandas()
     q_ids = q_pdf["vec_id"].to_numpy()
     q_nq = _quantize_unit_int(np.stack(q_pdf["embedding"].to_numpy()))
@@ -3242,4 +3250,215 @@ def sim_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# --- incremental ANN index maintenance (r10 verdict ask #3): append a
+# delta, assign ONLY the delta against frozen centroids, merge the code
+# tables, and publish an occupancy-drift statistic with a re-train
+# trigger ---
+
+_IVF_APPEND_NUM = 7  # base slice: vec_id < (max+1) * 7 // 8
+_IVF_APPEND_DEN = 8
+_IVF_DRIFT_PPM = 150_000  # re-train when occupancy TV-distance > 0.15
+
+
+def _ivfq_assign(spark: SparkSession, frame: DataFrame, cq) -> DataFrame:
+    """(vec_id, cell) assignment of ``frame`` against the FROZEN int64
+    centroid matrix ``cq`` — exact integer Euclidean over micro-unit
+    quantized vectors, argmin ties to the lowest cell (the invariant
+    every IVF oracle mirrors). One linear mapInPandas pass; the only
+    broadcast is the C×dim constant."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(cq)
+
+    def assign(batches):
+        cmat = bc.value
+        cn2 = (cmat * cmat).sum(axis=1)
+        for pdf in batches:
+            nq = _quantize_unit_int(np.stack(pdf["embedding"].to_numpy()))
+            bn2 = (nq * nq).sum(axis=1)
+            dist = bn2[:, None] + cn2[None, :] - 2 * (nq @ cmat.T)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": np.argmin(dist, axis=1).astype(np.int32),
+                }
+            )
+
+    return frame.mapInPandas(assign, "vec_id long, cell int")
+
+
+def _ivf_append_oracle() -> str:
+    rounds = ",".join(_kmt_round_sql(k) for k in range(1, _IVFQ_ROUNDS + 1))
+    r = _IVFQ_ROUNDS
+    return f"""
+    WITH cut AS MATERIALIZED (
+      SELECT ((max(vec_id) + 1) * {_IVF_APPEND_NUM}) // {_IVF_APPEND_DEN}
+               AS c
+      FROM embeddings),
+    eqraw AS MATERIALIZED (
+      SELECT vec_id, i.i AS pos,
+             CAST(CASE WHEN CAST(embedding[i.i + 1] AS DOUBLE) >= 0
+                  THEN floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  ELSE -floor(-CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  END AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, sqrt(CAST(sum(q * q) AS DOUBLE)) AS nn
+      FROM eqraw GROUP BY vec_id),
+    eqall AS MATERIALIZED (
+      SELECT e.vec_id, e.pos,
+             CAST(CASE WHEN e.q >= 0
+                  THEN floor(CAST(e.q AS DOUBLE) * 1e6 / n.nn + 0.5)
+                  ELSE -floor(-(CAST(e.q AS DOUBLE) * 1e6 / n.nn) + 0.5)
+                  END AS BIGINT) AS q
+      FROM eqraw e JOIN nrm n ON n.vec_id = e.vec_id),
+    eq AS MATERIALIZED (
+      SELECT * FROM eqall WHERE vec_id < (SELECT c FROM cut)),
+    seeds AS MATERIALIZED (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY {_IVFQ_MD5H}, vec_id) AS rn
+        FROM embeddings WHERE vec_id < (SELECT c FROM cut)) t
+      WHERE rn <= {_IVFQ_C}),
+    c0 AS MATERIALIZED (
+      SELECT s.cell, e.pos, e.q
+      FROM seeds s JOIN eq e ON e.vec_id = s.vec_id),{rounds},
+    dall AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             sum((e.q - c.q) * (e.q - c.q)) AS dist
+      FROM eqall e JOIN c{r} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cell),
+    aall AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM dall) t WHERE rn = 1),
+    merged AS MATERIALIZED (
+      SELECT cell,
+             CAST(sum(CASE WHEN vec_id < (SELECT c FROM cut)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+             CAST(sum(CASE WHEN vec_id >= (SELECT c FROM cut)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+      FROM aall GROUP BY cell),
+    tot AS (SELECT sum(n_base) AS nb, sum(n_delta) AS nd FROM merged),
+    drift AS (
+      SELECT (1000000 * sum(abs(m.n_delta * t.nb - m.n_base * t.nd)))
+               // (2 * t.nb * t.nd) AS ppm
+      FROM merged m CROSS JOIN tot t GROUP BY t.nb, t.nd)
+    SELECT CAST(m.cell AS INT) AS cell, m.n_base, m.n_delta,
+           CAST(d.ppm AS BIGINT) AS drift_ppm,
+           d.ppm > {_IVF_DRIFT_PPM} AS retrain
+    FROM merged m CROSS JOIN drift d
+    ORDER BY cell
+    """
+
+
+@query("sim_ivf_index_append", oracle=_ivf_append_oracle())
+def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ANN INDEX MAINTENANCE (the r10 verdict's ask #3): the
+    IVF structures were rebuilt per corpus and cached by fingerprint —
+    correct but rebuild-priced; the realistic 100 TB embeddings table is
+    APPEND-ONLY, and this is the delta-only maintenance step. The corpus
+    splits at cut = (max_id+1)·{_IVF_APPEND_NUM}/{_IVF_APPEND_DEN}: the
+    base slice trains the frozen quantized-Lloyd centroids (the
+    `sim_kmeans_train` discipline — md5-ranked seeds from the BASE only,
+    {_IVFQ_ROUNDS} integer Lloyd rounds over the BASE only) and gets its
+    code table at index-build time; the delta slice then lands and is
+    assigned AGAINST THE FROZEN CENTROIDS in one pass that touches ONLY
+    delta rows — asserted two ways in-key: the delta scan's physical
+    plan carries the pushed ``vec_id >= cut`` range filter (a range
+    predicate, chosen over a modulo split precisely because parquet can
+    push it), and the incremental job emits exactly |delta| assignments.
+    The merged code table (base ∪ delta, per-cell occupancy) is the
+    maintained index.
+
+    The RE-TRAIN TRIGGER: frozen centroids go stale when the append's
+    distribution drifts, and the detector is the occupancy
+    total-variation distance — drift_ppm = ⌊10⁶·Σ_c|n_d(c)·N_b −
+    n_b(c)·N_d| / (2·N_b·N_d)⌋, exact int64 arithmetic end to end, so
+    the DuckDB twin mirrors it to the last digit; retrain fires past
+    {_IVF_DRIFT_PPM} ppm (0.15 TV). At tiny SF the statistic is
+    sampling-noise-dominated (63 delta vectors over 256 cells reads as
+    drift), which is honest: a production deployment sizes the
+    threshold to its delta volume, and the parity contract holds at
+    any SF because both engines compute the same integers.
+
+    recall@5 of the incrementally-maintained index vs both the exact
+    kNN and a full rebuild is floored in tests/test_vectorops.py.
+
+    Scale: the recurring cost is |delta| quantize+gemm against a C×dim
+    constant broadcast + a ≤C-row occupancy merge — the base corpus is
+    never re-read after index build (no full-corpus re-gemm, plan-
+    asserted); the drift check is arithmetic on the ≤C-row frame."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]  # bounded: 1 scalar
+    cut = (int(max_id) + 1) * _IVF_APPEND_NUM // _IVF_APPEND_DEN
+
+    # frozen centroids: trained on the BASE slice only (cached per
+    # (corpus fingerprint, cut) — the index-build artifact)
+    cq = _ivfq_centroids(spark, sf_dir, base_max=cut)
+
+    # index-build-time code table for the base (exists before the append)
+    base_codes = _ivfq_assign(
+        spark, e.filter(F.col("vec_id") < cut), cq
+    ).withColumn("is_delta", F.lit(False))
+
+    # THE INCREMENTAL STEP: assign only the delta against frozen cells
+    delta_frame = e.filter(F.col("vec_id") >= cut)
+    plan = delta_frame._jdf.queryExecution().executedPlan().toString()
+    if f"GreaterThanOrEqual(vec_id,{cut})" not in plan.replace(" ", ""):
+        raise RuntimeError(
+            "delta scan does not push the range filter — the incremental "
+            f"path would re-read the base corpus: {plan[:400]}"
+        )
+    delta_codes = _ivfq_assign(spark, delta_frame, cq).withColumn(
+        "is_delta", F.lit(True)
+    )
+    n_delta = int(e.filter(F.col("vec_id") >= cut).count())
+    n_assigned = int(delta_codes.count())
+    if n_assigned != n_delta or n_delta == 0:
+        raise RuntimeError(
+            f"incremental job assigned {n_assigned} rows, delta has "
+            f"{n_delta} — the delta-only contract is broken"
+        )
+
+    merged = (
+        base_codes.unionByName(delta_codes)
+        .groupBy("cell")
+        .agg(
+            F.sum(F.when(~F.col("is_delta"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_base"),
+            F.sum(F.when(F.col("is_delta"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_delta"),
+        )
+    )
+    tot = merged.agg(
+        F.sum("n_base").alias("nb"), F.sum("n_delta").alias("nd")
+    ).collect()[0]  # bounded: 2 scalars
+    nb, nd = int(tot["nb"]), int(tot["nd"])
+    s = merged.agg(
+        F.sum(
+            F.abs(F.col("n_delta") * F.lit(nb) - F.col("n_base") * F.lit(nd))
+        )
+    ).collect()[0][0]  # bounded: 1 scalar over the <=C-row frame
+    drift_ppm = (1_000_000 * int(s)) // (2 * nb * nd)
+
+    return (
+        merged.withColumn("drift_ppm", F.lit(drift_ppm).cast("long"))
+        .withColumn("retrain", F.lit(drift_ppm > _IVF_DRIFT_PPM))
+        .select(
+            F.col("cell").cast("int"),
+            "n_base",
+            "n_delta",
+            "drift_ppm",
+            "retrain",
+        )
+        .orderBy("cell")
     )

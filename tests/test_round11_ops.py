@@ -117,3 +117,71 @@ def test_rewrite_data_files_digest_matches_predicates(spark):
         .collect()[0]
     )
     assert (got.n, got.ks, got.cs) == (want.n, want.ks, want.cs)
+
+
+def test_ivf_index_append_recall_vs_rebuild(spark):
+    """The incrementally-maintained index (frozen base-trained
+    centroids, merged code table) must hold recall@5 vs the exact kNN
+    — and stay within 0.05 of the full rebuild's recall."""
+    from conftest import SF_DIR_MID
+    from sparkgraft.catalog import load
+    from sparkgraft.vectorops import (
+        _IVF_APPEND_DEN,
+        _IVF_APPEND_NUM,
+        _KNN_K,
+        _ivfq_candidates,
+        _topk_per_query,
+    )
+
+    exact = {
+        (r.qid, r.vec_id)
+        for r in sparkgraft.QUERIES["sim_knn_per_query"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    max_id = (
+        load(spark, SF_DIR_MID, "embeddings")
+        .agg(F.max("vec_id"))
+        .collect()[0][0]
+    )
+    cut = (int(max_id) + 1) * _IVF_APPEND_NUM // _IVF_APPEND_DEN
+    inc = {
+        (r.qid, r.vec_id)
+        for r in _topk_per_query(
+            _ivfq_candidates(spark, SF_DIR_MID, base_max=cut).drop("prnk"),
+            _KNN_K,
+        ).collect()
+    }
+    full = {
+        (r.qid, r.vec_id)
+        for r in sparkgraft.QUERIES["sim_ivf_knn"](
+            spark, SF_DIR_MID
+        ).collect()
+    }
+    r_inc = len(exact & inc) / len(exact)
+    r_full = len(exact & full) / len(exact)
+    assert r_inc >= 0.85
+    assert r_inc >= r_full - 0.05
+
+
+def test_ivf_index_append_occupancy_conserved(spark):
+    """Every corpus vector lands in exactly one cell of the merged code
+    table: n_base + n_delta over all cells equals the corpus size, and
+    the base/delta split matches the cut arithmetic."""
+    from conftest import SF_DIR_MID
+    from sparkgraft.catalog import load
+    from sparkgraft.vectorops import _IVF_APPEND_DEN, _IVF_APPEND_NUM
+
+    out = sparkgraft.QUERIES["sim_ivf_index_append"](spark, SF_DIR_MID)
+    tot = out.agg(
+        F.sum("n_base").alias("nb"), F.sum("n_delta").alias("nd")
+    ).collect()[0]
+    e = load(spark, SF_DIR_MID, "embeddings")
+    n = e.count()
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]
+    cut = (int(max_id) + 1) * _IVF_APPEND_NUM // _IVF_APPEND_DEN
+    n_base = e.filter(F.col("vec_id") < cut).count()
+    assert (tot.nb, tot.nd) == (n_base, n - n_base)
+    # drift is one global value, replicated; retrain consistent with it
+    row = out.limit(1).collect()[0]
+    assert row.retrain == (row.drift_ppm > 150_000)
