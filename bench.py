@@ -258,6 +258,7 @@ GROUP11 = [
     "stream_cdf_compaction_aware",
     "sink_rewrite_data_files",
     "sim_ivf_index_append",
+    "sink_multi_table_publish",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

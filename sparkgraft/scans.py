@@ -4963,3 +4963,182 @@ def sink_rewrite_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("post_plan_joinfree"),
         *digest,
     )
+
+
+# --- cross-table atomic publish (r10 verdict ask #4): fact + dim land
+# under ONE transaction root — a crash between staged writes leaves
+# BOTH invisible ---
+
+_MTP_CUTOFF = "1995-01-01"  # fact txn1/txn2 split
+_MTP_DIM_MOD = 2  # dim txn1 carries even custkeys only
+
+
+class _InjectedCrash(RuntimeError):
+    """The publish process dying between staging and the txn commit."""
+
+
+def _txn_publish(txn_dir: str, version: int, tables: dict) -> None:
+    """CAS-publish transaction ``version`` binding every table's file
+    list in ONE manifest — the multi-table generalization of
+    `_try_publish`: visibility for ALL tables flips on a single
+    link(2), so readers can never observe table A at txn N and table B
+    at txn N−1. Loses raise (single writer here; a rebase loop would
+    wrap this exactly like `_commit_snapshot`)."""
+    if not _try_publish(txn_dir, version, [], extra={"tables": tables}):
+        raise CommitConflict(f"txn v{version} lost the CAS in {txn_dir}")
+
+
+def _txn_head_tables(txn_dir: str) -> tuple[int, dict]:
+    versions = _log_versions(txn_dir)
+    head = versions[-1] if versions else 0
+    return head, (_read_manifest(txn_dir, head)["tables"] if head else {})
+
+
+@query(
+    "sink_multi_table_publish",
+    oracle=f"""
+    SELECT CAST(2 AS INT) AS txn_head,
+           TRUE AS crash_left_both_invisible,
+           c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def sink_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE ATOMIC PUBLISH (the r10 verdict's ask #4 — the first
+    thing a warehouse migrator asks for): a star-schema pipeline must
+    land fact AND dim together, but per-table commit logs flip
+    visibility one table at a time, so a crash (or a concurrent reader)
+    between the two commits observes a fact referencing dim rows that
+    do not exist yet. The fix is ONE TRANSACTION ROOT: a txn manifest
+    binds {{table -> file list}} for every table, CAS-published with the
+    same link(2) put-if-absent as the single-table log — visibility for
+    the whole star flips on one atomic filesystem operation, and
+    readers resolve every table through the head txn (never through
+    per-table state).
+
+    The INJECTED-CRASH proof (the `stream_mv_exactly_once` style): txn2
+    stages the fact delta's files fully to disk, then the process dies
+    BEFORE the dim is staged or the txn committed. Readers at that
+    moment — asserted in-key — resolve head txn 1 and see the OLD state
+    of BOTH tables: the staged fact files exist on disk but are
+    referenced by no txn manifest (asserted disjoint), so they are
+    invisible orphans (vacuum's eventual harvest), not a torn read.
+    The restarted publisher re-stages idempotently into fresh staging
+    dirs and commits txn2; only then do both tables advance, together.
+
+    Scale: the txn manifest is KB metadata listing per-table file
+    lists — the commit cost is one CAS regardless of how many tables or
+    terabytes the transaction touches (Iceberg's multi-table
+    transactions and Delta's commit coordinators centralize the same
+    single arbitration point); staging cost is the writes themselves,
+    which happen OUTSIDE the critical section."""
+    root = _scratch(sf_dir, "mtp_txn")
+    txn_dir = os.path.join(root, "txnlog")
+    os.makedirs(txn_dir, exist_ok=True)
+    for v in os.listdir(txn_dir):
+        os.unlink(os.path.join(txn_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit(_MTP_CUTOFF).cast("date")
+
+    def stage(df: DataFrame, name: str) -> list[str]:
+        d = os.path.join(root, name)
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        return _data_files_of(d)
+
+    # txn1: the initial consistent star (old fact slice + even-key dims)
+    fact1 = stage(o.filter(F.col("o_orderdate") < cutoff), "fact1")
+    dim1 = stage(c.filter(F.col("c_custkey") % _MTP_DIM_MOD == 0), "dim1")
+    _txn_publish(txn_dir, 1, {"fact": fact1, "dim": dim1})
+
+    def read_table(name: str) -> DataFrame:
+        _, tables = _txn_head_tables(txn_dir)
+        return spark.read.parquet(*tables[name])
+
+    digest = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ]
+    t1_fact = read_table("fact").agg(*digest).collect()[0]
+    t1_dim_n = read_table("dim").count()
+
+    # txn2 attempt #1: stage the fact delta, then DIE before the dim
+    # staging and before the txn commit
+    def publish_txn2(crash_after_fact: bool) -> None:
+        fact2 = stage(o.filter(F.col("o_orderdate") >= cutoff), "fact2")
+        if crash_after_fact:
+            raise _InjectedCrash("publisher died after staging the fact")
+        dim2 = stage(
+            c.filter(F.col("c_custkey") % _MTP_DIM_MOD != 0), "dim2"
+        )
+        _txn_publish(
+            txn_dir, 2, {"fact": fact1 + fact2, "dim": dim1 + dim2}
+        )
+
+    crashed = False
+    try:
+        publish_txn2(crash_after_fact=True)
+    except _InjectedCrash:
+        crashed = True
+    if not crashed:
+        raise RuntimeError("crash injection did not fire")
+
+    # THE proof: after the crash, readers see the OLD state of BOTH
+    # tables — head is still txn1, the staged fact2 files exist on disk
+    # but no manifest references them
+    head_after_crash, tables_after_crash = _txn_head_tables(txn_dir)
+    if head_after_crash != 1:
+        raise RuntimeError(
+            f"crash leaked a txn: head {head_after_crash}, wanted 1"
+        )
+    staged_fact2 = _data_files_of(os.path.join(root, "fact2"))
+    if not staged_fact2 or not all(os.path.exists(f) for f in staged_fact2):
+        raise RuntimeError("fact2 staging must have completed pre-crash")
+    referenced = set(tables_after_crash["fact"]) | set(
+        tables_after_crash["dim"]
+    )
+    if referenced & set(staged_fact2):
+        raise RuntimeError("crashed staging leaked into the visible txn")
+    mid_fact = read_table("fact").agg(*digest).collect()[0]
+    mid_dim_n = read_table("dim").count()
+    if tuple(mid_fact) != tuple(t1_fact) or mid_dim_n != t1_dim_n:
+        raise RuntimeError(
+            "a reader between staging and commit saw a torn star: "
+            f"{tuple(mid_fact)}/{mid_dim_n} vs {tuple(t1_fact)}/{t1_dim_n}"
+        )
+
+    # restart: re-stage idempotently, commit txn2 — both tables flip
+    publish_txn2(crash_after_fact=False)
+    head, _ = _txn_head_tables(txn_dir)
+    if head != 2:
+        raise RuntimeError(f"txn2 did not publish: head {head}")
+
+    fact = read_table("fact")
+    dim = read_table("dim")
+    return (
+        fact.join(dim, fact.o_custkey == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select(
+            F.lit(head).cast("int").alias("txn_head"),
+            F.lit(True).alias("crash_left_both_invisible"),
+            "c_mktsegment",
+            "n_rows",
+            "cents",
+        )
+        .orderBy("c_mktsegment")
+    )

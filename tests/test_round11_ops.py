@@ -185,3 +185,31 @@ def test_ivf_index_append_occupancy_conserved(spark):
     # drift is one global value, replicated; retrain consistent with it
     row = out.limit(1).collect()[0]
     assert row.retrain == (row.drift_ppm > 150_000)
+
+
+def test_multi_table_publish_crash_protocol(spark):
+    """The key's in-key asserts ARE the crash proof (it raises if the
+    crashed staging leaks or a reader sees a torn star); this re-checks
+    the on-disk txn log afterwards: exactly two txn manifests, the head
+    binding both tables, and the crashed-then-restaged fact2 files all
+    referenced by txn2 and none by txn1."""
+    from sparkgraft.scans import (
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+        _scratch,
+    )
+
+    sparkgraft.QUERIES["sink_multi_table_publish"](spark, SF_DIR)
+    root = _scratch(SF_DIR, "mtp_txn")
+    txn_dir = os.path.join(root, "txnlog")
+    assert _log_versions(txn_dir) == [1, 2]
+    t1 = _read_manifest(txn_dir, 1)["tables"]
+    t2 = _read_manifest(txn_dir, 2)["tables"]
+    assert set(t1) == set(t2) == {"fact", "dim"}
+    fact2_files = set(_data_files_of(os.path.join(root, "fact2")))
+    assert fact2_files <= set(t2["fact"])
+    assert not (fact2_files & set(t1["fact"]))
+    # txn2 strictly grows both tables (the append transaction)
+    assert set(t1["fact"]) < set(t2["fact"])
+    assert set(t1["dim"]) < set(t2["dim"])
