@@ -259,6 +259,8 @@ GROUP11 = [
     "sink_rewrite_data_files",
     "sim_ivf_index_append",
     "sink_multi_table_publish",
+    "stream_cdf_positional",
+    "sink_rewrite_delete_race",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

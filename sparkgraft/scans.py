@@ -5142,3 +5142,197 @@ def sink_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- rewrite vs concurrent-delete race (the validation Iceberg's
+# rewrite_data_files runs at commit time: a tombstone landing AFTER the
+# rewrite planned would be sequence-scoped OFF the rewritten files —
+# committing blindly resurrects the deleted rows) ---
+
+_RDR_EQ1 = 4  # tombstone known at rewrite plan time: o_orderkey % 10 == 4
+_RDR_EQ2 = 6  # the RACER's tombstone, landed mid-rewrite: % 10 == 6
+
+
+def _commit_rewrite(
+    log_dir: str,
+    add_files: list[str],
+    remove_files: list[str],
+    planned_at: int,
+) -> tuple[int, int]:
+    """Commit a rewrite PLANNED AT snapshot ``planned_at``, validating
+    the race every delete-applying compaction must check: if any commit
+    AFTER planned_at added a delete-class file, that delete applies (by
+    the strictly-lower-sequence rule) to the data files this rewrite is
+    replacing — but NOT to their replacements, whose sequence is higher.
+    Committing anyway would silently RESURRECT the racer's deleted rows
+    inside the clean files, so the only safe outcome is
+    ``CommitConflict`` and a re-plan from the new head (Iceberg's
+    rewrite_data_files surfaces the same condition as 'found new delete
+    for replaced data file'). The check is KB manifest arithmetic —
+    never a data read."""
+    head = _log_versions(log_dir)[-1]
+    seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+    for v in range(planned_at + 1, head + 1):
+        added = set(_read_manifest(log_dir, v)["files"]) - set(
+            _read_manifest(log_dir, v - 1)["files"]
+        )
+        new_dels = sorted(p for p in added if seg in p)
+        if new_dels:
+            raise CommitConflict(
+                f"new delete file(s) landed at v{v} after the rewrite "
+                f"planned at v{planned_at}: {new_dels} — committing "
+                "would resurrect their rows; re-plan from the head"
+            )
+    return _commit_snapshot(
+        log_dir, add_files, remove_files=remove_files, extra={"op": "rewrite"}
+    )
+
+
+@query(
+    "sink_rewrite_delete_race",
+    oracle=f"""
+    SELECT TRUE AS race_detected, TRUE AS blind_commit_would_resurrect,
+           CAST(4 AS INT) AS n_snapshots,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(sum(o_orderkey) AS BIGINT) AS keysum
+    FROM orders
+    WHERE o_orderkey % 10 NOT IN ({_RDR_EQ1}, {_RDR_EQ2})
+    """,
+)
+def sink_rewrite_delete_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWRITE vs CONCURRENT DELETE — the writer race
+    `sink_rewrite_data_files` opens and the commit-time validation that
+    closes it. The base remove/add protocol (`_commit_snapshot`) only
+    conflicts when a racer REMOVED the rewriter's inputs; a racer that
+    ADDS an equality tombstone mid-rewrite passes that check — the
+    tombstone survives the rebase — but the strictly-lower-sequence
+    rule then scopes it OFF the rewritten files (their sequence is
+    higher), so a blind commit silently RESURRECTS the racer's deleted
+    rows. This key drives the full race: a rewrite plans at v2
+    (applying the known tombstone), the racer lands a second tombstone
+    at v3, the rewrite's commit is REFUSED (`CommitConflict`, asserted
+    raised), the counterfactual corruption is measured (the staged
+    clean files really do contain exactly the racer's deleted rows —
+    asserted row-count-exact), and the re-planned rewrite from the v3
+    head commits clean at v4. Final head: zero delete files, digest
+    equal to the doubly-filtered base.
+
+    Scale: the validation walks the KB manifests between plan and
+    commit looking for added delete-class files — O(commits × files)
+    driver-side metadata, no data read; the cost of losing the race is
+    re-planning the rewrite, never corruption."""
+    root = _scratch(sf_dir, "rdr_table")
+    log_dir = os.path.join(root, "log")
+    data_dir = os.path.join(root, "data")
+    t1_dir = os.path.join(root, _MOR_DELETE_CLASS, "t1")
+    t2_dir = os.path.join(root, _MOR_DELETE_CLASS, "t2")
+    stale_dir = os.path.join(root, "stale_rewrite")
+    clean_dir = os.path.join(root, "clean_rewrite")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.repartition(4, "o_orderkey").write.mode("overwrite").parquet(data_dir)
+    base_files = _data_files_of(data_dir)
+    _commit_snapshot(log_dir, base_files)  # v1
+
+    def land_tombstone(mod: int, d: str) -> list[str]:
+        (
+            spark.read.parquet(*base_files)
+            .filter(F.col("o_orderkey") % 10 == mod)
+            .select("o_orderkey")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        files = _data_files_of(d)
+        _commit_snapshot(log_dir, files, extra={"op": "mor-delete"})
+        return files
+
+    t1 = land_tombstone(_RDR_EQ1, t1_dir)  # v2
+
+    # the rewrite PLANS at v2: apply the known tombstone, stage clean files
+    planned_at = _log_versions(log_dir)[-1]
+    head_at_plan = _read_manifest(log_dir, planned_at)["files"]
+    keys1 = spark.read.parquet(*t1).select("o_orderkey")
+    (
+        spark.read.parquet(*base_files)
+        .join(F.broadcast(keys1), "o_orderkey", "left_anti")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(stale_dir)
+    )
+
+    t2 = land_tombstone(_RDR_EQ2, t2_dir)  # v3: THE RACER
+
+    # the rewrite tries to commit its stale plan: must be refused
+    race_detected = False
+    try:
+        _commit_rewrite(
+            log_dir,
+            _data_files_of(stale_dir),
+            remove_files=head_at_plan,
+            planned_at=planned_at,
+        )
+    except CommitConflict:
+        race_detected = True
+    if not race_detected:
+        raise RuntimeError(
+            "stale rewrite committed over the racer's tombstone — "
+            "its rows just resurrected"
+        )
+
+    # measure the counterfactual: the staged files DO contain exactly
+    # the racer's deleted rows (what a blind commit would resurrect)
+    resurrect = (
+        spark.read.parquet(*_data_files_of(stale_dir))
+        .filter(F.col("o_orderkey") % 10 == _RDR_EQ2)
+        .count()
+    )
+    racer_rows = spark.read.parquet(*t2).count()
+    if resurrect != racer_rows or racer_rows == 0:
+        raise RuntimeError(
+            f"counterfactual mismatch: staged files hold {resurrect} "
+            f"racer rows, tombstone masks {racer_rows}"
+        )
+
+    # re-plan from the new head and commit clean
+    replanned_at = _log_versions(log_dir)[-1]
+    head_now = _read_manifest(log_dir, replanned_at)["files"]
+    keys12 = spark.read.parquet(*t1, *t2).select("o_orderkey")
+    (
+        spark.read.parquet(*base_files)
+        .join(F.broadcast(keys12), "o_orderkey", "left_anti")
+        .coalesce(2)
+        .write.mode("overwrite")
+        .parquet(clean_dir)
+    )
+    _commit_rewrite(
+        log_dir,
+        _data_files_of(clean_dir),
+        remove_files=head_now,
+        planned_at=replanned_at,
+    )  # v4: the clean, re-planned rewrite
+
+    versions = _log_versions(log_dir)
+    if versions != [1, 2, 3, 4]:
+        raise RuntimeError(f"log not linear: {versions}")
+    head_files = _read_manifest(log_dir, 4)["files"]
+    _, dels = _split_head_files(head_files)
+    if dels:
+        raise RuntimeError(f"re-planned rewrite left tombstones: {dels}")
+
+    return spark.read.parquet(*head_files).agg(
+        F.lit(True).alias("race_detected"),
+        F.lit(True).alias("blind_commit_would_resurrect"),
+        F.lit(len(versions)).cast("int").alias("n_snapshots"),
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("cents"),
+        F.sum("o_orderkey").cast("long").alias("keysum"),
+    )

@@ -2246,6 +2246,14 @@ def _mor_cdf_datasource():
         def _is_del(path):
             return f"{os.sep}deletes{os.sep}" in path
 
+        @staticmethod
+        def _is_pos_del(path):
+            """Positional delete vectors land under deletes/pos/ —
+            (file_path, row_index) pairs, the OTHER delete encoding
+            (`sink_positional_delete_vector`); they must never be read
+            with the equality-tombstone schema."""
+            return f"{os.sep}deletes{os.sep}pos{os.sep}" in path
+
         def initialOffset(self):
             return {"version": 0}
 
@@ -2289,10 +2297,36 @@ def _mor_cdf_datasource():
                 cur = set(self._files(v))
                 prev = set(self._files(v - 1))
                 added = cur - prev
-                new_dels = sorted(p for p in added if self._is_del(p))
+                new_dels_all = sorted(p for p in added if self._is_del(p))
+                # split the commit's delete files by ENCODING: equality
+                # tombstones carry keys, positional DVs carry
+                # (file_path, row_index) — each gets its own partition
+                # kind so the executor reads the right schema
+                new_pos = [p for p in new_dels_all if self._is_pos_del(p)]
+                new_dels = [
+                    p for p in new_dels_all if not self._is_pos_del(p)
+                ]
                 prev_data = sorted(p for p in prev if not self._is_del(p))
                 for p in sorted(p for p in prev - cur if not self._is_del(p)):
                     parts.append(MORCDFPartition(v, "delete", p))
+                if new_pos:
+                    # sequence scoping is identical to the equality
+                    # form: a DV masks a pre-image row only if no PRIOR
+                    # DV applying to that data file already masked the
+                    # same position
+                    fv = self._first_versions(v)
+                    prior_pos_all = [
+                        p for p in prev if self._is_pos_del(p)
+                    ]
+                    for p in prev_data:
+                        prior_for_p = sorted(
+                            t for t in prior_pos_all if fv[t] > fv[p]
+                        )
+                        parts.append(
+                            MORCDFPartition(
+                                v, "pos_delete", p, new_pos, prior_for_p
+                            )
+                        )
                 if new_dels:
                     # TRUE per-file sequence scoping (r10 wave 2): a
                     # PRIOR tombstone suppresses a pre-image row only if
@@ -2305,7 +2339,11 @@ def _mor_cdf_datasource():
                     # as deletes (`stream_scd2_maintenance` exercises
                     # exactly this).
                     fv = self._first_versions(v)
-                    prior_all = [p for p in prev if self._is_del(p)]
+                    prior_all = [
+                        p
+                        for p in prev
+                        if self._is_del(p) and not self._is_pos_del(p)
+                    ]
                     for p in prev_data:
                         prior_for_p = sorted(
                             t for t in prior_all if fv[t] > fv[p]
@@ -2338,6 +2376,24 @@ def _mor_cdf_datasource():
                     )
                 return out
 
+            def positions_of(paths):
+                """Row ordinals of ``partition.path`` masked by the
+                given DV files — parquet row order IS the ordinal
+                (`_metadata.row_index` semantics), and each DV is
+                filtered to this data file's path."""
+                out = set()
+                for p in paths:
+                    t = pq.read_table(
+                        p, columns=["file_path", "row_index"]
+                    )
+                    for fp, ri in zip(
+                        t.column("file_path").to_pylist(),
+                        t.column("row_index").to_pylist(),
+                    ):
+                        if fp == partition.path:
+                            out.add(ri)
+                return out
+
             t = pq.read_table(partition.path, columns=["o_orderkey", "cents"])
             rows = zip(
                 t.column("o_orderkey").to_pylist(),
@@ -2348,6 +2404,12 @@ def _mor_cdf_datasource():
                 prior = keys_of(partition.prior_dels)
                 for k, c in rows:
                     if k in mask and k not in prior:
+                        yield (partition.version, "delete", k, c)
+            elif partition.kind == "pos_delete":
+                mask = positions_of(partition.new_dels)
+                prior = positions_of(partition.prior_dels)
+                for idx, (k, c) in enumerate(rows):
+                    if idx in mask and idx not in prior:
                         yield (partition.version, "delete", k, c)
             else:
                 change = "insert" if partition.kind == "insert" else "delete"
@@ -2858,6 +2920,218 @@ def stream_cdf_compaction_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"churn divergence is not the v2 masked digest: "
             f"{churn_net} vs {expect_churn}"
+        )
+
+    return (
+        feed.groupBy("version", "change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("version", "change_type")
+    )
+
+
+_PCDF_P1 = 1  # v2 positional-DV predicate: o_orderkey % 10 == 1
+_PCDF_P2 = 8  # v3 DV covers %10 IN (P1, P2) — P1 rows must NOT re-emit
+
+
+@query(
+    "stream_cdf_positional",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT CAST(1 AS INT) AS version, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ev
+    UNION ALL
+    SELECT CAST(2 AS INT), 'delete',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 10 = {_PCDF_P1}
+    UNION ALL
+    SELECT CAST(3 AS INT), 'delete',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 10 = {_PCDF_P2}
+    UNION ALL
+    SELECT CAST(4 AS INT), 'insert',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 1000 = 9
+    ORDER BY version, change_type
+    """,
+)
+def stream_cdf_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIONAL-DELETE-AWARE change feed — the third cell of the
+    delete-encoding × feed matrix (`stream_cdf_mor` covers equality
+    tombstones, `stream_cdf_compaction_aware` covers rewrites; this
+    covers `sink_positional_delete_vector`'s (file_path, row_index)
+    form). A positional DV commit is add-only KB metadata, but the feed
+    must emit 'delete' events for the ROWS AT THE MASKED POSITIONS —
+    the executor reads each pre-image data file next to the commit's DV
+    files (filtered to that file's path; parquet row order IS the
+    ordinal, `_metadata.row_index` semantics) and yields the masked
+    rows.
+
+    The PRIOR-SCOPING proof is built into the history: the v3 DV
+    deliberately covers BOTH predicates (%10 ∈ {{{_PCDF_P1},
+    {_PCDF_P2}}}) including every position v2 already masked — a
+    reader that ignored prior DVs would re-emit the v2 deletes at v3
+    and break both the oracle hash AND the signed-replay-equals-head
+    assert. Prior DVs are sequence-scoped exactly like equality
+    tombstones: they suppress only on data files with strictly lower
+    sequence.
+
+    History: v1 append (2 files) → inserts; v2 positional DV
+    (keys %10=={_PCDF_P1}) → deletes; v3 positional DV (keys %10 ∈
+    {{{_PCDF_P1}, {_PCDF_P2}}}) → deletes for ONLY the newly masked
+    rows; v4 plain append → inserts. In-key asserts: one commit per
+    micro-batch, per-batch partition count equals planned work units,
+    signed replay equals the position-masked head read.
+
+    Scale: per-DV-commit feed cost is one distributed pass over the
+    pre-image files it touches, with the DV side KB-broadcast per
+    task — the same posture as the equality form, and the DV path
+    never carries values, only positions."""
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _commit_snapshot, _data_files_of
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfpos-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    for d in (log_dir, out):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    # v1: base table, two data files
+    base_dir = os.path.join(root, "base")
+    o.repartition(2).write.parquet(base_dir)
+    base_files = _data_files_of(base_dir)
+    if len(base_files) != 2:
+        raise RuntimeError(f"base staged {len(base_files)} files, wanted 2")
+    _commit_snapshot(log_dir, base_files)
+
+    def build_dv(mods: tuple, name: str) -> list[str]:
+        """(file_path, row_index) pairs for base rows whose key hits
+        any of ``mods`` — REAL parquet positions via _metadata, paths
+        normalized to plain filesystem form so executors can compare
+        them to manifest entries."""
+        d = os.path.join(root, "deletes", "pos", name)
+        (
+            spark.read.parquet(*base_files)
+            .select(
+                "o_orderkey",
+                F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:", ""
+                ).alias("file_path"),
+                F.col("_metadata.row_index").alias("row_index"),
+            )
+            .filter((F.col("o_orderkey") % 10).isin(*mods))
+            .select("file_path", "row_index")
+            .coalesce(1)
+            .write.parquet(d)
+        )
+        return _data_files_of(d)
+
+    # v2: positional DV for keys %10 == P1 (add-only commit)
+    _commit_snapshot(
+        log_dir, build_dv((_PCDF_P1,), "v2"), extra={"op": "pos-delete"}
+    )
+    # v3: positional DV covering BOTH predicates — the overlap with v2
+    # is the prior-scoping trap
+    _commit_snapshot(
+        log_dir,
+        build_dv((_PCDF_P1, _PCDF_P2), "v3"),
+        extra={"op": "pos-delete"},
+    )
+    # v4: plain append (re-keyed so keys never collide with the base)
+    app_dir = os.path.join(root, "append")
+    (
+        o.filter(F.col("o_orderkey") % 1000 == 9)
+        .select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("o_orderkey"),
+            "cents",
+        )
+        .coalesce(1)
+        .write.parquet(app_dir)
+    )
+    _commit_snapshot(log_dir, _data_files_of(app_dir))
+
+    spark.dataSource.register(_mor_cdf_datasource())
+    work_units = {1: 2, 2: len(base_files), 3: len(base_files), 4: 1}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        nparts = batch_df.rdd.getNumPartitions()
+        if nparts != work_units[vs[0]]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"planned {work_units[vs[0]]} work units"
+            )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.format("sparkgraft_mor_cdf")
+        .option("log_dir", log_dir)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    feed = spark.read.parquet(os.path.join(out, "b*"))
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+    net = feed.agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("cents")).cast("long").alias("cents"),
+    ).collect()[0]
+
+    # head read: base rows minus ALL DV-masked positions, plus the append
+    dv_all = spark.read.parquet(
+        os.path.join(root, "deletes", "pos", "v2"),
+        os.path.join(root, "deletes", "pos", "v3"),
+    ).distinct()
+    head = (
+        spark.read.parquet(*base_files)
+        .withColumn(
+            "file_path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+        )
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .join(F.broadcast(dv_all), ["file_path", "row_index"], "left_anti")
+        .select("o_orderkey", "cents")
+        .unionByName(spark.read.parquet(*_data_files_of(app_dir)))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .collect()[0]
+    )
+    if (net["n"], net["cents"]) != (head["n"], head["cents"]):
+        raise RuntimeError(
+            f"signed feed replay diverged from position-masked head: "
+            f"{tuple(net)} vs {tuple(head)}"
         )
 
     return (

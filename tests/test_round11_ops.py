@@ -213,3 +213,48 @@ def test_multi_table_publish_crash_protocol(spark):
     # txn2 strictly grows both tables (the append transaction)
     assert set(t1["fact"]) < set(t2["fact"])
     assert set(t1["dim"]) < set(t2["dim"])
+
+
+def test_cdf_positional_prior_scoping(spark):
+    """v3's DV covers both predicates including every position v2
+    already masked; the feed must emit at v3 ONLY the newly masked
+    rows, and each delete version must match its predicate count."""
+    from sparkgraft.catalog import load
+
+    out = sparkgraft.QUERIES["stream_cdf_positional"](spark, SF_DIR)
+    rows = {
+        (r.version, r.change_type): r.n_rows for r in out.collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    n_p1 = o.filter(F.col("o_orderkey") % 10 == 1).count()
+    n_p2 = o.filter(F.col("o_orderkey") % 10 == 8).count()
+    assert rows[(2, "delete")] == n_p1
+    assert rows[(3, "delete")] == n_p2  # NOT n_p1 + n_p2: prior-scoped
+
+
+def test_rewrite_delete_race_log_shape(spark):
+    """After the key runs: 4 linear commits, the two tombstone commits
+    stamped mor-delete, the final commit a rewrite with a delete-free
+    head — and the stale staged files still on disk as orphans."""
+    from sparkgraft.scans import (
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+        _scratch,
+        _split_head_files,
+    )
+
+    sparkgraft.QUERIES["sink_rewrite_delete_race"](spark, SF_DIR)
+    root = _scratch(SF_DIR, "rdr_table")
+    log_dir = os.path.join(root, "log")
+    assert _log_versions(log_dir) == [1, 2, 3, 4]
+    assert _read_manifest(log_dir, 2).get("op") == "mor-delete"
+    assert _read_manifest(log_dir, 3).get("op") == "mor-delete"
+    assert _read_manifest(log_dir, 4).get("op") == "rewrite"
+    _, dels = _split_head_files(_read_manifest(log_dir, 4)["files"])
+    assert dels == []
+    # the refused rewrite's staging is an orphan, never referenced
+    stale = set(_data_files_of(os.path.join(root, "stale_rewrite")))
+    assert stale
+    for v in (1, 2, 3, 4):
+        assert not (stale & set(_read_manifest(log_dir, v)["files"]))
