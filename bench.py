@@ -261,6 +261,7 @@ GROUP11 = [
     "sink_multi_table_publish",
     "stream_cdf_positional",
     "sink_rewrite_delete_race",
+    "dedup_near_incremental",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -1735,3 +1735,114 @@ def text_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rouge2_f1"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# --- incremental near-dup maintenance (r11): dedup a corpus APPEND
+# against the existing index without re-pairing the base — the daily
+# crawl increment, the `sim_ivf_index_append` discipline applied to
+# MinHash-LSH ---
+
+_NMI_NUM = 7  # base slice: doc_id < (max+1) * 7 // 8
+_NMI_DEN = 8
+
+
+def _minhash_incremental_oracle() -> str:
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    h = _MD5_60_DUCK.format(x="s.i::VARCHAR || ':' || shingle")
+    return f"""
+    WITH cut AS MATERIALIZED (
+      SELECT ((max(doc_id) + 1) * {_NMI_NUM}) // {_NMI_DEN} AS c
+      FROM documents),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_SHINGLE_W - 1}], ' '))) AS shingle
+      FROM toks),
+    mins AS MATERIALIZED (
+      SELECT doc_id, s.i, min({h}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) s
+      GROUP BY doc_id, s.i),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM mins GROUP BY doc_id, i // {_MINHASH_ROWS})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           b.doc_id >= (SELECT c FROM cut)
+             AND a.doc_id >= (SELECT c FROM cut) AS both_new
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    WHERE b.doc_id >= (SELECT c FROM cut)
+       OR a.doc_id >= (SELECT c FROM cut)
+    """
+
+
+@query("dedup_near_incremental", oracle=_minhash_incremental_oracle())
+def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup maintenance — `dedup_near_minhash` for an
+    APPEND-ONLY corpus (the daily crawl increment; the
+    `sim_ivf_index_append` discipline applied to MinHash-LSH). The
+    base slice (doc_id < (max+1)·{_NMI_NUM}/{_NMI_DEN}) was deduped
+    when it landed and its band-key table IS the persisted index; when
+    the delta arrives, the only NEW pairs possible are delta×base and
+    delta×delta — base×base was settled at base-index time. So the
+    candidate join probes the DELTA's band keys against the full
+    bucket table and never self-joins the base: candidate work is
+    O(delta × bucket-mates), not O(corpus²), which is the difference
+    between re-deduping 100 TB nightly and deduping the night's 100 GB.
+
+    In-key asserts: every emitted pair involves at least one delta doc
+    (a base×base leak = the join shape is wrong), the delta side is
+    non-empty, and signature work for the incremental step runs over
+    the delta slice only (the base signatures come from the index
+    build, exactly like the ANN key's frozen code table).
+    Completeness — incremental pairs == the FULL self-join's pairs
+    restricted to delta-involved — is pinned in pytest against
+    `dedup_near_minhash` itself.
+
+    The oracle recomputes the whole pipeline and filters to
+    delta-involved pairs, so the hash proves the incremental join
+    found EXACTLY the pairs the full pass would have."""
+    docs = load(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    cut = (int(max_id) + 1) * _NMI_NUM // _NMI_DEN
+
+    # the persisted index: band keys of the base (built when the base
+    # landed); the incremental step computes signatures for the DELTA
+    # slice only
+    base_idx = band_keys(
+        minhash_signatures(docs.filter(F.col("doc_id") < cut))
+    )
+    delta_b = band_keys(
+        minhash_signatures(docs.filter(F.col("doc_id") >= cut))
+    )
+    if delta_b.select("doc_id").distinct().count() == 0:
+        raise RuntimeError("delta slice is empty — nothing to maintain")
+
+    # probe: delta vs (base index ∪ delta) — never base×base
+    full = base_idx.unionByName(delta_b)
+    d = delta_b.alias("d")
+    x = full.alias("x")
+    pairs = (
+        d.join(
+            x,
+            (F.col("d.band") == F.col("x.band"))
+            & (F.col("d.band_key") == F.col("x.band_key"))
+            & (F.col("d.doc_id") != F.col("x.doc_id")),
+        )
+        .select(
+            F.least("d.doc_id", "x.doc_id").alias("doc_a"),
+            F.greatest("d.doc_id", "x.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("both_new", F.col("doc_a") >= cut)
+    )
+    leaked = pairs.filter(F.col("doc_b") < cut).count()
+    if leaked:
+        raise RuntimeError(
+            f"{leaked} base-only pairs leaked into the incremental join"
+        )
+    return pairs

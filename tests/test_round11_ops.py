@@ -258,3 +258,30 @@ def test_rewrite_delete_race_log_shape(spark):
     assert stale
     for v in (1, 2, 3, 4):
         assert not (stale & set(_read_manifest(log_dir, v)["files"]))
+
+
+def test_dedup_near_incremental_completeness(spark):
+    """The incremental probe must find EXACTLY the pairs the full
+    self-join finds, restricted to delta-involved pairs — no false
+    negatives from skipping base×base, no extras."""
+    from sparkgraft.catalog import load
+    from sparkgraft.textops.corpus import _NMI_DEN, _NMI_NUM
+
+    docs = load(spark, SF_DIR, "documents")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut = (int(max_id) + 1) * _NMI_NUM // _NMI_DEN
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in sparkgraft.QUERIES["dedup_near_minhash"](
+            spark, SF_DIR
+        ).collect()
+    }
+    want = {(a, b) for a, b in full if a >= cut or b >= cut}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in sparkgraft.QUERIES["dedup_near_incremental"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == want
+    assert want, "delta-involved pair set must be non-empty at sf0.001"
