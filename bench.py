@@ -262,6 +262,8 @@ GROUP11 = [
     "stream_cdf_positional",
     "sink_rewrite_delete_race",
     "dedup_near_incremental",
+    "stream_cdf_mixed_deletes",
+    "sink_multi_table_conflict",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -5336,3 +5336,165 @@ def sink_rewrite_delete_race(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("cents"),
         F.sum("o_orderkey").cast("long").alias("keysum"),
     )
+
+
+# --- racing multi-table transactions: the CAS loser rebases
+# disjoint-table updates, aborts on same-table overlap ---
+
+
+def _txn_commit(
+    txn_dir: str, updates: dict, read_at: int, max_attempts: int = 50
+) -> tuple[int, int, int]:
+    """Commit ``updates`` ({table -> new file list}) against the txn
+    root with optimistic rebase — the multi-table generalization of
+    `_commit_snapshot`'s loop: read the head, overlay ONLY the tables
+    this txn writes, CAS; on loss re-read and retry. The one genuine
+    conflict: the head's version of a written table CHANGED since this
+    txn read it (``read_at``) — a blind overlay would silently drop
+    the racer's update to the same table, so the loser must abort and
+    re-plan (Iceberg/Delta surface the same per-table check via
+    validation snapshots). Disjoint-table racers always merge. Returns
+    (version, n_retries, n_validations)."""
+    retries = 0
+    while True:
+        versions = _log_versions(txn_dir)
+        head = versions[-1] if versions else 0
+        head_tables = (
+            dict(_read_manifest(txn_dir, head)["tables"]) if head else {}
+        )
+        base_tables = (
+            _read_manifest(txn_dir, read_at)["tables"] if read_at else {}
+        )
+        for t in updates:
+            if head_tables.get(t) != base_tables.get(t):
+                raise CommitConflict(
+                    f"table {t!r} changed between read_at v{read_at} and "
+                    f"head v{head} — same-table race, re-plan required"
+                )
+        merged = {**head_tables, **updates}
+        if _try_publish(txn_dir, head + 1, [], extra={"tables": merged}):
+            return head + 1, retries, len(updates)
+        retries += 1
+        if retries >= max_attempts:
+            raise RuntimeError(
+                f"txn lost the CAS {max_attempts} times in {txn_dir}"
+            )
+
+
+@query(
+    "sink_multi_table_conflict",
+    oracle=f"""
+    SELECT CAST(3 AS INT) AS txn_head, TRUE AS loser_rebased,
+           TRUE AS same_table_racer_aborts,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS fact_rows,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS dim_rows,
+           CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders) AS BIGINT) AS fact_cents
+    """,
+)
+def sink_multi_table_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RACING MULTI-TABLE TRANSACTIONS — the concurrency half of
+    `sink_multi_table_publish` (the single-table twin is
+    `sink_concurrent_commit`): two publishers read the same head; A
+    appends to the FACT, B appends to the DIM. A wins the CAS; B's
+    retry must REBASE — overlay only the tables B writes onto A's new
+    head, so A's fact update survives (a naive 'replace the whole
+    tables map' would silently drop it: the lost update). The one
+    genuine conflict is SAME-TABLE: a third publisher C that also read
+    the old head and writes the FACT must abort with CommitConflict
+    (its base version of the fact changed under it — blind overlay
+    would drop A's files), asserted on the negative path.
+
+    Asserted in-key: B's commit records ≥1 CAS retry (the race really
+    happened — A committed between B's read and B's publish), the
+    final head carries BOTH A's fact files and B's dim files, C
+    raises, and the head digest equals the complete star.
+
+    Scale: rebase cost is a KB manifest re-read per retry; the
+    same-table validation is one list equality per written table —
+    the commit critical section never touches data."""
+    root = _scratch(sf_dir, "mtc_txn")
+    txn_dir = os.path.join(root, "txnlog")
+    os.makedirs(txn_dir, exist_ok=True)
+    for v in os.listdir(txn_dir):
+        os.unlink(os.path.join(txn_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit(_MTP_CUTOFF).cast("date")
+
+    def stage(df: DataFrame, name: str) -> list[str]:
+        d = os.path.join(root, name)
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        return _data_files_of(d)
+
+    fact1 = stage(o.filter(F.col("o_orderdate") < cutoff), "fact1")
+    dim1 = stage(
+        c.filter(F.col("c_custkey") % _MTP_DIM_MOD == 0), "dim1"
+    )
+    v1, _, _ = _txn_commit(
+        txn_dir, {"fact": fact1, "dim": dim1}, read_at=0
+    )
+
+    # A and B both read head v1, stage disjoint-table updates
+    fact2 = stage(o.filter(F.col("o_orderdate") >= cutoff), "fact2_A")
+    dim2 = stage(
+        c.filter(F.col("c_custkey") % _MTP_DIM_MOD != 0), "dim2_B"
+    )
+    # A commits first (wins)
+    v2, a_retries, _ = _txn_commit(
+        txn_dir, {"fact": fact1 + fact2}, read_at=v1
+    )
+    if (v2, a_retries) != (2, 0):
+        raise RuntimeError(f"A should win cleanly: v{v2}, {a_retries} retries")
+    # B commits against its STALE read — simulate the interleave by
+    # attempting the publish at the version B believes is next (2),
+    # losing the CAS to A, and rebasing onto A's head
+    b_lost_cas = not _try_publish(
+        txn_dir, 2, [], extra={"tables": {"fact": fact1, "dim": dim1 + dim2}}
+    )
+    if not b_lost_cas:
+        raise RuntimeError("B's stale publish must lose the CAS to A")
+    v3, _, _ = _txn_commit(txn_dir, {"dim": dim1 + dim2}, read_at=v1)
+    if v3 != 3:
+        raise RuntimeError(f"B's rebase landed at v{v3}, wanted 3")
+
+    # the rebase preserved A's update: head carries BOTH
+    head, tables = _txn_head_tables(txn_dir)
+    if sorted(tables["fact"]) != sorted(fact1 + fact2):
+        raise RuntimeError("B's rebase dropped A's fact update — lost update")
+    if sorted(tables["dim"]) != sorted(dim1 + dim2):
+        raise RuntimeError("B's own dim update missing from the head")
+
+    # the negative path: C also read v1 and writes the FACT — same-table
+    # race, must abort (blind overlay would drop A's files)
+    fact_c = stage(
+        o.filter(F.col("o_orderdate") >= cutoff).limit(10), "fact2_C"
+    )
+    c_aborted = False
+    try:
+        _txn_commit(txn_dir, {"fact": fact1 + fact_c}, read_at=v1)
+    except CommitConflict:
+        c_aborted = True
+    if not c_aborted:
+        raise RuntimeError(
+            "same-table racer committed over A's update — lost update"
+        )
+    head2, _ = _txn_head_tables(txn_dir)
+    if head2 != 3:
+        raise RuntimeError(f"aborted txn moved the head to v{head2}")
+
+    fact = spark.read.parquet(*tables["fact"])
+    dim = spark.read.parquet(*tables["dim"])
+    return fact.agg(
+        F.lit(head).cast("int").alias("txn_head"),
+        F.lit(True).alias("loser_rebased"),
+        F.lit(True).alias("same_table_racer_aborts"),
+        F.count("*").cast("long").alias("fact_rows"),
+        F.lit(dim.count()).cast("long").alias("dim_rows"),
+        F.sum("cents").cast("long").alias("fact_cents"),
+    )

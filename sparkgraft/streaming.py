@@ -3144,6 +3144,203 @@ def stream_cdf_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MXD_EQ = 2  # v2 equality-tombstone predicate: o_orderkey % 10 == 2
+_MXD_POS = 9  # v2 positional-DV predicate: o_orderkey % 10 == 9 (disjoint)
+
+
+@query(
+    "stream_cdf_mixed_deletes",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT CAST(1 AS INT) AS version, 'insert' AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ev
+    UNION ALL
+    SELECT CAST(2 AS INT), 'delete',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 10 IN ({_MXD_EQ}, {_MXD_POS})
+    UNION ALL
+    SELECT CAST(3 AS INT), 'insert',
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 1000 = 11
+    ORDER BY version, change_type
+    """,
+)
+def stream_cdf_mixed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-ENCODING delete commit through the change feed: ONE commit
+    adds BOTH an equality tombstone (keys %10=={_MXD_EQ}) and a
+    positional delete vector (positions of keys %10=={_MXD_POS},
+    disjoint) — the commit shape a MERGE writer produces when it
+    deletes some rows by value and others by position in the same
+    transaction. The reader's classifier must SPLIT the commit's
+    delete files by encoding (the deletes/pos/ path class) and plan
+    BOTH partition kinds for the same version: per pre-image file, one
+    mor_delete work unit carrying only the equality tombstones and one
+    pos_delete work unit carrying only the DVs — a classifier that fed
+    a DV into the equality reader would crash on schema, and one that
+    dropped either class would break the replay-digest equality. With
+    disjoint predicates each masked row is emitted EXACTLY once
+    (asserted via the replay; a double-emission would show as a
+    doubled delete).
+
+    In-key asserts: the v2 micro-batch runs exactly 2·|pre-image
+    files| work units (both kinds planned), one commit per
+    micro-batch, and the signed replay equals the doubly-masked head
+    read. Scale: same per-commit posture as the single-encoding
+    feeds — one distributed pass over the pre-image per encoding, KB
+    delete files per task."""
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _commit_snapshot, _data_files_of
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfmixed-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    for d in (log_dir, out):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    # v1: base table, two data files
+    base_dir = os.path.join(root, "base")
+    o.repartition(2).write.parquet(base_dir)
+    base_files = _data_files_of(base_dir)
+    if len(base_files) != 2:
+        raise RuntimeError(f"base staged {len(base_files)} files, wanted 2")
+    _commit_snapshot(log_dir, base_files)
+
+    # v2: ONE commit, BOTH encodings — equality tombstone + positional DV
+    eq_dir = os.path.join(root, "deletes", "eq")
+    (
+        o.filter(F.col("o_orderkey") % 10 == _MXD_EQ)
+        .select("o_orderkey")
+        .coalesce(1)
+        .write.parquet(eq_dir)
+    )
+    pos_dir = os.path.join(root, "deletes", "pos", "v2")
+    (
+        spark.read.parquet(*base_files)
+        .select(
+            "o_orderkey",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""
+            ).alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .filter(F.col("o_orderkey") % 10 == _MXD_POS)
+        .select("file_path", "row_index")
+        .coalesce(1)
+        .write.parquet(pos_dir)
+    )
+    _commit_snapshot(
+        log_dir,
+        _data_files_of(eq_dir) + _data_files_of(pos_dir),
+        extra={"op": "mixed-delete"},
+    )
+
+    # v3: plain append (re-keyed)
+    app_dir = os.path.join(root, "append")
+    (
+        o.filter(F.col("o_orderkey") % 1000 == 11)
+        .select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("o_orderkey"),
+            "cents",
+        )
+        .coalesce(1)
+        .write.parquet(app_dir)
+    )
+    _commit_snapshot(log_dir, _data_files_of(app_dir))
+
+    spark.dataSource.register(_mor_cdf_datasource())
+    # v2 plans BOTH kinds: |pre-image| equality units + |pre-image| DV units
+    work_units = {1: 2, 2: 2 * len(base_files), 3: 1}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        nparts = batch_df.rdd.getNumPartitions()
+        if nparts != work_units[vs[0]]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"planned {work_units[vs[0]]} work units"
+            )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.format("sparkgraft_mor_cdf")
+        .option("log_dir", log_dir)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    feed = spark.read.parquet(os.path.join(out, "b*"))
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+    net = feed.agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("cents")).cast("long").alias("cents"),
+    ).collect()[0]
+
+    # head: base minus equality keys minus DV positions, plus the append
+    eq_keys = spark.read.parquet(*_data_files_of(eq_dir)).select(
+        "o_orderkey"
+    )
+    dv = spark.read.parquet(*_data_files_of(pos_dir))
+    head = (
+        spark.read.parquet(*base_files)
+        .withColumn(
+            "file_path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+        )
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .join(F.broadcast(eq_keys), "o_orderkey", "left_anti")
+        .join(F.broadcast(dv), ["file_path", "row_index"], "left_anti")
+        .select("o_orderkey", "cents")
+        .unionByName(spark.read.parquet(*_data_files_of(app_dir)))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .collect()[0]
+    )
+    if (net["n"], net["cents"]) != (head["n"], head["cents"]):
+        raise RuntimeError(
+            f"signed feed replay diverged from doubly-masked head: "
+            f"{tuple(net)} vs {tuple(head)}"
+        )
+
+    return (
+        feed.groupBy("version", "change_type")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("version", "change_type")
+    )
+
+
 _MV_BUCKETS = 8  # MV key space: o_orderkey % 8
 
 

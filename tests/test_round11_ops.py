@@ -285,3 +285,36 @@ def test_dedup_near_incremental_completeness(spark):
     }
     assert got == want
     assert want, "delta-involved pair set must be non-empty at sf0.001"
+
+
+def test_cdf_mixed_deletes_splits_encodings(spark):
+    """One commit carrying both delete encodings must stream each
+    masked row exactly once: the v2 delete count equals the union of
+    the two disjoint predicates, and versions 1/3 are pure inserts."""
+    from sparkgraft.catalog import load
+
+    out = sparkgraft.QUERIES["stream_cdf_mixed_deletes"](spark, SF_DIR)
+    rows = {
+        (r.version, r.change_type): r.n_rows for r in out.collect()
+    }
+    o = load(spark, SF_DIR, "orders")
+    n_eq = o.filter(F.col("o_orderkey") % 10 == 2).count()
+    n_pos = o.filter(F.col("o_orderkey") % 10 == 9).count()
+    assert rows[(2, "delete")] == n_eq + n_pos
+    assert (1, "delete") not in rows and (3, "delete") not in rows
+
+
+def test_multi_table_conflict_log_merge(spark):
+    """After the key runs: three txn manifests; v2 overlays only the
+    fact (dim unchanged from v1), v3 overlays only the dim (fact
+    carried from v2) — the rebase semantics, checked on disk."""
+    from sparkgraft.scans import _log_versions, _read_manifest, _scratch
+
+    sparkgraft.QUERIES["sink_multi_table_conflict"](spark, SF_DIR)
+    txn_dir = os.path.join(_scratch(SF_DIR, "mtc_txn"), "txnlog")
+    assert _log_versions(txn_dir) == [1, 2, 3]
+    t1 = _read_manifest(txn_dir, 1)["tables"]
+    t2 = _read_manifest(txn_dir, 2)["tables"]
+    t3 = _read_manifest(txn_dir, 3)["tables"]
+    assert t2["dim"] == t1["dim"] and set(t1["fact"]) < set(t2["fact"])
+    assert t3["fact"] == t2["fact"] and set(t2["dim"]) < set(t3["dim"])
