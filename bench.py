@@ -264,6 +264,7 @@ GROUP11 = [
     "dedup_near_incremental",
     "stream_cdf_mixed_deletes",
     "sink_multi_table_conflict",
+    "sink_multi_table_vacuum",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

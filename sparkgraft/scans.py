@@ -5498,3 +5498,163 @@ def sink_multi_table_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dim.count()).cast("long").alias("dim_rows"),
         F.sum("cents").cast("long").alias("fact_cents"),
     )
+
+
+# --- vacuum for the transaction root: collect expired-txn files and
+# crash-orphaned stagings across ALL tables in one sweep ---
+
+_MTV_RETAIN = 2  # retained txn window: last N
+
+
+@query(
+    "sink_multi_table_vacuum",
+    oracle=f"""
+    SELECT CAST(3 AS INT) AS txn_head,
+           CAST(2 AS INT) AS n_collected_expired,
+           CAST(2 AS INT) AS n_collected_orphans,
+           TRUE AS survivors_intact,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS fact_rows,
+           CAST((SELECT count(*) FROM customer) AS BIGINT) AS dim_rows,
+           CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders) AS BIGINT) AS fact_cents
+    """,
+)
+def sink_multi_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM FOR THE TRANSACTION ROOT — the harvest
+    `sink_multi_table_publish`'s crash proof promises: a multi-table
+    deployment accumulates two garbage classes, (a) files referenced
+    ONLY by txn versions outside the retention window and (b) staged
+    files a crashed publisher left referenced by NO txn at all. One
+    sweep collects both: the live set is the union of every table's
+    file list across the retained txn window (last {_MTV_RETAIN} — KB
+    manifest arithmetic across ALL tables at once, never a data read),
+    candidates are the files under the root's staging dirs, and
+    candidate − live is collected.
+
+    History: txn1 (fact slice + REPLACEABLE dim build), a CRASHED
+    publisher staging (never referenced), txn2 (fact grows; the dim is
+    REWRITTEN — txn1's dim files now live only in txn1), txn3 (fact
+    append). Retention = last {_MTV_RETAIN} ⇒ txn1 expires: the
+    collected set is asserted to be EXACTLY txn1's replaced dim files
+    (expired class) plus the crashed staging (orphan class), both
+    verified gone from disk; every file of the retained txns survives
+    byte-identically (head digest equal pre/post, asserted before the
+    oracle sees it); time travel INSIDE the window still works.
+
+    Scale: cost is |retained manifests| KB reads + one directory
+    listing of the staging root + unlink(2) per garbage file —
+    independent of table size; at 100 TB the sweep parallelizes per
+    staging prefix and the live-set arithmetic stays on the driver
+    (Iceberg's expire_snapshots + remove_orphan_files pair, unified
+    by the txn root into one consistent sweep across every table)."""
+    root = _scratch(sf_dir, "mtv_txn")
+    txn_dir = os.path.join(root, "txnlog")
+    os.makedirs(txn_dir, exist_ok=True)
+    for v in os.listdir(txn_dir):
+        os.unlink(os.path.join(txn_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit(_MTP_CUTOFF).cast("date")
+
+    def stage(df: DataFrame, name: str) -> list[str]:
+        d = os.path.join(root, "staging", name)
+        df.repartition(2).write.mode("overwrite").parquet(d)
+        return _data_files_of(d)
+
+    # txn1: fact slice + the dim build that txn2 will REPLACE
+    fact1 = stage(o.filter(F.col("o_orderdate") < cutoff), "fact1")
+    dim_v1 = stage(c.filter(F.col("c_custkey") % 2 == 0), "dim_v1")
+    _txn_publish(txn_dir, 1, {"fact": fact1, "dim": dim_v1})
+
+    # a publisher stages and CRASHES: referenced by no txn, ever
+    orphan = stage(o.filter(F.col("o_orderdate") >= cutoff), "fact2_crash")
+
+    # txn2: fact grows (fresh staging), dim REWRITTEN in full
+    fact2 = stage(o.filter(F.col("o_orderdate") >= cutoff), "fact2")
+    dim_v2 = stage(c, "dim_v2")
+    _txn_publish(txn_dir, 2, {"fact": fact1 + fact2, "dim": dim_v2})
+
+    # txn3: a fact append (re-keyed slice, lands after the head probe)
+    fact3 = stage(
+        o.filter(F.col("o_orderkey") % 1000 == 13).select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("o_orderkey"),
+            F.lit(None).cast("date").alias("o_orderdate"),
+            "cents",
+        ),
+        "fact3",
+    )
+    _txn_publish(
+        txn_dir, 3, {"fact": fact1 + fact2 + fact3, "dim": dim_v2}
+    )
+
+    head, tables = _txn_head_tables(txn_dir)
+    digest = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ]
+    pre_fact = (
+        spark.read.parquet(*tables["fact"]).agg(*digest).collect()[0]
+    )
+
+    # ---- THE VACUUM ----
+    versions = _log_versions(txn_dir)
+    retained = versions[-_MTV_RETAIN:]
+    live: set = set()
+    for v in retained:
+        for fl in _read_manifest(txn_dir, v)["tables"].values():
+            live |= set(fl)
+    staging_root = os.path.join(root, "staging")
+    candidates = sorted(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(staging_root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    garbage = [f for f in candidates if f not in live]
+    expected = sorted(set(dim_v1) | set(orphan))
+    if sorted(garbage) != expected:
+        raise RuntimeError(
+            f"vacuum live-set arithmetic wrong: would collect "
+            f"{sorted(garbage)}, expected {expected}"
+        )
+    for f in garbage:
+        os.unlink(f)
+
+    if not all(os.path.exists(f) for f in live):
+        raise RuntimeError("vacuum collected a live file")
+    if any(os.path.exists(f) for f in garbage):
+        raise RuntimeError("collected files still on disk")
+    post_fact = (
+        spark.read.parquet(*tables["fact"]).agg(*digest).collect()[0]
+    )
+    if tuple(pre_fact) != tuple(post_fact):
+        raise RuntimeError(
+            f"head digest changed across vacuum: {tuple(pre_fact)} vs "
+            f"{tuple(post_fact)}"
+        )
+    # time travel inside the window still works; outside is collected
+    spark.read.parquet(
+        *_read_manifest(txn_dir, retained[0])["tables"]["dim"]
+    ).count()
+
+    # the oracle pins the FULL star at txn2's completeness: fact =
+    # all orders (fact3 is the re-keyed extra slice, excluded by
+    # filtering to real keys), dim = all customers
+    fact = spark.read.parquet(*tables["fact"]).filter(
+        F.col("o_orderkey") < 3_000_000_000
+    )
+    dim = spark.read.parquet(*tables["dim"])
+    return fact.agg(
+        F.lit(head).cast("int").alias("txn_head"),
+        F.lit(len(set(dim_v1))).cast("int").alias("n_collected_expired"),
+        F.lit(len(set(orphan))).cast("int").alias("n_collected_orphans"),
+        F.lit(True).alias("survivors_intact"),
+        F.count("*").cast("long").alias("fact_rows"),
+        F.lit(dim.count()).cast("long").alias("dim_rows"),
+        F.sum("cents").cast("long").alias("fact_cents"),
+    )

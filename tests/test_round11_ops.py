@@ -318,3 +318,26 @@ def test_multi_table_conflict_log_merge(spark):
     t3 = _read_manifest(txn_dir, 3)["tables"]
     assert t2["dim"] == t1["dim"] and set(t1["fact"]) < set(t2["fact"])
     assert t3["fact"] == t2["fact"] and set(t2["dim"]) < set(t3["dim"])
+
+
+def test_multi_table_vacuum_classes(spark):
+    """After the key runs: the crashed staging and txn1's replaced dim
+    files are gone from disk; every retained-txn file survives; the
+    txn log itself is untouched (3 manifests)."""
+    from sparkgraft.scans import _log_versions, _read_manifest, _scratch
+
+    sparkgraft.QUERIES["sink_multi_table_vacuum"](spark, SF_DIR)
+    root = _scratch(SF_DIR, "mtv_txn")
+    txn_dir = os.path.join(root, "txnlog")
+    assert _log_versions(txn_dir) == [1, 2, 3]
+    # collected: everything under the crashed staging dir
+    crash_dir = os.path.join(root, "staging", "fact2_crash")
+    left = [f for f in os.listdir(crash_dir) if f.endswith(".parquet")]
+    assert left == []
+    # collected: txn1's dim files (replaced at txn2, expired by retention)
+    for f in _read_manifest(txn_dir, 1)["tables"]["dim"]:
+        assert not os.path.exists(f)
+    # survivors: every file of the retained window intact
+    for v in (2, 3):
+        for fl in _read_manifest(txn_dir, v)["tables"].values():
+            assert all(os.path.exists(f) for f in fl)
