@@ -484,18 +484,35 @@ def main() -> int:
     # round can close with committed load_ok artifacts; loaded runs
     # stay stdout-only (their numbers are upper bounds, not evidence).
     if result["load_ok"]:
-        rnd = os.environ.get("SPARK_GRAFT_ROUND", "11")
         here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            # infer the CURRENT round: the driver lands BENCH_r{N}.json
+            # at the END of round N, so max(N)+1 is the round being
+            # built — a hardcoded default would mislabel every future
+            # round's evidence
+            import re as _re
+
+            landed = [
+                int(m.group(1))
+                for f in os.listdir(here)
+                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+            ]
+            rnd = str(max(landed) + 1 if landed else 1)
         for n in range(1, 100):
             clean_path = os.path.join(here, f"BENCH_r{rnd}_clean{n}.json")
-            if not os.path.exists(clean_path):
-                try:
-                    with open(clean_path, "w") as fh:
-                        json.dump(result, fh, indent=1)
-                        fh.write("\n")
-                except OSError:
-                    pass  # best-effort; the stdout line is the contract
+            try:
+                # O_EXCL claim: exists-then-write would let two
+                # concurrent clean runs overwrite each other's evidence
+                # (the _try_publish put-if-absent argument)
+                with open(clean_path, "x") as fh:
+                    json.dump(result, fh, indent=1)
+                    fh.write("\n")
                 break
+            except FileExistsError:
+                continue
+            except OSError:
+                break  # best-effort; the stdout line is the contract
 
     line = json.dumps(result)
     # 1.5 KB headroom: the line grows ~30 bytes per group total; the

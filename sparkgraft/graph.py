@@ -1572,8 +1572,13 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint() if checkpoint else out
 
     auth = None
-    for _ in range(_HITS_ITERS):
-        auth = _propagate(hub, "src", "dst", False)  # authorities from hubs
+    for it in range(_HITS_ITERS):
+        # the LAST auth half-step checkpoints too: the closing join
+        # reads auth directly, and without materialization it would be
+        # re-evaluated there (a second order-sensitive shuffle sum of
+        # the same aggregate) after hub-5 already computed it once
+        last = it == _HITS_ITERS - 1
+        auth = _propagate(hub, "src", "dst", last)  # authorities from hubs
         hub = _propagate(auth, "dst", "src", True)  # hubs from authorities
     return (
         hub.withColumnRenamed("s", "hub")

@@ -2677,6 +2677,8 @@ def scan_distcp_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # copy-on-write half) ---
 
 _MOR_DELETE_CLASS = "deletes"  # path segment classifying tombstone files
+_POS_DELETE_CLASS = "pos"  # sub-segment for POSITIONAL delete vectors
+# (deletes/pos/...); shared with the streaming CDF reader's classifier
 
 
 def _split_head_files(files: list[str]) -> tuple[list[str], list[str]]:
@@ -4915,9 +4917,17 @@ def sink_rewrite_data_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre_row = mor.agg(*digest).collect()[0]
 
     # v4: THE REWRITE — apply both delete structures into clean base
-    # files, drop the delete files, advance the sequence, stamp the op
-    _mor_read().coalesce(2).write.mode("overwrite").parquet(clean_dir)
+    # files, drop the delete files, advance the sequence, stamp the op.
+    # repartition(2), never coalesce(2): coalesce only UPPER-BOUNDS the
+    # file count (a host whose bin-packing reads the base as one scan
+    # partition would emit 1 file and silently break the oracle's
+    # files_after=2), the sink_auto_compaction precedent
+    _mor_read().repartition(2).write.mode("overwrite").parquet(clean_dir)
     clean_files = _data_files_of(clean_dir)
+    if len(clean_files) != 2:
+        raise RuntimeError(
+            f"rewrite landed {len(clean_files)} files, oracle assumes 2"
+        )
     _commit_snapshot(
         log_dir, clean_files, remove_files=head_pre, extra={"op": "rewrite"}
     )
@@ -5027,9 +5037,12 @@ def sink_multi_table_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     moment — asserted in-key — resolve head txn 1 and see the OLD state
     of BOTH tables: the staged fact files exist on disk but are
     referenced by no txn manifest (asserted disjoint), so they are
-    invisible orphans (vacuum's eventual harvest), not a torn read.
-    The restarted publisher re-stages idempotently into fresh staging
-    dirs and commits txn2; only then do both tables advance, together.
+    invisible orphans (vacuum's harvest — `sink_multi_table_vacuum`
+    collects exactly this class), not a torn read. The restarted
+    publisher re-stages IDEMPOTENTLY — mode=overwrite into the same
+    per-txn staging dirs, so a partial pre-crash staging is simply
+    replaced — and commits txn2; only then do both tables advance,
+    together.
 
     Scale: the txn manifest is KB metadata listing per-table file
     lists — the commit cost is one CAS regardless of how many tables or
@@ -5169,23 +5182,45 @@ def _commit_rewrite(
     ``CommitConflict`` and a re-plan from the new head (Iceberg's
     rewrite_data_files surfaces the same condition as 'found new delete
     for replaced data file'). The check is KB manifest arithmetic —
-    never a data read."""
-    head = _log_versions(log_dir)[-1]
+    never a data read.
+
+    The validation runs INSIDE the CAS-retry loop: a validate-once-
+    then-delegate shape would re-validate nothing after losing the CAS,
+    re-opening the exact window this helper closes (a tombstone landing
+    between the check and the retried publish)."""
     seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
-    for v in range(planned_at + 1, head + 1):
-        added = set(_read_manifest(log_dir, v)["files"]) - set(
-            _read_manifest(log_dir, v - 1)["files"]
-        )
-        new_dels = sorted(p for p in added if seg in p)
-        if new_dels:
-            raise CommitConflict(
-                f"new delete file(s) landed at v{v} after the rewrite "
-                f"planned at v{planned_at}: {new_dels} — committing "
-                "would resurrect their rows; re-plan from the head"
+    removes = set(remove_files)
+    retries = 0
+    while True:
+        versions = _log_versions(log_dir)
+        head = versions[-1] if versions else 0
+        # validate EVERY commit between plan and the CURRENT head — on
+        # a retry the window re-extends to the rebased head, so a
+        # tombstone landing between a lost CAS and the retried publish
+        # is still caught
+        for v in range(planned_at + 1, head + 1):
+            added = set(_read_manifest(log_dir, v)["files"]) - set(
+                _read_manifest(log_dir, v - 1)["files"]
             )
-    return _commit_snapshot(
-        log_dir, add_files, remove_files=remove_files, extra={"op": "rewrite"}
-    )
+            new_dels = sorted(p for p in added if seg in p)
+            if new_dels:
+                raise CommitConflict(
+                    f"new delete file(s) landed at v{v} after the rewrite "
+                    f"planned at v{planned_at}: {new_dels} — committing "
+                    "would resurrect their rows; re-plan from the head"
+                )
+        parent = _read_manifest(log_dir, head)["files"] if head else []
+        if removes and not removes <= set(parent):
+            raise CommitConflict(
+                f"removed files not in head v{head}: "
+                f"{sorted(removes - set(parent))}"
+            )
+        files = [f for f in parent if f not in removes] + list(add_files)
+        if _try_publish(log_dir, head + 1, files, extra={"op": "rewrite"}):
+            return head + 1, retries
+        retries += 1
+        if retries >= 50:
+            raise RuntimeError(f"rewrite lost the CAS 50 times in {log_dir}")
 
 
 @query(
@@ -5405,10 +5440,11 @@ def sink_multi_table_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
     (its base version of the fact changed under it — blind overlay
     would drop A's files), asserted on the negative path.
 
-    Asserted in-key: B's commit records ≥1 CAS retry (the race really
-    happened — A committed between B's read and B's publish), the
-    final head carries BOTH A's fact files and B's dim files, C
-    raises, and the head digest equals the complete star.
+    Asserted in-key: B's STALE publish (at the version B believed was
+    next) genuinely loses the CAS to A (the race really happened), B's
+    rebased commit lands at v3 with the final head carrying BOTH A's
+    fact files and B's dim files, C raises with the head unmoved, and
+    the head digest equals the complete star.
 
     Scale: rebase cost is a KB manifest re-read per retry; the
     same-table validation is one list equality per written table —

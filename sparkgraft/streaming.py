@@ -2168,6 +2168,15 @@ def _mor_cdf_datasource():
         InputPartition,
     )
 
+    # the file-classification contract is OWNED by scans.py (the sink
+    # keys write these paths); import it so a rename there cannot
+    # silently desynchronize the reader — baked into the class at
+    # definition time, so the pickled executor copy carries the values
+    from sparkgraft.scans import _MOR_DELETE_CLASS, _POS_DELETE_CLASS
+
+    _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+    _POS_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}{_POS_DELETE_CLASS}{os.sep}"
+
     class MORCDFPartition(InputPartition):
         """One executor work unit of one commit's change set: an added
         data file ('insert'), a removed data file ('delete' — the COW
@@ -2244,7 +2253,7 @@ def _mor_cdf_datasource():
 
         @staticmethod
         def _is_del(path):
-            return f"{os.sep}deletes{os.sep}" in path
+            return _DEL_SEG in path
 
         @staticmethod
         def _is_pos_del(path):
@@ -2252,7 +2261,7 @@ def _mor_cdf_datasource():
             (file_path, row_index) pairs, the OTHER delete encoding
             (`sink_positional_delete_vector`); they must never be read
             with the equality-tombstone schema."""
-            return f"{os.sep}deletes{os.sep}pos{os.sep}" in path
+            return _POS_SEG in path
 
         def initialOffset(self):
             return {"version": 0}
@@ -2289,14 +2298,20 @@ def _mor_cdf_datasource():
                 # tombstones whose deletes were ALREADY emitted, the
                 # signed replay of the feed stops matching the head —
                 # the label-confused path below proves exactly that).
-                if (
-                    self._manifest(v).get("op") == "rewrite"
-                    and not self.rewrite_as_churn
-                ):
+                man = self._manifest(v)  # ONE manifest read per commit
+                if man.get("op") == "rewrite" and not self.rewrite_as_churn:
                     continue
-                cur = set(self._files(v))
+                cur = set(man["files"])
                 prev = set(self._files(v - 1))
                 added = cur - prev
+                # the file->first-version map (sequence numbers) is
+                # shared by BOTH delete-encoding branches — computed at
+                # most once per commit, not once per branch
+                fv = (
+                    self._first_versions(v)
+                    if any(self._is_del(p) for p in added)
+                    else None
+                )
                 new_dels_all = sorted(p for p in added if self._is_del(p))
                 # split the commit's delete files by ENCODING: equality
                 # tombstones carry keys, positional DVs carry
@@ -2314,7 +2329,6 @@ def _mor_cdf_datasource():
                     # form: a DV masks a pre-image row only if no PRIOR
                     # DV applying to that data file already masked the
                     # same position
-                    fv = self._first_versions(v)
                     prior_pos_all = [
                         p for p in prev if self._is_pos_del(p)
                     ]
@@ -2338,7 +2352,6 @@ def _mor_cdf_datasource():
                     # tombstone, so a v3 re-upsert must still emit them
                     # as deletes (`stream_scd2_maintenance` exercises
                     # exactly this).
-                    fv = self._first_versions(v)
                     prior_all = [
                         p
                         for p in prev

@@ -1812,13 +1812,16 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the persisted index: band keys of the base (built when the base
     # landed); the incremental step computes signatures for the DELTA
-    # slice only
+    # slice only. Both frames localCheckpoint so the empty-delta count,
+    # the leak count, and the returned join each read the materialized
+    # band keys instead of re-running the shingle→minhash pipeline
+    # (the heaviest pipeline in textops) once per consumer.
     base_idx = band_keys(
         minhash_signatures(docs.filter(F.col("doc_id") < cut))
-    )
+    ).localCheckpoint()
     delta_b = band_keys(
         minhash_signatures(docs.filter(F.col("doc_id") >= cut))
-    )
+    ).localCheckpoint()
     if delta_b.select("doc_id").distinct().count() == 0:
         raise RuntimeError("delta slice is empty — nothing to maintain")
 
