@@ -341,3 +341,111 @@ def test_multi_table_vacuum_classes(spark):
     for v in (2, 3):
         for fl in _read_manifest(txn_dir, v)["tables"].values():
             assert all(os.path.exists(f) for f in fl)
+
+
+def test_commit_rewrite_validation_and_rebase(spark, tmp_path):
+    """Protocol-level coverage of the review-fixed `_commit_rewrite`:
+    a tombstone commit between plan and commit raises CommitConflict;
+    a plain append between plan and commit rebases and commits; and a
+    raw manifest written by a racer (no helper involved) is still seen
+    by the validation walk. The true mid-flight interleaving (tombstone
+    landing between a lost CAS and the retried publish) needs threads;
+    the in-loop placement of the validation is what guarantees it, and
+    these cases pin the validation itself."""
+    import json
+
+    from sparkgraft.scans import (
+        CommitConflict,
+        _commit_rewrite,
+        _commit_snapshot,
+        _log_versions,
+        _read_manifest,
+    )
+
+    def mklog(name):
+        d = tmp_path / name
+        d.mkdir()
+        return str(d)
+
+    def fake_files(d, names):
+        out = []
+        for n in names:
+            p = tmp_path / d / n
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(b"x")
+            out.append(str(p))
+        return out
+
+    # case 1: racer tombstone AFTER plan -> CommitConflict
+    log1 = mklog("log1")
+    base = fake_files("t1/data", ["a.parquet", "b.parquet"])
+    _commit_snapshot(log1, base)  # v1 (the plan point)
+    tomb = fake_files("t1/deletes/d", ["t.parquet"])
+    _commit_snapshot(log1, tomb, extra={"op": "mor-delete"})  # v2: racer
+    clean = fake_files("t1/clean", ["c.parquet"])
+    try:
+        _commit_rewrite(log1, clean, remove_files=base, planned_at=1)
+        raise AssertionError("stale rewrite committed over the tombstone")
+    except CommitConflict:
+        pass
+    assert _log_versions(log1) == [1, 2]  # head unmoved
+
+    # case 2: plain append after plan -> rebase succeeds, append survives
+    log2 = mklog("log2")
+    base2 = fake_files("t2/data", ["a.parquet"])
+    _commit_snapshot(log2, base2)  # v1 (plan point)
+    app = fake_files("t2/app", ["n.parquet"])
+    _commit_snapshot(log2, app)  # v2: concurrent APPEND (no deletes)
+    clean2 = fake_files("t2/clean", ["c.parquet"])
+    v, retries = _commit_rewrite(
+        log2, clean2, remove_files=base2, planned_at=1
+    )
+    assert v == 3
+    head = _read_manifest(log2, 3)
+    assert sorted(head["files"]) == sorted(app + clean2)
+    assert head.get("op") == "rewrite"
+
+    # case 3: a racer's RAW manifest (written without the helpers, as a
+    # foreign writer would) — the validation walk must still classify
+    # its added delete file and refuse
+    log3 = mklog("log3")
+    base3 = fake_files("t3/data", ["a.parquet"])
+    _commit_snapshot(log3, base3)  # v1 (plan point)
+    tomb3 = fake_files("t3/deletes/d", ["t.parquet"])
+    with open(f"{log3}/v2.json", "w") as fh:  # racer wins the CAS for v2
+        json.dump({"snapshot": 2, "files": sorted(base3 + tomb3),
+                   "op": "mor-delete"}, fh)
+    clean3 = fake_files("t3/clean", ["c.parquet"])
+    try:
+        _commit_rewrite(log3, clean3, remove_files=base3, planned_at=1)
+        raise AssertionError("retry path ignored the racer's tombstone")
+    except CommitConflict:
+        pass
+
+
+def test_txn_commit_rebase_and_same_table_conflict(spark, tmp_path):
+    """Protocol-level coverage of `_txn_commit`: a disjoint-table racer
+    rebases (winner's update survives), a same-table racer aborts."""
+    from sparkgraft.scans import CommitConflict, _txn_commit, _txn_publish
+
+    txn = str(tmp_path / "txn")
+    import os as _os
+
+    _os.makedirs(txn)
+    _txn_publish(txn, 1, {"fact": ["f1"], "dim": ["d1"]})
+    # A advances the fact
+    v2, r2, _ = _txn_commit(txn, {"fact": ["f1", "f2"]}, read_at=1)
+    assert (v2, r2) == (2, 0)
+    # B read v1 and writes the DIM: disjoint -> rebases onto A's head
+    v3, _, _ = _txn_commit(txn, {"dim": ["d1", "d2"]}, read_at=1)
+    assert v3 == 3
+    from sparkgraft.scans import _read_manifest
+
+    head = _read_manifest(txn, 3)["tables"]
+    assert head == {"fact": ["f1", "f2"], "dim": ["d1", "d2"]}
+    # C read v1 and writes the FACT: same-table -> abort
+    try:
+        _txn_commit(txn, {"fact": ["f1", "f9"]}, read_at=1)
+        raise AssertionError("same-table racer committed")
+    except CommitConflict:
+        pass
