@@ -449,3 +449,150 @@ def test_txn_commit_rebase_and_same_table_conflict(spark, tmp_path):
         raise AssertionError("same-table racer committed")
     except CommitConflict:
         pass
+
+
+def test_cdf_full_matrix_composition(spark, tmp_path):
+    """The full delete-encoding × maintenance matrix in ONE log — a
+    history no single key drives: equality tombstone (v2), positional
+    DV (v3), a rewrite applying BOTH and retiring them (v4), then an
+    append (v5). The aware feed must emit: v1 inserts, v2 equality
+    deletes, v3 positional deletes (prior-scoped), v4 NOTHING, v5
+    inserts — and the signed replay must equal the head."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _commit_snapshot, _data_files_of
+    from sparkgraft.streaming import _mor_cdf_datasource
+
+    root = str(tmp_path / "matrix")
+    log_dir = _os.path.join(root, "log")
+    out = _os.path.join(root, "out")
+    _os.makedirs(log_dir)
+    _os.makedirs(out)
+
+    o = load(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base_dir = _os.path.join(root, "base")
+    o.repartition(2).write.parquet(base_dir)
+    base = _data_files_of(base_dir)
+    _commit_snapshot(log_dir, base)  # v1
+
+    eq_dir = _os.path.join(root, "deletes", "eq")
+    o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey"
+    ).coalesce(1).write.parquet(eq_dir)
+    _commit_snapshot(
+        log_dir, _data_files_of(eq_dir), extra={"op": "mor-delete"}
+    )  # v2
+
+    pos_dir = _os.path.join(root, "deletes", "pos", "v3")
+    (
+        spark.read.parquet(*base)
+        .select(
+            "o_orderkey",
+            F.regexp_replace(
+                F.col("_metadata.file_path"), "^file:", ""
+            ).alias("file_path"),
+            F.col("_metadata.row_index").alias("row_index"),
+        )
+        .filter(F.col("o_orderkey") % 10 == 5)
+        .select("file_path", "row_index")
+        .coalesce(1)
+        .write.parquet(pos_dir)
+    )
+    _commit_snapshot(
+        log_dir, _data_files_of(pos_dir), extra={"op": "pos-delete"}
+    )  # v3
+
+    # v4: the REWRITE — apply both structures, retire everything
+    clean_dir = _os.path.join(root, "clean")
+    eq_keys = spark.read.parquet(*_data_files_of(eq_dir)).select(
+        "o_orderkey"
+    )
+    dv = spark.read.parquet(*_data_files_of(pos_dir))
+    (
+        spark.read.parquet(*base)
+        .withColumn(
+            "file_path",
+            F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+        )
+        .withColumn("row_index", F.col("_metadata.row_index"))
+        .join(F.broadcast(eq_keys), "o_orderkey", "left_anti")
+        .join(F.broadcast(dv), ["file_path", "row_index"], "left_anti")
+        .select("o_orderkey", "cents")
+        .repartition(1)
+        .write.parquet(clean_dir)
+    )
+    head_v3 = base + _data_files_of(eq_dir) + _data_files_of(pos_dir)
+    _commit_snapshot(
+        log_dir,
+        _data_files_of(clean_dir),
+        remove_files=head_v3,
+        extra={"op": "rewrite"},
+    )  # v4
+
+    app_dir = _os.path.join(root, "append")
+    o.filter(F.col("o_orderkey") % 1000 == 21).select(
+        (F.col("o_orderkey") + F.lit(4_000_000_000)).alias("o_orderkey"),
+        "cents",
+    ).coalesce(1).write.parquet(app_dir)
+    _commit_snapshot(log_dir, _data_files_of(app_dir))  # v5
+
+    spark.dataSource.register(_mor_cdf_datasource())
+    batches: dict[int, int] = {}
+
+    def sink(batch_df, batch_id):
+        batches[batch_id] = batch_df.count()
+        batch_df.write.mode("overwrite").parquet(
+            _os.path.join(out, f"b{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.format("sparkgraft_mor_cdf")
+        .option("log_dir", log_dir)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation", _os.path.join(root, "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batch 3 is the rewrite: ZERO events
+    assert batches[3] == 0
+    feed = spark.read.parquet(_os.path.join(out, "b*"))
+    per_version = {
+        (r.version, r.change_type): r.n
+        for r in feed.groupBy("version", "change_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_eq = o.filter(F.col("o_orderkey") % 10 == 0).count()
+    n_pos = o.filter(F.col("o_orderkey") % 10 == 5).count()
+    assert per_version[(2, "delete")] == n_eq
+    assert per_version[(3, "delete")] == n_pos
+    assert not any(v == 4 for v, _ in per_version)
+
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+    net = feed.agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("cents")).cast("long").alias("c"),
+    ).collect()[0]
+    head = (
+        spark.read.parquet(*_data_files_of(clean_dir))
+        .unionByName(spark.read.parquet(*_data_files_of(app_dir)))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (net.n, net.c) == (head.n, head.c)
