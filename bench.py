@@ -267,6 +267,13 @@ GROUP11 = [
     "sink_multi_table_vacuum",
 ]
 
+# Round-12 composition-seam keys: schema evolution × change feed, durable
+# delete-aware incremental indexes, txn-root checkpointing, partition
+# evolution × compaction, cross-table CDF. Same protocol, own total.
+GROUP12 = [
+    "stream_cdf_schema_evolution",
+]
+
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts
 # compare raw seconds across rounds on a host with documented ambient
 # drift (BENCH_r07 read a uniform 1.1-1.4x over identical r6 plans). The
@@ -394,6 +401,10 @@ def main() -> int:
         spark, sf_dir, [k for k in GROUP11 if k in sparkgraft.QUERIES], loadavg_samples
     )
     bound_loads.append(_bound())
+    timings12, traces12 = _time_group(
+        spark, sf_dir, [k for k in GROUP12 if k in sparkgraft.QUERIES], loadavg_samples
+    )
+    bound_loads.append(_bound())
 
     probe_end = _probe(spark, sf_dir)
     host_probe = min(probe_start, probe_end)
@@ -425,6 +436,7 @@ def main() -> int:
         "group9_total": round(sum(timings9.values()), 4),
         "group10_total": round(sum(timings10.values()), 4),
         "group11_total": round(sum(timings11.values()), 4),
+        "group12_total": round(sum(timings12.values()), 4),
         # r9 (the r8 verdict's ask #7): the load adjudication data rides
         # in the GRADED stdout line, not just the side trace — the 1-min
         # loadavg at start and at every group boundary, plus a loud gate
@@ -451,6 +463,7 @@ def main() -> int:
                 ("g9", sum(timings9.values())),
                 ("g10", sum(timings10.values())),
                 ("g11", sum(timings11.values())),
+                ("g12", sum(timings12.values())),
             ]
         },
         "trace_file": "BENCH_trace.json",
@@ -462,12 +475,13 @@ def main() -> int:
          "group6_queries": timings6, "group7_queries": timings7,
          "group8_queries": timings8, "group9_queries": timings9,
          "group10_queries": timings10, "group11_queries": timings11,
+         "group12_queries": timings12,
          "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
          "group6_runs": traces6, "group7_runs": traces7,
          "group8_runs": traces8, "group9_runs": traces9,
          "group10_runs": traces10, "group11_runs": traces11,
-         "loadavg": loadavg_samples}
+         "group12_runs": traces12, "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_trace.json")
@@ -487,18 +501,35 @@ def main() -> int:
         here = os.path.dirname(os.path.abspath(__file__))
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd is None:
-            # infer the CURRENT round: the driver lands BENCH_r{N}.json
-            # at the END of round N, so max(N)+1 is the round being
-            # built — a hardcoded default would mislabel every future
-            # round's evidence
+            # infer the CURRENT round from the VERDICT marker, not from
+            # landed BENCH_r{N}.json (r11 ADVICE): the judge writes
+            # "# VERDICT — round N" at round START and it is stable for
+            # the whole round, so N+1 is the round being built even if
+            # bench re-runs after this round's BENCH artifact already
+            # landed. BENCH-based inference mislabeled exactly that
+            # case (a confirmation run would claim the NEXT round).
             import re as _re
 
-            landed = [
-                int(m.group(1))
-                for f in os.listdir(here)
-                if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
-            ]
-            rnd = str(max(landed) + 1 if landed else 1)
+            rounds = []
+            try:
+                with open(os.path.join(here, "VERDICT.md")) as fh:
+                    rounds = [
+                        int(m.group(1))
+                        for m in _re.finditer(
+                            r"VERDICT\s*—\s*round\s+(\d+)", fh.read()
+                        )
+                    ]
+            except OSError:
+                pass
+            if rounds:
+                rnd = str(max(rounds) + 1)
+            else:
+                landed = [
+                    int(m.group(1))
+                    for f in os.listdir(here)
+                    if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+                ]
+                rnd = str(max(landed) + 1 if landed else 1)
         for n in range(1, 100):
             clean_path = os.path.join(here, f"BENCH_r{rnd}_clean{n}.json")
             try:

