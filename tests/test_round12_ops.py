@@ -43,6 +43,67 @@ def test_cdf_schema_evolution_end_to_end(spark):
     assert "LEGACY" in v4 and len(v4) == 4
 
 
+def test_ivf_index_delete_never_serves_tombstoned(spark):
+    """Serving from the maintained index: probe the nearest cells, take
+    candidates from the POST-DELETE code table, exact re-rank — a
+    tombstoned vector must never appear in any top-k, and the index
+    must still serve well (recall@5 vs exact kNN over the LIVE corpus
+    >= 0.9, the `sim_ivf_knn` floor)."""
+    import numpy as np
+
+    from sparkgraft.catalog import load
+    from sparkgraft.vectorops import (
+        _IVFDEL_MOD,
+        _IVFDEL_REM,
+        _IVFQ_PROBES,
+        _KNN_QUERIES,
+        _ivfq_assign,
+        _ivfq_centroids,
+        _ivfq_probe_ranks,
+        _quantize_unit_int,
+    )
+
+    e = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    pdf = e.toPandas()  # sf0.001: 500 vectors — bounded test corpus
+    ids = pdf["vec_id"].to_numpy()
+    X = _quantize_unit_int(np.stack(pdf["embedding"].to_numpy()))
+    cq = _ivfq_centroids(spark, SF_DIR)
+    codes = _ivfq_assign(spark, e, cq).toPandas()
+    cell_of = dict(zip(codes["vec_id"], codes["cell"]))
+    deleted = {int(v) for v in ids if v % _IVFDEL_MOD == _IVFDEL_REM}
+    maintained = {
+        int(v): int(c) for v, c in cell_of.items() if int(v) not in deleted
+    }
+    assert len(maintained) == len(ids) - len(deleted) and deleted
+
+    qmask = ids < _KNN_QUERIES
+    q_ids = ids[qmask]
+    ranks = _ivfq_probe_ranks(cq, X[qmask])
+    live = np.array([int(v) not in deleted for v in ids])
+    dots = X @ X[qmask].T  # exact int64 (500×Q)
+    hits, total = 0, 0
+    for qi, qid in enumerate(q_ids):
+        probed = set(np.where(ranks[qi] <= _IVFQ_PROBES)[0])
+        cand = np.array(
+            [
+                j
+                for j, v in enumerate(ids)
+                if int(v) in maintained
+                and maintained[int(v)] in probed
+                and v != qid
+            ]
+        )
+        order = cand[np.argsort(-dots[cand, qi], kind="stable")][:5]
+        served = [int(ids[j]) for j in order]
+        assert not (set(served) & deleted), f"q{qid} served a deleted id"
+        # exact top-5 over the live corpus (excluding self)
+        pool = np.where(live & (ids != qid))[0]
+        exact = pool[np.argsort(-dots[pool, qi], kind="stable")][:5]
+        hits += len(set(served) & {int(ids[j]) for j in exact})
+        total += 5
+    assert hits / total >= 0.9, f"recall@5 {hits / total:.3f} < 0.9"
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
