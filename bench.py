@@ -273,6 +273,7 @@ GROUP11 = [
 GROUP12 = [
     "stream_cdf_schema_evolution",
     "sim_ivf_index_delete",
+    "dedup_index_maintain",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -4508,3 +4508,163 @@ def stream_cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "change_type", "channel")
     )
+
+
+def _doc_cdf_datasource():
+    """MOR-aware CDF over a DOCUMENTS snapshot log — the `_mor_cdf`
+    reader's planning and sequence scoping applied to the (doc_id,
+    text) schema, so downstream index maintainers (the dedup band-key
+    index, `dedup_index_maintain`) can consume inserts AND equality-
+    delete retirements from a text corpus table. Kept equality-only:
+    corpora delete by doc key."""
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    from sparkgraft.scans import _MOR_DELETE_CLASS
+
+    _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    class DocCDFPartition(InputPartition):
+        def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
+            self.version = version
+            self.kind = kind
+            self.path = path
+            self.new_dels = list(new_dels)
+            self.prior_dels = list(prior_dels)
+
+    class DocCDFReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.log_dir = options["log_dir"]
+            self._last = 0
+
+        def _versions(self):
+            return sorted(
+                int(f[1:-5])
+                for f in os.listdir(self.log_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+
+        def _manifest(self, version):
+            import json
+
+            if version <= 0:
+                return {"files": []}
+            with open(
+                os.path.join(self.log_dir, f"v{version}.json")
+            ) as fh:
+                return json.load(fh)
+
+        def _files(self, version):
+            return self._manifest(version)["files"]
+
+        @staticmethod
+        def _is_del(path):
+            return _DEL_SEG in path
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            head = self._versions()
+            if head and head[-1] > self._last:
+                self._last += 1  # one commit per micro-batch
+            return {"version": self._last}
+
+        def _first_versions(self, upto):
+            seen: dict = {}
+            for v in range(1, upto + 1):
+                for f in self._files(v):
+                    seen.setdefault(f, v)
+            return seen
+
+        def partitions(self, start, end):
+            self._last = max(self._last, end["version"])
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                cur = set(self._files(v))
+                prev = set(self._files(v - 1))
+                added = cur - prev
+                new_dels = sorted(p for p in added if self._is_del(p))
+                fv = self._first_versions(v) if new_dels else None
+                for p in sorted(p for p in prev - cur if not self._is_del(p)):
+                    parts.append(DocCDFPartition(v, "delete", p))
+                if new_dels:
+                    prior_all = [p for p in prev if self._is_del(p)]
+                    for p in sorted(
+                        p for p in prev if not self._is_del(p)
+                    ):
+                        prior_for_p = sorted(
+                            t for t in prior_all if fv[t] > fv[p]
+                        )
+                        parts.append(
+                            DocCDFPartition(
+                                v, "mor_delete", p, new_dels, prior_for_p
+                            )
+                        )
+                parts.extend(
+                    DocCDFPartition(v, "insert", p)
+                    for p in sorted(added)
+                    if not self._is_del(p)
+                )
+            return parts or [DocCDFPartition(0, "insert", "")]
+
+        def read(self, partition):  # EXECUTOR-side
+            import pyarrow.parquet as pq
+
+            if not partition.path:
+                return
+
+            def keys_of(paths):
+                out = set()
+                for p in paths:
+                    out |= set(
+                        pq.read_table(p, columns=["doc_id"])
+                        .column("doc_id")
+                        .to_pylist()
+                    )
+                return out
+
+            t = pq.read_table(partition.path, columns=["doc_id", "text"])
+            rows = zip(
+                t.column("doc_id").to_pylist(),
+                t.column("text").to_pylist(),
+            )
+            if partition.kind == "mor_delete":
+                mask = keys_of(partition.new_dels)
+                prior = keys_of(partition.prior_dels)
+                for k, txt in rows:
+                    if k in mask and k not in prior:
+                        yield (partition.version, "delete", k, txt)
+            else:
+                change = (
+                    "insert" if partition.kind == "insert" else "delete"
+                )
+                for k, txt in rows:
+                    yield (partition.version, change, k, txt)
+
+        def commit(self, end):
+            self._last = max(self._last, end["version"])
+
+    class DocCDFSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sparkgraft_doc_cdf"
+
+        def schema(self):
+            return T.StructType(
+                [
+                    T.StructField("version", T.IntegerType()),
+                    T.StructField("change_type", T.StringType()),
+                    T.StructField("doc_id", T.LongType()),
+                    T.StructField("text", T.StringType()),
+                ]
+            )
+
+        def streamReader(self, schema):
+            return DocCDFReader(self.options)
+
+    return DocCDFSource

@@ -1849,3 +1849,250 @@ def dedup_near_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{leaked} base-only pairs leaked into the incremental join"
         )
     return pairs
+
+
+# --- the band-key index as a COMMITTED TABLE maintained from the
+# change feed (r12: the r11 verdict's ask #3 — `dedup_near_incremental`
+# proved the delta-probe join; this makes the index DURABLE and
+# delete-aware: inserts add band keys, deletes retire them) ---
+
+_DIX_NUM = 7  # base slice: doc_id < (max+1) * 7 // 8
+_DIX_DEN = 8
+_DIX_MOD = 9  # deleted docs: doc_id % 9 == 4 (hits base AND delta)
+_DIX_REM = 4
+
+
+def _dedup_index_oracle() -> str:
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    h = _MD5_60_DUCK.format(x="s.i::VARCHAR || ':' || shingle")
+    return f"""
+    WITH live AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE NOT (doc_id % {_DIX_MOD} = {_DIX_REM})),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM live),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_SHINGLE_W - 1}], ' '))) AS shingle
+      FROM toks),
+    mins AS MATERIALIZED (
+      SELECT doc_id, s.i, min({h}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) s
+      GROUP BY doc_id, s.i),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM mins GROUP BY doc_id, i // {_MINHASH_ROWS})
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets,
+           CAST(sum(length(band_key)) AS BIGINT) AS len_sum,
+           min(band_key) AS min_key, max(band_key) AS max_key
+    FROM bands GROUP BY band ORDER BY band
+    """
+
+
+@query("dedup_index_maintain", oracle=_dedup_index_oracle())
+def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE DEDUP INDEX AS A COMMITTED TABLE, MAINTAINED FROM THE CHANGE
+    FEED (the r11 verdict's ask #3). `dedup_near_incremental` treats the
+    band-key table as 'the persisted index' but holds it in-session;
+    here it is durable and delete-aware: the documents table lives in a
+    snapshot log (v1 base append, v2 delta append, v3 equality-delete
+    tombstone for doc_id %{_DIX_MOD}=={_DIX_REM} — masking docs of BOTH
+    slices), and the index is ITS OWN snapshot-log table whose every
+    version is committed by the feed consumer through `_commit_snapshot`
+    (the `stream_cdf_materialized_view` maintenance pattern applied to a
+    NON-AGGREGATE index):
+
+    - insert events -> minhash+band keys computed over THAT BATCH ONLY,
+      landed as an add-only file commit (the index never rebuilds —
+      asserted: exactly one index version per feed micro-batch);
+    - delete events -> an add-only KB tombstone commit on the INDEX
+      table (doc_id list); the maintained index read is the MOR read:
+      band-key files anti-joined against the union of tombstones —
+      retirement is O(deleted), never a re-shingle.
+
+    Exactly-once: the maintainer skips a redelivered batch when the
+    index log head already covers it (index version N+1 == feed batch
+    N — the `stream_acid_append` txn-id discipline; Spark checkpoints
+    AFTER foreachBatch, so replays must be no-ops, not double-commits).
+
+    THE PROOF the ask names: index-after-feed == index-rebuilt-from-
+    head, exact frame equality on (doc_id, band, band_key) across the
+    delete commit — `exceptAll` empty in BOTH directions, asserted
+    in-key before the oracle sees a row. Retirement is also counted
+    exactly: |index| shrinks by |deleted docs|·{_MINHASH_BANDS} bands.
+
+    Scale: per-commit maintenance = shingle+minhash over that commit's
+    delta rows (the night's 100 GB, not the 100 TB corpus) + one KB
+    commit; delete cost is a tombstone write + broadcast anti-join at
+    read time; the rebuild here is the VERIFICATION twin, not the
+    maintenance path. Compaction of accumulated index tombstones is
+    `sink_rewrite_data_files`'s job, unchanged."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+    from sparkgraft.streaming import _doc_cdf_datasource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    cut = (int(max_id) + 1) * _DIX_NUM // _DIX_DEN
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-dedupidx-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    doc_log = os.path.join(root, "doclog")
+    idx_log = os.path.join(root, "idxlog")
+    ckpt = os.path.join(root, "ckpt")
+    idx_root = os.path.join(root, "idx")
+    for d in (doc_log, idx_log, idx_root):
+        os.makedirs(d)
+
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    # the documents table's history
+    base_dir = os.path.join(root, "base")
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(base_dir)
+    _commit_snapshot(doc_log, _data_files_of(base_dir))  # v1
+    delta_dir = os.path.join(root, "delta")
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.parquet(delta_dir)
+    _commit_snapshot(doc_log, _data_files_of(delta_dir))  # v2
+    t3_dir = os.path.join(root, _MOR_DELETE_CLASS, "t3")
+    (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % _DIX_MOD == _DIX_REM)
+        .coalesce(1)
+        .write.parquet(t3_dir)
+    )
+    _commit_snapshot(
+        doc_log, _data_files_of(t3_dir), extra={"op": "mor-delete"}
+    )  # v3
+
+    # THE MAINTAINER: one index-table commit per feed micro-batch
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _log_versions(idx_log)
+        if versions and versions[-1] >= batch_id + 1:
+            return  # redelivered batch: the commit already landed
+        adds: list[str] = []
+        ins = batch_df.filter(F.col("change_type") == "insert").select(
+            "doc_id", "text"
+        )
+        if ins.limit(1).count():
+            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+            band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
+                add_dir
+            )
+            adds += _data_files_of(add_dir)
+        dels = batch_df.filter(F.col("change_type") == "delete").select(
+            "doc_id"
+        )
+        if dels.limit(1).count():
+            t_dir = os.path.join(
+                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            )
+            dels.coalesce(1).write.parquet(t_dir)
+            adds += _data_files_of(t_dir)
+        if not adds:
+            raise RuntimeError(f"feed batch {batch_id} carried no events")
+        _commit_snapshot(idx_log, adds)
+
+    spark.dataSource.register(_doc_cdf_datasource())
+    q = (
+        spark.readStream.format("sparkgraft_doc_cdf")
+        .option("log_dir", doc_log)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx_versions = _log_versions(idx_log)
+    if len(idx_versions) != 3:  # one commit per feed batch, no rebuilds
+        raise RuntimeError(
+            f"index log has {len(idx_versions)} versions, wanted 3"
+        )
+
+    # the maintained index: MOR read of the index table's head
+    head = _read_manifest(idx_log, idx_versions[-1])["files"]
+    idx_data = [f for f in head if del_seg not in f]
+    idx_tombs = [f for f in head if del_seg in f]
+    if not idx_data or not idx_tombs:
+        raise RuntimeError("index head lost a file class")
+    committed = spark.read.parquet(*idx_data)
+    tomb = spark.read.parquet(*idx_tombs).select("doc_id")
+    maintained = committed.join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    ).localCheckpoint()  # one evaluation feeds the equality proof,
+    # the retirement count, and the returned digest
+
+    # retirement counted exactly: bands × |deleted docs| rows gone
+    n_all = committed.count()
+    n_live = maintained.count()
+    n_del = int(tomb.count())
+    if n_all - n_live != n_del * _MINHASH_BANDS or n_del == 0:
+        raise RuntimeError(
+            f"retirement wrong: {n_all - n_live} index rows gone for "
+            f"{n_del} deleted docs × {_MINHASH_BANDS} bands"
+        )
+
+    # THE PROOF: index-after-feed == index-rebuilt-from-head (the docs
+    # table's MOR read), exact frame equality across the delete commit
+    doc_head = _read_manifest(doc_log, _log_versions(doc_log)[-1])["files"]
+    live_docs = spark.read.parquet(
+        *[f for f in doc_head if del_seg not in f]
+    ).join(
+        F.broadcast(
+            spark.read.parquet(
+                *[f for f in doc_head if del_seg in f]
+            ).select("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    rebuilt = band_keys(minhash_signatures(live_docs))
+    if (
+        maintained.exceptAll(rebuilt).limit(1).count()
+        or rebuilt.exceptAll(maintained).limit(1).count()
+    ):
+        raise RuntimeError(
+            "maintained index diverged from rebuild-from-head"
+        )
+
+    return (
+        maintained.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("band_key").cast("long").alias("n_buckets"),
+            F.sum(F.length("band_key")).cast("long").alias("len_sum"),
+            F.min("band_key").alias("min_key"),
+            F.max("band_key").alias("max_key"),
+        )
+        .select(
+            F.col("band").cast("int"),
+            "n_docs",
+            "n_buckets",
+            "len_sum",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("band")
+    )

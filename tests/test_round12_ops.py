@@ -104,6 +104,34 @@ def test_ivf_index_delete_never_serves_tombstoned(spark):
     assert hits / total >= 0.9, f"recall@5 {hits / total:.3f} < 0.9"
 
 
+def test_dedup_index_maintain_commit_shape(spark):
+    """The index table's log must show the maintenance protocol: one
+    commit per feed batch — v1/v2 add band-key files only, v3 adds ONLY
+    a deletes-class tombstone (retirement is an add-only KB commit,
+    never a rewrite of the index files)."""
+    sparkgraft.QUERIES["dedup_index_maintain"](spark, SF_DIR)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-dedupidx-{os.path.basename(SF_DIR.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    idx_log = os.path.join(root, "idxlog")
+    manifests = {}
+    for f in sorted(os.listdir(idx_log)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(idx_log, f)) as fh:
+                manifests[int(f[1:-5])] = json.load(fh)["files"]
+    assert sorted(manifests) == [1, 2, 3]
+    seg = f"{os.sep}deletes{os.sep}"
+    v1, v2, v3 = (set(manifests[v]) for v in (1, 2, 3))
+    assert v1 and not any(seg in f for f in v1)
+    assert v2 > v1 and not any(seg in f for f in v2 - v1)
+    delta3 = v3 - v2
+    assert delta3 and all(seg in f for f in delta3)
+    # every earlier file survives: delete maintenance rewrote nothing
+    assert v1 <= v2 <= v3
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
