@@ -274,6 +274,7 @@ GROUP12 = [
     "stream_cdf_schema_evolution",
     "sim_ivf_index_delete",
     "dedup_index_maintain",
+    "scan_txn_checkpoint",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

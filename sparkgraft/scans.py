@@ -5712,3 +5712,244 @@ def sink_multi_table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(dim.count()).cast("long").alias("dim_rows"),
         F.sum("cents").cast("long").alias("fact_cents"),
     )
+
+
+# --- transaction-root checkpointing + AS-OF (r12: the r11 verdict's
+# ask #4 — `scan_log_checkpoint`'s O(tail) resolution ported to the
+# multi-table txn root, plus AS-OF-txn reads of the consistent star) ---
+
+_TXC_N = 12  # txn count
+_TXC_CKPTS = (5, 10)  # checkpoint cadence: every 5 txns
+_TXC_ASOF = 8  # the AS-OF probe: resolves via ckpt-5 + 3 tail deltas
+_TXC_DIM_AT = {1: 0, 6: 1, 11: 2}  # txn -> dim slice (c_custkey % 3)
+
+
+@query(
+    "scan_txn_checkpoint",
+    oracle=f"""
+    SELECT CAST({_TXC_N} AS INT) AS n_txns,
+           CAST({_TXC_CKPTS[-1]} AS INT) AS checkpoint_version,
+           CAST({_TXC_N - _TXC_CKPTS[-1]} AS INT) AS head_manifests_read,
+           CAST({_TXC_ASOF} AS INT) AS asof_txn,
+           CAST({_TXC_ASOF - _TXC_CKPTS[0]} AS INT) AS asof_manifests_read,
+           TRUE AS matches_full_replay,
+           CAST((SELECT count(*) FROM orders) AS BIGINT) AS head_fact_rows,
+           CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders) AS BIGINT) AS head_fact_cents,
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_orderkey % {_TXC_N} < {_TXC_ASOF}) AS BIGINT)
+             AS asof_fact_rows,
+           CAST((SELECT sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                 FROM orders
+                 WHERE o_orderkey % {_TXC_N} < {_TXC_ASOF}) AS BIGINT)
+             AS asof_fact_cents,
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_custkey % 3 < 2) AS BIGINT) AS asof_dim_rows
+    """,
+)
+def scan_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSACTION-ROOT CHECKPOINTING + AS-OF (the r11 verdict's ask #4
+    — `scan_log_checkpoint`'s O(tail) head resolution ported to the
+    multi-table txn root). This root's manifests are DELTA-FORM: each
+    txn records only its PER-TABLE ADDS (the Delta actions-log shape
+    generalized across tables — the absolute-map form of `_txn_commit`
+    makes the head manifest self-sufficient and checkpoints moot, which
+    is exactly why a delta-form root needs them). Resolving any state
+    therefore means replaying every txn since genesis — O(commits)
+    manifest opens at a commit a minute — until a CHECKPOINT
+    materializes the cumulative {{table -> files}} map. Checkpoints
+    land every {_TXC_CKPTS[1] - _TXC_CKPTS[0]} txns (derived data,
+    put-if-absent link so racing checkpointers collide benignly; the
+    `_last_checkpoint` pointer advances via os.replace).
+
+    Hard-asserted by COUNTING ACTUAL OPENS (the `scan_log_checkpoint`
+    discipline): the head reader opens exactly the pointer, checkpoint
+    v{_TXC_CKPTS[1]}, and the {_TXC_N - _TXC_CKPTS[1]} tail deltas; the
+    AS-OF-txn-{_TXC_ASOF} reader picks the newest checkpoint ≤ the
+    target (v{_TXC_CKPTS[0]}) and opens exactly the
+    {_TXC_ASOF - _TXC_CKPTS[0]} deltas between them — never the
+    genesis walk. Both resolutions are asserted identical to the full
+    replay per table before any digest is taken, and the AS-OF state
+    is CONSISTENT BY CONSTRUCTION: both tables come from the same
+    manifest chain cut at txn {_TXC_ASOF} (fact holds exactly slices
+    0..{_TXC_ASOF - 1}, dim its txn-{_TXC_ASOF} generation — pinned by
+    the oracle digest of BOTH tables at k).
+
+    Scale: head resolution drops from O(txns) to O(txns since last
+    checkpoint) and AS-OF to O(distance to the nearest older
+    checkpoint) — the time-travel cost model real formats publish;
+    checkpoints are KB-per-thousand-files metadata on a fixed cadence,
+    a cache and never the truth (every delta manifest stays)."""
+    import json
+
+    root = _scratch(sf_dir, "txn_checkpoint_root")
+    txn_dir = os.path.join(root, "txnlog")
+    os.makedirs(txn_dir, exist_ok=True)
+    for v in os.listdir(txn_dir):
+        os.unlink(os.path.join(txn_dir, v))
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def _merge(state: dict, adds: dict) -> None:
+        for t, fl in adds.items():
+            state.setdefault(t, set()).update(fl)
+
+    def _replay(upto: int, opened: list) -> dict:
+        """Union of per-table add-deltas txn 1..upto — the
+        no-checkpoint reader."""
+        state: dict = {}
+        for v in range(1, upto + 1):
+            path = os.path.join(txn_dir, f"v{v}.json")
+            opened.append(path)
+            with open(path) as fh:
+                _merge(state, json.load(fh)["table_adds"])
+        return state
+
+    def _write_ckpt(at: int) -> None:
+        state = _replay(at, [])  # the checkpointer pays the walk ONCE
+        tmp = os.path.join(txn_dir, f".ckpt-tmp-{os.getpid()}")
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "version": at,
+                    "tables": {t: sorted(fl) for t, fl in state.items()},
+                },
+                fh,
+            )
+        try:
+            os.link(tmp, os.path.join(txn_dir, f"ckpt-v{at}.json"))
+        except FileExistsError:
+            pass  # racing checkpointers write identical bytes
+        finally:
+            os.unlink(tmp)
+        ptmp = os.path.join(txn_dir, f".lastckpt-tmp-{os.getpid()}")
+        with open(ptmp, "w") as fh:
+            fh.write(str(at))
+        os.replace(ptmp, os.path.join(txn_dir, "_last_checkpoint"))
+
+    # the history: every txn appends a fact slice; txns 1/6/11 also
+    # advance the dim — both tables always land through ONE manifest
+    for i in range(_TXC_N):
+        txn = i + 1
+        d = os.path.join(root, f"fact{txn:02d}")
+        (
+            o.filter(F.col("o_orderkey") % _TXC_N == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        adds = {"fact": _data_files_of(d)}
+        if txn in _TXC_DIM_AT:
+            dd = os.path.join(root, f"dim{txn:02d}")
+            (
+                c.filter(F.col("c_custkey") % 3 == _TXC_DIM_AT[txn])
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(dd)
+            )
+            adds["dim"] = _data_files_of(dd)
+        if not _try_publish(txn_dir, txn, [], extra={"table_adds": adds}):
+            raise RuntimeError(f"single-writer CAS lost txn {txn}")
+        if txn in _TXC_CKPTS:
+            _write_ckpt(txn)
+
+    def _ckpt_versions() -> list[int]:
+        return sorted(
+            int(f[6:-5])
+            for f in os.listdir(txn_dir)
+            if f.startswith("ckpt-v") and f.endswith(".json")
+        )
+
+    def _resolve(at: int) -> tuple[dict, int]:
+        """State at txn ``at`` via the newest checkpoint ≤ at + tail
+        deltas; returns (state, tail manifests opened)."""
+        older = [v for v in _ckpt_versions() if v <= at]
+        state: dict = {}
+        base = 0
+        if older:
+            base = older[-1]
+            with open(
+                os.path.join(txn_dir, f"ckpt-v{base}.json")
+            ) as fh:
+                state = {
+                    t: set(fl)
+                    for t, fl in json.load(fh)["tables"].items()
+                }
+        opened: list = []
+        for v in range(base + 1, at + 1):
+            path = os.path.join(txn_dir, f"v{v}.json")
+            opened.append(path)
+            with open(path) as fh:
+                _merge(state, json.load(fh)["table_adds"])
+        return state, len(opened)
+
+    # HEAD resolution: pointer -> newest checkpoint -> tail
+    with open(os.path.join(txn_dir, "_last_checkpoint")) as fh:
+        ckpt_ver = int(fh.read())
+    head_ver = _log_versions(txn_dir)[-1]
+    head_state, head_reads = _resolve(head_ver)
+    if head_reads != head_ver - ckpt_ver:
+        raise RuntimeError(
+            f"head opened {head_reads} tail manifests, expected "
+            f"{head_ver - ckpt_ver}"
+        )
+    full_opens: list = []
+    full = _replay(head_ver, full_opens)
+    if len(full_opens) != _TXC_N:
+        raise RuntimeError("full replay must open every manifest")
+    if {t: sorted(fl) for t, fl in head_state.items()} != {
+        t: sorted(fl) for t, fl in full.items()
+    }:
+        raise RuntimeError("checkpoint resolution diverged from replay")
+
+    # AS-OF txn k: nearest older checkpoint + the deltas up to k
+    asof_state, asof_reads = _resolve(_TXC_ASOF)
+    if asof_reads != _TXC_ASOF - _TXC_CKPTS[0]:
+        raise RuntimeError(
+            f"AS-OF opened {asof_reads} tail manifests, expected "
+            f"{_TXC_ASOF - _TXC_CKPTS[0]}"
+        )
+    asof_full: dict = {}
+    for v in range(1, _TXC_ASOF + 1):
+        with open(os.path.join(txn_dir, f"v{v}.json")) as fh:
+            _merge(asof_full, json.load(fh)["table_adds"])
+    if {t: sorted(fl) for t, fl in asof_state.items()} != {
+        t: sorted(fl) for t, fl in asof_full.items()
+    }:
+        raise RuntimeError("AS-OF resolution diverged from replay")
+
+    digest = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ]
+    head_fact = (
+        spark.read.parquet(*sorted(head_state["fact"]))
+        .agg(*digest)
+        .collect()[0]
+    )
+    asof_fact = (
+        spark.read.parquet(*sorted(asof_state["fact"]))
+        .agg(*digest)
+        .collect()[0]
+    )
+    asof_dim_rows = (
+        spark.read.parquet(*sorted(asof_state["dim"])).count()
+    )
+
+    return spark.range(1).select(
+        F.lit(_TXC_N).cast("int").alias("n_txns"),
+        F.lit(ckpt_ver).cast("int").alias("checkpoint_version"),
+        F.lit(head_reads).cast("int").alias("head_manifests_read"),
+        F.lit(_TXC_ASOF).cast("int").alias("asof_txn"),
+        F.lit(asof_reads).cast("int").alias("asof_manifests_read"),
+        F.lit(True).alias("matches_full_replay"),
+        F.lit(head_fact["n"]).cast("long").alias("head_fact_rows"),
+        F.lit(head_fact["cents"]).cast("long").alias("head_fact_cents"),
+        F.lit(asof_fact["n"]).cast("long").alias("asof_fact_rows"),
+        F.lit(asof_fact["cents"]).cast("long").alias("asof_fact_cents"),
+        F.lit(asof_dim_rows).cast("long").alias("asof_dim_rows"),
+    )

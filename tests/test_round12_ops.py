@@ -132,6 +132,44 @@ def test_dedup_index_maintain_commit_shape(spark):
     assert v1 <= v2 <= v3
 
 
+def test_txn_checkpoint_artifacts(spark):
+    """The txn root must hold delta manifests for every txn, checkpoint
+    files at the cadence, a pointer at the newest, and each checkpoint
+    must equal the union of deltas up to its version."""
+    from sparkgraft.scans import _scratch
+
+    sparkgraft.QUERIES["scan_txn_checkpoint"](spark, SF_DIR)
+    txn_dir = os.path.join(
+        _scratch(SF_DIR, "txn_checkpoint_root"), "txnlog"
+    )
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(txn_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    assert versions == list(range(1, 13))
+    ckpts = sorted(
+        int(f[6:-5])
+        for f in os.listdir(txn_dir)
+        if f.startswith("ckpt-v")
+    )
+    assert ckpts == [5, 10]
+    with open(os.path.join(txn_dir, "_last_checkpoint")) as fh:
+        assert int(fh.read()) == 10
+    for at in ckpts:
+        state: dict = {}
+        for v in range(1, at + 1):
+            with open(os.path.join(txn_dir, f"v{v}.json")) as fh:
+                for t, fl in json.load(fh)["table_adds"].items():
+                    state.setdefault(t, set()).update(fl)
+        with open(os.path.join(txn_dir, f"ckpt-v{at}.json")) as fh:
+            ck = json.load(fh)
+        assert ck["version"] == at
+        assert {t: sorted(fl) for t, fl in state.items()} == ck["tables"]
+        # the dim generation at the checkpoint matches the txn cadence
+        assert len(ck["tables"]["dim"]) == (1 if at == 5 else 2)
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
