@@ -275,6 +275,7 @@ GROUP12 = [
     "sim_ivf_index_delete",
     "dedup_index_maintain",
     "scan_txn_checkpoint",
+    "sink_rewrite_partition_evolution",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

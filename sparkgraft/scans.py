@@ -5953,3 +5953,283 @@ def scan_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(asof_fact["cents"]).cast("long").alias("asof_fact_cents"),
         F.lit(asof_dim_rows).cast("long").alias("asof_dim_rows"),
     )
+
+
+# --- partition evolution × compaction × feed (r12: the r11 verdict's
+# ask #5 — does the maintenance rewrite preserve each generation's
+# partition spec, and does the feed still stream zero events for it?) ---
+
+_RPE_DEL = 6  # equality-tombstone predicate: o_orderkey % 10 == 6
+_RPE_CUT = 1998  # layout-evolution boundary (sink_partition_evolution's)
+
+
+@query(
+    "sink_rewrite_partition_evolution",
+    oracle=f"""
+    WITH ev AS (
+      SELECT o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    live AS (SELECT * FROM ev WHERE NOT (o_orderkey % 10 = {_RPE_DEL}))
+    SELECT TRUE AS spec_preserved, TRUE AS pruned_gen1,
+           TRUE AS pruned_gen2, TRUE AS feed_zero_events,
+           CAST((SELECT count(*) FROM live) AS BIGINT) AS head_rows,
+           CAST((SELECT sum(cents) FROM live) AS BIGINT) AS head_cents,
+           CAST((SELECT count(*) FROM live
+                 WHERE o_orderdate >= TIMESTAMP '{_PE_LO}'
+                   AND o_orderdate < TIMESTAMP '{_PE_HI}') AS BIGINT)
+             AS window_rows,
+           CAST((SELECT sum(cents) FROM live
+                 WHERE o_orderdate >= TIMESTAMP '{_PE_LO}'
+                   AND o_orderdate < TIMESTAMP '{_PE_HI}') AS BIGINT)
+             AS window_cents
+    """,
+)
+def sink_rewrite_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION × COMPACTION × FEED (the r11 verdict's ask
+    #5 — the three proven pieces composed across one another's
+    boundaries): a table whose layout evolved (gen 1 partitioned by
+    YEAR, gen 2 by YEAR,QUARTER — `sink_partition_evolution`) then
+    accumulated an equality tombstone masking rows of BOTH generations
+    is compacted by the maintenance rewrite
+    (`sink_rewrite_data_files`), and THREE contracts must survive:
+
+    1. SPEC PRESERVATION: the rewrite applies the tombstone within
+       each generation and lands every clean file under ITS OWN
+       generation's spec (gen-1 files carry o_year= path segments
+       only, gen-2 files o_year=/o_quarter= — asserted per post-head
+       file; a rewrite that flattened both generations to one layout
+       would destroy the spec-per-file contract evolution depends on).
+    2. PRUNING STILL BITES ON BOTH GENERATIONS POST-COMPACTION: the
+       {_PE_LO}..{_PE_HI} probe window plans a STRICT subset of each
+       generation's files from manifest paths alone (the
+       `sink_partition_evolution` probe re-run against the rewritten
+       head), and the window digest is oracle-pinned so over-prune and
+       under-filter both break the hash.
+    3. THE FEED STREAMS ZERO EVENTS FOR THE COMPACTION: the MOR-aware
+       CDF replays the full history (v1 gen-1 append, v2 the evolution
+       append, v3 the cross-generation delete, v4 the rewrite) — the
+       v4 commit contributes no events (op=rewrite awareness), and the
+       signed replay equals the post-compaction head digest, asserted
+       before the oracle sees a row.
+
+    Scale: the rewrite is per-partition-per-generation (the unit a
+    100 TB job schedules); spec preservation is free (the writer keys
+    each generation's rewrite by its own spec columns); feed and
+    pruning costs are unchanged KB-manifest planning."""
+    import re
+    import shutil
+
+    root = _scratch(sf_dir, "rpe_table")
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    gen1_dir = os.path.join(root, "gen1")
+    gen2_dir = os.path.join(root, "gen2")
+    eq_dir = os.path.join(root, _MOR_DELETE_CLASS, "eq")
+    os.makedirs(log_dir, exist_ok=True)
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+
+    def _tree_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # v1: generation 1 — partitioned by YEAR
+    (
+        o.filter(F.col("o_year") < _RPE_CUT)
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(gen1_dir)
+    )
+    _commit_snapshot(
+        log_dir, _tree_files(gen1_dir), extra={"spec": ["o_year"], "spec_id": 1}
+    )
+
+    # v2: THE EVOLUTION — generation 2 partitioned by (YEAR, QUARTER)
+    (
+        o.filter(F.col("o_year") >= _RPE_CUT)
+        .withColumn("o_quarter", F.quarter("o_orderdate"))
+        .repartition("o_year", "o_quarter")
+        .write.mode("overwrite")
+        .partitionBy("o_year", "o_quarter")
+        .parquet(gen2_dir)
+    )
+    _commit_snapshot(
+        log_dir,
+        _tree_files(gen2_dir),
+        extra={"spec": ["o_year", "o_quarter"], "spec_id": 2},
+    )
+
+    # v3: equality tombstone masking keys of BOTH generations
+    (
+        o.filter(F.col("o_orderkey") % 10 == _RPE_DEL)
+        .select("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(eq_dir)
+    )
+    _commit_snapshot(
+        log_dir, _data_files_of(eq_dir), extra={"op": "mor-delete"}
+    )
+
+    head_pre = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    data_pre, dels_pre = _split_head_files(head_pre)
+    tomb = spark.read.parquet(*dels_pre).select("o_orderkey")
+    pre_mor = spark.read.parquet(*data_pre).join(
+        F.broadcast(tomb), "o_orderkey", "left_anti"
+    )
+    digest = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ]
+    pre_row = pre_mor.agg(*digest).collect()[0]
+
+    # v4: THE REWRITE — per generation, under that generation's spec
+    rw1 = os.path.join(root, "rw_gen1")
+    rw2 = os.path.join(root, "rw_gen2")
+    g1_files = [f for f in data_pre if f.startswith(gen1_dir)]
+    g2_files = [f for f in data_pre if f.startswith(gen2_dir)]
+    (
+        spark.read.parquet(*g1_files)
+        .join(F.broadcast(tomb), "o_orderkey", "left_anti")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .repartition("o_year")
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(rw1)
+    )
+    (
+        spark.read.parquet(*g2_files)
+        .join(F.broadcast(tomb), "o_orderkey", "left_anti")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("o_quarter", F.quarter("o_orderdate"))
+        .repartition("o_year", "o_quarter")
+        .write.mode("overwrite")
+        .partitionBy("o_year", "o_quarter")
+        .parquet(rw2)
+    )
+    _commit_snapshot(
+        log_dir,
+        _tree_files(rw1) + _tree_files(rw2),
+        remove_files=head_pre,
+        extra={"op": "rewrite", "specs": {"1": ["o_year"], "2": ["o_year", "o_quarter"]}},
+    )
+
+    head_post = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
+    data_post, dels_post = _split_head_files(head_post)
+    if dels_post:
+        raise RuntimeError(f"rewrite left delete files live: {dels_post}")
+
+    # 1. SPEC PRESERVATION, asserted per post-head file
+    year_re = re.compile(rf"o_year=(\d+)\{os.sep}")
+    quarter_re = re.compile(rf"o_quarter=(\d+)\{os.sep}")
+    p1 = [f for f in data_post if f.startswith(rw1)]
+    p2 = [f for f in data_post if f.startswith(rw2)]
+    if not p1 or not p2 or set(p1) | set(p2) != set(data_post):
+        raise RuntimeError("post head lost a generation")
+    for f in p1:
+        if not year_re.search(f) or quarter_re.search(f):
+            raise RuntimeError(f"gen-1 spec broken by rewrite: {f}")
+    for f in p2:
+        if not year_re.search(f) or not quarter_re.search(f):
+            raise RuntimeError(f"gen-2 spec broken by rewrite: {f}")
+
+    post_row = spark.read.parquet(*data_post).agg(*digest).collect()[0]
+    if tuple(pre_row) != tuple(post_row):
+        raise RuntimeError(
+            f"rewrite changed the MOR digest: {tuple(pre_row)} vs "
+            f"{tuple(post_row)}"
+        )
+
+    # 2. PRUNING ON BOTH GENERATIONS, post-compaction, manifest-only
+    lo_y, lo_q, hi_y, hi_q = 1997, 1, 1998, 2  # = _PE_LO .. _PE_HI
+
+    def _planned(path: str) -> bool:
+        y = int(year_re.search(path).group(1))
+        qm = quarter_re.search(path)
+        if qm is None:
+            return lo_y <= y <= hi_y
+        return (lo_y, lo_q) <= (y, int(qm.group(1))) <= (hi_y, hi_q)
+
+    sel1 = [f for f in p1 if _planned(f)]
+    sel2 = [f for f in p2 if _planned(f)]
+    if not sel1 or len(sel1) >= len(p1):
+        raise RuntimeError(f"gen-1 pruning did not bite: {len(sel1)}/{len(p1)}")
+    if not sel2 or len(sel2) >= len(p2):
+        raise RuntimeError(f"gen-2 pruning did not bite: {len(sel2)}/{len(p2)}")
+    window = (
+        spark.read.parquet(*sel1, *sel2)
+        .filter(
+            (F.col("o_orderdate") >= F.lit(_PE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(_PE_HI).cast("timestamp"))
+        )
+        .agg(*digest)
+        .collect()[0]
+    )
+
+    # 3. THE FEED: zero events for the rewrite commit, replay == head
+    from sparkgraft.streaming import _mor_cdf_datasource
+
+    out = os.path.join(root, "feed_out")
+    ckpt = os.path.join(root, "feed_ckpt")
+    os.makedirs(out)
+    spark.dataSource.register(_mor_cdf_datasource())
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"b{batch_id:05d}")
+        )
+
+    q = (
+        spark.readStream.format("sparkgraft_mor_cdf")
+        .option("log_dir", log_dir)
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    feed = spark.read.parquet(os.path.join(out, "b*"))
+    vs = {r["version"] for r in feed.select("version").distinct().collect()}
+    if 4 in vs:
+        raise RuntimeError("the rewrite commit streamed events")
+    if vs != {1, 2, 3}:
+        raise RuntimeError(f"feed saw versions {sorted(vs)}, wanted 1-3")
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+    net = feed.agg(
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("cents")).cast("long").alias("cents"),
+    ).collect()[0]
+    if (net["n"], net["cents"]) != (post_row["n"], post_row["cents"]):
+        raise RuntimeError(
+            f"signed feed replay diverged from compacted head: "
+            f"{tuple(net)} vs {tuple(post_row)}"
+        )
+
+    return spark.range(1).select(
+        F.lit(True).alias("spec_preserved"),
+        F.lit(True).alias("pruned_gen1"),
+        F.lit(True).alias("pruned_gen2"),
+        F.lit(True).alias("feed_zero_events"),
+        F.lit(post_row["n"]).cast("long").alias("head_rows"),
+        F.lit(post_row["cents"]).cast("long").alias("head_cents"),
+        F.lit(window["n"]).cast("long").alias("window_rows"),
+        F.lit(window["cents"]).cast("long").alias("window_cents"),
+    )

@@ -170,6 +170,36 @@ def test_txn_checkpoint_artifacts(spark):
         assert len(ck["tables"]["dim"]) == (1 if at == 5 else 2)
 
 
+def test_rewrite_partition_evolution_log_shape(spark):
+    """The rewritten head must carry BOTH generations under their own
+    specs with zero delete-class files, and the rewrite commit must be
+    op-stamped (the field the feed keys on)."""
+    from sparkgraft.scans import _scratch
+
+    sparkgraft.QUERIES["sink_rewrite_partition_evolution"](spark, SF_DIR)
+    log_dir = os.path.join(_scratch(SF_DIR, "rpe_table"), "log")
+    manifests = {}
+    for f in sorted(os.listdir(log_dir)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(log_dir, f)) as fh:
+                manifests[int(f[1:-5])] = json.load(fh)
+    assert sorted(manifests) == [1, 2, 3, 4]
+    assert manifests[3].get("op") == "mor-delete"
+    assert manifests[4].get("op") == "rewrite"
+    head = manifests[4]["files"]
+    seg = f"{os.sep}deletes{os.sep}"
+    assert not any(seg in f for f in head)
+    g1 = [f for f in head if "rw_gen1" in f]
+    g2 = [f for f in head if "rw_gen2" in f]
+    assert g1 and g2 and len(g1) + len(g2) == len(head)
+    assert all("o_year=" in f and "o_quarter=" not in f for f in g1)
+    assert all("o_year=" in f and "o_quarter=" in f for f in g2)
+    # the rewrite kept per-generation spec metadata in the commit
+    assert manifests[4]["specs"] == {
+        "1": ["o_year"], "2": ["o_year", "o_quarter"],
+    }
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
