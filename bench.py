@@ -276,6 +276,7 @@ GROUP12 = [
     "dedup_index_maintain",
     "scan_txn_checkpoint",
     "sink_rewrite_partition_evolution",
+    "stream_cdf_cross_table",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -4668,3 +4668,443 @@ def _doc_cdf_datasource():
             return DocCDFReader(self.options)
 
     return DocCDFSource
+
+
+# --- cross-table CDF from the transaction root (r12: the r11 verdict's
+# ask #6 — both tables' deltas in ONE micro-batch per txn, maintaining
+# a star-join MV with the exactly-once crash-restart proof) ---
+
+
+def _txn_cdf_datasource():
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class XTPartition(InputPartition):
+        def __init__(self, txn, table, kind, path):
+            self.txn = txn
+            self.table = table
+            self.kind = kind
+            self.path = path
+
+    class TxnCDFReader(DataSourceStreamReader):
+        """Change feed over the TRANSACTION ROOT: offsets are txn
+        versions, one txn per micro-batch, and a txn's change set is
+        the per-table file delta between its manifest's absolute
+        {table -> files} map and its parent's — so a txn that touches
+        BOTH tables lands BOTH tables' events in ONE micro-batch
+        (txn-atomic cut points: a downstream star-join MV can never
+        observe the fact at txn N joined to the dim at N−1, the torn
+        read `sink_multi_table_publish` closes for batch readers,
+        closed here for feeds). Added files stream as inserts, removed
+        files as COW deletes; executors read each file with ITS
+        table's schema. The reader cursor persists to `state_dir` on
+        commit (the r10 restart discipline), so a restarted stream
+        resumes instead of re-announcing txn 0.
+
+        Scale: planning is KB txn-manifest diffs on the driver;
+        executor work is per-changed-file. The feed's atomicity unit
+        is the txn, matching the write side's single-CAS publish."""
+
+        def __init__(self, options):
+            import json
+
+            self.log_dir = options["log_dir"]
+            self.state_dir = options.get("state_dir")
+            self._last = 0
+            if self.state_dir:
+                p = os.path.join(self.state_dir, "last_committed.json")
+                if os.path.exists(p):
+                    with open(p) as fh:
+                        self._last = int(json.load(fh)["version"])
+
+        def _versions(self):
+            return sorted(
+                int(f[1:-5])
+                for f in os.listdir(self.log_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+
+        def _tables(self, version):
+            import json
+
+            if version <= 0:
+                return {}
+            with open(
+                os.path.join(self.log_dir, f"v{version}.json")
+            ) as fh:
+                return json.load(fh)["tables"]
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            head = self._versions()
+            if head and head[-1] > self._last:
+                self._last += 1  # one txn per micro-batch
+            return {"version": self._last}
+
+        def partitions(self, start, end):
+            self._last = max(self._last, end["version"])
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                cur = self._tables(v)
+                prev = self._tables(v - 1)
+                for table in sorted(set(cur) | set(prev)):
+                    c = set(cur.get(table, []))
+                    p = set(prev.get(table, []))
+                    parts.extend(
+                        XTPartition(v, table, "delete", f)
+                        for f in sorted(p - c)
+                    )
+                    parts.extend(
+                        XTPartition(v, table, "insert", f)
+                        for f in sorted(c - p)
+                    )
+            return parts or [XTPartition(0, "fact", "insert", "")]
+
+        def read(self, partition):  # EXECUTOR-side
+            import pyarrow.parquet as pq
+
+            if not partition.path:
+                return
+            change = partition.kind
+            if partition.table == "fact":
+                t = pq.read_table(
+                    partition.path,
+                    columns=["o_orderkey", "o_custkey", "cents"],
+                )
+                for k, ck, c in zip(
+                    t.column("o_orderkey").to_pylist(),
+                    t.column("o_custkey").to_pylist(),
+                    t.column("cents").to_pylist(),
+                ):
+                    yield (partition.txn, "fact", change, k, ck, c, None)
+            else:
+                t = pq.read_table(
+                    partition.path, columns=["c_custkey", "c_mktsegment"]
+                )
+                for ck, seg in zip(
+                    t.column("c_custkey").to_pylist(),
+                    t.column("c_mktsegment").to_pylist(),
+                ):
+                    yield (
+                        partition.txn, "dim", change, ck, ck, None, seg,
+                    )
+
+        def commit(self, end):
+            import json
+
+            self._last = max(self._last, end["version"])
+            if self.state_dir:
+                os.makedirs(self.state_dir, exist_ok=True)
+                tmp = os.path.join(self.state_dir, ".tmp-last")
+                with open(tmp, "w") as fh:
+                    json.dump({"version": self._last}, fh)
+                os.replace(
+                    tmp, os.path.join(self.state_dir, "last_committed.json")
+                )
+
+    class TxnCDFSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sparkgraft_txn_cdf"
+
+        def schema(self):
+            return T.StructType(
+                [
+                    T.StructField("txn", T.IntegerType()),
+                    T.StructField("table", T.StringType()),
+                    T.StructField("change_type", T.StringType()),
+                    T.StructField("key", T.LongType()),
+                    T.StructField("custkey", T.LongType()),
+                    T.StructField("cents", T.LongType()),
+                    T.StructField("segment", T.StringType()),
+                ]
+            )
+
+        def streamReader(self, schema):
+            return TxnCDFReader(self.options)
+
+    return TxnCDFSource
+
+
+_XT_DEL = 6  # txn4 COW-deletes fact keys %3==0 AND %10==6 (inside F1)
+
+
+@query(
+    "stream_cdf_cross_table",
+    oracle=f"""
+    WITH fact AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+      WHERE NOT (o_orderkey % 3 = 0 AND o_orderkey % 10 = {_XT_DEL}))
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(f.cents) AS BIGINT) AS cents
+    FROM fact f JOIN customer c ON f.o_custkey = c.c_custkey
+    GROUP BY 1 ORDER BY segment
+    """,
+)
+def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE CDF (the r11 verdict's ask #6): both tables' deltas
+    stream FROM THE TRANSACTION ROOT with txn-atomic cut points — one
+    micro-batch = one txn, carrying every table's files that txn
+    touched — maintaining a STAR-JOIN MV (per-segment fact rollup)
+    incrementally. History:
+
+    - txn1: fact slice F1 (keys %3==0) + dim D1 (EVEN custkeys) — one
+      atomic publish; facts referencing odd custkeys park UNMATCHED.
+    - txn2: fact-only append F2 (%3==1).
+    - txn3: fact F3 (%3==2) AND dim D2 (odd custkeys) in ONE txn — the
+      batch is asserted to span BOTH tables (the atomic cut), and the
+      arriving dim rows must re-match every parked fact (the
+      F_old ⋈ ΔD term naive maintainers drop).
+    - txn4: a COW delete inside F1 (keys %10=={_XT_DEL} rewritten
+      away) — signed fact folding on a join MV.
+
+    The maintainer keeps per-CUSTKEY state (n, cents, segment): fact
+    events fold as signed per-custkey deltas, dim events bind the
+    segment; the MV reads state where a segment is bound and n>0. The
+    state is keyed by BATCH ID with an atomically-replaced pointer —
+    and the EXACTLY-ONCE proof runs for real (the
+    `stream_mv_exactly_once` machinery): an injected crash after batch
+    1's publish but before Spark's checkpoint forces a REDELIVERY
+    (asserted: delivered ids 0,1 / crash / 1,2,3), and the replay
+    converges because state derives from the immutable v0. Final
+    asserts: one state version per txn (4 total), batch 2 spans both
+    tables, MV == direct star recompute from the txn head, and the
+    oracle pins the same digest from source.
+
+    Scale: per-txn maintenance = that txn's delta rows + one
+    |custkeys|-row merge (the keyed-partial-state shape); the tables
+    are never re-read after their events stream; txn atomicity costs
+    nothing extra — the cut points fall out of the root's single-CAS
+    manifests."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import (
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+        _txn_publish,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfxt-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    txn_dir = os.path.join(root, "txnlog")
+    ckpt = os.path.join(root, "ckpt")
+    mv_root = os.path.join(root, "mv")
+    for d in (txn_dir, mv_root):
+        os.makedirs(d)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def stage(df: DataFrame, name: str) -> list[str]:
+        d = os.path.join(root, name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        return _data_files_of(d)
+
+    f1 = stage(o.filter(F.col("o_orderkey") % 3 == 0), "f1")
+    f2 = stage(o.filter(F.col("o_orderkey") % 3 == 1), "f2")
+    f3 = stage(o.filter(F.col("o_orderkey") % 3 == 2), "f3")
+    d1 = stage(c.filter(F.col("c_custkey") % 2 == 0), "d1")
+    d2 = stage(c.filter(F.col("c_custkey") % 2 == 1), "d2")
+    f1p = stage(  # txn4's COW rewrite of F1: the delete
+        spark.read.parquet(*f1).filter(
+            ~(F.col("o_orderkey") % 10 == _XT_DEL)
+        ),
+        "f1_rewritten",
+    )
+    _txn_publish(txn_dir, 1, {"fact": f1, "dim": d1})
+    _txn_publish(txn_dir, 2, {"fact": f1 + f2, "dim": d1})
+    _txn_publish(txn_dir, 3, {"fact": f1 + f2 + f3, "dim": d1 + d2})
+    _txn_publish(txn_dir, 4, {"fact": f1p + f2 + f3, "dim": d1 + d2})
+
+    pointer = os.path.join(mv_root, "CURRENT")
+    delivered: list[int] = []
+    batch_tables: dict[int, set] = {}
+    armed = {"batch": 1}  # inject the crash after batch 1's publish
+
+    def state_dir(batch_id: int) -> str:
+        return os.path.join(mv_root, f"v{batch_id:05d}")
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        delivered.append(int(batch_id))
+        txns = [
+            r["txn"] for r in batch_df.select("txn").distinct().collect()
+        ]
+        if txns != [batch_id + 1]:
+            raise RuntimeError(
+                f"batch {batch_id} spans txns {txns} — cut point broken"
+            )
+        batch_tables[batch_id] = {
+            r["table"]
+            for r in batch_df.select("table").distinct().collect()
+        }
+        sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
+        fdelta = (
+            batch_df.filter(F.col("table") == "fact")
+            .groupBy("custkey")
+            .agg(
+                F.sum(sign).cast("long").alias("d_n"),
+                F.sum(sign * F.col("cents")).cast("long").alias("d_cents"),
+            )
+        )
+        if (
+            batch_df.filter(
+                (F.col("table") == "dim")
+                & (F.col("change_type") == "delete")
+            ).limit(1).count()
+        ):
+            raise RuntimeError("dim deletes are out of this MV's scope")
+        ddelta = (
+            batch_df.filter(F.col("table") == "dim")
+            .select("custkey", F.col("segment").alias("d_segment"))
+        )
+        delta = fdelta.join(ddelta, "custkey", "full_outer")
+        if batch_id == 0:
+            merged = delta.select(
+                "custkey",
+                F.coalesce("d_n", F.lit(0)).cast("long").alias("n"),
+                F.coalesce("d_cents", F.lit(0)).cast("long").alias("cents"),
+                F.col("d_segment").alias("segment"),
+            )
+        else:
+            prev_dir = state_dir(batch_id - 1)
+            if not os.path.exists(prev_dir):
+                raise RuntimeError(
+                    f"MV state gap: batch {batch_id} has no v{batch_id - 1}"
+                )
+            merged = (
+                spark.read.parquet(prev_dir)
+                .join(delta, "custkey", "full_outer")
+                .select(
+                    "custkey",
+                    (
+                        F.coalesce(F.col("n"), F.lit(0))
+                        + F.coalesce(F.col("d_n"), F.lit(0))
+                    ).cast("long").alias("n"),
+                    (
+                        F.coalesce(F.col("cents"), F.lit(0))
+                        + F.coalesce(F.col("d_cents"), F.lit(0))
+                    ).cast("long").alias("cents"),
+                    F.coalesce("d_segment", "segment").alias("segment"),
+                )
+                .filter(
+                    (F.col("n") != 0) | F.col("segment").isNotNull()
+                )
+            )
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            state_dir(batch_id)
+        )
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(state_dir(batch_id))
+        os.replace(tmp, pointer)
+        if armed["batch"] == batch_id:
+            armed["batch"] = None
+            raise RuntimeError(
+                "injected crash after MV publish, before checkpoint"
+            )
+
+    spark.dataSource.register(_txn_cdf_datasource())
+
+    def run_phase() -> None:
+        q = (
+            spark.readStream.format("sparkgraft_txn_cdf")
+            .option("log_dir", txn_dir)
+            .option("state_dir", os.path.join(root, "reader_state"))
+            .load()
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ex = q.exception()
+            if ex is not None:
+                raise ex
+        finally:
+            q.stop()
+
+    try:
+        run_phase()
+        raise RuntimeError("phase 1 did not crash — injection never fired")
+    except StreamingQueryException as ex:
+        if "injected crash" not in str(ex):
+            raise
+    if delivered != [0, 1]:
+        raise RuntimeError(f"phase 1 delivered {delivered}, wanted [0, 1]")
+    if not os.path.exists(state_dir(1)):
+        raise RuntimeError("crash landed before the publish — wrong window")
+
+    run_phase()  # restart: batch 1 REDELIVERED, replay must converge
+    if delivered != [0, 1, 1, 2, 3]:
+        raise RuntimeError(
+            f"restart delivered {delivered}, wanted [0, 1, 1, 2, 3]"
+        )
+    n_versions = len([d for d in os.listdir(mv_root) if d.startswith("v")])
+    if n_versions != 4:
+        raise RuntimeError(f"MV wrote {n_versions} versions, wanted 4")
+    if batch_tables[2] != {"fact", "dim"}:
+        raise RuntimeError(
+            f"txn3's batch saw tables {batch_tables[2]} — the atomic "
+            "cross-table cut is broken"
+        )
+
+    with open(pointer) as fh:
+        state = spark.read.parquet(fh.read().strip())
+    mv = (
+        state.filter(F.col("segment").isNotNull() & (F.col("n") > 0))
+        .groupBy("segment")
+        .agg(
+            F.sum("n").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+
+    # direct star recompute from the txn head (both tables at txn 4)
+    head_tables = _read_manifest(txn_dir, _log_versions(txn_dir)[-1])[
+        "tables"
+    ]
+    direct = (
+        spark.read.parquet(*head_tables["fact"])
+        .join(
+            F.broadcast(
+                spark.read.parquet(*head_tables["dim"]).select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    mv_rows = {r["segment"]: (r["n_rows"], r["cents"]) for r in mv.collect()}
+    direct_rows = {
+        r["segment"]: (r["n_rows"], r["cents"]) for r in direct.collect()
+    }
+    if mv_rows != direct_rows:
+        raise RuntimeError(
+            f"cross-table MV diverged from star recompute: "
+            f"{mv_rows} vs {direct_rows}"
+        )
+    return mv.orderBy("segment")

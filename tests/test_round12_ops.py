@@ -200,6 +200,31 @@ def test_rewrite_partition_evolution_log_shape(spark):
     }
 
 
+def test_cdf_cross_table_state_artifacts(spark):
+    """Driving the key exercises the injected crash + redelivery; the
+    artifacts it leaves must show one MV state version per txn, the
+    pointer at the last, and the reader cursor committed at txn 4."""
+    out = sparkgraft.QUERIES["stream_cdf_cross_table"](spark, SF_DIR)
+    segs = {r.segment for r in out.collect()}
+    assert len(segs) == 5  # all five TPC-H market segments matched
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfxt-{os.path.basename(SF_DIR.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    mv_root = os.path.join(root, "mv")
+    versions = sorted(
+        d for d in os.listdir(mv_root) if d.startswith("v")
+    )
+    assert versions == ["v00000", "v00001", "v00002", "v00003"]
+    with open(os.path.join(mv_root, "CURRENT")) as fh:
+        assert fh.read().strip().endswith("v00003")
+    with open(
+        os.path.join(root, "reader_state", "last_committed.json")
+    ) as fh:
+        assert json.load(fh)["version"] == 4
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
