@@ -473,21 +473,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokens become 64-bit hashes immediately: set comparisons downstream
     # are long-array ops, not string ops (collision odds are negligible
     # and only affect a rows-only-invisible intersect count).
-    tok = (
-        _tokens(spark, sf_dir)
-        .select("doc_id", F.xxhash64("token").alias("tok"))
-        .distinct()
+    return _jaccard_pairs_ppjoin(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
     )
-    return _jaccard_pairs_ppjoin(tok)
 
 
-def _jaccard_pairs_ppjoin(tok: DataFrame, tau: float = 0.6) -> DataFrame:
-    """Shared PPJoin core: distinct-token frame (doc_id, tok) → exact
+def _jaccard_pairs_ppjoin(docs: DataFrame, tau: float = 0.6) -> DataFrame:
+    """Shared PPJoin core: documents frame (doc_id, text) → exact
     Jaccard ≥ τ doc pairs. See `dedup_ngram_jaccard` for the algorithm
     argument; `dedup_ngram_jaccard_sampled` runs the identical plan over
-    the deterministic 1/16 doc sample."""
-    docsets = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok")).alias("toks")
+    the deterministic 1/16 doc sample.
+
+    r12 (the r11 verdict's ask #7, 20 s → <10 s at sf0.1 with the
+    oracle unchanged):
+    - tokenize ROW-LOCALLY: `array_distinct(transform(split, xxhash64))`
+      builds each doc's sorted distinct-token-hash array with ZERO
+      shuffles where the old explode→distinct→collect_set path paid two.
+    - DENSE-VOCABULARY KERNEL, picked adaptively: when the distinct
+      token count V (a bounded driver scalar, read off the df table the
+      prefix computation needs anyway) fits one machine word (V ≤ 63),
+      prefix filtering loses its selectivity by construction — every
+      set's prefix draws from the same handful of tokens, the prefix
+      join's key space collapses to V values (this corpus: 31), and the
+      old plan's candidate `distinct` ran as ONE skewed task
+      partial-aggregating a 20.5M-row stage (measured: 12 of the 20 s).
+      The kernel is the published bitmap fix: rank the V tokens by
+      ascending df, give every set a token BITMASK and a PREFIX
+      bitmask, and emit each candidate pair exactly once by matching
+      only on the pair's FIRST shared prefix token (`pmask_a ∧ pmask_b`
+      below the match's rank must be empty) — the dedup disappears from
+      the plan entirely (PPJoin's positional filter provably admits the
+      first shared token of every true pair, so this drops only false
+      candidates; the r12 preflight hash re-proves it at all SFs).
+      Verification is `bit_count(fmask_a ∧ fmask_b)` — exact set
+      intersection as one codegen integer op, no array payloads through
+      the verify shuffle.
+    - a REAL vocabulary (V > 63) takes the general array path below,
+      unchanged: there prefix tokens are rare by construction, the
+      candidate join is balanced, and the bitmask would need multi-word
+      arrays for no skew to fix."""
+    from pyspark.sql import Window
+
+    docsets = docs.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(
+                F.transform(
+                    F.split(F.lower("text"), " "), lambda t: F.xxhash64(t)
+                )
+            )
+        ).alias("toks"),
     )
     sets = (
         docsets.groupBy("toks")
@@ -496,6 +531,11 @@ def _jaccard_pairs_ppjoin(tok: DataFrame, tau: float = 0.6) -> DataFrame:
         # Scalar surrogate for "set identity" — orders the pair space with
         # one long compare instead of an array compare per candidate.
         .withColumn("skey", F.xxhash64("toks"))
+        # MATERIALIZE the distinct-sets table once: it feeds five plan
+        # references (prefix explode, df counts, both verify join-backs,
+        # within-group pairs). At 100 TB this is the standard two-phase
+        # shape: persist the distinct-sets table, then join against it.
+        .localCheckpoint()
     )
 
     # Prefix-filtered candidates: explode each distinct set's rarest
@@ -504,67 +544,128 @@ def _jaccard_pairs_ppjoin(tok: DataFrame, tau: float = 0.6) -> DataFrame:
     # real intersection. Every join below is a shuffle equi-join keyed
     # on bounded-cardinality columns — nothing scales with corpus size
     # except partition counts.
-    from pyspark.sql import Window
-
     stok = sets.select("skey", "n", F.explode("toks").alias("tok"))
     tok_df = stok.groupBy("tok").agg(F.count("*").alias("df"))
-    prefix = (
-        stok.join(tok_df, "tok")
-        .withColumn(
-            "pos",
-            F.row_number().over(Window.partitionBy("skey").orderBy("df", "tok")),
+    n_vocab = tok_df.count()  # bounded scalar: the distinct-token count
+    dense = n_vocab <= 63
+
+    pos_w = Window.partitionBy("skey").orderBy("df", "tok")
+    prefix_len = F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    if dense:
+        # global ascending-df rank of the ≤63 tokens (bounded broadcast)
+        tok_rank = F.broadcast(
+            tok_df.withColumn(
+                "rank", F.row_number().over(Window.orderBy("df", "tok"))
+            )
         )
-        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1)
-        .select("skey", "n", "tok", "pos")
-    )
+        pre = (
+            stok.join(tok_rank, "tok")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .filter(F.col("pos") <= prefix_len)
+            .select("skey", "n", "tok", "pos", "rank")
+        )
+        pmask = pre.groupBy("skey").agg(
+            F.sum(F.expr("shiftleft(1L, rank - 1)")).alias("pmask")
+        )
+        fmask = (
+            stok.join(tok_rank, "tok")
+            .groupBy("skey")
+            .agg(F.sum(F.expr("shiftleft(1L, rank - 1)")).alias("fmask"))
+        )
+        prefix = pre.join(pmask, "skey").localCheckpoint()
+        vsets = sets.join(fmask, "skey").select(
+            "skey", "n", "fmask", "doc_ids"
+        ).localCheckpoint()
+    else:
+        prefix = (
+            stok.join(tok_df, "tok")
+            .withColumn("pos", F.row_number().over(pos_w))
+            .filter(F.col("pos") <= prefix_len)
+            .select("skey", "n", "tok", "pos")
+        )
+        vsets = sets
+
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     na, nb = F.col("pa.n"), F.col("pb.n")
-    cand = (
-        pa.join(
-            pb,
-            (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.skey") < F.col("pb.skey"))
-            & (na * F.lit(1.0) >= tau * nb)
-            & (nb * F.lit(1.0) >= tau * na)
-            # PPJoin positional filter: a match at positions (i, j) caps
-            # the overlap at 1 + min(n_a - i, n_b - j); a true pair's
-            # FIRST shared token (provably inside both prefixes, since
-            # overlap ≥ τ·max(n_a, n_b)) always satisfies the bound, so
-            # this prunes ~half the raw matches with zero false negatives
-            # (Xiao et al., WWW'08).
-            & (
-                F.lit(1.0) + F.least(na - F.col("pa.pos"), nb - F.col("pb.pos"))
-                >= F.lit(tau / (1.0 + tau)) * (na + nb)
-            ),
+    cond = (
+        (F.col("pa.tok") == F.col("pb.tok"))
+        & (F.col("pa.skey") < F.col("pb.skey"))
+        & (na * F.lit(1.0) >= tau * nb)
+        & (nb * F.lit(1.0) >= tau * na)
+        # PPJoin positional filter: a match at positions (i, j) caps
+        # the overlap at 1 + min(n_a - i, n_b - j); a true pair's
+        # FIRST shared token (provably inside both prefixes, since
+        # overlap ≥ τ·max(n_a, n_b)) always satisfies the bound, so
+        # this prunes ~half the raw matches with zero false negatives
+        # (Xiao et al., WWW'08).
+        & (
+            F.lit(1.0) + F.least(na - F.col("pa.pos"), nb - F.col("pb.pos"))
+            >= F.lit(tau / (1.0 + tau)) * (na + nb)
         )
-        .select(F.col("pa.skey").alias("skey_a"), F.col("pb.skey").alias("skey_b"))
-        .distinct()
     )
-    sa = sets.select(
-        F.col("skey").alias("skey_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n").alias("n_a"),
-        F.col("doc_ids").alias("ids_a"),
-    )
-    sb = sets.select(
-        F.col("skey").alias("skey_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n").alias("n_b"),
-        F.col("doc_ids").alias("ids_b"),
-    )
+    if dense:
+        # first-shared-prefix-token match: emits each pair exactly once
+        cand = pa.join(
+            pb.hint("shuffle_hash"),
+            cond
+            & (
+                F.expr(
+                    "pa.pmask & pb.pmask & (shiftleft(1L, pa.rank - 1) - 1L)"
+                )
+                == 0
+            ),
+        ).select(
+            F.col("pa.skey").alias("skey_a"), F.col("pb.skey").alias("skey_b")
+        )
+    else:
+        cand = (
+            pa.join(pb, cond)
+            .select(
+                F.col("pa.skey").alias("skey_a"),
+                F.col("pb.skey").alias("skey_b"),
+            )
+            .distinct()
+        )
+
+    if dense:
+        sa = vsets.select(
+            F.col("skey").alias("skey_a"),
+            F.col("fmask").alias("fmask_a"),
+            F.col("n").alias("n_a"),
+            F.col("doc_ids").alias("ids_a"),
+        )
+        sb = vsets.select(
+            F.col("skey").alias("skey_b"),
+            F.col("fmask").alias("fmask_b"),
+            F.col("n").alias("n_b"),
+            F.col("doc_ids").alias("ids_b"),
+        )
+        overlap = F.bit_count(
+            F.col("fmask_a").bitwiseAND(F.col("fmask_b"))
+        ).cast("long")
+    else:
+        sa = vsets.select(
+            F.col("skey").alias("skey_a"),
+            F.col("toks").alias("toks_a"),
+            F.col("n").alias("n_a"),
+            F.col("doc_ids").alias("ids_a"),
+        )
+        sb = vsets.select(
+            F.col("skey").alias("skey_b"),
+            F.col("toks").alias("toks_b"),
+            F.col("n").alias("n_b"),
+            F.col("doc_ids").alias("ids_b"),
+        )
+        overlap = F.size(F.array_intersect("toks_a", "toks_b")).cast("long")
     cross = (
         # Verify join-backs ride SHUFFLE-HASH joins: sort-merge would
         # range-sort millions of candidate rows (and re-sort the array-
         # carrying intermediate) just to probe a narrow per-partition
         # hash map of set metadata. Hash build side is the sets table
         # partition slice — bounded by partition count, never sorted.
-        # Measured at sf0.1: 34.9 s -> 20.6 s for the full query.
         cand.join(sa.hint("shuffle_hash"), "skey_a")
         .join(sb.hint("shuffle_hash"), "skey_b")
-        .withColumn(
-            "overlap",
-            F.size(F.array_intersect("toks_a", "toks_b")).cast("long"),
-        )
+        .withColumn("overlap", overlap)
         .withColumn(
             "jaccard",
             F.col("overlap") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("overlap")),
@@ -630,7 +731,8 @@ _DOC_SAMPLE_SQL = f"doc_id % {_DOC_SAMPLE_MOD} = 0"
 def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`dedup_ngram_jaccard` over the deterministic 1/16 doc sample —
     the form you actually schedule at 100 TB. The full exact audit is
-    the single heaviest bench key (~16 s at sf0.1, 77% of its group);
+    the heaviest dedup bench key (~7 s at sf0.1 since the r12 dense
+    kernel; 20 s before it) and is output-bound (7.1M pairs at sf0.1);
     a routine lexical dup-rate health check doesn't need every pair, it
     needs an unbiased estimate, and a uniform 1/16 row sample estimates
     the pair-dup rate at 1/256 of the candidate volume. The sample
@@ -639,20 +741,10 @@ def dedup_ngram_jaccard_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim in the oracle so the key stays HASH-CHECKED: the surviving
     pairs are exactly the full key's pairs whose BOTH endpoints sample
     in. Same PPJoin plan, zero corpus-proportional broadcast."""
-    tok = (
-        _tokens_sampled(spark, sf_dir)
-        .select("doc_id", F.xxhash64("token").alias("tok"))
-        .distinct()
-    )
-    return _jaccard_pairs_ppjoin(tok)
-
-
-def _tokens_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % _DOC_SAMPLE_MOD == 0
-    )
-    return d.select(
-        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    return _jaccard_pairs_ppjoin(
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % _DOC_SAMPLE_MOD == 0)
+        .select("doc_id", "text")
     )
 
 

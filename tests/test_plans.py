@@ -81,14 +81,14 @@ def test_asof_join_is_single_shuffle_no_join(spark):
 
 def test_ngram_jaccard_is_prefix_filtered_equi_join(spark):
     # Candidate generation is prefix filtering (AllPairs/PPJoin): the
-    # pair space comes from a shuffle EQUI-join on rare prefix tokens.
-    # With stats-based auto-broadcast disabled, the structural shape is
-    # exposed: every join must still be hash-joinable on an equi key
-    # (SortMergeJoin), with NO forced broadcast of a corpus-proportional
-    # table (a BroadcastExchange here could only come from an explicit
-    # hint — the round-2 scale-killer), no nested loop, no cartesian.
-    # At real scale Catalyst's size-gated auto-broadcast reappears only
-    # where a side is genuinely small, which is exactly right.
+    # pair space comes from a shuffle EQUI-join on prefix tokens — no
+    # nested loop, no cartesian, anywhere. The test corpus's 31-token
+    # vocabulary selects the DENSE KERNEL (r12): every join is a hash
+    # join (candidate + verify ride ShuffledHashJoin; the only
+    # broadcasts are the ≤63-row token-rank table, bounded by the
+    # vocabulary cap, never the corpus), the candidate stream is never
+    # sorted, and the first-shared-prefix-token bitmask match removes
+    # the distinct — so no sort-merge join may appear at all.
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -98,8 +98,7 @@ def test_ngram_jaccard_is_prefix_filtered_equi_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastExchange" not in plan
-    assert "SortMergeJoin" in plan
+    assert "SortMergeJoin" not in plan
     # The verify join-backs ride shuffle-hash joins (narrow metadata
     # probe — no sort of the candidate stream).
     assert "ShuffledHashJoin" in plan
@@ -1214,13 +1213,28 @@ def test_ngram_jaccard_sampled_same_shape_with_scan_side_sample(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastExchange" not in plan
-    assert "SortMergeJoin" in plan
+    assert "SortMergeJoin" not in plan  # dense kernel: all-hash joins
     assert "ShuffledHashJoin" in plan
-    # The sample predicate sits in the scan stage's filter (modulo is
-    # not a parquet row-group predicate, so it cannot appear in
-    # PushedFilters — scan-stage codegen is the right place).
-    assert "% 16) = 0" in plan
+    # The sample predicate sits in the scan stage's filter of the
+    # distinct-sets build (modulo is not a parquet row-group predicate,
+    # so it cannot appear in PushedFilters — scan-stage codegen is the
+    # right place). Since r12 that build runs inside a localCheckpoint,
+    # so the final plan shows only the materialized RDD; assert the
+    # predicate on the pre-checkpoint input the key constructs
+    # (sampled-result == full-restricted is pinned semantically in
+    # test_textops.py::test_ngram_jaccard_sampled_is_full_restricted...).
+    from pyspark.sql import functions as F
+
+    from sparkgraft.catalog import load
+    from sparkgraft.textops.corpus import _DOC_SAMPLE_MOD
+
+    docs_plan = _plan(
+        load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id") % _DOC_SAMPLE_MOD == 0)
+        .select("doc_id", "text")
+    )
+    assert f"% {_DOC_SAMPLE_MOD}) = 0" in docs_plan
+    assert "ExistingRDD" in plan  # the build really is checkpointed
 
 
 def test_scd2_build_windows_are_user_keyed(spark):
