@@ -2160,13 +2160,31 @@ def stream_snapshot_cdf_partitioned(
 # rows instead of delete events for the masked rows) ---
 
 
-def _mor_cdf_datasource():
-    from pyspark.sql import types as T
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceStreamReader,
-        InputPartition,
-    )
+def _log_cdf_reader_base():
+    """THE shared snapshot-log CDF planner (r12 review fix: MOR/doc/
+    schema-evo readers each carried a near-verbatim copy of the
+    sequence-scoping machinery, so every planning fix — the r10
+    strictly-lower-sequence rule, the r11 cross-encoding priors, the
+    rewrite-op skip — had to be re-applied per copy, and two copies had
+    already missed the rewrite skip). One base class now owns:
+
+    - version offsets, one commit per micro-batch, with optional
+      `state_dir` cursor persistence across restarts;
+    - the op=rewrite ZERO-EVENT skip (`rewrite_as_churn` keeps the
+      negative-proof knob);
+    - the per-file sequence scoping (a delete file applies only to
+      data files with a STRICTLY lower first-referencing version);
+    - CROSS-ENCODING prior suppression (prior lists carry BOTH delete
+      encodings; executors suppress on either mask);
+    - SAME-COMMIT ownership (r12 review fix): when ONE commit adds
+      both a positional DV and an equality tombstone masking the same
+      row, the DV owns it — the equality partitions carry the commit's
+      own new DVs in their prior list, so the row emits exactly once.
+
+    Subclasses set ``PARTITION`` (their InputPartition class, with the
+    (version, kind, path, new_dels, prior_dels) constructor) and
+    implement ``read`` with their table's columns."""
+    from pyspark.sql.datasource import DataSourceStreamReader
 
     # the file-classification contract is OWNED by scans.py (the sink
     # keys write these paths); import it so a rename there cannot
@@ -2177,59 +2195,24 @@ def _mor_cdf_datasource():
     _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
     _POS_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}{_POS_DELETE_CLASS}{os.sep}"
 
-    class MORCDFPartition(InputPartition):
-        """One executor work unit of one commit's change set: an added
-        data file ('insert'), a removed data file ('delete' — the COW
-        form), or one PRE-IMAGE data file to be masked by the commit's
-        new equality-delete tombstones ('mor_delete' — carries the
-        KB-scale tombstone path lists; the executor reads both sides)."""
-
-        def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
-            self.version = version
-            self.kind = kind
-            self.path = path
-            self.new_dels = list(new_dels)
-            self.prior_dels = list(prior_dels)
-
-    class MORCDFReader(DataSourceStreamReader):
-        """The snapshot-log CDF upgraded to MERGE-ON-READ awareness.
-        Offsets are snapshot versions (one commit per micro-batch, the
-        proven protocol); the commit CLASSIFIER is new: a commit's
-        change set is derived from the manifest delta split by file
-        class —
-
-        - added DATA files -> 'insert' partitions (one per file);
-        - removed data files -> 'delete' partitions (the COW form);
-        - added DELETE-class files (equality tombstones) -> one
-          'mor_delete' partition PER PRE-IMAGE DATA FILE, each carrying
-          the commit's new tombstone paths plus the pre-image's PRIOR
-          tombstones: the executor emits a data row as a delete event
-          iff its key is masked by the new tombstones and was NOT
-          already masked (Iceberg sequence-number scoping — a delete
-          file applies only to data files with a strictly lower
-          sequence, so a MOR UPSERT commit that adds a tombstone AND a
-          data file in one commit streams as delete events for the old
-          rows next to insert events for the new file, never masking
-          its own adds).
-
-        All reads execute on executors; the driver touches only KB
-        manifests. Scale: per-commit feed cost is the commit's delta
-        file set plus, for MOR commits, one pass over the pre-image
-        data files — exactly what any CDF consumer of equality deletes
-        must pay inside retention, distributed."""
+    class BaseLogCDFReader(DataSourceStreamReader):
+        PARTITION: type = None
 
         def __init__(self, options):
+            import json
+
             self.log_dir = options["log_dir"]
-            # r11 negative-proof knob: a LABEL-CONFUSED reader that
-            # streams a rewrite commit as delete+insert churn — used by
-            # `stream_cdf_compaction_aware` to prove the replay-digest
-            # equality BREAKS without rewrite awareness. Never set on
-            # production paths.
+            self.state_dir = options.get("state_dir")
             self.rewrite_as_churn = (
                 str(options.get("rewrite_as_churn", "false")).lower()
                 == "true"
             )
             self._last = 0
+            if self.state_dir:
+                p = os.path.join(self.state_dir, "last_committed.json")
+                if os.path.exists(p):
+                    with open(p) as fh:
+                        self._last = int(json.load(fh)["version"])
 
         def _versions(self):
             return sorted(
@@ -2285,84 +2268,142 @@ def _mor_cdf_datasource():
 
         def partitions(self, start, end):
             self._last = max(self._last, end["version"])
+            P = self.PARTITION
             parts = []
             for v in range(start["version"] + 1, end["version"] + 1):
                 # COMPACTION AWARENESS (r10 verdict ask #1): a commit
-                # stamped op=rewrite (OPTIMIZE / auto-compaction /
-                # rewrite-data-files) changes file LAYOUT, not rows —
-                # the live row set before and after is identical, so
-                # the change feed emits ZERO events for it. Without
-                # this, a maintenance commit streams the whole table
-                # as delete+insert churn to every downstream consumer
-                # (and, because compaction applies accumulated
-                # tombstones whose deletes were ALREADY emitted, the
-                # signed replay of the feed stops matching the head —
-                # the label-confused path below proves exactly that).
+                # stamped op=rewrite changes file LAYOUT, not rows —
+                # the feed emits ZERO events for it (the label-confused
+                # `rewrite_as_churn` counterfactual proves the replay
+                # digest breaks without this).
                 man = self._manifest(v)  # ONE manifest read per commit
                 if man.get("op") == "rewrite" and not self.rewrite_as_churn:
                     continue
                 cur = set(man["files"])
                 prev = set(self._files(v - 1))
                 added = cur - prev
-                # the file->first-version map (sequence numbers) is
-                # shared by BOTH delete-encoding branches — computed at
-                # most once per commit, not once per branch
-                fv = (
-                    self._first_versions(v)
-                    if any(self._is_del(p) for p in added)
-                    else None
+                new_dels_all = sorted(
+                    p for p in added if self._is_del(p)
                 )
-                new_dels_all = sorted(p for p in added if self._is_del(p))
-                # split the commit's delete files by ENCODING: equality
-                # tombstones carry keys, positional DVs carry
-                # (file_path, row_index) — each gets its own partition
-                # kind so the executor reads the right schema
-                new_pos = [p for p in new_dels_all if self._is_pos_del(p)]
-                new_dels = [
+                fv = self._first_versions(v) if new_dels_all else None
+                new_pos = [
+                    p for p in new_dels_all if self._is_pos_del(p)
+                ]
+                new_eq = [
                     p for p in new_dels_all if not self._is_pos_del(p)
                 ]
-                prev_data = sorted(p for p in prev if not self._is_del(p))
-                for p in sorted(p for p in prev - cur if not self._is_del(p)):
-                    parts.append(MORCDFPartition(v, "delete", p))
-                # CROSS-ENCODING prior suppression (r11 ADVICE, medium):
-                # the prior list for a pre-image data file gathers
-                # prior delete files of BOTH encodings — a row already
-                # masked by a prior positional DV must not re-emit as a
-                # delete when a later equality tombstone also covers it
-                # (and vice versa). The executor splits the list by
-                # encoding and suppresses on EITHER mask. Sequence
-                # scoping is shared: a prior delete file applies only
-                # to data files with a STRICTLY lower sequence (r10
-                # wave 2 — a manifest-global prior list would wrongly
-                # suppress repeated upserts of the same keys:
-                # `stream_scd2_maintenance` exercises exactly this).
-                prior_all_dels = [p for p in prev if self._is_del(p)]
+                prev_data = sorted(
+                    p for p in prev if not self._is_del(p)
+                )
+                for p in sorted(
+                    p for p in prev - cur if not self._is_del(p)
+                ):
+                    parts.append(P(v, "delete", p))
+                # prior suppression gathers BOTH encodings (r11 ADVICE)
+                prior_all = [p for p in prev if self._is_del(p)]
                 if new_pos:
                     for p in prev_data:
                         prior_for_p = sorted(
-                            t for t in prior_all_dels if fv[t] > fv[p]
+                            t for t in prior_all if fv[t] > fv[p]
                         )
                         parts.append(
-                            MORCDFPartition(
-                                v, "pos_delete", p, new_pos, prior_for_p
-                            )
+                            P(v, "pos_delete", p, new_pos, prior_for_p)
                         )
-                if new_dels:
+                if new_eq:
                     for p in prev_data:
                         prior_for_p = sorted(
-                            t for t in prior_all_dels if fv[t] > fv[p]
+                            t for t in prior_all if fv[t] > fv[p]
                         )
+                        # SAME-COMMIT ownership: the commit's own DVs
+                        # ride in the equality partitions' prior list,
+                        # so a row masked by both encodings in one
+                        # commit emits once (through the DV partition)
                         parts.append(
-                            MORCDFPartition(
-                                v, "mor_delete", p, new_dels, prior_for_p
+                            P(
+                                v,
+                                "mor_delete",
+                                p,
+                                new_eq,
+                                prior_for_p + sorted(new_pos),
                             )
                         )
                 parts.extend(
-                    MORCDFPartition(v, "insert", p)
-                    for p in sorted(added - set(new_dels))
+                    P(v, "insert", p)
+                    for p in sorted(added)
                     if not self._is_del(p)
                 )
-            return parts or [MORCDFPartition(0, "insert", "")]
+            return parts or [P(0, "insert", "")]
+
+        def commit(self, end):
+            import json
+
+            self._last = max(self._last, end["version"])
+            if self.state_dir:
+                os.makedirs(self.state_dir, exist_ok=True)
+                tmp = os.path.join(self.state_dir, ".tmp-last")
+                with open(tmp, "w") as fh:
+                    json.dump({"version": self._last}, fh)
+                os.replace(
+                    tmp,
+                    os.path.join(self.state_dir, "last_committed.json"),
+                )
+
+    return BaseLogCDFReader
+
+
+def _mor_cdf_datasource():
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import (
+        DataSource,
+        InputPartition,
+    )
+
+    class MORCDFPartition(InputPartition):
+        """One executor work unit of one commit's change set: an added
+        data file ('insert'), a removed data file ('delete' — the COW
+        form), or one PRE-IMAGE data file to be masked by the commit's
+        new equality-delete tombstones ('mor_delete' — carries the
+        KB-scale tombstone path lists; the executor reads both sides)."""
+
+        def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
+            self.version = version
+            self.kind = kind
+            self.path = path
+            self.new_dels = list(new_dels)
+            self.prior_dels = list(prior_dels)
+
+    class MORCDFReader(_log_cdf_reader_base()):
+        """The snapshot-log CDF upgraded to MERGE-ON-READ awareness.
+        Offsets are snapshot versions (one commit per micro-batch, the
+        proven protocol); the commit CLASSIFIER is new: a commit's
+        change set is derived from the manifest delta split by file
+        class —
+
+        - added DATA files -> 'insert' partitions (one per file);
+        - removed data files -> 'delete' partitions (the COW form);
+        - added DELETE-class files (equality tombstones) -> one
+          'mor_delete' partition PER PRE-IMAGE DATA FILE, each carrying
+          the commit's new tombstone paths plus the pre-image's PRIOR
+          tombstones: the executor emits a data row as a delete event
+          iff its key is masked by the new tombstones and was NOT
+          already masked (Iceberg sequence-number scoping — a delete
+          file applies only to data files with a strictly lower
+          sequence, so a MOR UPSERT commit that adds a tombstone AND a
+          data file in one commit streams as delete events for the old
+          rows next to insert events for the new file, never masking
+          its own adds).
+
+        All reads execute on executors; the driver touches only KB
+        manifests. Scale: per-commit feed cost is the commit's delta
+        file set plus, for MOR commits, one pass over the pre-image
+        data files — exactly what any CDF consumer of equality deletes
+        must pay inside retention, distributed."""
+
+        # planning (offsets, sequence scoping, cross-encoding priors,
+        # same-commit DV ownership, the op=rewrite skip and its
+        # `rewrite_as_churn` negative-proof knob) lives in the shared
+        # base — see `_log_cdf_reader_base`
+        PARTITION = MORCDFPartition
 
         def read(self, partition):  # EXECUTOR-side
             import pyarrow.parquet as pq
@@ -2438,9 +2479,6 @@ def _mor_cdf_datasource():
                 change = "insert" if partition.kind == "insert" else "delete"
                 for k, c in rows:
                     yield (partition.version, change, k, c)
-
-        def commit(self, end):
-            self._last = max(self._last, end["version"])
 
     class MORCDFSource(DataSource):
         @classmethod
@@ -4007,19 +4045,14 @@ def _head_event_schema(log_dir: str):
     whether the evolved columns exist in the event schema. Kept as a
     module-level helper so the key can assert the BEFORE/AFTER planning
     behavior directly (a v1-head log must plan WITHOUT `channel`)."""
-    import json
-
     from pyspark.sql import types as T
 
-    versions = sorted(
-        int(f[1:-5])
-        for f in os.listdir(log_dir)
-        if f.startswith("v") and f.endswith(".json")
-    )
+    from sparkgraft.scans import _log_versions, _read_manifest
+
+    versions = _log_versions(log_dir)
     if not versions:
         raise RuntimeError(f"empty snapshot log: {log_dir}")
-    with open(os.path.join(log_dir, f"v{versions[-1]}.json")) as fh:
-        head = json.load(fh)
+    head = _read_manifest(log_dir, versions[-1])
     sv = head.get("schema_version")
     if sv is None:
         raise RuntimeError(
@@ -4040,13 +4073,8 @@ def _head_event_schema(log_dir: str):
 def _schema_evo_cdf_datasource():
     from pyspark.sql.datasource import (
         DataSource,
-        DataSourceStreamReader,
         InputPartition,
     )
-
-    from sparkgraft.scans import _MOR_DELETE_CLASS
-
-    _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
 
     class SECDFPartition(InputPartition):
         def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
@@ -4056,7 +4084,7 @@ def _schema_evo_cdf_datasource():
             self.new_dels = list(new_dels)
             self.prior_dels = list(prior_dels)
 
-    class SECDFReader(DataSourceStreamReader):
+    class SECDFReader(_log_cdf_reader_base()):
         """Snapshot-log CDF with SCHEMA-EVOLUTION awareness: the event
         schema is planned from the HEAD manifest's `schema_version`
         (see `_head_event_schema`), and executors project data files
@@ -4066,100 +4094,34 @@ def _schema_evo_cdf_datasource():
         commits). A metadata-only add-column commit changes no files,
         so the feed emits ZERO events for it (asserted in-key).
 
-        Offsets are snapshot versions, one commit per micro-batch (the
-        proven protocol); equality tombstones mask pre-image data files
-        with strictly-lower sequence, prior tombstones suppress
-        already-deleted rows (the MORCDFReader scoping, unchanged).
+        Planning (offsets, sequence scoping, rewrite awareness) is the
+        shared `_log_cdf_reader_base` — this reader adds only the
+        schema resolution and the schema-projecting executor read.
 
         Scale: planning is KB manifest reads on the driver; the schema
         resolution adds ONE head-manifest read per stream start.
         Executor work is per-delta-file, and NULL projection is free
         (the column simply isn't read from old files)."""
 
+        PARTITION = SECDFPartition
+
         def __init__(self, options):
-            self.log_dir = options["log_dir"]
-            self._last = 0
+            super().__init__(options)
             # plan-time schema resolution: captured once per stream
             # start, shipped to executors with the partitions
             schema, sv = _head_event_schema(self.log_dir)
             self._evolved = sv >= 2
-
-        def _versions(self):
-            return sorted(
-                int(f[1:-5])
-                for f in os.listdir(self.log_dir)
-                if f.startswith("v") and f.endswith(".json")
-            )
-
-        def _manifest(self, version):
-            import json
-
-            if version <= 0:
-                return {"files": []}
-            with open(
-                os.path.join(self.log_dir, f"v{version}.json")
-            ) as fh:
-                return json.load(fh)
-
-        def _files(self, version):
-            return self._manifest(version)["files"]
-
-        @staticmethod
-        def _is_del(path):
-            return _DEL_SEG in path
-
-        def initialOffset(self):
-            return {"version": 0}
-
-        def latestOffset(self):
-            head = self._versions()
-            if head and head[-1] > self._last:
-                self._last += 1  # one commit per micro-batch
-            return {"version": self._last}
-
-        def _first_versions(self, upto):
-            seen: dict = {}
-            for v in range(1, upto + 1):
-                for f in self._files(v):
-                    seen.setdefault(f, v)
-            return seen
-
-        def partitions(self, start, end):
-            self._last = max(self._last, end["version"])
-            parts = []
-            for v in range(start["version"] + 1, end["version"] + 1):
-                cur = set(self._files(v))
-                prev = set(self._files(v - 1))
-                added = cur - prev
-                new_dels = sorted(p for p in added if self._is_del(p))
-                fv = self._first_versions(v) if new_dels else None
-                for p in sorted(p for p in prev - cur if not self._is_del(p)):
-                    parts.append(SECDFPartition(v, "delete", p))
-                if new_dels:
-                    prior_all = [p for p in prev if self._is_del(p)]
-                    for p in sorted(
-                        p for p in prev if not self._is_del(p)
-                    ):
-                        prior_for_p = sorted(
-                            t for t in prior_all if fv[t] > fv[p]
-                        )
-                        parts.append(
-                            SECDFPartition(
-                                v, "mor_delete", p, new_dels, prior_for_p
-                            )
-                        )
-                parts.extend(
-                    SECDFPartition(v, "insert", p)
-                    for p in sorted(added)
-                    if not self._is_del(p)
-                )
-            return parts or [SECDFPartition(0, "insert", "")]
 
         def read(self, partition):  # EXECUTOR-side
             import pyarrow.parquet as pq
 
             if not partition.path:
                 return
+            if partition.kind == "pos_delete":
+                raise RuntimeError(
+                    "positional delete vectors are out of this feed's "
+                    "scope — evolving tables here delete by key"
+                )
 
             evolved = self._evolved
 
@@ -4167,9 +4129,10 @@ def _schema_evo_cdf_datasource():
                 """Read one data file PROJECTED TO THE PLANNED SCHEMA:
                 files written before the add-column commit lack
                 `channel` and read as NULL — never a crash, never a
-                truncation."""
-                t = pq.read_table(path)
-                names = set(t.column_names)
+                truncation. The unknown-column guard checks the
+                FOOTER schema (metadata-only); the read itself is
+                projected to the needed columns."""
+                names = set(pq.read_schema(path).names)
                 unknown = names - {"o_orderkey", "cents", "channel"}
                 if unknown:
                     raise RuntimeError(
@@ -4177,16 +4140,17 @@ def _schema_evo_cdf_datasource():
                         "unknown to the planned head schema — reader "
                         "is staler than the table; re-plan the stream"
                     )
+                cols = ["o_orderkey", "cents"]
+                if evolved and "channel" in names:
+                    cols.append("channel")
+                t = pq.read_table(path, columns=cols)
                 keys = t.column("o_orderkey").to_pylist()
                 cents = t.column("cents").to_pylist()
-                if evolved:
-                    chan = (
-                        t.column("channel").to_pylist()
-                        if "channel" in names
-                        else [None] * len(keys)
-                    )
-                else:
-                    chan = [None] * len(keys)
+                chan = (
+                    t.column("channel").to_pylist()
+                    if "channel" in cols
+                    else [None] * len(keys)
+                )
                 return list(zip(keys, cents, chan))
 
             def keys_of(paths):
@@ -4208,6 +4172,10 @@ def _schema_evo_cdf_datasource():
                         yield (partition.version, change, k, c)
 
             if partition.kind == "mor_delete":
+                if any(self._is_pos_del(t) for t in partition.prior_dels):
+                    raise RuntimeError(
+                        "positional priors are out of this feed's scope"
+                    )
                 mask = keys_of(partition.new_dels)
                 prior = keys_of(partition.prior_dels)
                 yield from emit(
@@ -4223,9 +4191,6 @@ def _schema_evo_cdf_datasource():
                     "insert" if partition.kind == "insert" else "delete"
                 )
                 yield from emit(change, rows_of(partition.path))
-
-        def commit(self, end):
-            self._last = max(self._last, end["version"])
 
     class SECDFSource(DataSource):
         @classmethod
@@ -4520,13 +4485,8 @@ def _doc_cdf_datasource():
     from pyspark.sql import types as T
     from pyspark.sql.datasource import (
         DataSource,
-        DataSourceStreamReader,
         InputPartition,
     )
-
-    from sparkgraft.scans import _MOR_DELETE_CLASS
-
-    _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
 
     class DocCDFPartition(InputPartition):
         def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
@@ -4536,87 +4496,21 @@ def _doc_cdf_datasource():
             self.new_dels = list(new_dels)
             self.prior_dels = list(prior_dels)
 
-    class DocCDFReader(DataSourceStreamReader):
-        def __init__(self, options):
-            self.log_dir = options["log_dir"]
-            self._last = 0
-
-        def _versions(self):
-            return sorted(
-                int(f[1:-5])
-                for f in os.listdir(self.log_dir)
-                if f.startswith("v") and f.endswith(".json")
-            )
-
-        def _manifest(self, version):
-            import json
-
-            if version <= 0:
-                return {"files": []}
-            with open(
-                os.path.join(self.log_dir, f"v{version}.json")
-            ) as fh:
-                return json.load(fh)
-
-        def _files(self, version):
-            return self._manifest(version)["files"]
-
-        @staticmethod
-        def _is_del(path):
-            return _DEL_SEG in path
-
-        def initialOffset(self):
-            return {"version": 0}
-
-        def latestOffset(self):
-            head = self._versions()
-            if head and head[-1] > self._last:
-                self._last += 1  # one commit per micro-batch
-            return {"version": self._last}
-
-        def _first_versions(self, upto):
-            seen: dict = {}
-            for v in range(1, upto + 1):
-                for f in self._files(v):
-                    seen.setdefault(f, v)
-            return seen
-
-        def partitions(self, start, end):
-            self._last = max(self._last, end["version"])
-            parts = []
-            for v in range(start["version"] + 1, end["version"] + 1):
-                cur = set(self._files(v))
-                prev = set(self._files(v - 1))
-                added = cur - prev
-                new_dels = sorted(p for p in added if self._is_del(p))
-                fv = self._first_versions(v) if new_dels else None
-                for p in sorted(p for p in prev - cur if not self._is_del(p)):
-                    parts.append(DocCDFPartition(v, "delete", p))
-                if new_dels:
-                    prior_all = [p for p in prev if self._is_del(p)]
-                    for p in sorted(
-                        p for p in prev if not self._is_del(p)
-                    ):
-                        prior_for_p = sorted(
-                            t for t in prior_all if fv[t] > fv[p]
-                        )
-                        parts.append(
-                            DocCDFPartition(
-                                v, "mor_delete", p, new_dels, prior_for_p
-                            )
-                        )
-                parts.extend(
-                    DocCDFPartition(v, "insert", p)
-                    for p in sorted(added)
-                    if not self._is_del(p)
-                )
-            return parts or [DocCDFPartition(0, "insert", "")]
+    class DocCDFReader(_log_cdf_reader_base()):
+        PARTITION = DocCDFPartition
 
         def read(self, partition):  # EXECUTOR-side
             import pyarrow.parquet as pq
 
             if not partition.path:
                 return
+            if partition.kind == "pos_delete" or any(
+                self._is_pos_del(t) for t in partition.prior_dels
+            ):
+                raise RuntimeError(
+                    "positional delete vectors are out of this feed's "
+                    "scope — corpora delete by doc key"
+                )
 
             def keys_of(paths):
                 out = set()
@@ -4645,9 +4539,6 @@ def _doc_cdf_datasource():
                 )
                 for k, txt in rows:
                     yield (partition.version, change, k, txt)
-
-        def commit(self, end):
-            self._last = max(self._last, end["version"])
 
     class DocCDFSource(DataSource):
         @classmethod

@@ -225,6 +225,50 @@ def test_cdf_cross_table_state_artifacts(spark):
         assert json.load(fh)["version"] == 4
 
 
+def test_mor_cdf_same_commit_mixed_encodings_emit_once(spark, tmp_path):
+    """One commit adds BOTH a positional DV and an equality tombstone
+    whose masks OVERLAP: a row masked by both must emit exactly one
+    delete event (the DV owns it — the planner rides the commit's own
+    DVs in the equality partitions' prior list). Drives the reader's
+    partitions()/read() directly against a hand-built log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkgraft.streaming import _mor_cdf_datasource
+
+    root = tmp_path / "mixed"
+    (root / "deletes" / "pos").mkdir(parents=True)
+    log = root / "log"
+    log.mkdir()
+
+    data = str(root / "base.parquet")
+    keys = list(range(1, 11))
+    pq.write_table(
+        pa.table({"o_orderkey": keys, "cents": [k * 100 for k in keys]}),
+        data,
+    )
+    eq = str(root / "deletes" / "eq.parquet")
+    pq.write_table(pa.table({"o_orderkey": [3, 4]}), eq)  # keys 3,4
+    dv = str(root / "deletes" / "pos" / "dv.parquet")
+    pq.write_table(  # ordinals of keys 4,5 -> rows 3,4
+        pa.table({"file_path": [data, data], "row_index": [3, 4]}), dv
+    )
+    (log / "v1.json").write_text(json.dumps({"files": [data]}))
+    (log / "v2.json").write_text(
+        json.dumps({"files": [data, eq, dv]})
+    )
+
+    reader = _mor_cdf_datasource()(
+        options={"log_dir": str(log)}
+    ).streamReader(None)
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert sorted(p.kind for p in parts) == ["mor_delete", "pos_delete"]
+    events = [e for p in parts for e in reader.read(p)]
+    deleted = sorted(e[2] for e in events)
+    # key 3: eq only; key 4: BOTH (once!); key 5: DV only
+    assert deleted == [3, 4, 5]
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
