@@ -4987,14 +4987,22 @@ class _InjectedCrash(RuntimeError):
     """The publish process dying between staging and the txn commit."""
 
 
-def _txn_publish(txn_dir: str, version: int, tables: dict) -> None:
+def _txn_publish(
+    txn_dir: str, version: int, tables: dict, ops: dict | None = None
+) -> None:
     """CAS-publish transaction ``version`` binding every table's file
     list in ONE manifest — the multi-table generalization of
     `_try_publish`: visibility for ALL tables flips on a single
     link(2), so readers can never observe table A at txn N and table B
     at txn N−1. Loses raise (single writer here; a rebase loop would
-    wrap this exactly like `_commit_snapshot`)."""
-    if not _try_publish(txn_dir, version, [], extra={"tables": tables}):
+    wrap this exactly like `_commit_snapshot`). ``ops`` stamps
+    PER-TABLE operation labels (e.g. {"fact": "rewrite"} for a
+    compaction txn) — the field the cross-table change feed keys on to
+    emit zero events for layout-only table deltas."""
+    extra = {"tables": tables}
+    if ops:
+        extra["ops"] = ops
+    if not _try_publish(txn_dir, version, [], extra=extra):
         raise CommitConflict(f"txn v{version} lost the CAS in {txn_dir}")
 
 

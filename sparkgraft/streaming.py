@@ -4619,15 +4619,18 @@ def _txn_cdf_datasource():
                 if f.startswith("v") and f.endswith(".json")
             )
 
-        def _tables(self, version):
+        def _manifest(self, version):
             import json
 
             if version <= 0:
-                return {}
+                return {"tables": {}}
             with open(
                 os.path.join(self.log_dir, f"v{version}.json")
             ) as fh:
-                return json.load(fh)["tables"]
+                return json.load(fh)
+
+        def _tables(self, version):
+            return self._manifest(version)["tables"]
 
         def initialOffset(self):
             return {"version": 0}
@@ -4642,9 +4645,17 @@ def _txn_cdf_datasource():
             self._last = max(self._last, end["version"])
             parts = []
             for v in range(start["version"] + 1, end["version"] + 1):
-                cur = self._tables(v)
+                man = self._manifest(v)
+                cur = man["tables"]
                 prev = self._tables(v - 1)
+                ops = man.get("ops", {})
                 for table in sorted(set(cur) | set(prev)):
+                    # PER-TABLE rewrite awareness: a compaction delta
+                    # (op=rewrite stamp for that table) changes layout,
+                    # not rows — zero events, same contract as the
+                    # single-table feeds' commit-level skip
+                    if ops.get(table) == "rewrite":
+                        continue
                     c = set(cur.get(table, []))
                     p = set(prev.get(table, []))
                     parts.extend(
@@ -4757,6 +4768,11 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       F_old ⋈ ΔD term naive maintainers drop).
     - txn4: a COW delete inside F1 (keys %10=={_XT_DEL} rewritten
       away) — signed fact folding on a join MV.
+    - txn5: a MAINTENANCE COMPACTION of the fact, stamped per-table
+      ``ops={{"fact": "rewrite"}}`` — the feed emits ZERO events for it
+      (asserted: the batch is empty and the MV still equals the
+      recompute), extending the single-table rewrite awareness to the
+      txn root's per-table deltas.
 
     The maintainer keeps per-CUSTKEY state (n, cents, segment): fact
     events fold as signed per-custkey deltas, dim events bind the
@@ -4820,10 +4836,18 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "f1_rewritten",
     )
+    # txn5: a MAINTENANCE COMPACTION of the fact (layout only, rows
+    # identical) — stamped per-table op=rewrite so the feed must emit
+    # ZERO events for it (the single-table feeds' rewrite awareness,
+    # extended to the txn root's per-table deltas)
+    fc = stage(spark.read.parquet(*(f1p + f2 + f3)), "fact_compacted")
     _txn_publish(txn_dir, 1, {"fact": f1, "dim": d1})
     _txn_publish(txn_dir, 2, {"fact": f1 + f2, "dim": d1})
     _txn_publish(txn_dir, 3, {"fact": f1 + f2 + f3, "dim": d1 + d2})
     _txn_publish(txn_dir, 4, {"fact": f1p + f2 + f3, "dim": d1 + d2})
+    _txn_publish(
+        txn_dir, 5, {"fact": fc, "dim": d1 + d2}, ops={"fact": "rewrite"}
+    )
 
     pointer = os.path.join(mv_root, "CURRENT")
     delivered: list[int] = []
@@ -4838,7 +4862,15 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         txns = [
             r["txn"] for r in batch_df.select("txn").distinct().collect()
         ]
-        if txns != [batch_id + 1]:
+        if not txns:
+            # only the rewrite-stamped compaction txn streams nothing;
+            # the state still versions forward (one state per txn)
+            if batch_id + 1 != 5:
+                raise RuntimeError(
+                    f"batch {batch_id} (txn {batch_id + 1}) "
+                    "unexpectedly empty"
+                )
+        elif txns != [batch_id + 1]:
             raise RuntimeError(
                 f"batch {batch_id} spans txns {txns} — cut point broken"
             )
@@ -4944,17 +4976,21 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError("crash landed before the publish — wrong window")
 
     run_phase()  # restart: batch 1 REDELIVERED, replay must converge
-    if delivered != [0, 1, 1, 2, 3]:
+    if delivered != [0, 1, 1, 2, 3, 4]:
         raise RuntimeError(
-            f"restart delivered {delivered}, wanted [0, 1, 1, 2, 3]"
+            f"restart delivered {delivered}, wanted [0, 1, 1, 2, 3, 4]"
         )
     n_versions = len([d for d in os.listdir(mv_root) if d.startswith("v")])
-    if n_versions != 4:
-        raise RuntimeError(f"MV wrote {n_versions} versions, wanted 4")
+    if n_versions != 5:
+        raise RuntimeError(f"MV wrote {n_versions} versions, wanted 5")
     if batch_tables[2] != {"fact", "dim"}:
         raise RuntimeError(
             f"txn3's batch saw tables {batch_tables[2]} — the atomic "
             "cross-table cut is broken"
+        )
+    if batch_tables[4] != set():
+        raise RuntimeError(
+            f"the rewrite txn streamed events for {batch_tables[4]}"
         )
 
     with open(pointer) as fh:

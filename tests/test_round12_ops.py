@@ -216,13 +216,15 @@ def test_cdf_cross_table_state_artifacts(spark):
     versions = sorted(
         d for d in os.listdir(mv_root) if d.startswith("v")
     )
-    assert versions == ["v00000", "v00001", "v00002", "v00003"]
+    assert versions == [
+        "v00000", "v00001", "v00002", "v00003", "v00004",
+    ]
     with open(os.path.join(mv_root, "CURRENT")) as fh:
-        assert fh.read().strip().endswith("v00003")
+        assert fh.read().strip().endswith("v00004")
     with open(
         os.path.join(root, "reader_state", "last_committed.json")
     ) as fh:
-        assert json.load(fh)["version"] == 4
+        assert json.load(fh)["version"] == 5
 
 
 def test_mor_cdf_same_commit_mixed_encodings_emit_once(spark, tmp_path):
