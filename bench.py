@@ -277,6 +277,7 @@ GROUP12 = [
     "scan_txn_checkpoint",
     "sink_rewrite_partition_evolution",
     "stream_cdf_cross_table",
+    "dedup_index_compaction",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -2188,3 +2188,307 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --- dedup index COMPACTION (r12: the lifecycle's last seam — build
+# ✓, feed-maintained ✓ (`dedup_index_maintain`), now the accumulated
+# index tombstones are applied by the maintenance rewrite and the feed
+# keeps maintaining ON TOP of the compacted head) ---
+
+_DIC_N1 = 6  # base slice:   doc_id <  (max+1) * 6 // 8
+_DIC_N2 = 7  # delta1 slice: doc_id <  (max+1) * 7 // 8
+_DIC_DEN = 8  # delta2 slice: the rest — appended AFTER the delete
+
+
+def _dedup_index_compaction_oracle() -> str:
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    h = _MD5_60_DUCK.format(x="s.i::VARCHAR || ':' || shingle")
+    return f"""
+    WITH cut AS MATERIALIZED (
+      SELECT ((max(doc_id) + 1) * {_DIC_N2}) // {_DIC_DEN} AS c2
+      FROM documents),
+    live AS MATERIALIZED (
+      -- sequence scoping through the feed: the tombstone (sequence 3)
+      -- masks only docs committed BEFORE it; delta2 (sequence 5) keeps
+      -- its %{_DIX_MOD}=={_DIX_REM} docs
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= (SELECT c2 FROM cut)
+         OR NOT (doc_id % {_DIX_MOD} = {_DIX_REM})),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM live),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_SHINGLE_W - 1}], ' '))) AS shingle
+      FROM toks),
+    mins AS MATERIALIZED (
+      SELECT doc_id, s.i, min({h}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) s
+      GROUP BY doc_id, s.i),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM mins GROUP BY doc_id, i // {_MINHASH_ROWS})
+    SELECT CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets,
+           CAST(sum(length(band_key)) AS BIGINT) AS len_sum,
+           min(band_key) AS min_key, max(band_key) AS max_key
+    FROM bands GROUP BY band ORDER BY band
+    """
+
+
+@query("dedup_index_compaction", oracle=_dedup_index_compaction_oracle())
+def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-INDEX COMPACTION — the last seam of the index lifecycle:
+    `dedup_index_maintain` proves the band-key index as a committed
+    table maintained from the change feed, with deletes landing as
+    add-only tombstones; a long-lived index accumulates those and
+    every read pays the anti-join. This key runs the MAINTENANCE
+    REWRITE on the index table itself (`sink_rewrite_data_files`'s
+    op=rewrite remove/add delta applied to the index log): the MOR
+    read (band keys ⟕̸ tombstoned doc_ids) lands in clean files, the
+    tombstone retires, and — the part that makes it a COMPOSITION
+    proof — the FEED KEEPS MAINTAINING on top of the compacted head:
+
+    - doc v1 (base) / v2 (delta1) / v3 (equality tombstone,
+      %{_DIX_MOD}=={_DIX_REM}) stream through the feed into index
+      commits 1-3 (the `dedup_index_maintain` protocol);
+    - the index is compacted (commit 4, op=rewrite; asserted: zero
+      delete-class files remain, post read == pre MOR read on exact
+      (doc_id, band, band_key) frame equality);
+    - doc v4 appends delta2 AFTER the delete — its
+      %{_DIX_MOD}=={_DIX_REM} docs are NOT masked (sequence scoping:
+      the tombstone applies only to lower-sequence files, and the
+      oracle pins exactly this); the RESTARTED feed (reader cursor +
+      Spark checkpoint resume) lands exactly ONE more index commit ON
+      the compacted head.
+
+    Exactly-once across compaction: index versions no longer track
+    feed batches 1:1 once maintenance commits interleave, so the
+    maintainer stamps ``feed_batch`` INTO each index commit and skips
+    any batch a manifest already covers — the txn-id discipline that
+    version arithmetic (`dedup_index_maintain`'s simpler check) cannot
+    provide once other writers touch the log.
+
+    Final proof: head index read (tombstone-free) == index rebuilt
+    from the docs head's live rows, exact frame equality.
+
+    Scale: compaction cost is one read+write of the index table (12
+    bytes + key CSV per (doc, band)) — scheduled off accumulated
+    tombstone debt from KB manifests; maintenance cost per commit is
+    unchanged; the feed never replays history to survive a compaction
+    it didn't cause (asserted by the single post-restart commit)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+    from sparkgraft.streaming import _doc_cdf_datasource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    c1 = (int(max_id) + 1) * _DIC_N1 // _DIC_DEN
+    c2 = (int(max_id) + 1) * _DIC_N2 // _DIC_DEN
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-dedupidxc-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    doc_log = os.path.join(root, "doclog")
+    idx_log = os.path.join(root, "idxlog")
+    ckpt = os.path.join(root, "ckpt")
+    idx_root = os.path.join(root, "idx")
+    for d in (doc_log, idx_log, idx_root):
+        os.makedirs(d)
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    def stage_docs(df: DataFrame, name: str) -> list[str]:
+        d = os.path.join(root, name)
+        df.coalesce(1).write.parquet(d)
+        return _data_files_of(d)
+
+    _commit_snapshot(
+        doc_log, stage_docs(docs.filter(F.col("doc_id") < c1), "base")
+    )  # v1
+    _commit_snapshot(
+        doc_log,
+        stage_docs(
+            docs.filter(
+                (F.col("doc_id") >= c1) & (F.col("doc_id") < c2)
+            ),
+            "delta1",
+        ),
+    )  # v2
+    _commit_snapshot(
+        doc_log,
+        stage_docs(
+            docs.select("doc_id").filter(
+                F.col("doc_id") % _DIX_MOD == _DIX_REM
+            ),
+            os.path.join(_MOR_DELETE_CLASS, "t3"),
+        ),
+        extra={"op": "mor-delete"},
+    )  # v3
+
+    def _applied_feed_batches() -> set:
+        out = set()
+        for v in _log_versions(idx_log):
+            fb = _read_manifest(idx_log, v).get("feed_batch")
+            if fb is not None:
+                out.add(int(fb))
+        return out
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _applied_feed_batches():
+            return  # redelivered batch: its commit already landed
+        adds: list[str] = []
+        ins = batch_df.filter(F.col("change_type") == "insert").select(
+            "doc_id", "text"
+        )
+        if ins.limit(1).count():
+            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+            band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
+                add_dir
+            )
+            adds += _data_files_of(add_dir)
+        dels = batch_df.filter(F.col("change_type") == "delete").select(
+            "doc_id"
+        )
+        if dels.limit(1).count():
+            t_dir = os.path.join(
+                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            )
+            dels.coalesce(1).write.parquet(t_dir)
+            adds += _data_files_of(t_dir)
+        if not adds:
+            raise RuntimeError(f"feed batch {batch_id} carried no events")
+        _commit_snapshot(idx_log, adds, extra={"feed_batch": batch_id})
+
+    spark.dataSource.register(_doc_cdf_datasource())
+
+    def run_feed() -> None:
+        q = (
+            spark.readStream.format("sparkgraft_doc_cdf")
+            .option("log_dir", doc_log)
+            .option("state_dir", os.path.join(root, "reader_state"))
+            .load()
+            .writeStream.foreachBatch(maintain)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_feed()  # phase 1: doc v1-v3 -> index commits 1-3
+    if _log_versions(idx_log) != [1, 2, 3]:
+        raise RuntimeError(
+            f"phase-1 index log wrong: {_log_versions(idx_log)}"
+        )
+
+    # ---- THE COMPACTION: apply the index tombstone, retire it ----
+    head_pre = _read_manifest(idx_log, 3)["files"]
+    idx_data = [f for f in head_pre if del_seg not in f]
+    idx_tombs = [f for f in head_pre if del_seg in f]
+    if not idx_tombs:
+        raise RuntimeError("phase 1 left no index tombstone to compact")
+    pre_mor = (
+        spark.read.parquet(*idx_data)
+        .join(
+            F.broadcast(
+                spark.read.parquet(*idx_tombs).select("doc_id")
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        .localCheckpoint()
+    )
+    clean_dir = os.path.join(idx_root, "compacted")
+    pre_mor.coalesce(1).write.parquet(clean_dir)
+    _commit_snapshot(
+        idx_log,
+        _data_files_of(clean_dir),
+        remove_files=head_pre,
+        extra={"op": "rewrite"},
+    )  # index v4
+    head_mid = _read_manifest(idx_log, 4)["files"]
+    if any(del_seg in f for f in head_mid):
+        raise RuntimeError("compaction left index tombstones live")
+    post = spark.read.parquet(*head_mid)
+    if (
+        post.exceptAll(pre_mor).limit(1).count()
+        or pre_mor.exceptAll(post).limit(1).count()
+    ):
+        raise RuntimeError("compaction changed the index contents")
+
+    # ---- doc v4: delta2 lands AFTER the delete; the feed resumes ----
+    _commit_snapshot(
+        doc_log, stage_docs(docs.filter(F.col("doc_id") >= c2), "delta2")
+    )
+    run_feed()  # phase 2: exactly one more commit, ON the compacted head
+    if _log_versions(idx_log) != [1, 2, 3, 4, 5]:
+        raise RuntimeError(
+            f"phase-2 index log wrong: {_log_versions(idx_log)}"
+        )
+    v5 = _read_manifest(idx_log, 5)
+    if int(v5.get("feed_batch", -1)) != 3:
+        raise RuntimeError(
+            "the resumed feed replayed history instead of continuing: "
+            f"{v5.get('feed_batch')}"
+        )
+    new_files = sorted(set(v5["files"]) - set(head_mid))
+    if not new_files or any(del_seg in f for f in new_files):
+        raise RuntimeError(f"phase-2 delta wrong: {new_files}")
+
+    # ---- final: head index == rebuild from the docs head's LIVE rows
+    maintained = spark.read.parquet(*v5["files"]).localCheckpoint()
+    doc_head = _read_manifest(doc_log, _log_versions(doc_log)[-1])["files"]
+    live_docs = (
+        spark.read.parquet(*[f for f in doc_head if del_seg not in f])
+        # sequence scoping: the v3 tombstone masks only docs committed
+        # before it — delta2 (v4) keeps its masked-key docs
+        .filter(
+            (F.col("doc_id") >= c2)
+            | ~(F.col("doc_id") % _DIX_MOD == _DIX_REM)
+        )
+    )
+    rebuilt = band_keys(minhash_signatures(live_docs))
+    if (
+        maintained.exceptAll(rebuilt).limit(1).count()
+        or rebuilt.exceptAll(maintained).limit(1).count()
+    ):
+        raise RuntimeError(
+            "compacted+maintained index diverged from rebuild-from-head"
+        )
+
+    return (
+        maintained.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("band_key").cast("long").alias("n_buckets"),
+            F.sum(F.length("band_key")).cast("long").alias("len_sum"),
+            F.min("band_key").alias("min_key"),
+            F.max("band_key").alias("max_key"),
+        )
+        .select(
+            F.col("band").cast("int"),
+            "n_docs",
+            "n_buckets",
+            "len_sum",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("band")
+    )

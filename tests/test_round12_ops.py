@@ -271,6 +271,36 @@ def test_mor_cdf_same_commit_mixed_encodings_emit_once(spark, tmp_path):
     assert deleted == [3, 4, 5]
 
 
+def test_dedup_index_compaction_log_lifecycle(spark):
+    """The index log must show the full lifecycle: three feed commits
+    (each stamped with its feed batch), the op=rewrite compaction that
+    retires the tombstone, and exactly one post-compaction feed commit
+    landing on the compacted head."""
+    sparkgraft.QUERIES["dedup_index_compaction"](spark, SF_DIR)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-dedupidxc-{os.path.basename(SF_DIR.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    idx_log = os.path.join(root, "idxlog")
+    manifests = {}
+    for f in sorted(os.listdir(idx_log)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(idx_log, f)) as fh:
+                manifests[int(f[1:-5])] = json.load(fh)
+    assert sorted(manifests) == [1, 2, 3, 4, 5]
+    assert [manifests[v].get("feed_batch") for v in (1, 2, 3)] == [0, 1, 2]
+    assert manifests[4].get("op") == "rewrite"
+    assert manifests[5].get("feed_batch") == 3
+    seg = f"{os.sep}deletes{os.sep}"
+    assert any(seg in f for f in manifests[3]["files"])  # debt existed
+    assert not any(seg in f for f in manifests[4]["files"])  # retired
+    assert not any(seg in f for f in manifests[5]["files"])
+    # the compaction shrank the head; the feed then grew it by one add
+    assert len(manifests[4]["files"]) < len(manifests[3]["files"])
+    assert len(manifests[5]["files"]) == len(manifests[4]["files"]) + 1
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
