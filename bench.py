@@ -278,6 +278,7 @@ GROUP12 = [
     "sink_rewrite_partition_evolution",
     "stream_cdf_cross_table",
     "dedup_index_compaction",
+    "sim_ivf_index_feed",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

@@ -5035,3 +5035,89 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{mv_rows} vs {direct_rows}"
         )
     return mv.orderBy("segment")
+
+
+def _emb_cdf_datasource():
+    """MOR-aware CDF over an EMBEDDINGS snapshot log — the shared
+    `_log_cdf_reader_base` planner with the (vec_id, embedding) payload,
+    so ANN index maintainers (`sim_ivf_index_feed`) can consume vector
+    inserts AND equality-delete retirements. Equality-only: vector
+    stores delete by id."""
+    from pyspark.sql import types as T
+    from pyspark.sql.datasource import DataSource, InputPartition
+
+    class EmbCDFPartition(InputPartition):
+        def __init__(self, version, kind, path, new_dels=(), prior_dels=()):
+            self.version = version
+            self.kind = kind
+            self.path = path
+            self.new_dels = list(new_dels)
+            self.prior_dels = list(prior_dels)
+
+    class EmbCDFReader(_log_cdf_reader_base()):
+        PARTITION = EmbCDFPartition
+
+        def read(self, partition):  # EXECUTOR-side
+            import pyarrow.parquet as pq
+
+            if not partition.path:
+                return
+            if partition.kind == "pos_delete" or any(
+                self._is_pos_del(t) for t in partition.prior_dels
+            ):
+                raise RuntimeError(
+                    "positional delete vectors are out of this feed's "
+                    "scope — vector stores delete by id"
+                )
+
+            def keys_of(paths):
+                out = set()
+                for p in paths:
+                    out |= set(
+                        pq.read_table(p, columns=["vec_id"])
+                        .column("vec_id")
+                        .to_pylist()
+                    )
+                return out
+
+            t = pq.read_table(
+                partition.path, columns=["vec_id", "embedding"]
+            )
+            rows = zip(
+                t.column("vec_id").to_pylist(),
+                t.column("embedding").to_pylist(),
+            )
+            if partition.kind == "mor_delete":
+                mask = keys_of(partition.new_dels)
+                prior = keys_of(partition.prior_dels)
+                for k, emb in rows:
+                    if k in mask and k not in prior:
+                        yield (partition.version, "delete", k, emb)
+            else:
+                change = (
+                    "insert" if partition.kind == "insert" else "delete"
+                )
+                for k, emb in rows:
+                    yield (partition.version, change, k, emb)
+
+    class EmbCDFSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sparkgraft_emb_cdf"
+
+        def schema(self):
+            return T.StructType(
+                [
+                    T.StructField("version", T.IntegerType()),
+                    T.StructField("change_type", T.StringType()),
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.FloatType())
+                    ),
+                ]
+            )
+
+        def streamReader(self, schema):
+            return EmbCDFReader(self.options)
+
+    return EmbCDFSource

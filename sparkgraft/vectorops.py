@@ -3645,3 +3645,302 @@ def sim_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+def _ivf_feed_oracle() -> str:
+    rounds = ",".join(_kmt_round_sql(k) for k in range(1, _IVFQ_ROUNDS + 1))
+    r = _IVFQ_ROUNDS
+    return f"""
+    WITH cut AS MATERIALIZED (
+      SELECT ((max(vec_id) + 1) * {_IVF_APPEND_NUM}) // {_IVF_APPEND_DEN}
+               AS c
+      FROM embeddings),
+    eqraw AS MATERIALIZED (
+      SELECT vec_id, i.i AS pos,
+             CAST(CASE WHEN CAST(embedding[i.i + 1] AS DOUBLE) >= 0
+                  THEN floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  ELSE -floor(-CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  END AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, sqrt(CAST(sum(q * q) AS DOUBLE)) AS nn
+      FROM eqraw GROUP BY vec_id),
+    eqall AS MATERIALIZED (
+      SELECT e.vec_id, e.pos,
+             CAST(CASE WHEN e.q >= 0
+                  THEN floor(CAST(e.q AS DOUBLE) * 1e6 / n.nn + 0.5)
+                  ELSE -floor(-(CAST(e.q AS DOUBLE) * 1e6 / n.nn) + 0.5)
+                  END AS BIGINT) AS q
+      FROM eqraw e JOIN nrm n ON n.vec_id = e.vec_id),
+    eq AS MATERIALIZED (
+      SELECT * FROM eqall WHERE vec_id < (SELECT c FROM cut)),
+    seeds AS MATERIALIZED (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY {_IVFQ_MD5H}, vec_id) AS rn
+        FROM embeddings WHERE vec_id < (SELECT c FROM cut)) t
+      WHERE rn <= {_IVFQ_C}),
+    c0 AS MATERIALIZED (
+      SELECT s.cell, e.pos, e.q
+      FROM seeds s JOIN eq e ON e.vec_id = s.vec_id),{rounds},
+    dall AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             sum((e.q - c.q) * (e.q - c.q)) AS dist
+      FROM eqall e JOIN c{r} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cell),
+    aall AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM dall) t WHERE rn = 1),
+    occ_before AS MATERIALIZED (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_before
+      FROM aall GROUP BY cell),
+    occ_after AS MATERIALIZED (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_after
+      FROM aall WHERE NOT (vec_id % {_IVFDEL_MOD} = {_IVFDEL_REM})
+      GROUP BY cell),
+    m AS MATERIALIZED (
+      SELECT b.cell, b.n_before,
+             CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after
+      FROM occ_before b LEFT JOIN occ_after a ON a.cell = b.cell),
+    tot AS (SELECT sum(n_before) AS tb, sum(n_after) AS ta FROM m),
+    drift AS (
+      SELECT (1000000 * sum(abs(m.n_after * t.tb - m.n_before * t.ta)))
+               // (2 * t.tb * t.ta) AS ppm
+      FROM m CROSS JOIN tot t GROUP BY t.tb, t.ta)
+    SELECT CAST(m.cell AS INT) AS cell, m.n_before, m.n_after,
+           m.n_before - m.n_after AS n_retired,
+           CAST(d.ppm AS BIGINT) AS drift_ppm,
+           d.ppm > {_IVF_DRIFT_PPM} AS retrain
+    FROM m CROSS JOIN drift d
+    ORDER BY cell
+    """
+
+
+@query("sim_ivf_index_feed", oracle=_ivf_feed_oracle())
+def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE ANN INDEX MAINTAINED FROM THE CHANGE FEED — the capstone
+    composing `sim_ivf_index_append` (frozen-centroid delta assignment),
+    `sim_ivf_index_delete` (tombstone retirement), and the committed-
+    table feed-maintenance protocol `dedup_index_maintain` proves for
+    the dedup index, applied to the vector index. The embeddings table
+    lives in a snapshot log (v1 base append — the slice the frozen
+    centroids trained on — v2 delta append, v3 equality tombstone for
+    vec_id %{_IVFDEL_MOD}=={_IVFDEL_REM}); an embeddings-schema CDF
+    streams it, and the maintainer commits ONE index version per
+    micro-batch through `_commit_snapshot`:
+
+    - insert events -> quantized assignment against the FROZEN
+      base-trained centroids, over THAT BATCH'S vectors only (asserted:
+      the delta batch's code file holds exactly |delta| rows — the
+      incremental contract, now enforced by the feed's batching rather
+      than a range filter);
+    - delete events -> an add-only KB tombstone commit on the INDEX
+      log; the maintained read is the MOR read (codes ⟕̸ tombstone),
+      plan-asserted to re-read NO embeddings file.
+
+    Exactly-once by ``feed_batch`` stamps (the `dedup_index_compaction`
+    discipline). Final proofs: the maintained index equals the frozen
+    assignment of the LIVE corpus exactly ((vec_id, cell) frame
+    equality both ways), retirement counts exactly, and the occupancy
+    drift over removals is the exact int64 ppm statistic the oracle
+    mirrors to the last digit.
+
+    Scale: per-commit maintenance = that commit's |delta| quantize+gemm
+    against the C×dim constant broadcast, or a KB tombstone write; the
+    base corpus is read once at index build and never again (the feed
+    carries the delta payloads); occupancy/drift arithmetic is the
+    ≤C-row frame."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+    from sparkgraft.streaming import _emb_cdf_datasource
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]  # bounded scalar
+    cut = (int(max_id) + 1) * _IVF_APPEND_NUM // _IVF_APPEND_DEN
+    cq = _ivfq_centroids(spark, sf_dir, base_max=cut)  # frozen, cached
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-ivffeed-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    emb_log = os.path.join(root, "emblog")
+    idx_log = os.path.join(root, "idxlog")
+    ckpt = os.path.join(root, "ckpt")
+    idx_root = os.path.join(root, "idx")
+    for d in (emb_log, idx_log, idx_root):
+        os.makedirs(d)
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    base_dir = os.path.join(root, "base")
+    e.filter(F.col("vec_id") < cut).coalesce(1).write.parquet(base_dir)
+    _commit_snapshot(emb_log, _data_files_of(base_dir))  # v1
+    delta_dir = os.path.join(root, "delta")
+    e.filter(F.col("vec_id") >= cut).coalesce(1).write.parquet(delta_dir)
+    _commit_snapshot(emb_log, _data_files_of(delta_dir))  # v2
+    t3_dir = os.path.join(root, _MOR_DELETE_CLASS, "t3")
+    (
+        e.select("vec_id")
+        .filter(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM)
+        .coalesce(1)
+        .write.parquet(t3_dir)
+    )
+    _commit_snapshot(
+        emb_log, _data_files_of(t3_dir), extra={"op": "mor-delete"}
+    )  # v3
+
+    n_delta = int(e.filter(F.col("vec_id") >= cut).count())
+
+    def _applied_feed_batches() -> set:
+        out = set()
+        for v in _log_versions(idx_log):
+            fb = _read_manifest(idx_log, v).get("feed_batch")
+            if fb is not None:
+                out.add(int(fb))
+        return out
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in _applied_feed_batches():
+            return  # redelivered batch: its commit already landed
+        adds: list[str] = []
+        ins = batch_df.filter(F.col("change_type") == "insert").select(
+            "vec_id", "embedding"
+        )
+        if ins.limit(1).count():
+            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+            _ivfq_assign(spark, ins, cq).coalesce(1).write.parquet(
+                add_dir
+            )
+            adds += _data_files_of(add_dir)
+        dels = batch_df.filter(F.col("change_type") == "delete").select(
+            "vec_id"
+        )
+        if dels.limit(1).count():
+            t_dir = os.path.join(
+                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            )
+            dels.coalesce(1).write.parquet(t_dir)
+            adds += _data_files_of(t_dir)
+        if not adds:
+            raise RuntimeError(f"feed batch {batch_id} carried no events")
+        _commit_snapshot(idx_log, adds, extra={"feed_batch": batch_id})
+
+    spark.dataSource.register(_emb_cdf_datasource())
+    q = (
+        spark.readStream.format("sparkgraft_emb_cdf")
+        .option("log_dir", emb_log)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    if _log_versions(idx_log) != [1, 2, 3]:
+        raise RuntimeError(f"index log wrong: {_log_versions(idx_log)}")
+    # the incremental contract: the delta batch assigned |delta| rows
+    v2_adds = set(_read_manifest(idx_log, 2)["files"]) - set(
+        _read_manifest(idx_log, 1)["files"]
+    )
+    n_assigned = spark.read.parquet(*sorted(v2_adds)).count()
+    if n_assigned != n_delta or n_delta == 0:
+        raise RuntimeError(
+            f"delta batch assigned {n_assigned} rows, delta has {n_delta}"
+        )
+
+    head = _read_manifest(idx_log, _log_versions(idx_log)[-1])["files"]
+    idx_data = [f for f in head if del_seg not in f]
+    idx_tombs = [f for f in head if del_seg in f]
+    if not idx_data or not idx_tombs:
+        raise RuntimeError("index head lost a file class")
+    committed = spark.read.parquet(*idx_data)
+    tomb = spark.read.parquet(*idx_tombs).select("vec_id")
+    maintained_lazy = committed.join(
+        F.broadcast(tomb), "vec_id", "left_anti"
+    )
+    # plan asserts on the LAZY frame (a checkpoint would hide the join)
+    plan = maintained_lazy._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastHashJoin" not in plan or "LeftAnti" not in plan:
+        raise RuntimeError(
+            f"maintenance must be a broadcast anti-join: {plan[:400]}"
+        )
+    if "embeddings" in plan:
+        raise RuntimeError(
+            "maintenance DAG re-reads the corpus — the O(index+deleted) "
+            f"contract is broken: {plan[:400]}"
+        )
+    maintained = maintained_lazy.localCheckpoint()
+
+    # retirement + equality vs frozen assignment of the LIVE corpus
+    live = e.filter(~(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM))
+    rebuilt = _ivfq_assign(spark, live, cq)
+    if (
+        maintained.exceptAll(rebuilt).limit(1).count()
+        or rebuilt.exceptAll(maintained).limit(1).count()
+    ):
+        raise RuntimeError(
+            "feed-maintained index diverged from frozen reassignment"
+        )
+
+    before = committed.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_before")
+    )
+    after = maintained.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_after")
+    )
+    m = (
+        before.join(after, "cell", "left")
+        .fillna(0, subset=["n_after"])
+        .select(
+            "cell",
+            "n_before",
+            F.col("n_after").cast("long").alias("n_after"),
+            (F.col("n_before") - F.col("n_after")).alias("n_retired"),
+        )
+        .localCheckpoint()
+    )
+    tot = m.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    ).collect()[0]  # bounded: 2 scalars
+    tb, ta = int(tot["tb"]), int(tot["ta"])
+    n_tomb = int(tomb.count())  # bounded: KB tombstone
+    if tb - ta != n_tomb or n_tomb == 0:
+        raise RuntimeError(
+            f"retirement wrong: {tb - ta} retired for {n_tomb} ids"
+        )
+    s = m.agg(
+        F.sum(
+            F.abs(F.col("n_after") * F.lit(tb) - F.col("n_before") * F.lit(ta))
+        )
+    ).collect()[0][0]  # bounded: 1 scalar over the <=C-row frame
+    drift_ppm = (1_000_000 * int(s)) // (2 * tb * ta)
+
+    return (
+        m.withColumn("drift_ppm", F.lit(drift_ppm).cast("long"))
+        .withColumn("retrain", F.lit(drift_ppm > _IVF_DRIFT_PPM))
+        .select(
+            F.col("cell").cast("int"),
+            "n_before",
+            "n_after",
+            "n_retired",
+            "drift_ppm",
+            "retrain",
+        )
+        .orderBy("cell")
+    )

@@ -301,6 +301,34 @@ def test_dedup_index_compaction_log_lifecycle(spark):
     assert len(manifests[5]["files"]) == len(manifests[4]["files"]) + 1
 
 
+def test_ivf_index_feed_commit_shape(spark):
+    """The vector index's log must show the feed protocol: code-file
+    adds for the base and delta batches (each stamped with its feed
+    batch), an add-only tombstone commit for the delete batch, and no
+    rewrites of earlier files."""
+    sparkgraft.QUERIES["sim_ivf_index_feed"](spark, SF_DIR)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-ivffeed-{os.path.basename(SF_DIR.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    idx_log = os.path.join(root, "idxlog")
+    manifests = {}
+    for f in sorted(os.listdir(idx_log)):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(idx_log, f)) as fh:
+                manifests[int(f[1:-5])] = json.load(fh)
+    assert sorted(manifests) == [1, 2, 3]
+    assert [manifests[v].get("feed_batch") for v in (1, 2, 3)] == [0, 1, 2]
+    seg = f"{os.sep}deletes{os.sep}"
+    v1, v2, v3 = (set(manifests[v]["files"]) for v in (1, 2, 3))
+    assert v1 and not any(seg in f for f in v1)
+    assert v2 > v1 and not any(seg in f for f in v2 - v1)
+    delta3 = v3 - v2
+    assert delta3 and all(seg in f for f in delta3)
+    assert v1 <= v2 <= v3  # retirement rewrote nothing
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
