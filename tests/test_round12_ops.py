@@ -329,6 +329,43 @@ def test_ivf_index_feed_commit_shape(spark):
     assert v1 <= v2 <= v3  # retirement rewrote nothing
 
 
+def test_doc_cdf_inherits_rewrite_awareness(spark, tmp_path):
+    """The shared planner base gives the documents feed the op=rewrite
+    zero-event skip the MOR reader pioneered (before the r12 refactor
+    the doc/schema-evo copies silently lacked it): a compaction commit
+    on a documents log must plan no partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sparkgraft.streaming import _doc_cdf_datasource
+
+    root = tmp_path / "doclog"
+    root.mkdir()
+    log = root / "log"
+    log.mkdir()
+    a = str(root / "a.parquet")
+    b = str(root / "b.parquet")
+    c = str(root / "compacted.parquet")
+    for p, ids in ((a, [1, 2]), (b, [3, 4]), (c, [1, 2, 3, 4])):
+        pq.write_table(
+            pa.table({"doc_id": ids, "text": ["x y z"] * len(ids)}), p
+        )
+    (log / "v1.json").write_text(json.dumps({"files": [a, b]}))
+    (log / "v2.json").write_text(
+        json.dumps({"files": [c], "op": "rewrite"})
+    )
+
+    reader = _doc_cdf_datasource()(
+        options={"log_dir": str(log)}
+    ).streamReader(None)
+    ins = reader.partitions({"version": 0}, {"version": 1})
+    assert sorted(p.kind for p in ins) == ["insert", "insert"]
+    rw = reader.partitions({"version": 1}, {"version": 2})
+    # the rewrite commit plans only the empty fallback partition
+    assert len(rw) == 1 and rw[0].path == ""
+    assert list(reader.read(rw[0])) == []
+
+
 def test_cdf_schema_evolution_planning_is_head_schema(spark):
     """The plan-time half directly: `_head_event_schema` resolves the
     event schema from the head manifest's schema_version stamp."""
