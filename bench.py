@@ -523,7 +523,7 @@ def main() -> int:
                     rounds = [
                         int(m.group(1))
                         for m in _re.finditer(
-                            r"VERDICT\s*—\s*round\s+(\d+)", fh.read()
+                            r"VERDICT\s*[—–-]+\s*round\s+(\d+)", fh.read()
                         )
                     ]
             except OSError:

@@ -1948,6 +1948,10 @@ def _snapshot_cdf_partitioned_datasource():
                 if os.path.exists(p):
                     with open(p) as fh:
                         self._last = int(json.load(fh)["version"])
+            # immutable snapshot of the restored cursor: initialOffset
+            # must report it even after latestOffset has advanced _last
+            # (the engine may poll latestOffset first)
+            self._restored = self._last
 
         def _versions(self):
             return sorted(
@@ -1967,7 +1971,9 @@ def _snapshot_cdf_partitioned_datasource():
                 return json.load(fh)["files"]
 
         def initialOffset(self):
-            return {"version": 0}
+            # Same checkpoint-lost resume contract as BaseLogCDFReader:
+            # the state_dir cursor (0 when absent) is the start offset.
+            return {"version": self._restored}
 
         def latestOffset(self):
             head = self._versions()
@@ -2213,6 +2219,10 @@ def _log_cdf_reader_base():
                 if os.path.exists(p):
                     with open(p) as fh:
                         self._last = int(json.load(fh)["version"])
+            # immutable snapshot of the restored cursor: initialOffset
+            # must report it even after latestOffset has advanced _last
+            # (the engine may poll latestOffset first)
+            self._restored = self._last
 
         def _versions(self):
             return sorted(
@@ -2247,7 +2257,13 @@ def _log_cdf_reader_base():
             return _POS_SEG in path
 
         def initialOffset(self):
-            return {"version": 0}
+            # Consulted by Spark only when the stream checkpoint is
+            # absent; returning the state_dir-restored cursor (0 when
+            # no cursor exists) lets a checkpoint-lost restart resume
+            # instead of replaying 1.._last in ONE oversized batch —
+            # which would break the one-commit-per-batch contract and
+            # reset foreachBatch ids under the feed_batch-stamp dedup.
+            return {"version": self._restored}
 
         def latestOffset(self):
             head = self._versions()
@@ -4611,6 +4627,10 @@ def _txn_cdf_datasource():
                 if os.path.exists(p):
                     with open(p) as fh:
                         self._last = int(json.load(fh)["version"])
+            # immutable snapshot of the restored cursor: initialOffset
+            # must report it even after latestOffset has advanced _last
+            # (the engine may poll latestOffset first)
+            self._restored = self._last
 
         def _versions(self):
             return sorted(
@@ -4633,7 +4653,9 @@ def _txn_cdf_datasource():
             return self._manifest(version)["tables"]
 
         def initialOffset(self):
-            return {"version": 0}
+            # Same checkpoint-lost resume contract as BaseLogCDFReader:
+            # the state_dir cursor (0 when absent) is the start offset.
+            return {"version": self._restored}
 
         def latestOffset(self):
             head = self._versions()

@@ -2024,7 +2024,6 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     read time; the rebuild here is the VERIFICATION twin, not the
     maintenance path. Compaction of accumulated index tombstones is
     `sink_rewrite_data_files`'s job, unchanged."""
-    import json
     import os
     import shutil
     import tempfile
@@ -2280,7 +2279,6 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone debt from KB manifests; maintenance cost per commit is
     unchanged; the feed never replays history to survive a compaction
     it didn't cause (asserted by the single post-restart commit)."""
-    import json
     import os
     import shutil
     import tempfile

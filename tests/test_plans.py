@@ -1225,7 +1225,10 @@ def test_ngram_jaccard_sampled_same_shape_with_scan_side_sample(spark):
     # test_textops.py::test_ngram_jaccard_sampled_is_full_restricted...).
     from sparkgraft.textops.corpus import _DOC_SAMPLE_MOD
 
-    assert "ExistingRDD" in plan  # the build really is checkpointed
+    # (r13, per ADVICE) no ExistingRDD assertion here: localCheckpoint
+    # is an implementation choice, not the contract — the durable
+    # contract is the in-sample output below plus the full-result
+    # equality test in test_textops.py.
     out = df.select("doc_a", "doc_b").collect()
     assert out, "sampled key emitted no pairs at SF_DIR"
     assert all(
