@@ -2271,6 +2271,22 @@ def _log_cdf_reader_base():
                 self._last += 1  # one commit per micro-batch
             return {"version": self._last}
 
+        def _vacuum_horizon(self):
+            """Newest version whose manifest was TOMBSTONED by snapshot
+            expiry (`sink_snapshot_vacuum` renames expired manifests to
+            v{N}.json.expired). Planning version v's delta reads
+            manifest v−1, so a cursor at or below this horizon has lost
+            the history it would stream — the feed must refuse loudly
+            (Delta raises the same way when startingVersion predates
+            the earliest available version), never silently emit a
+            partial replay. KB-scale listing, once per planning call."""
+            ex = [
+                int(f[1:].split(".", 1)[0])
+                for f in os.listdir(self.log_dir)
+                if f.startswith("v") and f.endswith(".json.expired")
+            ]
+            return max(ex) if ex else 0
+
         def _first_versions(self, upto):
             """file -> first version referencing it — the SEQUENCE
             NUMBER of every file, derived from the KB manifests (walked
@@ -2284,6 +2300,16 @@ def _log_cdf_reader_base():
 
         def partitions(self, start, end):
             self._last = max(self._last, end["version"])
+            horizon = self._vacuum_horizon()
+            if horizon and start["version"] <= horizon:
+                raise RuntimeError(
+                    f"CDF start offset v{start['version']} predates the "
+                    f"vacuum horizon: manifests <= v{horizon} expired, so "
+                    f"versions <= v{horizon + 1} can no longer be planned "
+                    "as deltas. Re-seed from a retained snapshot (batch "
+                    f"read at >= v{horizon + 1}) and stream from there — "
+                    "this feed never silently emits partial history."
+                )
             P = self.PARTITION
             parts = []
             for v in range(start["version"] + 1, end["version"] + 1):
@@ -5143,3 +5169,216 @@ def _emb_cdf_datasource():
             return EmbCDFReader(self.options)
 
     return EmbCDFSource
+
+
+# --- vacuum × CDF contract (r13: the r12 verdict's ask #7 — what does
+# a change-feed consumer see when its start offset predates the
+# snapshot-expiry horizon? Answer: a LOUD refusal, never silent
+# partial history) ---
+
+
+@query(
+    "stream_cdf_vacuum_horizon",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+    SELECT TRUE AS stale_cursor_raises,
+           TRUE AS nothing_streamed_before_raise,
+           CAST(2 AS INT) AS horizon,
+           CAST(1 AS INT) AS n_batches_after_seed,
+           CAST((SELECT count(*) FROM ev
+                 WHERE o_orderkey % 3 IN (0, 1)) AS BIGINT) AS seed_rows,
+           CAST((SELECT sum(cents) FROM ev
+                 WHERE o_orderkey % 3 IN (0, 1)) AS BIGINT) AS seed_cents,
+           CAST((SELECT count(*) FROM ev) AS BIGINT) AS head_rows,
+           CAST((SELECT sum(cents) FROM ev) AS BIGINT) AS head_cents
+    """,
+)
+def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM × CDF (the r12 verdict's ask #7): `sink_snapshot_vacuum`
+    expires snapshots and tombstones their manifests; this key pins
+    what a change-feed consumer whose start offset predates that
+    horizon sees. The contract (now enforced in `_log_cdf_reader_base`
+    and inherited by every feed riding it): planning version v's delta
+    reads manifest v−1, so a cursor ≤ the newest expired version has
+    lost its history — the reader RAISES with a re-seed instruction
+    before any partition is planned. Silent partial history (the
+    alternative a file-delta reader naturally falls into: `_versions()`
+    skips expired manifests, so the feed would quietly start at the
+    first retained delta and the consumer's MV would silently miss the
+    expired rows) is the correctness bug this contract closes; Delta
+    raises the same way when startingVersion predates the earliest
+    available version.
+
+    History: v1 appends slice1 (o_orderkey%3==0, two files), v2
+    COMPACTS it (op=rewrite — zero feed events by the r10 contract),
+    v3 appends slice2 (%3==1), v4 appends slice3 (%3==2). Vacuum
+    retains the last two snapshots: v1's files (exclusively referenced
+    by expired manifests) are deleted from disk, manifests v1/v2 are
+    tombstoned to .json.expired — the horizon is 2.
+
+    Asserted in-key: (a) NEGATIVE — a feed started with a cursor at 0
+    fails with the documented horizon error and its sink delivered
+    NOTHING (the raise happens at planning, before any event leaks);
+    (b) POSITIVE — the documented recovery works: seed a batch read of
+    the retained snapshot v3 (manifest-pinned files), stream from
+    cursor 3 with the reader's state_dir cursor (exactly ONE micro-
+    batch: v4's inserts), and seed+delta equals the head table digest
+    the oracle recomputes from source.
+
+    Scale: the horizon check is one KB-scale directory listing per
+    planning call; expiry itself stays manifest arithmetic. At 100 TB
+    the alternative — an executor FileNotFoundError hours into a
+    backfill, or worse a silently short MV — is an operational
+    incident; a planning-time refusal with the re-seed recipe is the
+    contract every real lakehouse feed ships."""
+    import json
+
+    from sparkgraft.catalog import load
+    from sparkgraft.scans import (
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-cdfvac-{os.path.basename(sf_dir.rstrip('/'))}-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    log_dir = os.path.join(root, "log")
+    os.makedirs(log_dir)
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def stage(df: DataFrame, name: str, n: int = 1) -> list[str]:
+        d = os.path.join(root, name)
+        df.repartition(n).write.mode("overwrite").parquet(d)
+        return _data_files_of(d)
+
+    s1 = stage(o.filter(F.col("o_orderkey") % 3 == 0), "s1", 2)
+    _commit_snapshot(log_dir, s1)  # v1
+    s1c = stage(spark.read.parquet(*s1), "s1_compacted")
+    _commit_snapshot(  # v2: layout-only rewrite of v1
+        log_dir, s1c, remove_files=s1, extra={"op": "rewrite"}
+    )
+    s2 = stage(o.filter(F.col("o_orderkey") % 3 == 1), "s2")
+    _commit_snapshot(log_dir, s2)  # v3
+    s3 = stage(o.filter(F.col("o_orderkey") % 3 == 2), "s3")
+    _commit_snapshot(log_dir, s3)  # v4
+
+    # EXPIRE: retain the last 2 snapshots (the sink_snapshot_vacuum
+    # procedure): delete files referenced ONLY by expired manifests,
+    # tombstone the expired manifests
+    versions = _log_versions(log_dir)
+    retained, expired = versions[-2:], versions[:-2]
+    live: set[str] = set()
+    for v in retained:
+        live |= set(_read_manifest(log_dir, v)["files"])
+    orphans: set[str] = set()
+    for v in expired:
+        orphans |= set(_read_manifest(log_dir, v)["files"])
+    orphans -= live
+    if sorted(orphans) != s1:
+        raise RuntimeError(f"orphan set wrong: {sorted(orphans)}")
+    for f in sorted(orphans):
+        os.unlink(f)
+    for v in expired:
+        os.rename(
+            os.path.join(log_dir, f"v{v}.json"),
+            os.path.join(log_dir, f"v{v}.json.expired"),
+        )
+    horizon = expired[-1]
+    if (retained, horizon) != ([3, 4], 2):
+        raise RuntimeError(f"expiry staged wrong: {retained}, {horizon}")
+
+    spark.dataSource.register(_mor_cdf_datasource())
+    delivered: list[tuple[int, int]] = []  # (batch_id, n_rows)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delivered.append((int(batch_id), batch_df.count()))
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(root, "out", f"b{batch_id:05d}")
+        )
+
+    def run_feed(tag: str, cursor: int | None) -> None:
+        state = os.path.join(root, f"reader_state_{tag}")
+        if cursor is not None:
+            os.makedirs(state, exist_ok=True)
+            tmp = os.path.join(state, ".tmp-last")
+            with open(tmp, "w") as fh:
+                json.dump({"version": cursor}, fh)
+            os.replace(tmp, os.path.join(state, "last_committed.json"))
+        q = (
+            spark.readStream.format("sparkgraft_mor_cdf")
+            .option("log_dir", log_dir)
+            .option("state_dir", state)
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", os.path.join(root, f"ckpt_{tag}")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            ex = q.exception()
+            if ex is not None:
+                raise ex
+        finally:
+            q.stop()
+
+    # NEGATIVE: cursor 0 predates the horizon -> loud planning-time
+    # refusal, nothing delivered
+    stale_raised = False
+    try:
+        run_feed("stale", cursor=None)
+    except Exception as ex:  # StreamingQueryException wraps the reader's
+        if "predates the vacuum horizon" not in str(ex):
+            raise
+        stale_raised = True
+    if not stale_raised:
+        raise RuntimeError("stale cursor streamed instead of raising")
+    nothing_before_raise = delivered == []
+    if not nothing_before_raise:
+        raise RuntimeError(f"stale feed leaked batches: {delivered}")
+
+    # POSITIVE: the documented recovery — seed from retained v3, then
+    # stream from cursor 3 (exactly one micro-batch: v4's inserts)
+    seed_files = _read_manifest(log_dir, retained[0])["files"]
+    seed = spark.read.parquet(*seed_files).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).collect()[0]
+    run_feed("seeded", cursor=horizon + 1)
+    if len(delivered) != 1 or delivered[0][0] != 0:
+        raise RuntimeError(f"seeded feed delivered {delivered}")
+    feed = spark.read.parquet(os.path.join(root, "out", "b*"))
+    bad = feed.filter(
+        (F.col("version") != 4) | (F.col("change_type") != "insert")
+    ).limit(1).count()
+    if bad:
+        raise RuntimeError("seeded feed emitted non-v4 / non-insert rows")
+    delta = feed.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("cents"),
+    ).collect()[0]
+
+    return spark.range(1).select(
+        F.lit(stale_raised).alias("stale_cursor_raises"),
+        F.lit(nothing_before_raise).alias("nothing_streamed_before_raise"),
+        F.lit(horizon).cast("int").alias("horizon"),
+        F.lit(len(delivered)).cast("int").alias("n_batches_after_seed"),
+        F.lit(seed["n"]).cast("long").alias("seed_rows"),
+        F.lit(seed["cents"]).cast("long").alias("seed_cents"),
+        F.lit(seed["n"] + delta["n"]).cast("long").alias("head_rows"),
+        F.lit(seed["cents"] + delta["cents"]).cast("long").alias(
+            "head_cents"
+        ),
+    )

@@ -67,3 +67,59 @@ def test_txn_cdf_reader_initial_offset_resumes_from_state_dir(tmp_path):
     assert reader.initialOffset() == {"version": 3}
     fresh = src_cls({"log_dir": log_dir}).streamReader(None)
     assert fresh.initialOffset() == {"version": 0}
+
+
+def test_vacuum_horizon_contract_end_to_end(spark):
+    """Driving the key exercises both in-key proofs: the stale-cursor
+    feed raises at planning time with nothing delivered, and the
+    documented seed-plus-stream recovery reproduces the head digest."""
+    out = sparkgraft.QUERIES["stream_cdf_vacuum_horizon"](
+        spark, SF_DIR
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.stale_cursor_raises and r.nothing_streamed_before_raise
+    assert r.horizon == 2 and r.n_batches_after_seed == 1
+    assert r.seed_rows < r.head_rows
+    assert r.seed_cents < r.head_cents
+
+
+def test_base_reader_refuses_cursor_below_vacuum_horizon(tmp_path):
+    """Unit-level pin of the contract in `_log_cdf_reader_base`: with
+    expired manifests present, partitions() raises for any start at or
+    below the newest expired version and plans normally above it."""
+    import pytest
+
+    from sparkgraft.streaming import _log_cdf_reader_base
+
+    base_cls = _log_cdf_reader_base()
+
+    class _Part:
+        def __init__(self, version, kind, path, new_dels=(), prior=()):
+            self.version, self.kind, self.path = version, kind, path
+
+    class _Concrete(base_cls):
+        PARTITION = _Part
+
+        def read(self, partition):  # pragma: no cover - never driven
+            return iter([])
+
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    # manifests v1, v2 expired; v3, v4 retained (absolute file lists)
+    (log_dir / "v1.json.expired").write_text('{"files": []}')
+    (log_dir / "v2.json.expired").write_text('{"files": []}')
+    (log_dir / "v3.json").write_text('{"snapshot": 3, "files": ["a"]}')
+    (log_dir / "v4.json").write_text(
+        '{"snapshot": 4, "files": ["a", "b"]}'
+    )
+
+    r = _Concrete({"log_dir": str(log_dir)})
+    for stale in (0, 1, 2):
+        with pytest.raises(RuntimeError, match="vacuum horizon"):
+            r.partitions({"version": stale}, {"version": 4})
+    # cursor 3 plans v4's delta without touching expired manifests
+    parts = r.partitions({"version": 3}, {"version": 4})
+    assert [(p.version, p.kind, p.path) for p in parts] == [
+        (4, "insert", "b")
+    ]
