@@ -7,6 +7,7 @@ DataFrame, so the driver's rows-only check validates the round-trip.
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 
@@ -5731,6 +5732,55 @@ _TXC_CKPTS = (5, 10)  # checkpoint cadence: every 5 txns
 _TXC_ASOF = 8  # the AS-OF probe: resolves via ckpt-5 + 3 tail deltas
 _TXC_DIM_AT = {1: 0, 6: 1, 11: 2}  # txn -> dim slice (c_custkey % 3)
 
+# The delta-form txn root's checkpoint file conventions are OWNED here
+# (scan_txn_checkpoint writes them; the r13 checkpoint-aware feed in
+# streaming.py resolves through them — shared names, never re-derived)
+_TXN_CKPT_POINTER = "_last_checkpoint"
+
+
+def _txn_ckpt_path(txn_dir: str, at: int) -> str:
+    return os.path.join(txn_dir, f"ckpt-v{at}.json")
+
+
+def _txn_delta_merge(state: dict, adds: dict) -> None:
+    """Fold one delta-form txn manifest's per-table adds into a
+    cumulative {table -> set(files)} state."""
+    for t, fl in adds.items():
+        state.setdefault(t, set()).update(fl)
+
+
+def _txn_write_checkpoint(txn_dir: str, at: int) -> None:
+    """Materialize the cumulative {table -> files} map at txn ``at``
+    (the checkpointer pays the genesis walk ONCE) as a put-if-absent
+    checkpoint file, then advance the `_last_checkpoint` pointer via
+    os.replace — racing checkpointers write identical bytes, so the
+    link(2) collision is benign."""
+    import json
+
+    state: dict = {}
+    for v in range(1, at + 1):
+        with open(os.path.join(txn_dir, f"v{v}.json")) as fh:
+            _txn_delta_merge(state, json.load(fh)["table_adds"])
+    tmp = os.path.join(txn_dir, f".ckpt-tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "version": at,
+                "tables": {t: sorted(fl) for t, fl in state.items()},
+            },
+            fh,
+        )
+    try:
+        os.link(tmp, _txn_ckpt_path(txn_dir, at))
+    except FileExistsError:
+        pass  # racing checkpointers write identical bytes
+    finally:
+        os.unlink(tmp)
+    ptmp = os.path.join(txn_dir, f".lastckpt-tmp-{os.getpid()}")
+    with open(ptmp, "w") as fh:
+        fh.write(str(at))
+    os.replace(ptmp, os.path.join(txn_dir, _TXN_CKPT_POINTER))
+
 
 @query(
     "scan_txn_checkpoint",
@@ -5802,9 +5852,7 @@ def scan_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
-    def _merge(state: dict, adds: dict) -> None:
-        for t, fl in adds.items():
-            state.setdefault(t, set()).update(fl)
+    _merge = _txn_delta_merge
 
     def _replay(upto: int, opened: list) -> dict:
         """Union of per-table add-deltas txn 1..upto — the
@@ -5817,27 +5865,7 @@ def scan_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _merge(state, json.load(fh)["table_adds"])
         return state
 
-    def _write_ckpt(at: int) -> None:
-        state = _replay(at, [])  # the checkpointer pays the walk ONCE
-        tmp = os.path.join(txn_dir, f".ckpt-tmp-{os.getpid()}")
-        with open(tmp, "w") as fh:
-            json.dump(
-                {
-                    "version": at,
-                    "tables": {t: sorted(fl) for t, fl in state.items()},
-                },
-                fh,
-            )
-        try:
-            os.link(tmp, os.path.join(txn_dir, f"ckpt-v{at}.json"))
-        except FileExistsError:
-            pass  # racing checkpointers write identical bytes
-        finally:
-            os.unlink(tmp)
-        ptmp = os.path.join(txn_dir, f".lastckpt-tmp-{os.getpid()}")
-        with open(ptmp, "w") as fh:
-            fh.write(str(at))
-        os.replace(ptmp, os.path.join(txn_dir, "_last_checkpoint"))
+    _write_ckpt = functools.partial(_txn_write_checkpoint, txn_dir)
 
     # the history: every txn appends a fact slice; txns 1/6/11 also
     # advance the dim — both tables always land through ONE manifest
@@ -5880,9 +5908,7 @@ def scan_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         base = 0
         if older:
             base = older[-1]
-            with open(
-                os.path.join(txn_dir, f"ckpt-v{base}.json")
-            ) as fh:
+            with open(_txn_ckpt_path(txn_dir, base)) as fh:
                 state = {
                     t: set(fl)
                     for t, fl in json.load(fh)["tables"].items()
@@ -5896,7 +5922,7 @@ def scan_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state, len(opened)
 
     # HEAD resolution: pointer -> newest checkpoint -> tail
-    with open(os.path.join(txn_dir, "_last_checkpoint")) as fh:
+    with open(os.path.join(txn_dir, _TXN_CKPT_POINTER)) as fh:
         ckpt_ver = int(fh.read())
     head_ver = _log_versions(txn_dir)[-1]
     head_state, head_reads = _resolve(head_ver)

@@ -123,3 +123,37 @@ def test_base_reader_refuses_cursor_below_vacuum_horizon(tmp_path):
     assert [(p.version, p.kind, p.path) for p in parts] == [
         (4, "insert", "b")
     ]
+
+
+def test_txn_checkpoint_feed_open_discipline(spark):
+    """Driving the key exercises the whole contract: the fresh feed's
+    pointer+checkpoint+tail open sequence, the pre-checkpoint-cursor
+    restart's pure-delta resumption, the txn-6 atomic cut, and the
+    three-way MV digest agreement."""
+    rows = sparkgraft.QUERIES["stream_cdf_txn_checkpoint"](
+        spark, SF_DIR
+    ).collect()
+    assert rows  # one row per market segment
+    r = rows[0]
+    assert r.seed_version == 10
+    assert r.fresh_batches == 3 and r.fresh_opens == 4
+    assert r.restart_cursor == 3
+    assert r.restart_batches == 9 and r.restart_opens == 9
+    assert r.restart_skips_pointer
+    assert r.seed_matches_checkpoint and r.txn6_spans_both_tables
+    assert sum(x.n_rows for x in rows) > r.seed_fact_rows
+
+
+def test_rebase_exactly_once_feed(spark):
+    """Driving the key proves the race really happened, the lost
+    attempt leaked nothing, nothing duplicated, and the event-built
+    tables equal the head tables."""
+    out = sparkgraft.QUERIES["stream_cdf_rebase_exactly_once"](
+        spark, SF_DIR
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.txn_head == 3 and r.n_batches == 3
+    assert r.race_happened and r.zero_delete_events
+    assert r.no_duplicate_events and r.stale_map_would_retract_winner
+    assert r.fact_rows > 0 and r.dim_rows > 0
