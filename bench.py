@@ -281,6 +281,18 @@ GROUP12 = [
     "sim_ivf_index_feed",
 ]
 
+
+# Round-13 composition-seam keys: vacuum x CDF contract, checkpointed
+# txn-root feed, OCC-rebase exactly-once, AS-OF index reads, schema
+# evolution through the index feed. Same protocol, own total.
+GROUP13 = [
+    "stream_cdf_vacuum_horizon",
+    "stream_cdf_txn_checkpoint",
+    "stream_cdf_rebase_exactly_once",
+    "dedup_index_asof",
+    "dedup_index_schema_evolution",
+]
+
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts
 # compare raw seconds across rounds on a host with documented ambient
 # drift (BENCH_r07 read a uniform 1.1-1.4x over identical r6 plans). The
@@ -412,6 +424,10 @@ def main() -> int:
         spark, sf_dir, [k for k in GROUP12 if k in sparkgraft.QUERIES], loadavg_samples
     )
     bound_loads.append(_bound())
+    timings13, traces13 = _time_group(
+        spark, sf_dir, [k for k in GROUP13 if k in sparkgraft.QUERIES], loadavg_samples
+    )
+    bound_loads.append(_bound())
 
     probe_end = _probe(spark, sf_dir)
     host_probe = min(probe_start, probe_end)
@@ -444,6 +460,7 @@ def main() -> int:
         "group10_total": round(sum(timings10.values()), 4),
         "group11_total": round(sum(timings11.values()), 4),
         "group12_total": round(sum(timings12.values()), 4),
+        "group13_total": round(sum(timings13.values()), 4),
         # r9 (the r8 verdict's ask #7): the load adjudication data rides
         # in the GRADED stdout line, not just the side trace — the 1-min
         # loadavg at start and at every group boundary, plus a loud gate
@@ -471,6 +488,7 @@ def main() -> int:
                 ("g10", sum(timings10.values())),
                 ("g11", sum(timings11.values())),
                 ("g12", sum(timings12.values())),
+                ("g13", sum(timings13.values())),
             ]
         },
         "trace_file": "BENCH_trace.json",
@@ -482,13 +500,14 @@ def main() -> int:
          "group6_queries": timings6, "group7_queries": timings7,
          "group8_queries": timings8, "group9_queries": timings9,
          "group10_queries": timings10, "group11_queries": timings11,
-         "group12_queries": timings12,
+         "group12_queries": timings12, "group13_queries": timings13,
          "runs": traces, "group2_runs": traces2, "group3_runs": traces3,
          "group4_runs": traces4, "group5_runs": traces5,
          "group6_runs": traces6, "group7_runs": traces7,
          "group8_runs": traces8, "group9_runs": traces9,
          "group10_runs": traces10, "group11_runs": traces11,
-         "group12_runs": traces12, "loadavg": loadavg_samples}
+         "group12_runs": traces12, "group13_runs": traces13,
+         "loadavg": loadavg_samples}
     )
     trace_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_trace.json")

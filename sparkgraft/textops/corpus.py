@@ -2490,3 +2490,560 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --- AS-OF reads of the feed-maintained index (r13: the r12 verdict's
+# ask #5 — "reproduce yesterday's retrieval": AS-OF version k must
+# resolve the index CONSISTENT with the documents table at k) ---
+
+
+def _dedup_index_asof_oracle() -> str:
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    h = _MD5_60_DUCK.format(x="s.i::VARCHAR || ':' || shingle")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_SHINGLE_W - 1}], ' '))) AS shingle
+      FROM toks),
+    mins AS MATERIALIZED (
+      SELECT doc_id, s.i, min({h}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) s
+      GROUP BY doc_id, s.i),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM mins GROUP BY doc_id, i // {_MINHASH_ROWS}),
+    retired AS (
+      SELECT count(*) * {_MINHASH_BANDS} AS n FROM documents
+      WHERE doc_id % {_DIX_MOD} = {_DIX_REM})
+    SELECT CAST(2 AS INT) AS asof_version, TRUE AS stamps_monotone,
+           CAST((SELECT n FROM retired) AS BIGINT) AS retired_rows,
+           CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets,
+           CAST(sum(length(band_key)) AS BIGINT) AS len_sum,
+           min(band_key) AS min_key, max(band_key) AS max_key
+    FROM bands GROUP BY band
+    UNION ALL
+    SELECT CAST(3 AS INT), TRUE,
+           CAST((SELECT n FROM retired) AS BIGINT),
+           CAST(band AS INT), CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT band_key) AS BIGINT),
+           CAST(sum(length(band_key)) AS BIGINT),
+           min(band_key), max(band_key)
+    FROM bands WHERE NOT (doc_id % {_DIX_MOD} = {_DIX_REM})
+    GROUP BY band
+    ORDER BY asof_version, band
+    """
+
+
+@query("dedup_index_asof", oracle=_dedup_index_asof_oracle())
+def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF READS OF THE FEED-MAINTAINED DEDUP INDEX (the r12
+    verdict's ask #5 — `scan_txn_checkpoint` proves AS-OF for tables
+    the same txn root owns; the feed-maintained index lives in its OWN
+    log, so version-travel needs an explicit BINDING). The maintainer
+    (the `dedup_index_maintain` protocol) now STAMPS each index commit
+    with the documents version whose feed batch produced it
+    (``extra={"docs_version": k}`` on `_commit_snapshot` — the
+    mechanism real MV/index maintainers persist: Delta's MVs record
+    the source table version a refresh read). AS-OF docs-version k
+    then resolves the index as the newest index commit whose stamp is
+    ≤ k, and the pair (docs@k, index@k) is CONSISTENT — "reproduce
+    yesterday's retrieval" exactly.
+
+    History: docs v1 base append, v2 delta append, v3 equality
+    tombstone (doc_id %{_DIX_MOD}=={_DIX_REM}, masking BOTH slices);
+    the feed maintains index versions stamped docs_version 1, 2, 3
+    (stamps asserted present and strictly monotone).
+
+    Asserted in-key, for BOTH historical versions k=2 (pre-delete) and
+    k=3 (the head): index-AS-OF-k == index REBUILT from docs-AS-OF-k
+    (the docs MOR read cut at manifest k), exact (doc_id, band,
+    band_key) frame equality in both exceptAll directions — and the
+    versions genuinely differ: index@2 − index@3 is exactly the
+    retired rows, |deleted docs| × {_MINHASH_BANDS} bands (counted).
+    A consumer pinning k therefore gets the same candidate buckets
+    yesterday's retrieval saw, including docs deleted since — and the
+    head read hides them.
+
+    Scale: AS-OF resolution is a KB manifest walk (newest stamp ≤ k);
+    no data is rewritten to serve history — the MOR read at k simply
+    stops applying tombstones committed after k. The stamp is one
+    integer per index commit; the rebuild here is the verification
+    twin, never the serving path."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+    from sparkgraft.streaming import _doc_cdf_datasource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    cut = (int(max_id) + 1) * _DIX_NUM // _DIX_DEN
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-idxasof-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    doc_log = os.path.join(root, "doclog")
+    idx_log = os.path.join(root, "idxlog")
+    ckpt = os.path.join(root, "ckpt")
+    idx_root = os.path.join(root, "idx")
+    for d in (doc_log, idx_log, idx_root):
+        os.makedirs(d)
+
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    base_dir = os.path.join(root, "base")
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(base_dir)
+    _commit_snapshot(doc_log, _data_files_of(base_dir))  # v1
+    delta_dir = os.path.join(root, "delta")
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.parquet(delta_dir)
+    _commit_snapshot(doc_log, _data_files_of(delta_dir))  # v2
+    t3_dir = os.path.join(root, _MOR_DELETE_CLASS, "t3")
+    (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % _DIX_MOD == _DIX_REM)
+        .coalesce(1)
+        .write.parquet(t3_dir)
+    )
+    _commit_snapshot(
+        doc_log, _data_files_of(t3_dir), extra={"op": "mor-delete"}
+    )  # v3
+
+    # the maintainer, stamping each index commit with its docs version
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _log_versions(idx_log)
+        if versions and versions[-1] >= batch_id + 1:
+            return  # redelivered batch: the commit already landed
+        adds: list[str] = []
+        ins = batch_df.filter(F.col("change_type") == "insert").select(
+            "doc_id", "text"
+        )
+        if ins.limit(1).count():
+            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+            band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
+                add_dir
+            )
+            adds += _data_files_of(add_dir)
+        dels = batch_df.filter(F.col("change_type") == "delete").select(
+            "doc_id"
+        )
+        if dels.limit(1).count():
+            t_dir = os.path.join(
+                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            )
+            dels.coalesce(1).write.parquet(t_dir)
+            adds += _data_files_of(t_dir)
+        if not adds:
+            raise RuntimeError(f"feed batch {batch_id} carried no events")
+        _commit_snapshot(
+            idx_log, adds, extra={"docs_version": batch_id + 1}
+        )
+
+    spark.dataSource.register(_doc_cdf_datasource())
+    q = (
+        spark.readStream.format("sparkgraft_doc_cdf")
+        .option("log_dir", doc_log)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx_versions = _log_versions(idx_log)
+    stamps = [
+        _read_manifest(idx_log, v).get("docs_version")
+        for v in idx_versions
+    ]
+    stamps_monotone = stamps == sorted(stamps) and None not in stamps
+    if not stamps_monotone or len(stamps) != 3:
+        raise RuntimeError(f"index stamps broken: {stamps}")
+
+    def idx_asof(k: int) -> DataFrame:
+        """Newest index commit whose docs_version stamp ≤ k, MOR-read
+        within that manifest (tombstones committed after k are simply
+        not in it — history is served from retained files, unchanged)."""
+        v = max(
+            v
+            for v in idx_versions
+            if _read_manifest(idx_log, v)["docs_version"] <= k
+        )
+        head = _read_manifest(idx_log, v)["files"]
+        data = [f for f in head if del_seg not in f]
+        tombs = [f for f in head if del_seg in f]
+        df = spark.read.parquet(*data)
+        if tombs:
+            df = df.join(
+                F.broadcast(
+                    spark.read.parquet(*tombs).select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        return df.localCheckpoint()
+
+    def docs_asof(k: int) -> DataFrame:
+        files = _read_manifest(doc_log, k)["files"]
+        data = [f for f in files if del_seg not in f]
+        tombs = [f for f in files if del_seg in f]
+        df = spark.read.parquet(*data)
+        if tombs:
+            df = df.join(
+                F.broadcast(
+                    spark.read.parquet(*tombs).select("doc_id")
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        return df
+
+    asof = {k: idx_asof(k) for k in (2, 3)}
+    for k in (2, 3):
+        rebuilt = band_keys(minhash_signatures(docs_asof(k)))
+        if (
+            asof[k].exceptAll(rebuilt).limit(1).count()
+            or rebuilt.exceptAll(asof[k]).limit(1).count()
+        ):
+            raise RuntimeError(
+                f"index AS-OF {k} diverged from rebuild at docs@{k}"
+            )
+
+    # the versions genuinely differ by exactly the retired rows
+    n2, n3 = asof[2].count(), asof[3].count()
+    n_del = (
+        docs.filter(F.col("doc_id") % _DIX_MOD == _DIX_REM).count()
+    )
+    retired = n_del * _MINHASH_BANDS
+    if n2 - n3 != retired or retired == 0:
+        raise RuntimeError(
+            f"AS-OF diff {n2 - n3} != retired rows {retired}"
+        )
+
+    def digest(df: DataFrame, k: int) -> DataFrame:
+        return (
+            df.groupBy("band")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.countDistinct("band_key").cast("long").alias("n_buckets"),
+                F.sum(F.length("band_key")).cast("long").alias("len_sum"),
+                F.min("band_key").alias("min_key"),
+                F.max("band_key").alias("max_key"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("asof_version"),
+                F.lit(stamps_monotone).alias("stamps_monotone"),
+                F.lit(retired).cast("long").alias("retired_rows"),
+                F.col("band").cast("int"),
+                "n_docs",
+                "n_buckets",
+                "len_sum",
+                "min_key",
+                "max_key",
+            )
+        )
+
+    return (
+        digest(asof[2], 2)
+        .unionByName(digest(asof[3], 3))
+        .orderBy("asof_version", "band")
+    )
+
+
+# --- schema evolution THROUGH the index feed (r13: the r12 verdict's
+# ask #6 — an add-column documents commit must flow through the doc
+# CDF while the index maintainer keeps maintaining) ---
+
+
+def _dedup_index_evo_oracle() -> str:
+    k = _MINHASH_BANDS * _MINHASH_ROWS
+    h = _MD5_60_DUCK.format(x="s.i::VARCHAR || ':' || shingle")
+    return f"""
+    WITH live AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      WHERE NOT (doc_id % {_DIX_MOD} = {_DIX_REM})),
+    toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM live),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - {_SHINGLE_W - 1}, 1) + 1),
+               i -> array_to_string(t[i:i+{_SHINGLE_W - 1}], ' '))) AS shingle
+      FROM toks),
+    mins AS MATERIALIZED (
+      SELECT doc_id, s.i, min({h}) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(0, {k})) AS i) s
+      GROUP BY doc_id, s.i),
+    bands AS MATERIALIZED (
+      SELECT doc_id, i // {_MINHASH_ROWS} AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM mins GROUP BY doc_id, i // {_MINHASH_ROWS})
+    SELECT TRUE AS metadata_batch_empty,
+           TRUE AS index_invariant_to_metadata,
+           TRUE AS post_evolution_indexed,
+           CAST(3 AS INT) AS n_index_commits,
+           CAST(band AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT band_key) AS BIGINT) AS n_buckets,
+           CAST(sum(length(band_key)) AS BIGINT) AS len_sum,
+           min(band_key) AS min_key, max(band_key) AS max_key
+    FROM bands GROUP BY band ORDER BY band
+    """
+
+
+@query("dedup_index_schema_evolution", oracle=_dedup_index_evo_oracle())
+def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION THROUGH THE INDEX FEED (the r12 verdict's ask
+    #6 — `stream_cdf_schema_evolution` proves the evolved feed in
+    isolation; this key drives an add-column commit through
+    `DocCDFReader` WHILE `dedup_index_maintain`'s maintainer keeps
+    maintaining). History on the documents log:
+
+    - v1: base append (doc_id, text).
+    - v2: METADATA-ONLY add-column commit — ``schema_version: 2``
+      stamped, file list UNCHANGED (`_commit_snapshot` with zero
+      adds). The shared planner's file-delta arithmetic makes this
+      zero events BY CONSTRUCTION (cur − prev = ∅), pinned by the
+      planner pytest; the feed still delivers the (empty) batch.
+    - v3: post-evolution append whose files CARRY the new column
+      (doc_id, text, lang) — the reader's column-projected read
+      (doc_id, text only) is invariant to trailing columns, so the
+      new-generation docs flow through the same feed.
+    - v4: an equality tombstone (doc_id %{_DIX_MOD}=={_DIX_REM})
+      masking docs of BOTH writer generations.
+
+    The maintainer's exactly-once moves from version arithmetic to
+    ``feed_batch`` stamps (`dedup_index_compaction`'s discipline) —
+    version counting breaks the moment a batch legitimately commits
+    NOTHING: the metadata-only batch must leave the index log
+    untouched (asserted: the log grows by zero commits across it),
+    not land an empty commit, and a redelivered batch must still
+    no-op on the stamp.
+
+    Asserted in-key: the feed delivered all 4 batches with batch 1
+    (the metadata commit) EMPTY; the index log holds exactly 3
+    commits stamped feed_batch [0, 2, 3]; post-evolution docs are in
+    the maintained index (the v3 slice's band rows present); and the
+    capstone equality — maintained index == rebuild from the head's
+    live docs — holds across the evolution boundary and the
+    cross-generation delete.
+
+    Scale: schema evolution stays O(1) metadata for the index
+    pipeline end-to-end — no file is rewritten, no event is emitted,
+    no index commit lands; the maintainer's per-batch cost is
+    unchanged because the projected read never touches the evolved
+    column. The stamp check is a KB manifest walk per batch."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+    from sparkgraft.streaming import _doc_cdf_datasource
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar
+    cut = (int(max_id) + 1) * _DIX_NUM // _DIX_DEN
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-idxevo-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    doc_log = os.path.join(root, "doclog")
+    idx_log = os.path.join(root, "idxlog")
+    ckpt = os.path.join(root, "ckpt")
+    idx_root = os.path.join(root, "idx")
+    for d in (doc_log, idx_log, idx_root):
+        os.makedirs(d)
+
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    base_dir = os.path.join(root, "base")
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(base_dir)
+    _commit_snapshot(doc_log, _data_files_of(base_dir))  # v1
+    # v2: the METADATA-ONLY add-column commit — zero file delta
+    _commit_snapshot(doc_log, [], extra={"schema_version": 2})
+    # v3: post-evolution append, files CARRY the evolved column
+    delta_dir = os.path.join(root, "delta")
+    (
+        docs.filter(F.col("doc_id") >= cut)
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("en")).otherwise(
+                F.lit("de")
+            ),
+        )
+        .coalesce(1)
+        .write.parquet(delta_dir)
+    )
+    _commit_snapshot(doc_log, _data_files_of(delta_dir))
+    # v4: cross-generation equality tombstone
+    t4_dir = os.path.join(root, _MOR_DELETE_CLASS, "t4")
+    (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") % _DIX_MOD == _DIX_REM)
+        .coalesce(1)
+        .write.parquet(t4_dir)
+    )
+    _commit_snapshot(
+        doc_log, _data_files_of(t4_dir), extra={"op": "mor-delete"}
+    )
+
+    delivered: list[tuple[int, int]] = []  # (batch_id, n_index_commits)
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _log_versions(idx_log)
+        stamps = {
+            _read_manifest(idx_log, v).get("feed_batch") for v in versions
+        }
+        if batch_id in stamps:
+            return  # redelivered: the stamped commit already landed
+        adds: list[str] = []
+        ins = batch_df.filter(F.col("change_type") == "insert").select(
+            "doc_id", "text"
+        )
+        if ins.limit(1).count():
+            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+            band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
+                add_dir
+            )
+            adds += _data_files_of(add_dir)
+        dels = batch_df.filter(F.col("change_type") == "delete").select(
+            "doc_id"
+        )
+        if dels.limit(1).count():
+            t_dir = os.path.join(
+                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            )
+            dels.coalesce(1).write.parquet(t_dir)
+            adds += _data_files_of(t_dir)
+        if adds:
+            _commit_snapshot(
+                idx_log, adds, extra={"feed_batch": batch_id}
+            )
+        # a batch with no events (the metadata-only commit) leaves the
+        # index log UNTOUCHED — invariance, not an empty commit
+        delivered.append((int(batch_id), len(_log_versions(idx_log))))
+
+    spark.dataSource.register(_doc_cdf_datasource())
+    q = (
+        spark.readStream.format("sparkgraft_doc_cdf")
+        .option("log_dir", doc_log)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    if [b[0] for b in delivered] != [0, 1, 2, 3]:
+        raise RuntimeError(f"feed batches wrong: {delivered}")
+    # index log growth per batch: +1, +0 (metadata), +1, +1
+    growth = [delivered[0][1]] + [
+        delivered[i][1] - delivered[i - 1][1] for i in range(1, 4)
+    ]
+    metadata_batch_empty = growth == [1, 0, 1, 1]
+    if not metadata_batch_empty:
+        raise RuntimeError(f"index commit growth wrong: {growth}")
+    idx_versions = _log_versions(idx_log)
+    stamps = [
+        _read_manifest(idx_log, v)["feed_batch"] for v in idx_versions
+    ]
+    if stamps != [0, 2, 3]:
+        raise RuntimeError(f"feed_batch stamps wrong: {stamps}")
+
+    head = _read_manifest(idx_log, idx_versions[-1])["files"]
+    committed = spark.read.parquet(
+        *[f for f in head if del_seg not in f]
+    )
+    tomb = spark.read.parquet(
+        *[f for f in head if del_seg in f]
+    ).select("doc_id")
+    maintained = committed.join(
+        F.broadcast(tomb), "doc_id", "left_anti"
+    ).localCheckpoint()
+
+    # post-evolution docs ARE indexed (the v3 generation's live rows)
+    n_evo = maintained.filter(F.col("doc_id") >= cut).count()
+    n_evo_want = docs.filter(
+        (F.col("doc_id") >= cut)
+        & ~(F.col("doc_id") % _DIX_MOD == _DIX_REM)
+    ).count() * _MINHASH_BANDS
+    if n_evo != n_evo_want or n_evo == 0:
+        raise RuntimeError(
+            f"post-evolution rows {n_evo} != expected {n_evo_want}"
+        )
+
+    # capstone: maintained == rebuild from the head's live docs
+    doc_head = _read_manifest(doc_log, _log_versions(doc_log)[-1])["files"]
+    live_docs = spark.read.parquet(
+        *[f for f in doc_head if del_seg not in f]
+    ).select("doc_id", "text").join(
+        F.broadcast(
+            spark.read.parquet(
+                *[f for f in doc_head if del_seg in f]
+            ).select("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    rebuilt = band_keys(minhash_signatures(live_docs))
+    if (
+        maintained.exceptAll(rebuilt).limit(1).count()
+        or rebuilt.exceptAll(maintained).limit(1).count()
+    ):
+        raise RuntimeError(
+            "maintained index diverged from rebuild across the evolution"
+        )
+
+    return (
+        maintained.groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("band_key").cast("long").alias("n_buckets"),
+            F.sum(F.length("band_key")).cast("long").alias("len_sum"),
+            F.min("band_key").alias("min_key"),
+            F.max("band_key").alias("max_key"),
+        )
+        .select(
+            F.lit(metadata_batch_empty).alias("metadata_batch_empty"),
+            F.lit(True).alias("index_invariant_to_metadata"),
+            F.lit(True).alias("post_evolution_indexed"),
+            F.lit(len(idx_versions)).cast("int").alias("n_index_commits"),
+            F.col("band").cast("int"),
+            "n_docs",
+            "n_buckets",
+            "len_sum",
+            "min_key",
+            "max_key",
+        )
+        .orderBy("band")
+    )

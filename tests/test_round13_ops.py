@@ -157,3 +157,50 @@ def test_rebase_exactly_once_feed(spark):
     assert r.race_happened and r.zero_delete_events
     assert r.no_duplicate_events and r.stale_map_would_retract_winner
     assert r.fact_rows > 0 and r.dim_rows > 0
+
+
+def test_index_asof_two_versions(spark):
+    """Driving the key proves both AS-OF equalities (index@k ==
+    rebuild from docs@k for k=2,3) and that the versions genuinely
+    differ by exactly the retired rows."""
+    rows = sparkgraft.QUERIES["dedup_index_asof"](spark, SF_DIR).collect()
+    v2 = [r for r in rows if r.asof_version == 2]
+    v3 = [r for r in rows if r.asof_version == 3]
+    assert v2 and v3
+    assert all(r.stamps_monotone for r in rows)
+    retired = rows[0].retired_rows
+    assert retired > 0
+    assert sum(r.n_docs for r in v2) - sum(r.n_docs for r in v3) == retired
+
+
+def test_index_feed_survives_schema_evolution(spark):
+    """Driving the key: metadata-only batch empty, index log invariant
+    to it, post-evolution docs indexed, maintained == rebuilt."""
+    rows = sparkgraft.QUERIES["dedup_index_schema_evolution"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    r = rows[0]
+    assert r.metadata_batch_empty and r.index_invariant_to_metadata
+    assert r.post_evolution_indexed and r.n_index_commits == 3
+
+
+def test_doc_cdf_planner_metadata_only_commit_zero_events(tmp_path):
+    """Planner pin for the r13 evolution key: a commit whose file list
+    is UNCHANGED from its parent (the add-column metadata commit)
+    plans ZERO real partitions — only the empty-batch fallback."""
+    from sparkgraft.streaming import _doc_cdf_datasource
+
+    src_cls = _doc_cdf_datasource()
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    (log_dir / "v1.json").write_text(
+        '{"snapshot": 1, "files": ["a.parquet"]}'
+    )
+    (log_dir / "v2.json").write_text(
+        '{"snapshot": 2, "files": ["a.parquet"], "schema_version": 2}'
+    )
+    reader = src_cls({"log_dir": str(log_dir)}).streamReader(None)
+    parts = reader.partitions({"version": 1}, {"version": 2})
+    assert [p.path for p in parts] == [""]  # the empty-batch fallback
+    assert list(reader.read(parts[0])) == []
