@@ -291,6 +291,7 @@ GROUP13 = [
     "stream_cdf_rebase_exactly_once",
     "dedup_index_asof",
     "dedup_index_schema_evolution",
+    "sim_ivf_index_asof",
 ]
 
 # Host-drift normalization (r8, the r7 verdict's ask #7): BENCH artifacts

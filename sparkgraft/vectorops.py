@@ -3944,3 +3944,287 @@ def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# --- AS-OF reads of the feed-maintained ANN index (r13: the ANN half
+# of the r12 verdict's ask #5 — AS-OF version k must resolve the code
+# table CONSISTENT with the embeddings table at k) ---
+
+
+def _ivf_asof_oracle() -> str:
+    rounds = ",".join(_kmt_round_sql(k) for k in range(1, _IVFQ_ROUNDS + 1))
+    r = _IVFQ_ROUNDS
+    return f"""
+    WITH cut AS MATERIALIZED (
+      SELECT ((max(vec_id) + 1) * {_IVF_APPEND_NUM}) // {_IVF_APPEND_DEN}
+               AS c
+      FROM embeddings),
+    eqraw AS MATERIALIZED (
+      SELECT vec_id, i.i AS pos,
+             CAST(CASE WHEN CAST(embedding[i.i + 1] AS DOUBLE) >= 0
+                  THEN floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  ELSE -floor(-CAST(embedding[i.i + 1] AS DOUBLE) * 1e6 + 0.5)
+                  END AS BIGINT) AS q
+      FROM embeddings, (SELECT unnest(range(0, {_DIM})) AS i) i),
+    nrm AS MATERIALIZED (
+      SELECT vec_id, sqrt(CAST(sum(q * q) AS DOUBLE)) AS nn
+      FROM eqraw GROUP BY vec_id),
+    eqall AS MATERIALIZED (
+      SELECT e.vec_id, e.pos,
+             CAST(CASE WHEN e.q >= 0
+                  THEN floor(CAST(e.q AS DOUBLE) * 1e6 / n.nn + 0.5)
+                  ELSE -floor(-(CAST(e.q AS DOUBLE) * 1e6 / n.nn) + 0.5)
+                  END AS BIGINT) AS q
+      FROM eqraw e JOIN nrm n ON n.vec_id = e.vec_id),
+    eq AS MATERIALIZED (
+      SELECT * FROM eqall WHERE vec_id < (SELECT c FROM cut)),
+    seeds AS MATERIALIZED (
+      SELECT vec_id, CAST(rn - 1 AS INT) AS cell FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY {_IVFQ_MD5H}, vec_id) AS rn
+        FROM embeddings WHERE vec_id < (SELECT c FROM cut)) t
+      WHERE rn <= {_IVFQ_C}),
+    c0 AS MATERIALIZED (
+      SELECT s.cell, e.pos, e.q
+      FROM seeds s JOIN eq e ON e.vec_id = s.vec_id),{rounds},
+    dall AS MATERIALIZED (
+      SELECT e.vec_id, c.cell,
+             sum((e.q - c.q) * (e.q - c.q)) AS dist
+      FROM eqall e JOIN c{r} c ON c.pos = e.pos
+      GROUP BY e.vec_id, c.cell),
+    aall AS MATERIALIZED (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM dall) t WHERE rn = 1),
+    retired AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+      WHERE vec_id % {_IVFDEL_MOD} = {_IVFDEL_REM})
+    SELECT CAST(2 AS INT) AS asof_version, TRUE AS stamps_monotone,
+           (SELECT n FROM retired) AS retired_rows,
+           CAST(cell AS INT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS min_vec,
+           CAST(max(vec_id) AS BIGINT) AS max_vec
+    FROM aall GROUP BY cell
+    UNION ALL
+    SELECT CAST(3 AS INT), TRUE, (SELECT n FROM retired),
+           CAST(cell AS INT), CAST(count(*) AS BIGINT),
+           CAST(min(vec_id) AS BIGINT), CAST(max(vec_id) AS BIGINT)
+    FROM aall WHERE NOT (vec_id % {_IVFDEL_MOD} = {_IVFDEL_REM})
+    GROUP BY cell
+    ORDER BY asof_version, cell
+    """
+
+
+@query("sim_ivf_index_asof", oracle=_ivf_asof_oracle())
+def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF READS OF THE FEED-MAINTAINED ANN CODE TABLE (the r12
+    verdict's ask #5, ANN half — `dedup_index_asof`'s version-travel
+    binding applied to `sim_ivf_index_feed`'s index): every code-table
+    commit is STAMPED with the embeddings version whose feed batch
+    produced it (``emb_version`` on `_commit_snapshot`), and AS-OF
+    embeddings-version k resolves the code table as the newest commit
+    stamped ≤ k — so a consumer can reproduce yesterday's retrieval:
+    the same (vec_id, cell) routing the index served at k, including
+    vectors deleted since.
+
+    History: embeddings v1 base append (the slice the frozen centroids
+    trained on), v2 delta append, v3 equality tombstone
+    (vec_id %{_IVFDEL_MOD}=={_IVFDEL_REM}); the feed maintains code
+    commits stamped emb_version 1, 2, 3 (asserted present, strictly
+    monotone).
+
+    Asserted in-key for BOTH k=2 (pre-delete) and k=3 (head): the
+    code table AS-OF k equals the frozen-centroid assignment of the
+    LIVE embeddings AS-OF k (the MOR read cut at manifest k) — exact
+    (vec_id, cell) frame equality both exceptAll directions — and the
+    versions genuinely differ by exactly the |tombstoned| retired
+    codes (counted). The oracle mirrors both versions' per-cell
+    occupancy from ONE quantized-Lloyd pass over source.
+
+    Scale: AS-OF resolution is a KB manifest walk; history costs no
+    rewrite — the MOR read at k stops applying tombstones committed
+    after k; the stamp is one integer per commit. Retrieval at a
+    pinned k routes probes with the same ≤C×dim centroid constant, so
+    time-travel retrieval costs what head retrieval costs."""
+    import os
+    import shutil
+    import tempfile
+
+    from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
+        _commit_snapshot,
+        _data_files_of,
+        _log_versions,
+        _read_manifest,
+    )
+    from sparkgraft.streaming import _emb_cdf_datasource
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = e.agg(F.max("vec_id")).collect()[0][0]  # bounded scalar
+    cut = (int(max_id) + 1) * _IVF_APPEND_NUM // _IVF_APPEND_DEN
+    cq = _ivfq_centroids(spark, sf_dir, base_max=cut)  # frozen, cached
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"sg-ivfasof-{os.path.basename(sf_dir.rstrip('/'))}"
+        f"-pid{os.getpid()}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    emb_log = os.path.join(root, "emblog")
+    idx_log = os.path.join(root, "idxlog")
+    ckpt = os.path.join(root, "ckpt")
+    idx_root = os.path.join(root, "idx")
+    for d in (emb_log, idx_log, idx_root):
+        os.makedirs(d)
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+
+    base_dir = os.path.join(root, "base")
+    e.filter(F.col("vec_id") < cut).coalesce(1).write.parquet(base_dir)
+    _commit_snapshot(emb_log, _data_files_of(base_dir))  # v1
+    delta_dir = os.path.join(root, "delta")
+    e.filter(F.col("vec_id") >= cut).coalesce(1).write.parquet(delta_dir)
+    _commit_snapshot(emb_log, _data_files_of(delta_dir))  # v2
+    t3_dir = os.path.join(root, _MOR_DELETE_CLASS, "t3")
+    (
+        e.select("vec_id")
+        .filter(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM)
+        .coalesce(1)
+        .write.parquet(t3_dir)
+    )
+    _commit_snapshot(
+        emb_log, _data_files_of(t3_dir), extra={"op": "mor-delete"}
+    )  # v3
+
+    def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _log_versions(idx_log)
+        stamps = {
+            _read_manifest(idx_log, v).get("feed_batch") for v in versions
+        }
+        if batch_id in stamps:
+            return  # redelivered batch: its commit already landed
+        adds: list[str] = []
+        ins = batch_df.filter(F.col("change_type") == "insert").select(
+            "vec_id", "embedding"
+        )
+        if ins.limit(1).count():
+            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+            _ivfq_assign(spark, ins, cq).coalesce(1).write.parquet(
+                add_dir
+            )
+            adds += _data_files_of(add_dir)
+        dels = batch_df.filter(F.col("change_type") == "delete").select(
+            "vec_id"
+        )
+        if dels.limit(1).count():
+            t_dir = os.path.join(
+                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            )
+            dels.coalesce(1).write.parquet(t_dir)
+            adds += _data_files_of(t_dir)
+        if not adds:
+            raise RuntimeError(f"feed batch {batch_id} carried no events")
+        _commit_snapshot(
+            idx_log,
+            adds,
+            extra={"feed_batch": batch_id, "emb_version": batch_id + 1},
+        )
+
+    spark.dataSource.register(_emb_cdf_datasource())
+    q = (
+        spark.readStream.format("sparkgraft_emb_cdf")
+        .option("log_dir", emb_log)
+        .load()
+        .writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    idx_versions = _log_versions(idx_log)
+    stamps = [
+        _read_manifest(idx_log, v).get("emb_version") for v in idx_versions
+    ]
+    stamps_monotone = (
+        stamps == sorted(stamps) and None not in stamps and len(stamps) == 3
+    )
+    if not stamps_monotone:
+        raise RuntimeError(f"emb_version stamps broken: {stamps}")
+
+    def mor_read(log_dir: str, files: list, key: str) -> DataFrame:
+        data = [f for f in files if del_seg not in f]
+        tombs = [f for f in files if del_seg in f]
+        df = spark.read.parquet(*data)
+        if tombs:
+            df = df.join(
+                F.broadcast(spark.read.parquet(*tombs).select(key)),
+                key,
+                "left_anti",
+            )
+        return df
+
+    def idx_asof(k: int) -> DataFrame:
+        v = max(
+            v
+            for v in idx_versions
+            if _read_manifest(idx_log, v)["emb_version"] <= k
+        )
+        return mor_read(
+            idx_log, _read_manifest(idx_log, v)["files"], "vec_id"
+        ).localCheckpoint()
+
+    def emb_asof(k: int) -> DataFrame:
+        return mor_read(
+            emb_log, _read_manifest(emb_log, k)["files"], "vec_id"
+        )
+
+    asof = {k: idx_asof(k) for k in (2, 3)}
+    for k in (2, 3):
+        rebuilt = _ivfq_assign(spark, emb_asof(k), cq)
+        if (
+            asof[k].exceptAll(rebuilt).limit(1).count()
+            or rebuilt.exceptAll(asof[k]).limit(1).count()
+        ):
+            raise RuntimeError(
+                f"code table AS-OF {k} diverged from frozen assignment "
+                f"of embeddings@{k}"
+            )
+
+    n2, n3 = asof[2].count(), asof[3].count()
+    retired = int(
+        e.filter(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM).count()
+    )
+    if n2 - n3 != retired or retired == 0:
+        raise RuntimeError(
+            f"AS-OF diff {n2 - n3} != retired codes {retired}"
+        )
+
+    def digest(df: DataFrame, k: int) -> DataFrame:
+        return (
+            df.groupBy("cell")
+            .agg(
+                F.count("*").cast("long").alias("n_vecs"),
+                F.min("vec_id").cast("long").alias("min_vec"),
+                F.max("vec_id").cast("long").alias("max_vec"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("asof_version"),
+                F.lit(stamps_monotone).alias("stamps_monotone"),
+                F.lit(retired).cast("long").alias("retired_rows"),
+                F.col("cell").cast("int"),
+                "n_vecs",
+                "min_vec",
+                "max_vec",
+            )
+        )
+
+    return (
+        digest(asof[2], 2)
+        .unionByName(digest(asof[3], 3))
+        .orderBy("asof_version", "cell")
+    )

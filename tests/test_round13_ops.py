@@ -204,3 +204,17 @@ def test_doc_cdf_planner_metadata_only_commit_zero_events(tmp_path):
     parts = reader.partitions({"version": 1}, {"version": 2})
     assert [p.path for p in parts] == [""]  # the empty-batch fallback
     assert list(reader.read(parts[0])) == []
+
+
+def test_ivf_index_asof_two_versions(spark):
+    """ANN half of the AS-OF contract: code-table@k == frozen
+    assignment of embeddings@k for k=2,3, versions differing by
+    exactly the retired codes."""
+    rows = sparkgraft.QUERIES["sim_ivf_index_asof"](spark, SF_DIR).collect()
+    v2 = [r for r in rows if r.asof_version == 2]
+    v3 = [r for r in rows if r.asof_version == 3]
+    assert v2 and v3
+    assert all(r.stamps_monotone for r in rows)
+    retired = rows[0].retired_rows
+    assert retired > 0
+    assert sum(r.n_vecs for r in v2) - sum(r.n_vecs for r in v3) == retired
