@@ -1660,6 +1660,123 @@ def _data_files_of(d: str) -> list[str]:
     )
 
 
+def _mor_read(spark: SparkSession, files: list, key: str) -> DataFrame:
+    """MERGE-ON-READ of a manifest's file list: data files anti-joined
+    against the union of its equality tombstones on ``key`` (broadcast
+    — tombstones are KB). The one way every snapshot-log table with
+    deletes is read in this repo (r13 review fix: five inline copies
+    collapsed here, next to the `_MOR_DELETE_CLASS` convention that
+    classifies the files)."""
+    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
+    data = [f for f in files if del_seg not in f]
+    tombs = [f for f in files if del_seg in f]
+    df = spark.read.parquet(*data)
+    if tombs:
+        df = df.join(
+            F.broadcast(spark.read.parquet(*tombs).select(key)),
+            key,
+            "left_anti",
+        )
+    return df
+
+
+# Snapshot-expiry conventions are OWNED here (r13 review fix: the
+# suffix literal had spread to four sites and the expiry procedure was
+# re-derived inline in the vacuum×CDF key — one owner, like
+# _TXN_CKPT_POINTER below).
+_EXPIRED_SUFFIX = ".json.expired"
+_SEQ_CKPT_PREFIX = "seq-v"
+
+
+def _seq_first_versions(log_dir: str) -> tuple[int, dict]:
+    """The NEWEST persisted sequence checkpoint: (horizon,
+    {file -> first-referencing version}) for files that were live when
+    snapshots <= horizon expired; (0, {}) when no expiry has happened.
+    Readers that derive per-file sequence numbers by walking manifests
+    MUST seed from this once the walk would cross expired territory —
+    the Iceberg discipline that sequence numbers are durable metadata,
+    never re-derived from history retention may delete."""
+    import json
+
+    horizons = sorted(
+        int(f[len(_SEQ_CKPT_PREFIX):-5])
+        for f in os.listdir(log_dir)
+        if f.startswith(_SEQ_CKPT_PREFIX) and f.endswith(".json")
+    )
+    if not horizons:
+        return 0, {}
+    with open(
+        os.path.join(log_dir, f"{_SEQ_CKPT_PREFIX}{horizons[-1]}.json")
+    ) as fh:
+        rec = json.load(fh)
+    return int(rec["horizon"]), {
+        f: int(v) for f, v in rec["first_versions"].items()
+    }
+
+
+def _expire_snapshots(
+    log_dir: str, retain_last: int
+) -> tuple[list[int], list[int], list[str]]:
+    """Expire all but the last ``retain_last`` snapshots — the shared
+    procedure `sink_snapshot_vacuum` proves and every caller reuses:
+
+    1. PERSIST the sequence numbers the expired prefix owns — a
+       ``seq-v{horizon}.json`` checkpoint mapping every still-live file
+       to its first-referencing version — BEFORE the manifests
+       disappear (without it, any later delete-bearing commit is
+       unplannable: the CDF's sequence scoping walks manifests from
+       genesis);
+    2. delete files referenced ONLY by expired manifests (exact list,
+       never a directory sweep);
+    3. tombstone expired manifests to ``v{N}{_EXPIRED_SUFFIX}`` so
+       time travel past retention fails fast.
+
+    Returns (retained, expired, orphans). KB manifest arithmetic
+    throughout — a 100 TB table expires without touching data bytes
+    beyond the orphan unlinks."""
+    import json
+
+    versions = _log_versions(log_dir)
+    retained = versions[-retain_last:]
+    expired = versions[:-retain_last]
+    if not expired:
+        return retained, [], []
+    live: set[str] = set()
+    for v in retained:
+        live |= set(_read_manifest(log_dir, v)["files"])
+    orphans: set[str] = set()
+    for v in expired:
+        orphans |= set(_read_manifest(log_dir, v)["files"])
+    orphans -= live
+    seen: dict = {}
+    for v in versions:
+        for f in _read_manifest(log_dir, v)["files"]:
+            seen.setdefault(f, v)
+    horizon = expired[-1]
+    tmp = os.path.join(log_dir, f".seq-tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {
+                "horizon": horizon,
+                "first_versions": {
+                    f: v for f, v in sorted(seen.items()) if f in live
+                },
+            },
+            fh,
+        )
+    os.replace(
+        tmp, os.path.join(log_dir, f"{_SEQ_CKPT_PREFIX}{horizon}.json")
+    )
+    for f in sorted(orphans):
+        os.unlink(f)
+    for v in expired:
+        os.rename(
+            os.path.join(log_dir, f"v{v}.json"),
+            os.path.join(log_dir, f"v{v}{_EXPIRED_SUFFIX}"),
+        )
+    return retained, expired, sorted(orphans)
+
+
 _CC_CUTOFF = "1998-01-01"
 
 
@@ -1807,38 +1924,27 @@ def sink_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_dir = os.path.join(root, "compact")
     rest_dir = os.path.join(root, "rest")
     base.write.mode("overwrite").parquet(base_dir)
-    _commit_snapshot(log_dir, _data_files_of(base_dir))  # v1
-    spark.read.parquet(*_data_files_of(base_dir)).coalesce(1).write.mode(
+    base_files = _data_files_of(base_dir)  # pinned BEFORE vacuum unlinks
+    _commit_snapshot(log_dir, base_files)  # v1
+    spark.read.parquet(*base_files).coalesce(1).write.mode(
         "overwrite"
     ).parquet(compact_dir)
     _commit_snapshot(  # v2: compaction = remove the inputs, add the rewrite
         log_dir,
         _data_files_of(compact_dir),
-        remove_files=_data_files_of(base_dir),
+        remove_files=base_files,
     )
     o.filter(F.col("o_orderdate") >= cutoff).write.mode("overwrite").parquet(
         rest_dir
     )
     _commit_snapshot(log_dir, _data_files_of(rest_dir))  # v3
 
-    versions = _log_versions(log_dir)
-    retained, expired = versions[-2:], versions[:-2]
+    retained, expired, orphans = _expire_snapshots(log_dir, retain_last=2)
+    if set(orphans) != set(base_files):
+        raise RuntimeError(f"orphan set wrong: {sorted(orphans)}")
     live: set[str] = set()
     for v in retained:
         live |= set(_read_manifest(log_dir, v)["files"])
-    orphans: set[str] = set()
-    for v in expired:
-        orphans |= set(_read_manifest(log_dir, v)["files"])
-    orphans -= live
-    if orphans != set(_data_files_of(base_dir)):
-        raise RuntimeError(f"orphan set wrong: {sorted(orphans)}")
-    for f in sorted(orphans):
-        os.unlink(f)
-    for v in expired:  # tombstone the manifest: time travel past
-        os.rename(  # retention now fails fast, not with a partial read
-            os.path.join(log_dir, f"v{v}.json"),
-            os.path.join(log_dir, f"v{v}.json.expired"),
-        )
     vacuum_ok = (
         not any(os.path.exists(f) for f in orphans)
         and all(os.path.exists(f) for f in live)
@@ -3810,7 +3916,7 @@ def sink_vacuum_refs_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     for v in expired:
         os.rename(
             os.path.join(log_dir, f"v{v}.json"),
-            os.path.join(log_dir, f"v{v}.json.expired"),
+            os.path.join(log_dir, f"v{v}{_EXPIRED_SUFFIX}"),
         )
     if any(os.path.exists(f) for f in orphans):
         raise RuntimeError("rejected batch's files survived the vacuum")

@@ -2196,7 +2196,12 @@ def _log_cdf_reader_base():
     # keys write these paths); import it so a rename there cannot
     # silently desynchronize the reader — baked into the class at
     # definition time, so the pickled executor copy carries the values
-    from sparkgraft.scans import _MOR_DELETE_CLASS, _POS_DELETE_CLASS
+    from sparkgraft.scans import (
+        _EXPIRED_SUFFIX,
+        _MOR_DELETE_CLASS,
+        _POS_DELETE_CLASS,
+        _seq_first_versions,
+    )
 
     _DEL_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
     _POS_SEG = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}{_POS_DELETE_CLASS}{os.sep}"
@@ -2273,7 +2278,7 @@ def _log_cdf_reader_base():
 
         def _vacuum_horizon(self):
             """Newest version whose manifest was TOMBSTONED by snapshot
-            expiry (`sink_snapshot_vacuum` renames expired manifests to
+            expiry (`_expire_snapshots` renames expired manifests to
             v{N}.json.expired). Planning version v's delta reads
             manifest v−1, so a cursor at or below this horizon has lost
             the history it would stream — the feed must refuse loudly
@@ -2283,7 +2288,7 @@ def _log_cdf_reader_base():
             ex = [
                 int(f[1:].split(".", 1)[0])
                 for f in os.listdir(self.log_dir)
-                if f.startswith("v") and f.endswith(".json.expired")
+                if f.startswith("v") and f.endswith(_EXPIRED_SUFFIX)
             ]
             return max(ex) if ex else 0
 
@@ -2291,9 +2296,20 @@ def _log_cdf_reader_base():
             """file -> first version referencing it — the SEQUENCE
             NUMBER of every file, derived from the KB manifests (walked
             once per planning call; O(commits × files-per-manifest)
-            driver-side metadata, never a data read)."""
-            seen: dict = {}
-            for v in range(1, upto + 1):
+            driver-side metadata, never a data read). After snapshot
+            expiry the genesis prefix of that walk is GONE (manifests
+            tombstoned) — the r13 review found a delete-bearing commit
+            after vacuum crashed here with FileNotFoundError — so the
+            walk seeds from the persisted sequence checkpoint
+            `_expire_snapshots` writes and covers only the retained
+            tail; a file first referenced before the horizon keeps its
+            true pre-expiry sequence number from the checkpoint."""
+            seen, start = {}, 1
+            horizon, persisted = _seq_first_versions(self.log_dir)
+            if horizon:
+                seen = dict(persisted)
+                start = horizon + 1
+            for v in range(start, upto + 1):
                 for f in self._files(v):
                     seen.setdefault(f, v)
             return seen
@@ -4759,6 +4775,13 @@ def _txn_cdf_datasource():
                 )
 
     class TxnCDFSource(DataSource):
+        # exposed so the checkpoint-aware feed can SUBCLASS the reader
+        # (r13 review: its first cut copy-pasted read()/commit()/schema
+        # — the planner-copy drift the r12 base-class refactor exists
+        # to prevent)
+        READER = TxnCDFReader
+        PARTITION = XTPartition
+
         @classmethod
         def name(cls) -> str:
             return "sparkgraft_txn_cdf"
@@ -5174,26 +5197,34 @@ def _emb_cdf_datasource():
 # --- vacuum × CDF contract (r13: the r12 verdict's ask #7 — what does
 # a change-feed consumer see when its start offset predates the
 # snapshot-expiry horizon? Answer: a LOUD refusal, never silent
-# partial history) ---
+# partial history; and the feed must stay FULLY functional — deletes
+# included — above the horizon) ---
+
+_SVH_DEL = 5  # v5's post-vacuum equality delete: o_orderkey % 10 == 5
 
 
 @query(
     "stream_cdf_vacuum_horizon",
-    oracle="""
+    oracle=f"""
     WITH ev AS (
       SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-      FROM orders)
+      FROM orders),
+    live AS (SELECT * FROM ev WHERE o_orderkey % 10 <> {_SVH_DEL})
     SELECT TRUE AS stale_cursor_raises,
            TRUE AS nothing_streamed_before_raise,
            CAST(2 AS INT) AS horizon,
-           CAST(1 AS INT) AS n_batches_after_seed,
+           CAST(2 AS INT) AS n_batches_after_seed,
+           TRUE AS post_vacuum_delete_planned,
+           CAST((SELECT count(*) FROM ev
+                 WHERE o_orderkey % 10 = {_SVH_DEL}) AS BIGINT)
+             AS delete_events,
            CAST((SELECT count(*) FROM ev
                  WHERE o_orderkey % 3 IN (0, 1)) AS BIGINT) AS seed_rows,
            CAST((SELECT sum(cents) FROM ev
                  WHERE o_orderkey % 3 IN (0, 1)) AS BIGINT) AS seed_cents,
-           CAST((SELECT count(*) FROM ev) AS BIGINT) AS head_rows,
-           CAST((SELECT sum(cents) FROM ev) AS BIGINT) AS head_cents
+           CAST((SELECT count(*) FROM live) AS BIGINT) AS head_rows,
+           CAST((SELECT sum(cents) FROM live) AS BIGINT) AS head_cents
     """,
 )
 def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5215,32 +5246,44 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     History: v1 appends slice1 (o_orderkey%3==0, two files), v2
     COMPACTS it (op=rewrite — zero feed events by the r10 contract),
     v3 appends slice2 (%3==1), v4 appends slice3 (%3==2). Vacuum
-    retains the last two snapshots: v1's files (exclusively referenced
-    by expired manifests) are deleted from disk, manifests v1/v2 are
-    tombstoned to .json.expired — the horizon is 2.
+    (`_expire_snapshots`, the shared procedure) retains the last two
+    snapshots: v1's files (exclusively referenced by expired
+    manifests) are deleted from disk, manifests v1/v2 are tombstoned
+    to .json.expired — the horizon is 2 — and the sequence checkpoint
+    (file -> first-referencing version for live files) is persisted
+    BEFORE the manifests disappear. Then v5 lands a POST-VACUUM
+    equality delete (o_orderkey%10=={_SVH_DEL}) — the r13 review's
+    crash case: its sequence scoping needs first-referencing versions
+    whose genesis manifests are gone, so without the persisted
+    checkpoint the feed dies with FileNotFoundError exactly when a
+    real deployment would (a delete landing after the first expiry).
 
     Asserted in-key: (a) NEGATIVE — a feed started with a cursor at 0
     fails with the documented horizon error and its sink delivered
     NOTHING (the raise happens at planning, before any event leaks);
-    (b) POSITIVE — the documented recovery works: seed a batch read of
-    the retained snapshot v3 (manifest-pinned files), stream from
-    cursor 3 with the reader's state_dir cursor (exactly ONE micro-
-    batch: v4's inserts), and seed+delta equals the head table digest
-    the oracle recomputes from source.
+    (b) POSITIVE — the documented recovery works AND the recovered
+    feed is fully functional: seed a batch read of the retained
+    snapshot v3 (manifest-pinned files), stream from cursor 3 with the
+    reader's state_dir cursor — exactly TWO micro-batches, v4's
+    inserts then v5's deletes (the delete-bearing commit PLANS,
+    event classes pinned per version) — and seed + signed delta
+    equals the live head digest the oracle recomputes from source.
 
     Scale: the horizon check is one KB-scale directory listing per
-    planning call; expiry itself stays manifest arithmetic. At 100 TB
-    the alternative — an executor FileNotFoundError hours into a
-    backfill, or worse a silently short MV — is an operational
+    planning call; expiry itself stays manifest arithmetic and the
+    sequence checkpoint is KB metadata written once per expiry. At
+    100 TB the alternative — an executor FileNotFoundError hours into
+    a backfill, or worse a silently short MV — is an operational
     incident; a planning-time refusal with the re-seed recipe is the
     contract every real lakehouse feed ships."""
     import json
 
     from sparkgraft.catalog import load
     from sparkgraft.scans import (
+        _MOR_DELETE_CLASS,
         _commit_snapshot,
         _data_files_of,
-        _log_versions,
+        _expire_snapshots,
         _read_manifest,
     )
 
@@ -5273,30 +5316,29 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = stage(o.filter(F.col("o_orderkey") % 3 == 2), "s3")
     _commit_snapshot(log_dir, s3)  # v4
 
-    # EXPIRE: retain the last 2 snapshots (the sink_snapshot_vacuum
-    # procedure): delete files referenced ONLY by expired manifests,
-    # tombstone the expired manifests
-    versions = _log_versions(log_dir)
-    retained, expired = versions[-2:], versions[:-2]
-    live: set[str] = set()
-    for v in retained:
-        live |= set(_read_manifest(log_dir, v)["files"])
-    orphans: set[str] = set()
-    for v in expired:
-        orphans |= set(_read_manifest(log_dir, v)["files"])
-    orphans -= live
+    # EXPIRE through the shared procedure: retain the last 2
+    # snapshots — orphan unlink + manifest tombstones + the persisted
+    # sequence checkpoint
+    retained, expired, orphans = _expire_snapshots(log_dir, 2)
     if sorted(orphans) != s1:
         raise RuntimeError(f"orphan set wrong: {sorted(orphans)}")
-    for f in sorted(orphans):
-        os.unlink(f)
-    for v in expired:
-        os.rename(
-            os.path.join(log_dir, f"v{v}.json"),
-            os.path.join(log_dir, f"v{v}.json.expired"),
-        )
     horizon = expired[-1]
     if (retained, horizon) != ([3, 4], 2):
         raise RuntimeError(f"expiry staged wrong: {retained}, {horizon}")
+
+    # v5: the POST-VACUUM equality delete (the review's crash case —
+    # its sequence scoping must ride the persisted checkpoint now that
+    # the genesis manifests are tombstoned)
+    t5_dir = os.path.join(root, _MOR_DELETE_CLASS, "t5")
+    (
+        o.select("o_orderkey")
+        .filter(F.col("o_orderkey") % 10 == _SVH_DEL)
+        .coalesce(1)
+        .write.parquet(t5_dir)
+    )
+    _commit_snapshot(
+        log_dir, _data_files_of(t5_dir), extra={"op": "mor-delete"}
+    )  # v5
 
     spark.dataSource.register(_mor_cdf_datasource())
     delivered: list[tuple[int, int]] = []  # (batch_id, n_rows)
@@ -5350,24 +5392,35 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"stale feed leaked batches: {delivered}")
 
     # POSITIVE: the documented recovery — seed from retained v3, then
-    # stream from cursor 3 (exactly one micro-batch: v4's inserts)
+    # stream from cursor 3: exactly TWO micro-batches, v4's inserts
+    # then v5's post-vacuum deletes
     seed_files = _read_manifest(log_dir, retained[0])["files"]
     seed = spark.read.parquet(*seed_files).agg(
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     ).collect()[0]
     run_feed("seeded", cursor=horizon + 1)
-    if len(delivered) != 1 or delivered[0][0] != 0:
+    if [b[0] for b in delivered] != [0, 1]:
         raise RuntimeError(f"seeded feed delivered {delivered}")
     feed = spark.read.parquet(os.path.join(root, "out", "b*"))
     bad = feed.filter(
-        (F.col("version") != 4) | (F.col("change_type") != "insert")
+        ~(
+            ((F.col("version") == 4) & (F.col("change_type") == "insert"))
+            | ((F.col("version") == 5) & (F.col("change_type") == "delete"))
+        )
     ).limit(1).count()
     if bad:
-        raise RuntimeError("seeded feed emitted non-v4 / non-insert rows")
+        raise RuntimeError(
+            "seeded feed emitted events outside the v4-insert/"
+            "v5-delete contract"
+        )
+    n_del_events = feed.filter(F.col("change_type") == "delete").count()
+    if n_del_events == 0:
+        raise RuntimeError("the post-vacuum delete commit streamed nothing")
+    sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
     delta = feed.agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("cents").cast("long").alias("cents"),
+        F.sum(sign).cast("long").alias("n"),
+        F.sum(sign * F.col("cents")).cast("long").alias("cents"),
     ).collect()[0]
 
     return spark.range(1).select(
@@ -5375,6 +5428,8 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(nothing_before_raise).alias("nothing_streamed_before_raise"),
         F.lit(horizon).cast("int").alias("horizon"),
         F.lit(len(delivered)).cast("int").alias("n_batches_after_seed"),
+        F.lit(True).alias("post_vacuum_delete_planned"),
+        F.lit(n_del_events).cast("long").alias("delete_events"),
         F.lit(seed["n"]).cast("long").alias("seed_rows"),
         F.lit(seed["cents"]).cast("long").alias("seed_cents"),
         F.lit(seed["n"] + delta["n"]).cast("long").alias("head_rows"),
@@ -5390,26 +5445,14 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ckpt_txn_cdf_datasource():
-    from pyspark.sql import types as T
-    from pyspark.sql.datasource import (
-        DataSource,
-        DataSourceStreamReader,
-        InputPartition,
-    )
-
     # the checkpoint file conventions are OWNED by scans.py (the
     # checkpointer writes them); import so a rename there cannot
     # silently desynchronize this reader
     from sparkgraft.scans import _TXN_CKPT_POINTER, _txn_ckpt_path
 
-    class CTPartition(InputPartition):
-        def __init__(self, txn, table, kind, path):
-            self.txn = txn
-            self.table = table
-            self.kind = kind
-            self.path = path
+    base_src = _txn_cdf_datasource()
 
-    class CkptTxnCDFReader(DataSourceStreamReader):
+    class CkptTxnCDFReader(base_src.READER):
         """Change feed over the DELTA-FORM transaction root (the
         `scan_txn_checkpoint` log shape: each txn manifest records only
         its per-table ADDS), resolving offsets the way that log is
@@ -5421,33 +5464,42 @@ def _ckpt_txn_cdf_datasource():
           stamped with the checkpoint txn — exactly TWO metadata opens
           (pointer + checkpoint), NEVER the genesis walk the
           no-checkpoint reader pays — then tails one txn per batch.
-        - A RESTARTED consumer (persisted cursor, Spark checkpoint
-          intact or lost) resumes from its cursor streaming ONE delta
-          manifest per txn — including a cursor that PREDATES the
-          newest checkpoint: the checkpoint is a cache, the delta
-          manifests stay the truth, so resumption never consults the
-          pointer (asserted via the open log) and never skips/replays
-          through the checkpoint.
+        - A RESTARTED consumer (persisted cursor) resumes from it
+          streaming ONE delta manifest per txn — including a cursor
+          that PREDATES the newest checkpoint: the checkpoint is a
+          cache, the delta manifests stay the truth, so resumption
+          never consults the pointer (asserted via the open log) and
+          never skips/replays through the checkpoint.
+
+        Supported restart modes (the same contract the state_dir
+        cursor carries everywhere in this repo): Spark checkpoint and
+        reader cursor TOGETHER, or a cold fresh start — the cursor is
+        written on every commit, so the only way to restart with a
+        Spark checkpoint but no cursor is to delete the cursor by
+        hand; that unsupported mix would seed-resolve (2 logged opens)
+        without using the seed.
+
+        Everything below the planning layer — the per-table executor
+        read, the 7-column event schema, cursor persistence in
+        commit(), initialOffset's checkpoint-lost resume — is
+        INHERITED from the absolute-map txn reader (r13 review: the
+        first cut copy-pasted them; shared base, never copies).
 
         Every metadata open is appended to ``open_log`` so the key can
         assert the exact open sequence — the `scan_txn_checkpoint`
         counting discipline carried into the feed."""
 
         def __init__(self, options):
-            import json
-
-            self.log_dir = options["log_dir"]
-            self.state_dir = options.get("state_dir")
+            super().__init__(options)
             self.open_log = options.get("open_log")
-            self._last = 0
-            if self.state_dir:
-                p = os.path.join(self.state_dir, "last_committed.json")
-                if os.path.exists(p):
-                    with open(p) as fh:
-                        self._last = int(json.load(fh)["version"])
-            self._restored = self._last
             self._seed = None
             self._seed_resolved = False
+
+        def _recorded(self, path):
+            if self.open_log:
+                with open(self.open_log, "a") as lg:
+                    lg.write(path + "\n")
+            return open(path)
 
         def _ensure_seed(self):
             """Resolve the seed basis LAZILY at the first planning
@@ -5470,29 +5522,14 @@ def _ckpt_txn_cdf_datasource():
                 with self._recorded(_txn_ckpt_path(self.log_dir, k)) as fh:
                     self._seed = (k, json.load(fh)["tables"])
 
-        def _recorded(self, path):
-            if self.open_log:
-                with open(self.open_log, "a") as lg:
-                    lg.write(path + "\n")
-            return open(path)
-
-        def _versions(self):
-            return sorted(
-                int(f[1:-5])
-                for f in os.listdir(self.log_dir)
-                if f.startswith("v") and f.endswith(".json")
-            )
-
         def _manifest(self, version):
+            # delta-form manifests (table_adds), every open RECORDED
             import json
 
             with self._recorded(
                 os.path.join(self.log_dir, f"v{version}.json")
             ) as fh:
                 return json.load(fh)
-
-        def initialOffset(self):
-            return {"version": self._restored}
 
         def latestOffset(self):
             self._ensure_seed()
@@ -5508,13 +5545,14 @@ def _ckpt_txn_cdf_datasource():
         def partitions(self, start, end):
             self._ensure_seed()
             self._last = max(self._last, end["version"])
+            P = base_src.PARTITION
             parts = []
             v0 = start["version"]
             if self._seed and v0 == 0 and end["version"] >= self._seed[0]:
                 k, tables = self._seed
                 for table in sorted(tables):
                     parts.extend(
-                        CTPartition(k, table, "seed", f)
+                        P(k, table, "seed", f)
                         for f in sorted(tables[table])
                     )
                 v0 = k
@@ -5522,71 +5560,17 @@ def _ckpt_txn_cdf_datasource():
                 adds = self._manifest(v)["table_adds"]
                 for table in sorted(adds):
                     parts.extend(
-                        CTPartition(v, table, "insert", f)
+                        P(v, table, "insert", f)
                         for f in sorted(adds[table])
                     )
-            return parts or [CTPartition(0, "fact", "insert", "")]
+            return parts or [P(0, "fact", "insert", "")]
 
-        def read(self, partition):  # EXECUTOR-side
-            import pyarrow.parquet as pq
+        # read(), commit(), initialOffset(), _versions(): inherited
 
-            if not partition.path:
-                return
-            change = partition.kind
-            if partition.table == "fact":
-                t = pq.read_table(
-                    partition.path,
-                    columns=["o_orderkey", "o_custkey", "cents"],
-                )
-                for k, ck, c in zip(
-                    t.column("o_orderkey").to_pylist(),
-                    t.column("o_custkey").to_pylist(),
-                    t.column("cents").to_pylist(),
-                ):
-                    yield (partition.txn, "fact", change, k, ck, c, None)
-            else:
-                t = pq.read_table(
-                    partition.path, columns=["c_custkey", "c_mktsegment"]
-                )
-                for ck, seg in zip(
-                    t.column("c_custkey").to_pylist(),
-                    t.column("c_mktsegment").to_pylist(),
-                ):
-                    yield (
-                        partition.txn, "dim", change, ck, ck, None, seg,
-                    )
-
-        def commit(self, end):
-            import json
-
-            self._last = max(self._last, end["version"])
-            if self.state_dir:
-                os.makedirs(self.state_dir, exist_ok=True)
-                tmp = os.path.join(self.state_dir, ".tmp-last")
-                with open(tmp, "w") as fh:
-                    json.dump({"version": self._last}, fh)
-                os.replace(
-                    tmp,
-                    os.path.join(self.state_dir, "last_committed.json"),
-                )
-
-    class CkptTxnCDFSource(DataSource):
+    class CkptTxnCDFSource(base_src):
         @classmethod
         def name(cls) -> str:
             return "sparkgraft_ckpt_txn_cdf"
-
-        def schema(self):
-            return T.StructType(
-                [
-                    T.StructField("txn", T.IntegerType()),
-                    T.StructField("table", T.StringType()),
-                    T.StructField("change_type", T.StringType()),
-                    T.StructField("key", T.LongType()),
-                    T.StructField("custkey", T.LongType()),
-                    T.StructField("cents", T.LongType()),
-                    T.StructField("segment", T.StringType()),
-                ]
-            )
 
         def streamReader(self, schema):
             return CkptTxnCDFReader(self.options)

@@ -2585,6 +2585,7 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         _commit_snapshot,
         _data_files_of,
         _log_versions,
+        _mor_read,
         _read_manifest,
     )
     from sparkgraft.streaming import _doc_cdf_datasource
@@ -2606,7 +2607,6 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (doc_log, idx_log, idx_root):
         os.makedirs(d)
 
-    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
 
     base_dir = os.path.join(root, "base")
     docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(base_dir)
@@ -2626,10 +2626,30 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # v3
 
     # the maintainer, stamping each index commit with its docs version
+    # — derived from the BATCH'S OWN event rows, never from the
+    # foreachBatch id (r13 review: batch ids reset to 0 when the Spark
+    # checkpoint is lost while the reader's state_dir cursor survives —
+    # exactly the resume path the r13 initialOffset fix enables — so an
+    # id-derived stamp would mis-bind the version and the id-derived
+    # redelivery guard would skip real batches); the source version is
+    # also the idempotency key
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _log_versions(idx_log)
-        if versions and versions[-1] >= batch_id + 1:
-            return  # redelivered batch: the commit already landed
+        src_vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if len(src_vs) != 1:
+            raise RuntimeError(
+                f"batch {batch_id} spans docs versions {sorted(src_vs)} "
+                "— one-commit-per-batch contract broken"
+            )
+        src_v = int(src_vs[0])
+        stamped = {
+            _read_manifest(idx_log, v).get("docs_version")
+            for v in _log_versions(idx_log)
+        }
+        if src_v in stamped:
+            return  # redelivered batch: its stamped commit already landed
         adds: list[str] = []
         ins = batch_df.filter(F.col("change_type") == "insert").select(
             "doc_id", "text"
@@ -2651,9 +2671,7 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             adds += _data_files_of(t_dir)
         if not adds:
             raise RuntimeError(f"feed batch {batch_id} carried no events")
-        _commit_snapshot(
-            idx_log, adds, extra={"docs_version": batch_id + 1}
-        )
+        _commit_snapshot(idx_log, adds, extra={"docs_version": src_v})
 
     spark.dataSource.register(_doc_cdf_datasource())
     q = (
@@ -2674,8 +2692,15 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read_manifest(idx_log, v).get("docs_version")
         for v in idx_versions
     ]
-    stamps_monotone = stamps == sorted(stamps) and None not in stamps
-    if not stamps_monotone or len(stamps) != 3:
+    # None guard FIRST (sorted() on a None-bearing list raises the
+    # wrong error), then STRICTLY increasing — a duplicate stamp means
+    # one docs commit landed two index commits
+    stamps_monotone = (
+        None not in stamps
+        and len(stamps) == 3
+        and all(a < b for a, b in zip(stamps, stamps[1:]))
+    )
+    if not stamps_monotone:
         raise RuntimeError(f"index stamps broken: {stamps}")
 
     def idx_asof(k: int) -> DataFrame:
@@ -2687,34 +2712,14 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in idx_versions
             if _read_manifest(idx_log, v)["docs_version"] <= k
         )
-        head = _read_manifest(idx_log, v)["files"]
-        data = [f for f in head if del_seg not in f]
-        tombs = [f for f in head if del_seg in f]
-        df = spark.read.parquet(*data)
-        if tombs:
-            df = df.join(
-                F.broadcast(
-                    spark.read.parquet(*tombs).select("doc_id")
-                ),
-                "doc_id",
-                "left_anti",
-            )
-        return df.localCheckpoint()
+        return _mor_read(
+            spark, _read_manifest(idx_log, v)["files"], "doc_id"
+        ).localCheckpoint()
 
     def docs_asof(k: int) -> DataFrame:
-        files = _read_manifest(doc_log, k)["files"]
-        data = [f for f in files if del_seg not in f]
-        tombs = [f for f in files if del_seg in f]
-        df = spark.read.parquet(*data)
-        if tombs:
-            df = df.join(
-                F.broadcast(
-                    spark.read.parquet(*tombs).select("doc_id")
-                ),
-                "doc_id",
-                "left_anti",
-            )
-        return df
+        return _mor_read(
+            spark, _read_manifest(doc_log, k)["files"], "doc_id"
+        )
 
     asof = {k: idx_asof(k) for k in (2, 3)}
     for k in (2, 3):
@@ -2831,16 +2836,18 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
       masking docs of BOTH writer generations.
 
     The maintainer's exactly-once moves from version arithmetic to
-    ``feed_batch`` stamps (`dedup_index_compaction`'s discipline) —
+    SOURCE-VERSION stamps read from the batch's own event rows —
     version counting breaks the moment a batch legitimately commits
-    NOTHING: the metadata-only batch must leave the index log
-    untouched (asserted: the log grows by zero commits across it),
-    not land an empty commit, and a redelivered batch must still
-    no-op on the stamp.
+    NOTHING (the metadata-only batch must leave the index log
+    untouched, asserted: the log grows by zero commits across it, not
+    land an empty commit), and a foreachBatch-id stamp breaks on a
+    checkpoint-lost restart where ids reset to 0 while the reader's
+    cursor survives (r13 review); a redelivered batch no-ops on the
+    stamp.
 
     Asserted in-key: the feed delivered all 4 batches with batch 1
     (the metadata commit) EMPTY; the index log holds exactly 3
-    commits stamped feed_batch [0, 2, 3]; post-evolution docs are in
+    commits stamped docs_version [1, 3, 4]; post-evolution docs are in
     the maintained index (the v3 slice's band rows present); and the
     capstone equality — maintained index == rebuild from the head's
     live docs — holds across the evolution boundary and the
@@ -2860,6 +2867,7 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _commit_snapshot,
         _data_files_of,
         _log_versions,
+        _mor_read,
         _read_manifest,
     )
     from sparkgraft.streaming import _doc_cdf_datasource
@@ -2881,7 +2889,6 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (doc_log, idx_log, idx_root):
         os.makedirs(d)
 
-    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
 
     base_dir = os.path.join(root, "base")
     docs.filter(F.col("doc_id") < cut).coalesce(1).write.parquet(base_dir)
@@ -2917,12 +2924,30 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered: list[tuple[int, int]] = []  # (batch_id, n_index_commits)
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _log_versions(idx_log)
-        stamps = {
-            _read_manifest(idx_log, v).get("feed_batch") for v in versions
+        # the stamp and the idempotency key are the batch's SOURCE
+        # version, read from its own event rows — never the
+        # foreachBatch id, which resets to 0 on a checkpoint-lost
+        # restart (r13 review; same discipline as dedup_index_asof)
+        src_vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if len(src_vs) > 1:
+            raise RuntimeError(
+                f"batch {batch_id} spans docs versions {sorted(src_vs)}"
+            )
+        if not src_vs:
+            # the metadata-only commit: zero events -> the index log
+            # is left UNTOUCHED (invariance, not an empty commit)
+            delivered.append((int(batch_id), len(_log_versions(idx_log))))
+            return
+        src_v = int(src_vs[0])
+        stamped = {
+            _read_manifest(idx_log, v).get("docs_version")
+            for v in _log_versions(idx_log)
         }
-        if batch_id in stamps:
-            return  # redelivered: the stamped commit already landed
+        if src_v in stamped:
+            return  # redelivered: its stamped commit already landed
         adds: list[str] = []
         ins = batch_df.filter(F.col("change_type") == "insert").select(
             "doc_id", "text"
@@ -2943,11 +2968,7 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dels.coalesce(1).write.parquet(t_dir)
             adds += _data_files_of(t_dir)
         if adds:
-            _commit_snapshot(
-                idx_log, adds, extra={"feed_batch": batch_id}
-            )
-        # a batch with no events (the metadata-only commit) leaves the
-        # index log UNTOUCHED — invariance, not an empty commit
+            _commit_snapshot(idx_log, adds, extra={"docs_version": src_v})
         delivered.append((int(batch_id), len(_log_versions(idx_log))))
 
     spark.dataSource.register(_doc_cdf_datasource())
@@ -2975,21 +2996,13 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"index commit growth wrong: {growth}")
     idx_versions = _log_versions(idx_log)
     stamps = [
-        _read_manifest(idx_log, v)["feed_batch"] for v in idx_versions
+        _read_manifest(idx_log, v)["docs_version"] for v in idx_versions
     ]
-    if stamps != [0, 2, 3]:
-        raise RuntimeError(f"feed_batch stamps wrong: {stamps}")
+    if stamps != [1, 3, 4]:
+        raise RuntimeError(f"docs_version stamps wrong: {stamps}")
 
     head = _read_manifest(idx_log, idx_versions[-1])["files"]
-    committed = spark.read.parquet(
-        *[f for f in head if del_seg not in f]
-    )
-    tomb = spark.read.parquet(
-        *[f for f in head if del_seg in f]
-    ).select("doc_id")
-    maintained = committed.join(
-        F.broadcast(tomb), "doc_id", "left_anti"
-    ).localCheckpoint()
+    maintained = _mor_read(spark, head, "doc_id").localCheckpoint()
 
     # post-evolution docs ARE indexed (the v3 generation's live rows)
     n_evo = maintained.filter(F.col("doc_id") >= cut).count()
@@ -3004,16 +3017,8 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # capstone: maintained == rebuild from the head's live docs
     doc_head = _read_manifest(doc_log, _log_versions(doc_log)[-1])["files"]
-    live_docs = spark.read.parquet(
-        *[f for f in doc_head if del_seg not in f]
-    ).select("doc_id", "text").join(
-        F.broadcast(
-            spark.read.parquet(
-                *[f for f in doc_head if del_seg in f]
-            ).select("doc_id")
-        ),
-        "doc_id",
-        "left_anti",
+    live_docs = _mor_read(spark, doc_head, "doc_id").select(
+        "doc_id", "text"
     )
     rebuilt = band_keys(minhash_signatures(live_docs))
     if (

@@ -4058,6 +4058,7 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         _commit_snapshot,
         _data_files_of,
         _log_versions,
+        _mor_read,
         _read_manifest,
     )
     from sparkgraft.streaming import _emb_cdf_datasource
@@ -4079,7 +4080,6 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_root = os.path.join(root, "idx")
     for d in (emb_log, idx_log, idx_root):
         os.makedirs(d)
-    del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
 
     base_dir = os.path.join(root, "base")
     e.filter(F.col("vec_id") < cut).coalesce(1).write.parquet(base_dir)
@@ -4098,13 +4098,28 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_log, _data_files_of(t3_dir), extra={"op": "mor-delete"}
     )  # v3
 
+    # the stamp and the idempotency key are the batch's SOURCE version,
+    # read from its own event rows — never the foreachBatch id, which
+    # resets to 0 on a checkpoint-lost restart while the reader's
+    # state_dir cursor survives (r13 review; the dedup_index_asof
+    # discipline applied to the vector index)
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _log_versions(idx_log)
-        stamps = {
-            _read_manifest(idx_log, v).get("feed_batch") for v in versions
+        src_vs = [
+            r["version"]
+            for r in batch_df.select("version").distinct().collect()
+        ]
+        if len(src_vs) != 1:
+            raise RuntimeError(
+                f"batch {batch_id} spans emb versions {sorted(src_vs)} "
+                "— one-commit-per-batch contract broken"
+            )
+        src_v = int(src_vs[0])
+        stamped = {
+            _read_manifest(idx_log, v).get("emb_version")
+            for v in _log_versions(idx_log)
         }
-        if batch_id in stamps:
-            return  # redelivered batch: its commit already landed
+        if src_v in stamped:
+            return  # redelivered batch: its stamped commit already landed
         adds: list[str] = []
         ins = batch_df.filter(F.col("change_type") == "insert").select(
             "vec_id", "embedding"
@@ -4126,11 +4141,7 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             adds += _data_files_of(t_dir)
         if not adds:
             raise RuntimeError(f"feed batch {batch_id} carried no events")
-        _commit_snapshot(
-            idx_log,
-            adds,
-            extra={"feed_batch": batch_id, "emb_version": batch_id + 1},
-        )
+        _commit_snapshot(idx_log, adds, extra={"emb_version": src_v})
 
     spark.dataSource.register(_emb_cdf_datasource())
     q = (
@@ -4150,23 +4161,15 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     stamps = [
         _read_manifest(idx_log, v).get("emb_version") for v in idx_versions
     ]
+    # None guard FIRST (sorted() on a None-bearing list raises the
+    # wrong error), then STRICTLY increasing
     stamps_monotone = (
-        stamps == sorted(stamps) and None not in stamps and len(stamps) == 3
+        None not in stamps
+        and len(stamps) == 3
+        and all(a < b for a, b in zip(stamps, stamps[1:]))
     )
     if not stamps_monotone:
         raise RuntimeError(f"emb_version stamps broken: {stamps}")
-
-    def mor_read(log_dir: str, files: list, key: str) -> DataFrame:
-        data = [f for f in files if del_seg not in f]
-        tombs = [f for f in files if del_seg in f]
-        df = spark.read.parquet(*data)
-        if tombs:
-            df = df.join(
-                F.broadcast(spark.read.parquet(*tombs).select(key)),
-                key,
-                "left_anti",
-            )
-        return df
 
     def idx_asof(k: int) -> DataFrame:
         v = max(
@@ -4174,13 +4177,13 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in idx_versions
             if _read_manifest(idx_log, v)["emb_version"] <= k
         )
-        return mor_read(
-            idx_log, _read_manifest(idx_log, v)["files"], "vec_id"
+        return _mor_read(
+            spark, _read_manifest(idx_log, v)["files"], "vec_id"
         ).localCheckpoint()
 
     def emb_asof(k: int) -> DataFrame:
-        return mor_read(
-            emb_log, _read_manifest(emb_log, k)["files"], "vec_id"
+        return _mor_read(
+            spark, _read_manifest(emb_log, k)["files"], "vec_id"
         )
 
     asof = {k: idx_asof(k) for k in (2, 3)}

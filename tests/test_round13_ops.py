@@ -70,16 +70,20 @@ def test_txn_cdf_reader_initial_offset_resumes_from_state_dir(tmp_path):
 
 
 def test_vacuum_horizon_contract_end_to_end(spark):
-    """Driving the key exercises both in-key proofs: the stale-cursor
-    feed raises at planning time with nothing delivered, and the
-    documented seed-plus-stream recovery reproduces the head digest."""
+    """Driving the key exercises all three in-key proofs: the
+    stale-cursor feed raises at planning time with nothing delivered,
+    the documented seed-plus-stream recovery reproduces the live head
+    digest, and the POST-VACUUM delete-bearing commit still plans
+    (sequence scoping rides the persisted checkpoint, not the expired
+    manifests)."""
     out = sparkgraft.QUERIES["stream_cdf_vacuum_horizon"](
         spark, SF_DIR
     ).collect()
     assert len(out) == 1
     r = out[0]
     assert r.stale_cursor_raises and r.nothing_streamed_before_raise
-    assert r.horizon == 2 and r.n_batches_after_seed == 1
+    assert r.horizon == 2 and r.n_batches_after_seed == 2
+    assert r.post_vacuum_delete_planned and r.delete_events > 0
     assert r.seed_rows < r.head_rows
     assert r.seed_cents < r.head_cents
 

@@ -188,12 +188,11 @@ def _brute_jaccard_pairs(docs: list[tuple[int, str]], tau: float = 0.6):
 
 
 def _synth_jaccard_corpus(vocab: list[str]) -> list[tuple[int, str]]:
-    """Deterministic near-dup corpus over the given vocabulary:
-    10-token base sets, plus 1-token-swapped near-dups (jaccard
-    9/11 ≈ 0.818), 2-swapped sub-threshold variants (8/12 ≈ 0.667 —
-    wait, that's ≥ 0.6; use 5-swapped: 5/15 ≈ 0.333), and exact
-    token-set twins in a different surface order (jaccard 1.0,
-    the within-group path)."""
+    """Deterministic near-dup corpus over the given vocabulary. Three
+    pair classes per 10-token base set: an exact token-set twin in a
+    different surface order (jaccard 1.0, the within-group path), a
+    1-token-swapped near-dup (9/11 ≈ 0.818, above τ=0.6), and a
+    5-token-swapped far doc (5/15 ≈ 0.333, below τ)."""
     import random
 
     rng = random.Random(13)
@@ -280,6 +279,15 @@ def test_ppjoin_dense_kernel_agrees_with_general_on_same_corpus(spark):
     ]  # V -> 31 + 40 = 71 > 63; single disjoint tokens pair with nothing
     df2 = spark.createDataFrame(docs + pad, "doc_id long, text string")
     out_gen = _jaccard_pairs_ppjoin(df2)
+    # the padding must actually flip the adaptive switch: if the
+    # vocabulary count were computed wrong (per-partition, per-doc...)
+    # the dense kernel would still run here and the pair-set equality
+    # below would pass vacuously
+    plan_gen = out_gen._sc._jvm.PythonSQLUtils.explainString(
+        out_gen._jdf.queryExecution(), "formatted"
+    )
+    assert "array_intersect" in plan_gen
+    assert "bit_count" not in plan_gen
     gen_pairs = {
         (r.doc_a, r.doc_b, r.overlap, r.jaccard) for r in out_gen.collect()
     }
