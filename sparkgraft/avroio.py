@@ -241,7 +241,14 @@ def write_container_file(
                 return
             payload = bytes(block)
             if codec == "deflate":
-                co = zlib.compressobj(9, zlib.DEFLATED, -15)
+                # zlib default effort (-1 == level 6), matching Avro's
+                # own deflate default; the previous level 9 spent ~3x
+                # the CPU per block for a marginal ratio gain (guide
+                # §1.2 step 2 — per-task work). Any level is valid RFC
+                # 1951 deflate; readers are level-agnostic.
+                co = zlib.compressobj(
+                    zlib.Z_DEFAULT_COMPRESSION, zlib.DEFLATED, -15
+                )
                 payload = co.compress(payload) + co.flush()
             head = bytearray()
             _enc_long(n_block, head)

@@ -514,7 +514,12 @@ def graph_bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         if nxt.count() == 0:
             exhausted = False
             break
-        depth = depth.unionByName(nxt).localCheckpoint()
+        # accumulate lazily: every nxt is already checkpointed, so the
+        # union's lineage is a flat scan of ≤ MAX_HOPS cached frames —
+        # re-materializing the whole accumulator each round was a
+        # quadratic-in-rounds rewrite of rows that never change
+        # (guide §1.2 step 1: don't recompute what you already hold)
+        depth = depth.unionByName(nxt)
         frontier = nxt.select("id")
     if exhausted:
         raise RuntimeError(

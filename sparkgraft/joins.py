@@ -1210,6 +1210,19 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_p{os.getpid()}"
     )
     scratch = os.path.join(tempfile.gettempdir(), "sparkgraft_cbo", tag)
+    # ANALYZE exactly the columns the join-reorder DP costs with — the
+    # join keys and the selective filter column. FOR ALL COLUMNS also
+    # ndv-scanned every payload column of orders (strings, timestamps),
+    # tripling the ANALYZE cost for stats the reorder never reads
+    # (guide §1.2: don't compute things you throw away); production
+    # warehouses scope nightly ANALYZE to predicate/join columns the
+    # same way. Row counts land either way, and the reorder assertions
+    # below still pin the stats-driven plan flip.
+    stat_cols = {
+        "orders": "o_custkey",
+        "customer": "c_custkey, c_nationkey",
+        "nation": "n_nationkey, n_name",
+    }
     for name in ("orders", "customer", "nation"):
         tbl = f"sg_cbo_{name}_{tag}"
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
@@ -1219,7 +1232,10 @@ def join_cbo_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("path", os.path.join(scratch, name))
             .saveAsTable(tbl)
         )
-        spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+        spark.sql(
+            f"ANALYZE TABLE {tbl} COMPUTE STATISTICS "
+            f"FOR COLUMNS {stat_cols[name]}"
+        )
         has_stats = (
             spark.sql(f"DESC EXTENDED {tbl}")
             .filter("col_name = 'Statistics'")

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from sparkgraft.proofs import multisets_equal
 from sparkgraft.registry import query
 
 # Parquet stores events.ts as TIMESTAMP(NANOS). This reader build surfaces
@@ -1069,6 +1070,33 @@ def _stage_events_quartiles(sf_dir: str) -> list[str]:
     return paths
 
 
+def _stage_slices(df: DataFrame, slice_expr, out_dir: str) -> dict[int, list[str]]:
+    """Stage every integer slice of ``df`` in ONE shuffled partitioned
+    write (dirs ``sgs=<k>/``, exactly one data file per slice — a
+    slice's rows hash to a single write task) instead of one filter +
+    coalesce(1) write job per slice. The staged files carry exactly
+    ``df``'s columns (the slice key becomes the directory name, not a
+    stored column), so readers of the returned per-slice file lists see
+    the same frames the per-slice jobs produced. Guide §1.2 step 1 /
+    §2.4: N full scans of the source collapse into one scan + one
+    shuffle of the same bytes; r13 measured the N-scan staging loops as
+    the second-largest cost inside the CDF protocol keys."""
+    from sparkgraft.scans import _data_files_of
+
+    (
+        df.withColumn("sgs", slice_expr.cast("int"))
+        .repartition("sgs")
+        .write.mode("overwrite")
+        .partitionBy("sgs")
+        .parquet(out_dir)
+    )
+    return {
+        int(d.split("=", 1)[1]): _data_files_of(os.path.join(out_dir, d))
+        for d in os.listdir(out_dir)
+        if d.startswith("sgs=")
+    }
+
+
 @query(
     "stream_restart_recovery",
     oracle="""
@@ -1649,19 +1677,26 @@ def stream_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_versions: dict[int, list[int]] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = sorted(
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        )
-        batch_versions[int(batch_id)] = vs
-        if len(vs) != 1:
-            raise RuntimeError(
-                f"micro-batch {batch_id} spans versions {vs} — "
-                "must be exactly one commit"
+        # one source scan per batch: the version probe and the write
+        # below share the cached rows instead of re-running the Python
+        # CDF read per action (guide §1.2 step 1 — remove a full pass)
+        batch_df.persist()
+        try:
+            vs = sorted(
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+            batch_versions[int(batch_id)] = vs
+            if len(vs) != 1:
+                raise RuntimeError(
+                    f"micro-batch {batch_id} spans versions {vs} — "
+                    "must be exactly one commit"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
+            )
+        finally:
+            batch_df.unpersist()
 
     def run_phase() -> None:
         q = (
@@ -1790,12 +1825,13 @@ def stream_cdf_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(d)
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    even_dir = os.path.join(root, "even")
-    odd_dir = os.path.join(root, "odd")
-    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(even_dir)
-    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(odd_dir)
-    even_f = _data_files_of(even_dir)
-    _commit_snapshot(log_dir, even_f + _data_files_of(odd_dir))  # v1
+    # even/odd halves staged in ONE partitioned write (was 2 sequential
+    # filter+coalesce(1) jobs — _stage_slices docstring)
+    halves = _stage_slices(
+        o, F.col("o_orderkey") % 2, os.path.join(root, "halves")
+    )
+    even_f = halves[0]
+    _commit_snapshot(log_dir, even_f + halves[1])  # v1
 
     # v2: COW delete — rewrite the even file without orderkey%10=4 rows
     rw_dir = os.path.join(root, "rewrite")
@@ -1814,22 +1850,29 @@ def stream_cdf_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_snapshot_cdf_partitioned_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
-        if len(vs) != 1:
-            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        # partition-count probe BEFORE caching so it still reflects the
+        # source's per-delta-file planning, then one source scan feeds
+        # the version probe and the write (guide §1.2 step 1)
         nparts = batch_df.rdd.getNumPartitions()
-        if nparts != delta_files[vs[0]]:
-            raise RuntimeError(
-                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                f"commit's delta is {delta_files[vs[0]]} files — "
-                "reads are not per-delta-file"
+        batch_df.persist()
+        try:
+            vs = [
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
+            ]
+            if len(vs) != 1:
+                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+            if nparts != delta_files[vs[0]]:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                    f"commit's delta is {delta_files[vs[0]]} files — "
+                    "reads are not per-delta-file"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_snapshot_cdf_partitioned")
@@ -2119,22 +2162,27 @@ def stream_snapshot_cdf_partitioned(
     spark.dataSource.register(_snapshot_cdf_partitioned_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
-        if len(vs) != 1:
-            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        # nparts probed pre-cache; one source scan feeds probe + write
         nparts = batch_df.rdd.getNumPartitions()
-        want = files_per_commit[vs[0]]
-        if nparts != want:
-            raise RuntimeError(
-                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                f"commit added {want} files — reads are not per-file"
+        batch_df.persist()
+        try:
+            vs = [
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
+            ]
+            if len(vs) != 1:
+                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+            want = files_per_commit[vs[0]]
+            if nparts != want:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                    f"commit added {want} files — reads are not per-file"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_snapshot_cdf_partitioned")
@@ -2705,21 +2753,26 @@ def stream_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_mor_cdf_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
-        if len(vs) != 1:
-            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        # nparts probed pre-cache; one source scan feeds probe + write
         nparts = batch_df.rdd.getNumPartitions()
-        if nparts != work_units[vs[0]]:
-            raise RuntimeError(
-                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                f"planned {work_units[vs[0]]} work units"
+        batch_df.persist()
+        try:
+            vs = [
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
+            ]
+            if len(vs) != 1:
+                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+            if nparts != work_units[vs[0]]:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                    f"planned {work_units[vs[0]]} work units"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_mor_cdf")
@@ -2948,31 +3001,36 @@ def stream_cdf_compaction_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_versions: dict[int, list] = {}
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            batch_versions[batch_id] = vs
-            if not churn:
-                v = batch_id + 1  # one commit per micro-batch, in order
-                if v in zero_row_batches:
-                    if vs:
+            # nparts probed pre-cache; one source scan feeds probe + write
+            nparts = batch_df.rdd.getNumPartitions()
+            batch_df.persist()
+            try:
+                vs = [
+                    r["version"]
+                    for r in batch_df.select("version").distinct().collect()
+                ]
+                batch_versions[batch_id] = vs
+                if not churn:
+                    v = batch_id + 1  # one commit per micro-batch, in order
+                    if v in zero_row_batches:
+                        if vs:
+                            raise RuntimeError(
+                                f"rewrite commit v{v} leaked {vs} into the feed"
+                            )
+                    elif len(vs) != 1:
                         raise RuntimeError(
-                            f"rewrite commit v{v} leaked {vs} into the feed"
+                            f"batch {batch_id} spans versions {vs}"
                         )
-                elif len(vs) != 1:
-                    raise RuntimeError(
-                        f"batch {batch_id} spans versions {vs}"
-                    )
-                nparts = batch_df.rdd.getNumPartitions()
-                if nparts != work_units[v]:
-                    raise RuntimeError(
-                        f"batch {batch_id} (v{v}) ran {nparts} partitions, "
-                        f"planned {work_units[v]} work units"
-                    )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"b{batch_id:05d}")
-            )
+                    if nparts != work_units[v]:
+                        raise RuntimeError(
+                            f"batch {batch_id} (v{v}) ran {nparts} partitions, "
+                            f"planned {work_units[v]} work units"
+                        )
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"b{batch_id:05d}")
+                )
+            finally:
+                batch_df.unpersist()
 
         q = (
             spark.readStream.format("sparkgraft_mor_cdf")
@@ -3190,21 +3248,26 @@ def stream_cdf_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_units = {1: 2, 2: len(base_files), 3: len(base_files), 4: 1}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
-        if len(vs) != 1:
-            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        # nparts probed pre-cache; one source scan feeds probe + write
         nparts = batch_df.rdd.getNumPartitions()
-        if nparts != work_units[vs[0]]:
-            raise RuntimeError(
-                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                f"planned {work_units[vs[0]]} work units"
+        batch_df.persist()
+        try:
+            vs = [
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
+            ]
+            if len(vs) != 1:
+                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+            if nparts != work_units[vs[0]]:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                    f"planned {work_units[vs[0]]} work units"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_mor_cdf")
@@ -3386,21 +3449,26 @@ def stream_cdf_mixed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_units = {1: 2, 2: 2 * len(base_files), 3: 1}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
-        if len(vs) != 1:
-            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        # nparts probed pre-cache; one source scan feeds probe + write
         nparts = batch_df.rdd.getNumPartitions()
-        if nparts != work_units[vs[0]]:
-            raise RuntimeError(
-                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                f"planned {work_units[vs[0]]} work units"
+        batch_df.persist()
+        try:
+            vs = [
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
+            ]
+            if len(vs) != 1:
+                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+            if nparts != work_units[vs[0]]:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                    f"planned {work_units[vs[0]]} work units"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_mor_cdf")
@@ -3602,12 +3670,13 @@ def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(d)
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    even_dir = os.path.join(root, "even")
-    odd_dir = os.path.join(root, "odd")
-    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(even_dir)
-    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(odd_dir)
-    even_f = _data_files_of(even_dir)
-    _commit_snapshot(log_dir, even_f + _data_files_of(odd_dir))  # v1
+    # even/odd halves staged in ONE partitioned write (was 2 sequential
+    # filter+coalesce(1) jobs — _stage_slices docstring)
+    halves = _stage_slices(
+        o, F.col("o_orderkey") % 2, os.path.join(root, "halves")
+    )
+    even_f = halves[0]
+    _commit_snapshot(log_dir, even_f + halves[1])  # v1
 
     rw_dir = os.path.join(root, "rewrite")  # v2: COW delete on even keys
     (
@@ -3750,12 +3819,13 @@ def stream_mv_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(d)
 
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    even_dir = os.path.join(root, "even")
-    odd_dir = os.path.join(root, "odd")
-    o.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.parquet(even_dir)
-    o.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.parquet(odd_dir)
-    even_f = _data_files_of(even_dir)
-    _commit_snapshot(log_dir, even_f + _data_files_of(odd_dir))  # v1
+    # even/odd halves staged in ONE partitioned write (was 2 sequential
+    # filter+coalesce(1) jobs — _stage_slices docstring)
+    halves = _stage_slices(
+        o, F.col("o_orderkey") % 2, os.path.join(root, "halves")
+    )
+    even_f = halves[0]
+    _commit_snapshot(log_dir, even_f + halves[1])  # v1
     rw_dir = os.path.join(root, "rewrite")
     (
         spark.read.parquet(*even_f)
@@ -3934,7 +4004,10 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.repartition(2).write.parquet(base_dir)
     _commit_snapshot(log_dir, _data_files_of(base_dir))  # v1
 
-    ups = o.filter(F.col("o_orderkey") % 10 == _SCD2_UPS)
+    # the upsert slice feeds FOUR staged writes (2 tombstones + 2
+    # re-price deltas); persist it once instead of re-scanning orders
+    # per write (guide §5 caching: reused AND recompute > cache cost)
+    ups = o.filter(F.col("o_orderkey") % 10 == _SCD2_UPS).persist()
     for i, bump in ((2, _SCD2_B1), (3, _SCD2_B2)):
         t_dir = os.path.join(root, "deletes", f"t{i}")
         u_dir = os.path.join(root, f"u{i}")
@@ -3951,6 +4024,7 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             _data_files_of(t_dir) + _data_files_of(u_dir),
             extra={"op": "mor-upsert"},
         )
+    ups.unpersist()
 
     spark.dataSource.register(_mor_cdf_datasource())
     pointer = os.path.join(st_root, "CURRENT")
@@ -3959,6 +4033,14 @@ def stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         return os.path.join(st_root, f"v{batch_id:05d}")
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        # one source scan feeds the version probe AND the state merge
+        batch_df.persist()
+        try:
+            _maintain_cached(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _maintain_cached(batch_df: DataFrame, batch_id: int) -> None:
         vs = [
             r["version"]
             for r in batch_df.select("version").distinct().collect()
@@ -4429,28 +4511,33 @@ def stream_cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_schema_evo_cdf_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
-        expected_v = batch_id + 1
-        if not vs:
-            # only the metadata-only add-column commit streams nothing
-            if expected_v != 2:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{expected_v}) unexpectedly empty"
-                )
-        elif vs != [expected_v]:
-            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        # nparts probed pre-cache; one source scan feeds probe + write
         nparts = batch_df.rdd.getNumPartitions()
-        if nparts != work_units[expected_v]:
-            raise RuntimeError(
-                f"batch {batch_id} (v{expected_v}) ran {nparts} "
-                f"partitions, planned {work_units[expected_v]} work units"
+        batch_df.persist()
+        try:
+            vs = [
+                r["version"]
+                for r in batch_df.select("version").distinct().collect()
+            ]
+            expected_v = batch_id + 1
+            if not vs:
+                # only the metadata-only add-column commit streams nothing
+                if expected_v != 2:
+                    raise RuntimeError(
+                        f"batch {batch_id} (v{expected_v}) unexpectedly empty"
+                    )
+            elif vs != [expected_v]:
+                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+            if nparts != work_units[expected_v]:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{expected_v}) ran {nparts} "
+                    f"partitions, planned {work_units[expected_v]} work units"
+                )
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id:05d}")
             )
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"b{batch_id:05d}")
-        )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_schema_evo_cdf")
@@ -4896,11 +4983,16 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.coalesce(1).write.mode("overwrite").parquet(d)
         return _data_files_of(d)
 
-    f1 = stage(o.filter(F.col("o_orderkey") % 3 == 0), "f1")
-    f2 = stage(o.filter(F.col("o_orderkey") % 3 == 1), "f2")
-    f3 = stage(o.filter(F.col("o_orderkey") % 3 == 2), "f3")
-    d1 = stage(c.filter(F.col("c_custkey") % 2 == 0), "d1")
-    d2 = stage(c.filter(F.col("c_custkey") % 2 == 1), "d2")
+    # fact thirds + dim halves staged in TWO partitioned writes (was 5
+    # sequential filter+coalesce(1) jobs — _stage_slices docstring)
+    fact_slices = _stage_slices(
+        o, F.col("o_orderkey") % 3, os.path.join(root, "fact_slices")
+    )
+    dim_slices = _stage_slices(
+        c, F.col("c_custkey") % 2, os.path.join(root, "dim_slices")
+    )
+    f1, f2, f3 = fact_slices[0], fact_slices[1], fact_slices[2]
+    d1, d2 = dim_slices[0], dim_slices[1]
     f1p = stage(  # txn4's COW rewrite of F1: the delete
         spark.read.parquet(*f1).filter(
             ~(F.col("o_orderkey") % 10 == _XT_DEL)
@@ -4929,10 +5021,19 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return os.path.join(mv_root, f"v{batch_id:05d}")
 
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        # one source scan per batch: cache the batch, and fold the txn
+        # and table probes into ONE distinct-collect (they used to be
+        # two separate jobs, each re-running the Python CDF read)
+        batch_df.persist()
+        try:
+            _maintain_cached(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _maintain_cached(batch_df: DataFrame, batch_id: int) -> None:
         delivered.append(int(batch_id))
-        txns = [
-            r["txn"] for r in batch_df.select("txn").distinct().collect()
-        ]
+        probe = batch_df.select("txn", "table").distinct().collect()
+        txns = sorted({r["txn"] for r in probe})
         if not txns:
             # only the rewrite-stamped compaction txn streams nothing;
             # the state still versions forward (one state per txn)
@@ -4945,10 +5046,7 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"batch {batch_id} spans txns {txns} — cut point broken"
             )
-        batch_tables[batch_id] = {
-            r["table"]
-            for r in batch_df.select("table").distinct().collect()
-        }
+        batch_tables[batch_id] = {r["table"] for r in probe}
         sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
         fdelta = (
             batch_df.filter(F.col("table") == "fact")
@@ -5305,15 +5403,26 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.repartition(n).write.mode("overwrite").parquet(d)
         return _data_files_of(d)
 
-    s1 = stage(o.filter(F.col("o_orderkey") % 3 == 0), "s1", 2)
+    # all three thirds staged in ONE partitioned write (was 3
+    # sequential jobs — _stage_slices docstring); s1 keeps its 2-file
+    # layout by splitting the %3==0 third into %6 sub-slices 0/1
+    third = F.col("o_orderkey") % 3
+    slices = _stage_slices(
+        o,
+        F.when(third == 0, (F.col("o_orderkey") % 6) / 3).otherwise(
+            third + 1
+        ),
+        os.path.join(root, "slices"),
+    )
+    s1 = sorted(slices[0] + slices[1])
     _commit_snapshot(log_dir, s1)  # v1
     s1c = stage(spark.read.parquet(*s1), "s1_compacted")
     _commit_snapshot(  # v2: layout-only rewrite of v1
         log_dir, s1c, remove_files=s1, extra={"op": "rewrite"}
     )
-    s2 = stage(o.filter(F.col("o_orderkey") % 3 == 1), "s2")
+    s2 = slices[2]
     _commit_snapshot(log_dir, s2)  # v3
-    s3 = stage(o.filter(F.col("o_orderkey") % 3 == 2), "s3")
+    s3 = slices[3]
     _commit_snapshot(log_dir, s3)  # v4
 
     # EXPIRE through the shared procedure: retain the last 2
@@ -5344,10 +5453,15 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered: list[tuple[int, int]] = []  # (batch_id, n_rows)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        delivered.append((int(batch_id), batch_df.count()))
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(root, "out", f"b{batch_id:05d}")
-        )
+        # one source scan feeds the count probe AND the write
+        batch_df.persist()
+        try:
+            delivered.append((int(batch_id), batch_df.count()))
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(root, "out", f"b{batch_id:05d}")
+            )
+        finally:
+            batch_df.unpersist()
 
     def run_feed(tag: str, cursor: int | None) -> None:
         state = os.path.join(root, f"reader_state_{tag}")
@@ -5675,23 +5789,20 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
-    def stage(df: DataFrame, name: str) -> list[str]:
-        d = os.path.join(root, name)
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        return _data_files_of(d)
-
+    # stage all 12 fact slices + both dim halves in TWO partitioned
+    # writes (was 14 sequential filter+coalesce(1) jobs, each a full
+    # re-scan of its source — _stage_slices docstring, guide §1.2)
+    fact_slices = _stage_slices(
+        o, F.col("o_orderkey") % _CTX_N, os.path.join(root, "fact_slices")
+    )
+    dim_slices = _stage_slices(
+        c, F.col("c_custkey") % 2, os.path.join(root, "dim_slices")
+    )
     for i in range(_CTX_N):
         txn = i + 1
-        adds = {
-            "fact": stage(
-                o.filter(F.col("o_orderkey") % _CTX_N == i), f"f{txn:02d}"
-            )
-        }
+        adds = {"fact": fact_slices[i]}
         if txn in _CTX_DIM_AT:
-            adds["dim"] = stage(
-                c.filter(F.col("c_custkey") % 2 == _CTX_DIM_AT[txn]),
-                f"d{txn:02d}",
-            )
+            adds["dim"] = dim_slices[_CTX_DIM_AT[txn]]
         if not _try_publish(txn_dir, txn, [], extra={"table_adds": adds}):
             raise RuntimeError(f"single-writer CAS lost txn {txn}")
         if txn in _CTX_CKPTS:
@@ -5714,17 +5825,22 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches: list = []
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            rows = batch_df.select("txn", "table").distinct().collect()
-            batches.append(
-                (
-                    int(batch_id),
-                    sorted({r["txn"] for r in rows}),
-                    sorted({r["table"] for r in rows}),
+            # one source scan feeds the txn/table probe AND the write
+            batch_df.persist()
+            try:
+                rows = batch_df.select("txn", "table").distinct().collect()
+                batches.append(
+                    (
+                        int(batch_id),
+                        sorted({r["txn"] for r in rows}),
+                        sorted({r["table"] for r in rows}),
+                    )
                 )
-            )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(root, f"out_{tag}", f"b{batch_id:05d}")
-            )
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(root, f"out_{tag}", f"b{batch_id:05d}")
+                )
+            finally:
+                batch_df.unpersist()
 
         q = (
             spark.readStream.format("sparkgraft_ckpt_txn_cdf")
@@ -5795,10 +5911,7 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_fact = seed_ev.filter(F.col("table") == "fact").select(
         "key", "custkey", "cents"
     )
-    if (
-        seed_fact.exceptAll(ck_fact).limit(1).count()
-        or ck_fact.exceptAll(seed_fact).limit(1).count()
-    ):
+    if not multisets_equal(seed_fact, ck_fact):
         raise RuntimeError("seed fact events != checkpoint file map read")
     seed_fact_rows = ck_fact.count()
     ck_dim_rows = spark.read.parquet(*ck_tables["dim"]).count()
@@ -5984,18 +6097,20 @@ def stream_cdf_rebase_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     )
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
 
-    def stage(df: DataFrame, name: str) -> list[str]:
-        d = os.path.join(root, name)
-        df.coalesce(1).write.mode("overwrite").parquet(d)
-        return _data_files_of(d)
-
-    f1 = stage(o.filter(F.col("o_orderkey") % 2 == 0), "f1")
-    d1 = stage(c.filter(F.col("c_custkey") % 2 == 0), "d1")
+    # fact/dim halves staged in TWO partitioned writes (was 4
+    # sequential filter+coalesce(1) jobs — _stage_slices docstring)
+    fact_slices = _stage_slices(
+        o, F.col("o_orderkey") % 2, os.path.join(root, "fact_slices")
+    )
+    dim_slices = _stage_slices(
+        c, F.col("c_custkey") % 2, os.path.join(root, "dim_slices")
+    )
+    f1, f2 = fact_slices[0], fact_slices[1]
+    d1, d2 = dim_slices[0], dim_slices[1]
     v1, _, _ = _txn_commit(txn_dir, {"fact": f1, "dim": d1}, read_at=0)
 
-    # A and B race from the same read snapshot v1
-    f2 = stage(o.filter(F.col("o_orderkey") % 2 == 1), "f2_A")
-    d2 = stage(c.filter(F.col("c_custkey") % 2 == 1), "d2_B")
+    # A and B race from the same read snapshot v1 (A appends the odd
+    # fact half f2, B the odd dim half d2 — staged above)
     v2, a_retries, _ = _txn_commit(
         txn_dir, {"fact": f1 + f2}, read_at=v1
     )
@@ -6028,14 +6143,19 @@ def stream_cdf_rebase_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     batches: list = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        txns = sorted(
-            r["txn"]
-            for r in batch_df.select("txn").distinct().collect()
-        )
-        batches.append((int(batch_id), txns))
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(root, "out", f"b{batch_id:05d}")
-        )
+        # one source scan feeds the txn probe AND the write
+        batch_df.persist()
+        try:
+            txns = sorted(
+                r["txn"]
+                for r in batch_df.select("txn").distinct().collect()
+            )
+            batches.append((int(batch_id), txns))
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(root, "out", f"b{batch_id:05d}")
+            )
+        finally:
+            batch_df.unpersist()
 
     q = (
         spark.readStream.format("sparkgraft_txn_cdf")
@@ -6078,10 +6198,7 @@ def stream_cdf_rebase_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("o_custkey").alias("custkey"),
         "cents",
     )
-    if (
-        ev_fact.exceptAll(head_fact).limit(1).count()
-        or head_fact.exceptAll(ev_fact).limit(1).count()
-    ):
+    if not multisets_equal(ev_fact, head_fact):
         raise RuntimeError("fact events != head fact table")
     ev_dim_rows = ev.filter(F.col("table") == "dim").count()
     head_dim_rows = spark.read.parquet(*tables["dim"]).count()

@@ -1227,7 +1227,10 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / 1000.0).alias("x1"),
         (F.col("n_tokens").cast("double") / 100.0).alias("x2"),
         (F.col("n_stop").cast("double") / 10.0).alias("x3"),
-    )
+    ).persist()  # 13 actions below (count + 12 gradient rounds) reuse
+    # the featurized rows; without the cache every round re-runs the
+    # tokenize + stopword-intersection scan (guide §5: reused AND
+    # expensive to recompute). Unpersisted before return.
     n = float(feat.count())
 
     def q9(c):
@@ -1271,6 +1274,7 @@ def text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else -int(math.floor(-u * 1e6 + 0.5))
             )
 
+    feat.unpersist()
     out = spark.createDataFrame(
         [(j, _LR_FEATURES[j], wq[j]) for j in range(4)],
         "j int, feature string, wq long",

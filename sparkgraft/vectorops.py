@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load
+from .proofs import multisets_equal
 from .registry import query
 
 _DIM = 64  # fixed embedding width (FIXTURES.md: embeddings.embedding)
@@ -3419,7 +3420,9 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_codes = _ivfq_assign(spark, delta_frame, cq).withColumn(
         "is_delta", F.lit(True)
     )
-    n_delta = int(e.filter(F.col("vec_id") >= cut).count())
+    # delta row count from the staged slice's parquet footer (metadata
+    # count-star) instead of a second filter scan of embeddings
+    n_delta = int(spark.read.parquet(*emb_slices[1]).count())
     n_assigned = int(delta_codes.count())
     if n_assigned != n_delta or n_delta == 0:
         raise RuntimeError(
@@ -3785,12 +3788,18 @@ def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(d)
     del_seg = f"{os.sep}{_MOR_DELETE_CLASS}{os.sep}"
 
-    base_dir = os.path.join(root, "base")
-    e.filter(F.col("vec_id") < cut).coalesce(1).write.parquet(base_dir)
-    _commit_snapshot(emb_log, _data_files_of(base_dir))  # v1
-    delta_dir = os.path.join(root, "delta")
-    e.filter(F.col("vec_id") >= cut).coalesce(1).write.parquet(delta_dir)
-    _commit_snapshot(emb_log, _data_files_of(delta_dir))  # v2
+    # base/delta staged in ONE partitioned write (was 2 sequential
+    # filter+coalesce(1) scans of embeddings — _stage_slices docstring,
+    # guide §1.2 step 1)
+    from sparkgraft.streaming import _stage_slices
+
+    emb_slices = _stage_slices(
+        e,
+        (F.col("vec_id") >= cut).cast("int"),
+        os.path.join(root, "slices"),
+    )
+    _commit_snapshot(emb_log, emb_slices[0])  # v1
+    _commit_snapshot(emb_log, emb_slices[1])  # v2
     t3_dir = os.path.join(root, _MOR_DELETE_CLASS, "t3")
     (
         e.select("vec_id")
@@ -3802,7 +3811,9 @@ def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb_log, _data_files_of(t3_dir), extra={"op": "mor-delete"}
     )  # v3
 
-    n_delta = int(e.filter(F.col("vec_id") >= cut).count())
+    # delta row count from the staged slice's parquet footer (metadata
+    # count-star) instead of a second filter scan of embeddings
+    n_delta = int(spark.read.parquet(*emb_slices[1]).count())
 
     def _applied_feed_batches() -> set:
         out = set()
@@ -3815,28 +3826,33 @@ def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id in _applied_feed_batches():
             return  # redelivered batch: its commit already landed
-        adds: list[str] = []
-        ins = batch_df.filter(F.col("change_type") == "insert").select(
-            "vec_id", "embedding"
-        )
-        if ins.limit(1).count():
-            add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
-            _ivfq_assign(spark, ins, cq).coalesce(1).write.parquet(
-                add_dir
+        # one source scan per batch (probes + writes share the cache)
+        batch_df.persist()
+        try:
+            adds: list[str] = []
+            ins = batch_df.filter(F.col("change_type") == "insert").select(
+                "vec_id", "embedding"
             )
-            adds += _data_files_of(add_dir)
-        dels = batch_df.filter(F.col("change_type") == "delete").select(
-            "vec_id"
-        )
-        if dels.limit(1).count():
-            t_dir = os.path.join(
-                idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+            if ins.limit(1).count():
+                add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
+                _ivfq_assign(spark, ins, cq).coalesce(1).write.parquet(
+                    add_dir
+                )
+                adds += _data_files_of(add_dir)
+            dels = batch_df.filter(F.col("change_type") == "delete").select(
+                "vec_id"
             )
-            dels.coalesce(1).write.parquet(t_dir)
-            adds += _data_files_of(t_dir)
-        if not adds:
-            raise RuntimeError(f"feed batch {batch_id} carried no events")
-        _commit_snapshot(idx_log, adds, extra={"feed_batch": batch_id})
+            if dels.limit(1).count():
+                t_dir = os.path.join(
+                    idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
+                )
+                dels.coalesce(1).write.parquet(t_dir)
+                adds += _data_files_of(t_dir)
+            if not adds:
+                raise RuntimeError(f"feed batch {batch_id} carried no events")
+            _commit_snapshot(idx_log, adds, extra={"feed_batch": batch_id})
+        finally:
+            batch_df.unpersist()
 
     spark.dataSource.register(_emb_cdf_datasource())
     q = (
@@ -3890,10 +3906,7 @@ def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # retirement + equality vs frozen assignment of the LIVE corpus
     live = e.filter(~(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM))
     rebuilt = _ivfq_assign(spark, live, cq)
-    if (
-        maintained.exceptAll(rebuilt).limit(1).count()
-        or rebuilt.exceptAll(maintained).limit(1).count()
-    ):
+    if not multisets_equal(maintained, rebuilt):
         raise RuntimeError(
             "feed-maintained index diverged from frozen reassignment"
         )
@@ -4039,7 +4052,7 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     Asserted in-key for BOTH k=2 (pre-delete) and k=3 (head): the
     code table AS-OF k equals the frozen-centroid assignment of the
     LIVE embeddings AS-OF k (the MOR read cut at manifest k) — exact
-    (vec_id, cell) frame equality both exceptAll directions — and the
+    (vec_id, cell) multiset frame equality (one-pass signed-count) — and the
     versions genuinely differ by exactly the |tombstoned| retired
     codes (counted). The oracle mirrors both versions' per-cell
     occupancy from ONE quantized-Lloyd pass over source.
@@ -4081,12 +4094,18 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in (emb_log, idx_log, idx_root):
         os.makedirs(d)
 
-    base_dir = os.path.join(root, "base")
-    e.filter(F.col("vec_id") < cut).coalesce(1).write.parquet(base_dir)
-    _commit_snapshot(emb_log, _data_files_of(base_dir))  # v1
-    delta_dir = os.path.join(root, "delta")
-    e.filter(F.col("vec_id") >= cut).coalesce(1).write.parquet(delta_dir)
-    _commit_snapshot(emb_log, _data_files_of(delta_dir))  # v2
+    # base/delta staged in ONE partitioned write (was 2 sequential
+    # filter+coalesce(1) scans of embeddings — _stage_slices docstring,
+    # guide §1.2 step 1)
+    from sparkgraft.streaming import _stage_slices
+
+    emb_slices = _stage_slices(
+        e,
+        (F.col("vec_id") >= cut).cast("int"),
+        os.path.join(root, "slices"),
+    )
+    _commit_snapshot(emb_log, emb_slices[0])  # v1
+    _commit_snapshot(emb_log, emb_slices[1])  # v2
     t3_dir = os.path.join(root, _MOR_DELETE_CLASS, "t3")
     (
         e.select("vec_id")
@@ -4104,6 +4123,14 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state_dir cursor survives (r13 review; the dedup_index_asof
     # discipline applied to the vector index)
     def maintain(batch_df: DataFrame, batch_id: int) -> None:
+        # one source scan per batch (probes + writes share the cache)
+        batch_df.persist()
+        try:
+            _maintain_cached(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _maintain_cached(batch_df: DataFrame, batch_id: int) -> None:
         src_vs = [
             r["version"]
             for r in batch_df.select("version").distinct().collect()
@@ -4187,21 +4214,34 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     asof = {k: idx_asof(k) for k in (2, 3)}
-    for k in (2, 3):
-        rebuilt = _ivfq_assign(spark, emb_asof(k), cq)
-        if (
-            asof[k].exceptAll(rebuilt).limit(1).count()
-            or rebuilt.exceptAll(asof[k]).limit(1).count()
-        ):
-            raise RuntimeError(
-                f"code table AS-OF {k} diverged from frozen assignment "
-                f"of embeddings@{k}"
-            )
+    # ONE frozen reassignment serves both versions (guide §1.2 step 1):
+    # _ivfq_assign with frozen centroids is row-local per vec_id, so
+    # the rebuild at emb@3 (the MOR read masking vec_id%mod==rem) is
+    # exactly the emb@2 rebuild filtered to live vec_ids — a second
+    # full assignment pass recomputes identical rows. Both assertions
+    # still compare the served code table against a from-embeddings
+    # recomputation.
+    rebuilt2 = _ivfq_assign(spark, emb_asof(2), cq).persist()
+    rebuilt = {
+        2: rebuilt2,
+        3: rebuilt2.filter(
+            ~(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM)
+        ),
+    }
+    try:
+        for k in (2, 3):
+            if not multisets_equal(asof[k], rebuilt[k]):
+                raise RuntimeError(
+                    f"code table AS-OF {k} diverged from frozen "
+                    f"assignment of embeddings@{k}"
+                )
+    finally:
+        rebuilt2.unpersist()
 
     n2, n3 = asof[2].count(), asof[3].count()
-    retired = int(
-        e.filter(F.col("vec_id") % _IVFDEL_MOD == _IVFDEL_REM).count()
-    )
+    # tombstone cardinality from the staged tombstone file's footer
+    # (metadata count-star) instead of re-filtering embeddings
+    retired = int(spark.read.parquet(t3_dir).count())
     if n2 - n3 != retired or retired == 0:
         raise RuntimeError(
             f"AS-OF diff {n2 - n3} != retired codes {retired}"
