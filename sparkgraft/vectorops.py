@@ -3420,9 +3420,7 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_codes = _ivfq_assign(spark, delta_frame, cq).withColumn(
         "is_delta", F.lit(True)
     )
-    # delta row count from the staged slice's parquet footer (metadata
-    # count-star) instead of a second filter scan of embeddings
-    n_delta = int(spark.read.parquet(*emb_slices[1]).count())
+    n_delta = int(e.filter(F.col("vec_id") >= cut).count())
     n_assigned = int(delta_codes.count())
     if n_assigned != n_delta or n_delta == 0:
         raise RuntimeError(
