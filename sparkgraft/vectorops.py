@@ -1976,35 +1976,42 @@ def sim_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = spark.createDataFrame([(p,) for p in _IVFQ_SWEEP], "p int")
     cl = cand.join(F.broadcast(lv), F.col("prnk") <= F.col("p"))
     w = Window.partitionBy("p", "qid").orderBy(F.desc("cos_sim"), "vec_id")
-    topk = cl.withColumn("rnk", F.row_number().over(w)).filter(
-        F.col("rnk") <= _KNN_K
-    )
     exact = sim_knn_per_query(spark, sf_dir).select(
         "qid", F.col("vec_id").alias("evec")
     )
-    hits = topk.join(
-        exact,
-        (topk.qid == exact.qid) & (topk.vec_id == exact.evec),
-        "left_semi",
+    # One pass over the candidate×level frame serves BOTH counters: the
+    # window rank marks the per-level top-k, the broadcast left join
+    # against the 500-row exact baseline marks hits ((qid, evec) is
+    # unique there, so the join cannot duplicate candidate rows and
+    # count(*) per level is unchanged), and a single per-level aggregate
+    # emits n_cand / n_hit together. The naive two-branch form evaluated
+    # the whole _ivfq_candidates mapInPandas corpus pass twice.
+    ranked = cl.withColumn("rnk", F.row_number().over(w))
+    flagged = ranked.join(
+        F.broadcast(exact),
+        (ranked.qid == exact.qid) & (ranked.vec_id == exact.evec),
+        "left",
     )
     n_total = _corpus_count(spark, sf_dir)
     denom_recall = float(_KNN_QUERIES * _KNN_K)
     denom_cand = float(_KNN_QUERIES) * float(n_total - 1)
-    n_cand = cl.groupBy("p").agg(F.count("*").alias("n_cand"))
-    n_hit = hits.groupBy("p").agg(F.count("*").alias("n_hit"))
-    return (
-        n_cand.join(n_hit, "p", "left")
-        .select(
-            F.col("p").cast("long").alias("probes"),
-            F.round(
-                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(denom_recall), 4
-            ).alias("recall_at_5"),
-            F.round(F.col("n_cand") / F.lit(denom_cand), 4).alias(
-                "candidate_fraction"
-            ),
-        )
-        .orderBy("probes")
+    counts = flagged.groupBy("p").agg(
+        F.count("*").alias("n_cand"),
+        F.count(
+            F.when(
+                (F.col("rnk") <= _KNN_K) & F.col("evec").isNotNull(), True
+            )
+        ).alias("n_hit"),
     )
+    return counts.select(
+        F.col("p").cast("long").alias("probes"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(denom_recall), 4
+        ).alias("recall_at_5"),
+        F.round(F.col("n_cand") / F.lit(denom_cand), 4).alias(
+            "candidate_fraction"
+        ),
+    ).orderBy("probes")
 
 
 _SWEEP_TAUS = (0.2, 0.3, 0.4, 0.45, 0.5)
