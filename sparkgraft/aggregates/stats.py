@@ -2107,7 +2107,14 @@ def agg_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).collect()[0][0]
         )
 
-    rows = [(0, None, None, g0, g0, _abs_sum(resid))]
+    # Each round's candidate aggregate scans the SAME residual frame the
+    # previous round's |r| norm does, so the norm rides along as one more
+    # accumulator column (identical exact-integer expression) instead of
+    # its own job: 7 aggregate passes over the residuals become 4. The
+    # row for step k is appended once round k+1's pass delivers its norm;
+    # only the post-final-round norm needs a dedicated pass.
+    pending = (0, None, None, g0, g0)
+    rows = []
     for step in range(1, _GBT_ROUNDS + 1):
         aggs = []
         for idx, t in enumerate(_GBT_CANDS):
@@ -2125,7 +2132,11 @@ def agg_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"sl{idx}")
             )
         aggs.append(F.sum(F.col("r").cast("decimal(38,0)")).alias("st"))
+        aggs.append(
+            F.sum(F.abs(F.col("r")).cast("decimal(38,0)")).alias("ab")
+        )
         p = resid.agg(*aggs).collect()[0]  # one bounded row per round
+        rows.append(pending + (int(p["ab"]),))
         st = int(p["st"])
         best = None
         for idx, t in enumerate(_GBT_CANDS):
@@ -2152,7 +2163,8 @@ def agg_gbt_stumps_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("r"),
         ).localCheckpoint()
-        rows.append((step, t, nl, gl, gr, _abs_sum(resid)))
+        pending = (step, t, nl, gl, gr)
+    rows.append(pending + (_abs_sum(resid),))
 
     return spark.createDataFrame(
         rows,
