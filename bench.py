@@ -313,6 +313,24 @@ HOST_PROBE_KEY = "agg_groupby_hash"
 HOST_PROBE_REPS = 8
 HOST_PROBE_REF = 0.416
 
+# Scaling probe (r14, the r13 verdict's ask #2): the headline keys are
+# overhead-bound at sf0.1 (0.2-0.9 s each, dominated by per-action fixed
+# cost), so an 8-vs-32-core ratio read off the per-query map is ~1 for
+# every one of them and the driver's scaling check cannot see that
+# $SPARK_GRAFT_CPUS reaches Spark (it does: session.py:50 builds
+# local[$SPARK_GRAFT_CPUS]; BENCH_r13_c8.json's group totals run
+# 1.2-1.5x slower at 8 cores). This probe is a CORE-BOUND kernel — a
+# chained-xxhash64 fold over spark.range, partitioned at 2x
+# defaultParallelism so the task count tracks the core count — whose
+# warm time scales near-linearly with the core budget. It rides in the
+# graded line as "scaling_probe" AND as an ADDED entry in the per-query
+# map (the bench contract permits additions, never removals/renames);
+# "value" stays the sum of the 10 headline keys so the round-over-round
+# headline total remains comparable.
+SCALING_PROBE_ROWS = 80_000_000
+SCALING_PROBE_CHAIN = 16
+SCALING_PROBE_REPS = 3
+
 TIMED_REPS = 7
 # Heavy queries (the output-bound dedup family runs ~30 s at sf0.1) stop
 # at min-of-3 so the whole bench stays inside the driver's window; the
@@ -343,6 +361,41 @@ def _time_group(spark, sf_dir: str, keys: list[str], loadavg_samples):
         traces[key] = runs
         loadavg_samples.append(list(os.getloadavg()))
     return timings, traces
+
+
+def _scaling_probe(spark) -> float:
+    """Core-bound kernel (min-of-N warm, same stat discipline as the
+    queries): sum over SCALING_PROBE_ROWS ids of a SCALING_PROBE_CHAIN-
+    deep xxhash64 fold. Pure JVM codegen compute, evenly partitioned,
+    no shuffle beyond the final 1-row aggregate — so its wall time is
+    work / cores and an 8-core run reads ~3-4x the 32-core run where
+    the overhead-bound headline keys read ~1x.
+
+    The aggregate is bit_xor (order-independent, overflow-free under
+    ANSI). The plan is REBUILT per rep: re-running toPandas on one
+    DataFrame object reuses its materialized shuffle stage (measured:
+    a 400M-row kernel "repeats" in 40 ms on the same object vs 14 s on
+    a fresh plan), which would time nothing — the same reason bench
+    re-calls fn() per rep for every query."""
+    from pyspark.sql import functions as F
+
+    def build():
+        c = F.col("id")
+        h = F.xxhash64(c)
+        for _ in range(SCALING_PROBE_CHAIN - 1):
+            h = F.xxhash64(h, c)
+        par = spark.sparkContext.defaultParallelism
+        return spark.range(0, SCALING_PROBE_ROWS, 1, par * 2).select(
+            F.bit_xor(h).alias("checksum")
+        )
+
+    build().toPandas()  # warmup
+    runs = []
+    for _ in range(SCALING_PROBE_REPS):
+        t0 = time.monotonic()
+        build().toPandas()
+        runs.append(round(time.monotonic() - t0, 4))
+    return min(runs)
 
 
 def _probe(spark, sf_dir: str) -> float:
@@ -434,6 +487,14 @@ def main() -> int:
     host_probe = min(probe_start, probe_end)
     scale = HOST_PROBE_REF / host_probe if host_probe > 0 else 1.0
 
+    scaling_probe = _scaling_probe(spark)
+    # ADDED per-query entry (additions are contract-sanctioned); the
+    # headline "value" below is computed from `timings` BEFORE this
+    # entry lands, so the 10-key headline total stays round-comparable.
+    headline_total = round(sum(timings.values()), 4)
+    timings = dict(timings)
+    timings["scaling_probe"] = scaling_probe
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Compact stdout line (< 1 KB, stable as groups grow): the contract's
     # headline fields (metric/value/unit/queries/sf) plus ONE total per
@@ -445,7 +506,7 @@ def main() -> int:
     # a future group adds ~30 bytes to stdout, not kilobytes.
     result = {
         "metric": "headline_queries_total_warm",
-        "value": round(sum(timings.values()), 4),
+        "value": headline_total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -474,10 +535,16 @@ def main() -> int:
         "host_probe_start": probe_start,
         "host_probe_end": probe_end,
         "host_probe_ref": HOST_PROBE_REF,
+        # r14 (the r13 verdict's ask #2): the core-bound scaling signal,
+        # also present in "queries" above. Ratio two runs' values at
+        # different $SPARK_GRAFT_CPUS to measure parallel scaling; the
+        # overhead-bound headline keys cannot carry that signal.
+        "scaling_probe": scaling_probe,
+        "scaling_probe_cpus": spark.sparkContext.defaultParallelism,
         "normalized_totals": {
             name: round(total * scale, 2)
             for name, total in [
-                ("headline", sum(timings.values())),
+                ("headline", headline_total),
                 ("g2", sum(timings2.values())),
                 ("g3", sum(timings3.values())),
                 ("g4", sum(timings4.values())),
