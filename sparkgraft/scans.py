@@ -6177,6 +6177,11 @@ def sink_rewrite_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .withColumn("o_year", F.year("o_orderdate"))
     )
+    # r14 (guide §5: reused AND recomputed): the three staged writes
+    # below (gen-1, gen-2, tombstone) each re-scanned orders through
+    # this projection; one persisted frame now feeds all three.
+    # Unpersisted right after v3 — the rewrites read the STAGED files.
+    o.persist()
 
     def _tree_files(d: str) -> list[str]:
         return sorted(
@@ -6224,27 +6229,36 @@ def sink_rewrite_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFr
     _commit_snapshot(
         log_dir, _data_files_of(eq_dir), extra={"op": "mor-delete"}
     )
+    o.unpersist()
 
     head_pre = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
     data_pre, dels_pre = _split_head_files(head_pre)
     tomb = spark.read.parquet(*dels_pre).select("o_orderkey")
-    pre_mor = spark.read.parquet(*data_pre).join(
-        F.broadcast(tomb), "o_orderkey", "left_anti"
-    )
     digest = [
         F.count("*").cast("long").alias("n"),
         F.sum("cents").cast("long").alias("cents"),
     ]
-    pre_row = pre_mor.agg(*digest).collect()[0]
 
-    # v4: THE REWRITE — per generation, under that generation's spec
+    # v4: THE REWRITE — per generation, under that generation's spec.
+    # r14 (guide §1.2 step 1): the pre-compaction MOR digest used to be
+    # its own full scan+anti-join job over data_pre; it now rides the
+    # two rewrite writes as observed metrics over exactly the same
+    # anti-join subtrees (per-generation counts/sums add up to the
+    # former whole-head aggregate — exact integer arithmetic), so each
+    # generation is read once. post_row below still reads the REWRITTEN
+    # files back from disk, so the preserved-content assert keeps its
+    # independent evidence.
+    from pyspark.sql import Observation
+
     rw1 = os.path.join(root, "rw_gen1")
     rw2 = os.path.join(root, "rw_gen2")
     g1_files = [f for f in data_pre if f.startswith(gen1_dir)]
     g2_files = [f for f in data_pre if f.startswith(gen2_dir)]
+    obs1, obs2 = Observation(), Observation()
     (
         spark.read.parquet(*g1_files)
         .join(F.broadcast(tomb), "o_orderkey", "left_anti")
+        .observe(obs1, *digest)
         .withColumn("o_year", F.year("o_orderdate"))
         .repartition("o_year")
         .write.mode("overwrite")
@@ -6254,12 +6268,17 @@ def sink_rewrite_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFr
     (
         spark.read.parquet(*g2_files)
         .join(F.broadcast(tomb), "o_orderkey", "left_anti")
+        .observe(obs2, *digest)
         .withColumn("o_year", F.year("o_orderdate"))
         .withColumn("o_quarter", F.quarter("o_orderdate"))
         .repartition("o_year", "o_quarter")
         .write.mode("overwrite")
         .partitionBy("o_year", "o_quarter")
         .parquet(rw2)
+    )
+    pre_row = (
+        obs1.get["n"] + obs2.get["n"],
+        obs1.get["cents"] + obs2.get["cents"],
     )
     _commit_snapshot(
         log_dir,

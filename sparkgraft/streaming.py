@@ -1097,6 +1097,34 @@ def _stage_slices(df: DataFrame, slice_expr, out_dir: str) -> dict[int, list[str
     }
 
 
+def _write_with_probe(batch_df: DataFrame, path: str, probe_col) -> list:
+    """ONE action per micro-batch: write the batch to ``path`` and
+    collect the distinct values of ``probe_col`` through an Observation
+    riding the same pass (guide §1.2 step 1 — remove a full pass).
+
+    The r13 shape — ``persist(); select(probe).distinct().collect();
+    write; unpersist()`` — still ran TWO jobs per batch plus an AQE
+    two-phase distinct: the r14 phase profile measured the probe
+    collect at 0.25–0.38 s/batch (it pays the Python-CDF source read
+    and the distinct's exchange stages) against ~0.08 s for the write
+    re-reading the cache. The observed write computes the probe as an
+    AggregatingAccumulator during the single source scan: the batch is
+    read exactly once, no exchange, no cache held. ``collect_set``
+    dedups exactly like ``distinct()`` (it is the same NULL-safe
+    equality); asserts on the returned values now run after the write,
+    which only matters on the failure path (the stream dies either way
+    and the orphan batch dir lives in the key's scratch root)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (
+        batch_df.observe(obs, F.collect_set(probe_col).alias("p"))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return obs.get["p"]
+
+
 @query(
     "stream_restart_recovery",
     oracle="""
@@ -1677,26 +1705,19 @@ def stream_snapshot_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_versions: dict[int, list[int]] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # one source scan per batch: the version probe and the write
-        # below share the cached rows instead of re-running the Python
-        # CDF read per action (guide §1.2 step 1 — remove a full pass)
-        batch_df.persist()
-        try:
-            vs = sorted(
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
+        # one source scan AND one job per batch: the version probe
+        # rides the write as an observed metric (_write_with_probe)
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-            batch_versions[int(batch_id)] = vs
-            if len(vs) != 1:
-                raise RuntimeError(
-                    f"micro-batch {batch_id} spans versions {vs} — "
-                    "must be exactly one commit"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        )
+        batch_versions[int(batch_id)] = vs
+        if len(vs) != 1:
+            raise RuntimeError(
+                f"micro-batch {batch_id} spans versions {vs} — "
+                "must be exactly one commit"
             )
-        finally:
-            batch_df.unpersist()
 
     def run_phase() -> None:
         q = (
@@ -1850,29 +1871,23 @@ def stream_cdf_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_snapshot_cdf_partitioned_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # partition-count probe BEFORE caching so it still reflects the
-        # source's per-delta-file planning, then one source scan feeds
-        # the version probe and the write (guide §1.2 step 1)
+        # partition-count probe BEFORE the action so it still reflects
+        # the source's per-delta-file planning; the version probe then
+        # rides the write as an observed metric — one job per batch
         nparts = batch_df.rdd.getNumPartitions()
-        batch_df.persist()
-        try:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            if len(vs) != 1:
-                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
-            if nparts != delta_files[vs[0]]:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                    f"commit's delta is {delta_files[vs[0]]} files — "
-                    "reads are not per-delta-file"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-        finally:
-            batch_df.unpersist()
+        )
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        if nparts != delta_files[vs[0]]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"commit's delta is {delta_files[vs[0]]} files — "
+                "reads are not per-delta-file"
+            )
 
     q = (
         spark.readStream.format("sparkgraft_snapshot_cdf_partitioned")
@@ -2162,27 +2177,22 @@ def stream_snapshot_cdf_partitioned(
     spark.dataSource.register(_snapshot_cdf_partitioned_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # nparts probed pre-cache; one source scan feeds probe + write
+        # nparts probed pre-action (plan shape); the version probe
+        # rides the write as an observed metric — one job per batch
         nparts = batch_df.rdd.getNumPartitions()
-        batch_df.persist()
-        try:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            if len(vs) != 1:
-                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
-            want = files_per_commit[vs[0]]
-            if nparts != want:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                    f"commit added {want} files — reads are not per-file"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-        finally:
-            batch_df.unpersist()
+        )
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        want = files_per_commit[vs[0]]
+        if nparts != want:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"commit added {want} files — reads are not per-file"
+            )
 
     q = (
         spark.readStream.format("sparkgraft_snapshot_cdf_partitioned")
@@ -2753,26 +2763,21 @@ def stream_cdf_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_mor_cdf_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # nparts probed pre-cache; one source scan feeds probe + write
+        # nparts probed pre-action (plan shape); the version probe
+        # rides the write as an observed metric — one job per batch
         nparts = batch_df.rdd.getNumPartitions()
-        batch_df.persist()
-        try:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            if len(vs) != 1:
-                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
-            if nparts != work_units[vs[0]]:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                    f"planned {work_units[vs[0]]} work units"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-        finally:
-            batch_df.unpersist()
+        )
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        if nparts != work_units[vs[0]]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"planned {work_units[vs[0]]} work units"
+            )
 
     q = (
         spark.readStream.format("sparkgraft_mor_cdf")
@@ -3001,36 +3006,33 @@ def stream_cdf_compaction_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_versions: dict[int, list] = {}
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            # nparts probed pre-cache; one source scan feeds probe + write
+            # nparts probed pre-action (plan shape); the version probe
+            # rides the write as an observed metric — one job per batch
             nparts = batch_df.rdd.getNumPartitions()
-            batch_df.persist()
-            try:
-                vs = [
-                    r["version"]
-                    for r in batch_df.select("version").distinct().collect()
-                ]
-                batch_versions[batch_id] = vs
-                if not churn:
-                    v = batch_id + 1  # one commit per micro-batch, in order
-                    if v in zero_row_batches:
-                        if vs:
-                            raise RuntimeError(
-                                f"rewrite commit v{v} leaked {vs} into the feed"
-                            )
-                    elif len(vs) != 1:
-                        raise RuntimeError(
-                            f"batch {batch_id} spans versions {vs}"
-                        )
-                    if nparts != work_units[v]:
-                        raise RuntimeError(
-                            f"batch {batch_id} (v{v}) ran {nparts} partitions, "
-                            f"planned {work_units[v]} work units"
-                        )
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(out_dir, f"b{batch_id:05d}")
+            vs = sorted(
+                _write_with_probe(
+                    batch_df,
+                    os.path.join(out_dir, f"b{batch_id:05d}"),
+                    "version",
                 )
-            finally:
-                batch_df.unpersist()
+            )
+            batch_versions[batch_id] = vs
+            if not churn:
+                v = batch_id + 1  # one commit per micro-batch, in order
+                if v in zero_row_batches:
+                    if vs:
+                        raise RuntimeError(
+                            f"rewrite commit v{v} leaked {vs} into the feed"
+                        )
+                elif len(vs) != 1:
+                    raise RuntimeError(
+                        f"batch {batch_id} spans versions {vs}"
+                    )
+                if nparts != work_units[v]:
+                    raise RuntimeError(
+                        f"batch {batch_id} (v{v}) ran {nparts} partitions, "
+                        f"planned {work_units[v]} work units"
+                    )
 
         q = (
             spark.readStream.format("sparkgraft_mor_cdf")
@@ -3248,26 +3250,21 @@ def stream_cdf_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_units = {1: 2, 2: len(base_files), 3: len(base_files), 4: 1}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # nparts probed pre-cache; one source scan feeds probe + write
+        # nparts probed pre-action (plan shape); the version probe
+        # rides the write as an observed metric — one job per batch
         nparts = batch_df.rdd.getNumPartitions()
-        batch_df.persist()
-        try:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            if len(vs) != 1:
-                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
-            if nparts != work_units[vs[0]]:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                    f"planned {work_units[vs[0]]} work units"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-        finally:
-            batch_df.unpersist()
+        )
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        if nparts != work_units[vs[0]]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"planned {work_units[vs[0]]} work units"
+            )
 
     q = (
         spark.readStream.format("sparkgraft_mor_cdf")
@@ -3449,26 +3446,21 @@ def stream_cdf_mixed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     work_units = {1: 2, 2: 2 * len(base_files), 3: 1}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # nparts probed pre-cache; one source scan feeds probe + write
+        # nparts probed pre-action (plan shape); the version probe
+        # rides the write as an observed metric — one job per batch
         nparts = batch_df.rdd.getNumPartitions()
-        batch_df.persist()
-        try:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            if len(vs) != 1:
-                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
-            if nparts != work_units[vs[0]]:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
-                    f"planned {work_units[vs[0]]} work units"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-        finally:
-            batch_df.unpersist()
+        )
+        if len(vs) != 1:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        if nparts != work_units[vs[0]]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{vs[0]}) ran {nparts} partitions, "
+                f"planned {work_units[vs[0]]} work units"
+            )
 
     q = (
         spark.readStream.format("sparkgraft_mor_cdf")
@@ -3738,11 +3730,25 @@ def stream_cdf_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents"),
         )
     )
+    # r14: MV read and direct recompute collected in ONE tagged-union
+    # job (they were two sequential collects; per-side dicts of a
+    # tagged union equal the separate collects exactly)
+    both = (
+        mv.select(F.lit("mv").alias("side"), "bucket", "n_rows", "cents")
+        .unionByName(
+            direct.select(
+                F.lit("direct").alias("side"), "bucket", "n_rows", "cents"
+            )
+        )
+        .collect()
+    )
     mv_rows = {
-        r["bucket"]: (r["n_rows"], r["cents"]) for r in mv.collect()
+        r["bucket"]: (r["n_rows"], r["cents"]) for r in both
+        if r["side"] == "mv"
     }
     direct_rows = {
-        r["bucket"]: (r["n_rows"], r["cents"]) for r in direct.collect()
+        r["bucket"]: (r["n_rows"], r["cents"]) for r in both
+        if r["side"] == "direct"
     }
     if mv_rows != direct_rows:
         raise RuntimeError(
@@ -3899,9 +3905,8 @@ def stream_mv_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mv = mv_read()
     head_files = _read_manifest(log_dir, _log_versions(log_dir)[-1])["files"]
-    direct_rows = {
-        r["bucket"]: (r["n_rows"], r["cents"])
-        for r in spark.read.parquet(*head_files)
+    direct = (
+        spark.read.parquet(*head_files)
         .groupBy(
             (F.col("o_orderkey") % _MV_BUCKETS).cast("int").alias("bucket")
         )
@@ -3911,9 +3916,26 @@ def stream_mv_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("cents"),
         )
+    )
+    # r14: MV read and direct recompute collected in ONE tagged-union
+    # job (two sequential collects before)
+    both = (
+        mv.select(F.lit("mv").alias("side"), "bucket", "n_rows", "cents")
+        .unionByName(
+            direct.select(
+                F.lit("direct").alias("side"), "bucket", "n_rows", "cents"
+            )
+        )
         .collect()
+    )
+    mv_rows = {
+        r["bucket"]: (r["n_rows"], r["cents"]) for r in both
+        if r["side"] == "mv"
     }
-    mv_rows = {r["bucket"]: (r["n_rows"], r["cents"]) for r in mv.collect()}
+    direct_rows = {
+        r["bucket"]: (r["n_rows"], r["cents"]) for r in both
+        if r["side"] == "direct"
+    }
     if mv_rows != direct_rows:
         raise RuntimeError(
             f"replayed MV diverged from recompute (double-applied delta?): "
@@ -4511,33 +4533,28 @@ def stream_cdf_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(_schema_evo_cdf_datasource())
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # nparts probed pre-cache; one source scan feeds probe + write
+        # nparts probed pre-action (plan shape); the version probe
+        # rides the write as an observed metric — one job per batch
         nparts = batch_df.rdd.getNumPartitions()
-        batch_df.persist()
-        try:
-            vs = [
-                r["version"]
-                for r in batch_df.select("version").distinct().collect()
-            ]
-            expected_v = batch_id + 1
-            if not vs:
-                # only the metadata-only add-column commit streams nothing
-                if expected_v != 2:
-                    raise RuntimeError(
-                        f"batch {batch_id} (v{expected_v}) unexpectedly empty"
-                    )
-            elif vs != [expected_v]:
-                raise RuntimeError(f"batch {batch_id} spans versions {vs}")
-            if nparts != work_units[expected_v]:
-                raise RuntimeError(
-                    f"batch {batch_id} (v{expected_v}) ran {nparts} "
-                    f"partitions, planned {work_units[expected_v]} work units"
-                )
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out, f"b{batch_id:05d}")
+        vs = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(out, f"b{batch_id:05d}"), "version"
             )
-        finally:
-            batch_df.unpersist()
+        )
+        expected_v = batch_id + 1
+        if not vs:
+            # only the metadata-only add-column commit streams nothing
+            if expected_v != 2:
+                raise RuntimeError(
+                    f"batch {batch_id} (v{expected_v}) unexpectedly empty"
+                )
+        elif vs != [expected_v]:
+            raise RuntimeError(f"batch {batch_id} spans versions {vs}")
+        if nparts != work_units[expected_v]:
+            raise RuntimeError(
+                f"batch {batch_id} (v{expected_v}) ran {nparts} "
+                f"partitions, planned {work_units[expected_v]} work units"
+            )
 
     q = (
         spark.readStream.format("sparkgraft_schema_evo_cdf")
@@ -5032,7 +5049,14 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _maintain_cached(batch_df: DataFrame, batch_id: int) -> None:
         delivered.append(int(batch_id))
-        probe = batch_df.select("txn", "table").distinct().collect()
+        # r14: the txn/table probe and the dim-delete scope check fold
+        # into ONE distinct-collect over (txn, table, change_type) —
+        # the scope check used to be its own limit-count job per batch
+        probe = (
+            batch_df.select("txn", "table", "change_type")
+            .distinct()
+            .collect()
+        )
         txns = sorted({r["txn"] for r in probe})
         if not txns:
             # only the rewrite-stamped compaction txn streams nothing;
@@ -5047,6 +5071,11 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"batch {batch_id} spans txns {txns} — cut point broken"
             )
         batch_tables[batch_id] = {r["table"] for r in probe}
+        if any(
+            r["table"] == "dim" and r["change_type"] == "delete"
+            for r in probe
+        ):
+            raise RuntimeError("dim deletes are out of this MV's scope")
         sign = F.when(F.col("change_type") == "delete", -1).otherwise(1)
         fdelta = (
             batch_df.filter(F.col("table") == "fact")
@@ -5056,13 +5085,6 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(sign * F.col("cents")).cast("long").alias("d_cents"),
             )
         )
-        if (
-            batch_df.filter(
-                (F.col("table") == "dim")
-                & (F.col("change_type") == "delete")
-            ).limit(1).count()
-        ):
-            raise RuntimeError("dim deletes are out of this MV's scope")
         ddelta = (
             batch_df.filter(F.col("table") == "dim")
             .select("custkey", F.col("segment").alias("d_segment"))
@@ -5194,9 +5216,23 @@ def stream_cdf_cross_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
         )
     )
-    mv_rows = {r["segment"]: (r["n_rows"], r["cents"]) for r in mv.collect()}
+    # r14: MV read and star recompute collected in ONE tagged-union job
+    both = (
+        mv.select(F.lit("mv").alias("side"), "segment", "n_rows", "cents")
+        .unionByName(
+            direct.select(
+                F.lit("direct").alias("side"), "segment", "n_rows", "cents"
+            )
+        )
+        .collect()
+    )
+    mv_rows = {
+        r["segment"]: (r["n_rows"], r["cents"]) for r in both
+        if r["side"] == "mv"
+    }
     direct_rows = {
-        r["segment"]: (r["n_rows"], r["cents"]) for r in direct.collect()
+        r["segment"]: (r["n_rows"], r["cents"]) for r in both
+        if r["side"] == "direct"
     }
     if mv_rows != direct_rows:
         raise RuntimeError(
@@ -5453,15 +5489,17 @@ def stream_cdf_vacuum_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivered: list[tuple[int, int]] = []  # (batch_id, n_rows)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # one source scan feeds the count probe AND the write
-        batch_df.persist()
-        try:
-            delivered.append((int(batch_id), batch_df.count()))
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(root, "out", f"b{batch_id:05d}")
-            )
-        finally:
-            batch_df.unpersist()
+        # one job per batch: the count probe rides the write as an
+        # observed metric (the _write_with_probe pattern, count form)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        (
+            batch_df.observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(root, "out", f"b{batch_id:05d}"))
+        )
+        delivered.append((int(batch_id), int(obs.get["n"])))
 
     def run_feed(tag: str, cursor: int | None) -> None:
         state = os.path.join(root, f"reader_state_{tag}")
@@ -5825,22 +5863,20 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches: list = []
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            # one source scan feeds the txn/table probe AND the write
-            batch_df.persist()
-            try:
-                rows = batch_df.select("txn", "table").distinct().collect()
-                batches.append(
-                    (
-                        int(batch_id),
-                        sorted({r["txn"] for r in rows}),
-                        sorted({r["table"] for r in rows}),
-                    )
+            # one job per batch: the (txn, table) probe rides the
+            # write as an observed metric
+            rows = _write_with_probe(
+                batch_df,
+                os.path.join(root, f"out_{tag}", f"b{batch_id:05d}"),
+                F.struct("txn", "table"),
+            )
+            batches.append(
+                (
+                    int(batch_id),
+                    sorted({r["txn"] for r in rows}),
+                    sorted({r["table"] for r in rows}),
                 )
-                batch_df.write.mode("overwrite").parquet(
-                    os.path.join(root, f"out_{tag}", f"b{batch_id:05d}")
-                )
-            finally:
-                batch_df.unpersist()
+            )
 
         q = (
             spark.readStream.format("sparkgraft_ckpt_txn_cdf")
@@ -5929,22 +5965,23 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def mv_of(events: DataFrame) -> list:
-        return sorted(
-            star(
-                events.filter(F.col("table") == "fact").select(
-                    "custkey", "cents"
-                ),
-                events.filter(F.col("table") == "dim").select(
-                    "custkey", "segment"
-                ),
-            ).collect()
+    def star_tagged(tag: str, fact: DataFrame, dim: DataFrame) -> DataFrame:
+        return star(fact, dim).select(
+            F.lit(tag).alias("mv"), "segment", "n_rows", "cents"
         )
 
-    mv_fresh = mv_of(ev_fresh)
+    def mv_events(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+        return (
+            events.filter(F.col("table") == "fact").select(
+                "custkey", "cents"
+            ),
+            events.filter(F.col("table") == "dim").select(
+                "custkey", "segment"
+            ),
+        )
 
-    # restarted consumer's MV: already-applied prefix (state at the
-    # cursor, replayed from the delta manifests it processed before
+    # restarted consumer's MV inputs: already-applied prefix (state at
+    # the cursor, replayed from the delta manifests it processed before
     # dying) + the streamed deltas
     prefix: dict = {}
     for v in range(1, _CTX_RESTART + 1):
@@ -5957,36 +5994,54 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("custkey"),
         F.col("c_mktsegment").alias("segment"),
     )
-    mv_restart = sorted(
-        star(
-            pre_fact.unionByName(
-                ev_re.filter(F.col("table") == "fact").select(
-                    "custkey", "cents"
-                )
-            ),
-            pre_dim.unionByName(
-                ev_re.filter(F.col("table") == "dim").select(
-                    "custkey", "segment"
-                )
-            ),
-        ).collect()
-    )
+    re_fact, re_dim = mv_events(ev_re)
 
-    # direct star recompute from the txn head
+    # direct star recompute inputs, from the txn head
     head: dict = {}
     for v in range(1, _CTX_N + 1):
         _txn_delta_merge(head, _read_manifest(txn_dir, v)["table_adds"])
-    mv_head = sorted(
-        star(
-            spark.read.parquet(*sorted(head["fact"])).select(
-                F.col("o_custkey").alias("custkey"), "cents"
-            ),
-            spark.read.parquet(*sorted(head["dim"])).select(
-                F.col("c_custkey").alias("custkey"),
-                F.col("c_mktsegment").alias("segment"),
-            ),
-        ).collect()
+
+    # r14: the three MV digests (fresh feed, restarted feed, direct
+    # head recompute) used to be three sequential star-join collects;
+    # one tagged union evaluates them in a single job (guide §1.2 step
+    # 1 / §2.6 — the three subtrees are independent and fill the cores
+    # together). Per-tag rollups of a union are exactly the separate
+    # rollups: the tag is part of the grouping key.
+    fresh_fact, fresh_dim = mv_events(ev_fresh)
+    mv_rows = (
+        star_tagged("fresh", fresh_fact, fresh_dim)
+        .unionByName(
+            star_tagged(
+                "restart",
+                pre_fact.unionByName(re_fact),
+                pre_dim.unionByName(re_dim),
+            )
+        )
+        .unionByName(
+            star_tagged(
+                "head",
+                spark.read.parquet(*sorted(head["fact"])).select(
+                    F.col("o_custkey").alias("custkey"), "cents"
+                ),
+                spark.read.parquet(*sorted(head["dim"])).select(
+                    F.col("c_custkey").alias("custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                ),
+            )
+        )
+        .collect()
     )
+
+    def mv_list(tag: str) -> list:
+        return sorted(
+            (r["segment"], r["n_rows"], r["cents"])
+            for r in mv_rows
+            if r["mv"] == tag
+        )
+
+    mv_fresh = mv_list("fresh")
+    mv_restart = mv_list("restart")
+    mv_head = mv_list("head")
     if not (mv_fresh == mv_restart == mv_head):
         raise RuntimeError(
             f"MVs diverged: fresh={mv_fresh[:2]} restart={mv_restart[:2]} "
@@ -5994,7 +6049,7 @@ def stream_cdf_txn_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     out = spark.createDataFrame(
-        [(r["segment"], r["n_rows"], r["cents"]) for r in mv_head],
+        list(mv_head),
         "segment string, n_rows long, cents long",
     )
     return out.select(
@@ -6143,19 +6198,14 @@ def stream_cdf_rebase_exactly_once(spark: SparkSession, sf_dir: str) -> DataFram
     batches: list = []
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # one source scan feeds the txn probe AND the write
-        batch_df.persist()
-        try:
-            txns = sorted(
-                r["txn"]
-                for r in batch_df.select("txn").distinct().collect()
+        # one job per batch: the txn probe rides the write as an
+        # observed metric
+        txns = sorted(
+            _write_with_probe(
+                batch_df, os.path.join(root, "out", f"b{batch_id:05d}"), "txn"
             )
-            batches.append((int(batch_id), txns))
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(root, "out", f"b{batch_id:05d}")
-            )
-        finally:
-            batch_df.unpersist()
+        )
+        batches.append((int(batch_id), txns))
 
     q = (
         spark.readStream.format("sparkgraft_txn_cdf")

@@ -2104,20 +2104,29 @@ def dedup_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # instead of re-running the Python CDF read per action
         batch_df.persist()
         try:
+            # r14: ONE event-kind probe job replaces the two
+            # per-class limit-count jobs (it also materializes the
+            # cache the writes below re-read)
+            kinds = {
+                r["change_type"]
+                for r in batch_df.select("change_type")
+                .distinct()
+                .collect()
+            }
             adds: list[str] = []
-            ins = batch_df.filter(F.col("change_type") == "insert").select(
-                "doc_id", "text"
-            )
-            if ins.limit(1).count():
+            if "insert" in kinds:
+                ins = batch_df.filter(
+                    F.col("change_type") == "insert"
+                ).select("doc_id", "text")
                 add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
                 band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
                     add_dir
                 )
                 adds += _data_files_of(add_dir)
-            dels = batch_df.filter(F.col("change_type") == "delete").select(
-                "doc_id"
-            )
-            if dels.limit(1).count():
+            if "delete" in kinds:
+                dels = batch_df.filter(
+                    F.col("change_type") == "delete"
+                ).select("doc_id")
                 t_dir = os.path.join(
                     idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
                 )
@@ -2382,20 +2391,29 @@ def dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one source scan per batch (probes + writes share the cache)
         batch_df.persist()
         try:
+            # r14: ONE event-kind probe job replaces the two
+            # per-class limit-count jobs (it also materializes the
+            # cache the writes below re-read)
+            kinds = {
+                r["change_type"]
+                for r in batch_df.select("change_type")
+                .distinct()
+                .collect()
+            }
             adds: list[str] = []
-            ins = batch_df.filter(F.col("change_type") == "insert").select(
-                "doc_id", "text"
-            )
-            if ins.limit(1).count():
+            if "insert" in kinds:
+                ins = batch_df.filter(
+                    F.col("change_type") == "insert"
+                ).select("doc_id", "text")
                 add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
                 band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
                     add_dir
                 )
                 adds += _data_files_of(add_dir)
-            dels = batch_df.filter(F.col("change_type") == "delete").select(
-                "doc_id"
-            )
-            if dels.limit(1).count():
+            if "delete" in kinds:
+                dels = batch_df.filter(
+                    F.col("change_type") == "delete"
+                ).select("doc_id")
                 t_dir = os.path.join(
                     idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
                 )
@@ -2675,16 +2693,20 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.unpersist()
 
     def _maintain_cached(batch_df: DataFrame, batch_id: int) -> None:
-        src_vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
+        # r14: ONE probe job over (version, change_type) replaces the
+        # version distinct-collect plus the two per-class limit-count
+        # jobs (it also materializes the cache the writes re-read)
+        probe = (
+            batch_df.select("version", "change_type").distinct().collect()
+        )
+        src_vs = sorted({r["version"] for r in probe})
         if len(src_vs) != 1:
             raise RuntimeError(
                 f"batch {batch_id} spans docs versions {sorted(src_vs)} "
                 "— one-commit-per-batch contract broken"
             )
         src_v = int(src_vs[0])
+        kinds = {r["change_type"] for r in probe}
         stamped = {
             _read_manifest(idx_log, v).get("docs_version")
             for v in _log_versions(idx_log)
@@ -2692,19 +2714,19 @@ def dedup_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         if src_v in stamped:
             return  # redelivered batch: its stamped commit already landed
         adds: list[str] = []
-        ins = batch_df.filter(F.col("change_type") == "insert").select(
-            "doc_id", "text"
-        )
-        if ins.limit(1).count():
+        if "insert" in kinds:
+            ins = batch_df.filter(F.col("change_type") == "insert").select(
+                "doc_id", "text"
+            )
             add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
             band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
                 add_dir
             )
             adds += _data_files_of(add_dir)
-        dels = batch_df.filter(F.col("change_type") == "delete").select(
-            "doc_id"
-        )
-        if dels.limit(1).count():
+        if "delete" in kinds:
+            dels = batch_df.filter(F.col("change_type") == "delete").select(
+                "doc_id"
+            )
             t_dir = os.path.join(
                 idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
             )
@@ -2988,10 +3010,13 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # version, read from its own event rows — never the
         # foreachBatch id, which resets to 0 on a checkpoint-lost
         # restart (r13 review; same discipline as dedup_index_asof)
-        src_vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
+        # r14: ONE probe job over (version, change_type) replaces the
+        # version distinct-collect plus the two per-class limit-count
+        # jobs (it also materializes the cache the writes re-read)
+        probe = (
+            batch_df.select("version", "change_type").distinct().collect()
+        )
+        src_vs = sorted({r["version"] for r in probe})
         if len(src_vs) > 1:
             raise RuntimeError(
                 f"batch {batch_id} spans docs versions {sorted(src_vs)}"
@@ -3002,6 +3027,7 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             delivered.append((int(batch_id), len(_log_versions(idx_log))))
             return
         src_v = int(src_vs[0])
+        kinds = {r["change_type"] for r in probe}
         stamped = {
             _read_manifest(idx_log, v).get("docs_version")
             for v in _log_versions(idx_log)
@@ -3009,19 +3035,19 @@ def dedup_index_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         if src_v in stamped:
             return  # redelivered: its stamped commit already landed
         adds: list[str] = []
-        ins = batch_df.filter(F.col("change_type") == "insert").select(
-            "doc_id", "text"
-        )
-        if ins.limit(1).count():
+        if "insert" in kinds:
+            ins = batch_df.filter(F.col("change_type") == "insert").select(
+                "doc_id", "text"
+            )
             add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
             band_keys(minhash_signatures(ins)).coalesce(1).write.parquet(
                 add_dir
             )
             adds += _data_files_of(add_dir)
-        dels = batch_df.filter(F.col("change_type") == "delete").select(
-            "doc_id"
-        )
-        if dels.limit(1).count():
+        if "delete" in kinds:
+            dels = batch_df.filter(F.col("change_type") == "delete").select(
+                "doc_id"
+            )
             t_dir = os.path.join(
                 idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
             )

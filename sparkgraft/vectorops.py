@@ -3834,20 +3834,29 @@ def sim_ivf_index_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one source scan per batch (probes + writes share the cache)
         batch_df.persist()
         try:
+            # r14: ONE event-kind probe job replaces the two
+            # per-class limit-count jobs (it also materializes the
+            # cache the writes below re-read)
+            kinds = {
+                r["change_type"]
+                for r in batch_df.select("change_type")
+                .distinct()
+                .collect()
+            }
             adds: list[str] = []
-            ins = batch_df.filter(F.col("change_type") == "insert").select(
-                "vec_id", "embedding"
-            )
-            if ins.limit(1).count():
+            if "insert" in kinds:
+                ins = batch_df.filter(
+                    F.col("change_type") == "insert"
+                ).select("vec_id", "embedding")
                 add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
                 _ivfq_assign(spark, ins, cq).coalesce(1).write.parquet(
                     add_dir
                 )
                 adds += _data_files_of(add_dir)
-            dels = batch_df.filter(F.col("change_type") == "delete").select(
-                "vec_id"
-            )
-            if dels.limit(1).count():
+            if "delete" in kinds:
+                dels = batch_df.filter(
+                    F.col("change_type") == "delete"
+                ).select("vec_id")
                 t_dir = os.path.join(
                     idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
                 )
@@ -4136,16 +4145,20 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_df.unpersist()
 
     def _maintain_cached(batch_df: DataFrame, batch_id: int) -> None:
-        src_vs = [
-            r["version"]
-            for r in batch_df.select("version").distinct().collect()
-        ]
+        # r14: ONE probe job over (version, change_type) replaces the
+        # version distinct-collect plus the two per-class limit-count
+        # jobs (it also materializes the cache the writes re-read)
+        probe = (
+            batch_df.select("version", "change_type").distinct().collect()
+        )
+        src_vs = sorted({r["version"] for r in probe})
         if len(src_vs) != 1:
             raise RuntimeError(
                 f"batch {batch_id} spans emb versions {sorted(src_vs)} "
                 "— one-commit-per-batch contract broken"
             )
         src_v = int(src_vs[0])
+        kinds = {r["change_type"] for r in probe}
         stamped = {
             _read_manifest(idx_log, v).get("emb_version")
             for v in _log_versions(idx_log)
@@ -4153,19 +4166,19 @@ def sim_ivf_index_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         if src_v in stamped:
             return  # redelivered batch: its stamped commit already landed
         adds: list[str] = []
-        ins = batch_df.filter(F.col("change_type") == "insert").select(
-            "vec_id", "embedding"
-        )
-        if ins.limit(1).count():
+        if "insert" in kinds:
+            ins = batch_df.filter(F.col("change_type") == "insert").select(
+                "vec_id", "embedding"
+            )
             add_dir = os.path.join(idx_root, f"add_b{batch_id:05d}")
             _ivfq_assign(spark, ins, cq).coalesce(1).write.parquet(
                 add_dir
             )
             adds += _data_files_of(add_dir)
-        dels = batch_df.filter(F.col("change_type") == "delete").select(
-            "vec_id"
-        )
-        if dels.limit(1).count():
+        if "delete" in kinds:
+            dels = batch_df.filter(F.col("change_type") == "delete").select(
+                "vec_id"
+            )
             t_dir = os.path.join(
                 idx_root, _MOR_DELETE_CLASS, f"b{batch_id:05d}"
             )
