@@ -589,7 +589,21 @@ def agg_itemsets_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("br")
     )
-    b = li.join(pt, "l_partkey").select("o", "br").distinct()
+    # The distinct-basket subtree feeds EVERY level below (n, f1, bf —
+    # which the pair self-join and the level-3 extension each read
+    # twice): lazily it re-evaluates ~12x in the final plan (92 parquet
+    # scans, 160 HashAggregates, zero exchange reuse under AQE — the
+    # r13 plan read). Materialize it once (guide §5). r14 quiet-host
+    # A/B, basket-only checkpoint, interleaved min-of-5: sf0.1 2.99 →
+    # 2.43 s, sf1 5.45 → 4.80 s (rules sibling 1.76 → 1.58 / 3.66 →
+    # 3.28). This supersedes the r13 revert, whose "lazy faster"
+    # baseline was measured on a busier host (its note flagged exactly
+    # that and asked for this re-measure); the redundancy grows
+    # linearly with the corpus while the barrier does not.
+    b = (
+        li.join(pt, "l_partkey").select("o", "br").distinct()
+        .localCheckpoint()
+    )
     n = float(b.select("o").distinct().count())
     thr = _APRIORI_MINSUP * n
 
@@ -720,7 +734,13 @@ def agg_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = load(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), F.col("p_brand").alias("br")
     )
-    b = li.join(pt, "l_partkey").select("o", "br").distinct()
+    # basket subtree materialized once — measurement and rationale in
+    # agg_itemsets_apriori above (r14 A/B: 1.76 → 1.58 s sf0.1,
+    # 3.66 → 3.28 s sf1)
+    b = (
+        li.join(pt, "l_partkey").select("o", "br").distinct()
+        .localCheckpoint()
+    )
     n = float(b.select("o").distinct().count())
     thr = _APRIORI_MINSUP * n
 

@@ -467,6 +467,14 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         load(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        # r14 (guide §2.5 — one unsplittable input): the sfN orders
+        # table is a single parquet file, so the scan plans ONE task
+        # and the per-row Python codec ran serially on one core with
+        # the rest idle. Repartition to the core budget so the encode
+        # (write: one container file per task) AND the decode (read:
+        # one partition per file) parallelize; the tiny shuffle is
+        # nothing next to the serial-Python wall it removes.
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.format("sg_avro")
         .option("path", out)
         .mode("append")
@@ -535,6 +543,10 @@ def scan_avro_deflate_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "value",
         )
+        # r14: parallelize the per-row Python codec across the core
+        # budget (single-file source planned ONE task — see the
+        # scan_avro_roundtrip note)
+        .repartition(spark.sparkContext.defaultParallelism)
         .write.format("sg_avro")
         .option("path", out)
         .option("codec", "deflate")

@@ -1229,6 +1229,14 @@ def scan_sequencefile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_type")
+        # r14 (guide §2.5 — one unsplittable input): the single-file
+        # scan planned ONE task, so the per-row pickle + Writable
+        # conversion ran serially; repartition to the core budget so
+        # write AND read-back (one split per file) parallelize.
+        # Measured: flat at sf0.1 (1.9-2.0 s both forms — fixed
+        # Pyrolite overhead dominates), 7.8-10.1 s serial vs 3.4-3.9 s
+        # parallel at sf1 (min-of-3 A/B x2 each, quiet host)
+        .repartition(spark.sparkContext.defaultParallelism)
         .rdd.map(lambda r: (r[0], r[1]))
     )
     pairs.saveAsSequenceFile(out)
